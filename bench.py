@@ -1,0 +1,63 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count of the result) so the full
+plan runs; a warmup pass first touches the parquet footers so we time
+compute, not first-touch I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BENCH_QUERIES = [
+    "social_feed_by_app",
+    "f2_f3_f5_filter_combo",
+    "f1_tag_membership",
+    "a1_trending_tags",
+    "tpch_q1_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from union_indexer_node_spark import queries as q
+    from union_indexer_node_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    reg = q.registry()
+    names = [n for n in BENCH_QUERIES if n in reg]
+
+    # warmup: schema reads + JVM code paths
+    for n in names:
+        reg[n].fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        df = reg[n].fn(spark, sf_dir)
+        df.collect()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables, compare row-count + schema + order-insensitive values.
+
+Float columns are compared with a small absolute tolerance locally; the
+registry's job is to ROUND in both engines so the driver's exact hash
+also matches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from union_indexer_node_spark.tables import GENERIC_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in GENERIC_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize temporal + categorical dtypes for cross-engine compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[str]:
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"{name}: rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return errs
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        errs.append(
+            f"{name}: columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return errs
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            av, bv = a[c].astype(float), b[c].astype(float)
+            bad = [
+                i
+                for i, (x, y) in enumerate(zip(av, bv))
+                if not (
+                    (math.isnan(x) and math.isnan(y)) or abs(x - y) <= 1e-9 + 1e-9 * abs(y)
+                )
+            ]
+        else:
+            bad = [i for i, (x, y) in enumerate(zip(a[c], b[c])) if x != y]
+        if bad:
+            i = bad[0]
+            errs.append(
+                f"{name}.{c}: {len(bad)} mismatches, first at {i}: "
+                f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
+            )
+    return errs

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the config keys are the ones that matter on a
+real cluster too (AQE, shuffle partitions, Arrow). Callers can override
+anything via the ``extra`` dict.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime coalescing + skew-join splitting. Hot communities /
+    # authors are a real skew source in the domain model (SURVEY §7).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps across engines (DuckDB oracle compares).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Sort-merge fallback shouldn't dominate small dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # events.parquet stores TIMESTAMP(NANOS); read as long and convert in
+    # tables.load (matches DuckDB's ns->us truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "union_indexer_node_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism;
+    shuffle partitions default to the same so a local run doesn't pay
+    200-partition scheduling overhead, while a cluster deploy overrides.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        conf["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    if extra:
+        conf.update(extra)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,254 @@
+"""Table access + deterministic domain-view derivation.
+
+Two families of inputs:
+
+1. **Generic testdata** (``/root/testdata/sf*/``): TPC-H-ish tables
+   ``region nation customer supplier part orders lineitem`` plus
+   ``events`` (an append stream), ``documents`` (text corpus) and
+   ``embeddings`` (array<float> vectors). Loaded verbatim.
+
+2. **Domain views**: the reference engine's data model is a social index
+   (``posts``/``profiles``/``follows``/``communities`` — shapes at
+   /root/reference/src/types/posts.ts:1-84 and
+   /root/reference/src/workers/hive-stream.ts:289-492). The driver's
+   oracle can only see the generic tables, so we *derive* domain-shaped
+   views from ``events`` with pure modulo/concat arithmetic that DuckDB
+   reproduces bit-for-bit (see ``POSTS_CTE`` — the same derivation as a
+   DuckDB CTE). Every domain operator is then oracle-checkable.
+
+At 100 TB the derivation is irrelevant (real ingest feeds the silver
+tables, see ``ingest/``); what matters is that the *query* code paths
+exercised here are the production ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GENERIC_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown reach
+    the parquet scan because we return the raw reader output (no caching,
+    no materialization barriers).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate ns->us,
+    matching DuckDB's read of the same file."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load(spark, sf_dir, n) for n in GENERIC_TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Domain view: posts (reference shape: types/posts.ts:1-84)
+# ---------------------------------------------------------------------------
+# The arithmetic below is mirrored EXACTLY in POSTS_CTE (DuckDB dialect).
+# Rules of the shared subset: integer modulo, '||' concat (both engines
+# implicitly cast ints), CASE WHEN, no floats except pass-through of
+# ``value`` (2-decimal doubles).
+#
+# Shape goals (FIXTURES.md distribution requirements):
+#   - comments: event_type='click' rows, flags=['comment'], parent points
+#     at a low event_id so parents exist and communities are skewed
+#   - community posts: parent_permlink LIKE 'hive-%' (5 communities,
+#     skew via modulo)
+#   - TYPE: mostly 'HIVE', some 'CERAMIC', some NULL (tests Mongo $ne
+#     null-semantics, SURVEY F7)
+#   - tags: 17-value vocabulary + 'deleted' poison tag (X8)
+#   - mentions embedded in body for A9/X14
+
+
+def posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    is_comment = F.col("event_type") == "click"
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+
+    author = F.concat(F.lit("u"), uid.cast("string"))
+    permlink = F.concat(F.lit("p"), eid.cast("string"))
+    app = (
+        F.when(F.col("event_type") == "purchase", "3speak/1.0")
+        .when(F.col("event_type") == "signup", "dbuzz/2")
+        .when(F.col("event_type") == "error", "steemit/0.1")
+        .otherwise("other/1")
+    )
+    tag1 = F.concat(F.lit("t"), (eid % 17).cast("string"))
+    tag2 = F.concat(F.lit("t"), (eid % 5).cast("string"))
+    deleted = (eid % 97) == 0
+
+    return e.select(
+        eid.alias("event_id"),
+        author.alias("author"),
+        permlink.alias("permlink"),
+        F.when(is_comment, F.concat(F.lit("u"), ((eid % 211) % 40).cast("string")))
+        .otherwise(F.lit(""))
+        .alias("parent_author"),
+        F.when(is_comment, F.concat(F.lit("p"), (eid % 211).cast("string")))
+        .when(eid % 7 < 2, F.concat(F.lit("hive-"), (eid % 5).cast("string")))
+        .otherwise(F.lit("blog"))
+        .alias("parent_permlink"),
+        F.concat(F.lit("post "), eid.cast("string")).alias("title"),
+        F.when(
+            eid % 11 == 0,
+            F.concat(
+                F.lit("hello @u"),
+                ((eid + 1) % 40).cast("string"),
+                F.lit(" and @U"),
+                ((eid + 2) % 40).cast("string"),
+                F.lit(" bye"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain body "), eid.cast("string")))
+        .alias("body"),
+        F.when(deleted, F.array(tag1, tag2, F.lit("deleted")))
+        .otherwise(F.array(tag1, tag2))
+        .alias("tags"),
+        F.when(deleted, F.lit("deleted")).otherwise(F.lit("published")).alias("status"),
+        F.col("ts").alias("created_at"),
+        F.when(eid % 13 == 0, F.lit("CERAMIC"))
+        .when(eid % 13 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("HIVE"))
+        .alias("TYPE"),
+        F.when(is_comment, F.array(F.lit("comment")))
+        .when(eid % 13 == 1, F.lit(None).cast("array<string>"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("flags"),
+        app.alias("app"),
+        F.split(app, "/").getItem(0).alias("app_name"),
+        F.when(eid % 4 == 0, "en")
+        .when(eid % 4 == 1, "es")
+        .when(eid % 4 == 2, F.lit(None).cast("string"))
+        .otherwise("fr")
+        .alias("lang"),
+        F.floor(F.col("value")).cast("int").alias("num_votes"),
+        (F.col("value") / 10).alias("payout"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("duration"),
+    )
+
+
+# DuckDB rendering of the SAME derivation (validated row-identical by
+# tests/test_domain_oracle.py). Keep in lockstep with posts() above.
+POSTS_CTE = """
+posts AS (
+  SELECT
+    event_id,
+    'u' || CAST(user_id AS VARCHAR) AS author,
+    'p' || CAST(event_id AS VARCHAR) AS permlink,
+    CASE WHEN event_type = 'click'
+         THEN 'u' || CAST((event_id % 211) % 40 AS VARCHAR)
+         ELSE '' END AS parent_author,
+    CASE WHEN event_type = 'click' THEN 'p' || CAST(event_id % 211 AS VARCHAR)
+         WHEN event_id % 7 < 2 THEN 'hive-' || CAST(event_id % 5 AS VARCHAR)
+         ELSE 'blog' END AS parent_permlink,
+    'post ' || CAST(event_id AS VARCHAR) AS title,
+    CASE WHEN event_id % 11 = 0
+         THEN 'hello @u' || CAST((event_id + 1) % 40 AS VARCHAR)
+              || ' and @U' || CAST((event_id + 2) % 40 AS VARCHAR) || ' bye'
+         ELSE 'plain body ' || CAST(event_id AS VARCHAR) END AS body,
+    CASE WHEN event_id % 97 = 0
+         THEN ['t' || CAST(event_id % 17 AS VARCHAR),
+               't' || CAST(event_id % 5 AS VARCHAR), 'deleted']
+         ELSE ['t' || CAST(event_id % 17 AS VARCHAR),
+               't' || CAST(event_id % 5 AS VARCHAR)] END AS tags,
+    CASE WHEN event_id % 97 = 0 THEN 'deleted' ELSE 'published' END AS status,
+    ts AS created_at,
+    CASE WHEN event_id % 13 = 0 THEN 'CERAMIC'
+         WHEN event_id % 13 = 1 THEN NULL
+         ELSE 'HIVE' END AS "TYPE",
+    CASE WHEN event_type = 'click' THEN ['comment']
+         WHEN event_id % 13 = 1 THEN NULL
+         ELSE [] END AS flags,
+    CASE WHEN event_type = 'purchase' THEN '3speak/1.0'
+         WHEN event_type = 'signup' THEN 'dbuzz/2'
+         WHEN event_type = 'error' THEN 'steemit/0.1'
+         ELSE 'other/1' END AS app,
+    CASE WHEN event_type = 'purchase' THEN '3speak'
+         WHEN event_type = 'signup' THEN 'dbuzz'
+         WHEN event_type = 'error' THEN 'steemit'
+         ELSE 'other' END AS app_name,
+    CASE WHEN event_id % 4 = 0 THEN 'en'
+         WHEN event_id % 4 = 1 THEN 'es'
+         WHEN event_id % 4 = 2 THEN NULL
+         ELSE 'fr' END AS lang,
+    CAST(FLOOR(value) AS INTEGER) AS num_votes,
+    value / 10 AS payout,
+    CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS duration
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain view: follows (reference shape: hive-stream.ts:289-301,375-387)
+# ---------------------------------------------------------------------------
+# Edge rule: user u follows (u*3+k) % 40 for k in 1..(u%4) — users have
+# 0..3 followings; plus every 5th user subscribes to a community.
+
+
+def follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = (
+        e.select(F.col("user_id").cast("long").alias("uid")).distinct()
+    )
+    k = u.select("uid", F.explode(F.sequence(F.lit(1), (F.col("uid") % 4))).alias("k"))
+    user_edges = k.select(
+        F.concat(F.lit("u"), F.col("uid").cast("string")).alias("follower"),
+        F.concat(
+            F.lit("u"), ((F.col("uid") * 3 + F.col("k")) % 40).cast("string")
+        ).alias("following"),
+        F.lit("blog").alias("what"),
+    )
+    community_edges = u.filter(F.col("uid") % 5 == 0).select(
+        F.concat(F.lit("u"), F.col("uid").cast("string")).alias("follower"),
+        F.concat(F.lit("hive-"), (F.col("uid") % 5).cast("string")).alias("following"),
+        F.lit("community").alias("what"),
+    )
+    return user_edges.unionByName(community_edges)
+
+
+FOLLOWS_CTE = """
+follows AS (
+  SELECT 'u' || CAST(uid AS VARCHAR) AS follower,
+         'u' || CAST((uid * 3 + k) % 40 AS VARCHAR) AS following,
+         'blog' AS what
+  FROM (SELECT DISTINCT user_id AS uid FROM events) u,
+       LATERAL (SELECT UNNEST(generate_series(1, CAST(uid % 4 AS INTEGER))) AS k) s
+  UNION ALL
+  SELECT 'u' || CAST(uid AS VARCHAR), 'hive-' || CAST(uid % 5 AS VARCHAR),
+         'community'
+  FROM (SELECT DISTINCT user_id AS uid FROM events) u
+  WHERE uid % 5 = 0
+)
+"""
+
+
+def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register generic tables + domain views as temp views for spark.sql."""
+    for n in GENERIC_TABLES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+    posts(spark, sf_dir).createOrReplaceTempView("posts")
+    follows(spark, sf_dir).createOrReplaceTempView("follows")
+
+
+def oracle_with_domain(body_sql: str) -> str:
+    """Wrap an oracle query body with the domain-view CTEs (DuckDB)."""
+    return f"WITH {POSTS_CTE.strip()}, {FOLLOWS_CTE.strip()} {body_sql}"

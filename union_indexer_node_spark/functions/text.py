@@ -1,0 +1,56 @@
+"""Text functions: mentions, tokenization (SURVEY X14/X21/A9).
+
+The reference extracts twitter-style @mentions from post bodies
+(notifications.ts:5,17-35) — hive account mentions are lower-cased,
+DID mentions kept verbatim (notifications.ts:39-45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Simplified form of the twitter-text mention regex used at
+# notifications.ts:5 — captures @name and @did:... tokens.
+MENTION_RE = r"@((?:did:[a-zA-Z0-9:._-]+)|[a-zA-Z0-9][a-zA-Z0-9._-]*)"
+
+
+def extract_mentions(body: Column) -> Column:
+    """All @mentions in a body; hive names lower-cased, DIDs verbatim."""
+    raw = F.regexp_extract_all(body, F.lit(MENTION_RE), 1)
+    return F.transform(
+        raw,
+        lambda m: F.when(m.startswith("did:"), m).otherwise(F.lower(m)),
+    )
+
+
+def tokenize(text: Column) -> Column:
+    """X21 v1 tokenizer: lower-case word split. Token-AND matching over
+    this reproduces the observable behavior of Mongo's $text for the
+    reference (which sorts by recency, never by text score —
+    resolvers/index.ts:210-213)."""
+    return F.split(F.lower(text), "[^a-z0-9]+")
+
+
+def mention_notifications(posts: DataFrame) -> DataFrame:
+    """A9 — notifications derived from post bodies
+    (notifications.ts:17-56, process-meta.ts:20-30):
+    explode mentions, tag type by did-prefix, dedupe on (ref, target,
+    notification_type). Pure explode + project + dropDuplicates —
+    map-side until the dedup shuffle."""
+    return (
+        posts.select(
+            F.col("author").alias("from"),
+            F.col("created_at").alias("mentioned_at"),
+            F.concat_ws("/", F.lit("hive"), F.col("author"), F.col("permlink")).alias(
+                "ref"
+            ),
+            F.explode(extract_mentions(F.col("body"))).alias("target"),
+        )
+        .withColumn(
+            "type",
+            F.when(F.col("target").startswith("did:"), "did").otherwise("hive"),
+        )
+        .withColumn("notification_type", F.lit("mention"))
+        .dropDuplicates(["ref", "target", "notification_type"])
+    )

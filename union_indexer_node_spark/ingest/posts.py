@@ -1,0 +1,223 @@
+"""posts silver pipeline: exploded blockchain ops -> the posts index.
+
+Reference write path: src/workers/hive-stream.ts:494-698 (comment op
+dispatch), insert-vs-patch (:530-582), allowlist gating (:513-527),
+spkvideo metadata (:589-658). The imperative per-op upsert sequence
+becomes a deterministic batch plan:
+
+  comment ops
+    -> parse json_metadata (X1), derive app/tags/flags
+    -> per-key fold: body edit-fold (X13), LWW for scalar fields (W2),
+       created_at = first seen, updated_at = last seen
+    -> deleted status (X8), comment flag, post type allowlist (X2)
+    -> first_upload window (W3)
+    -> parent-allowlist fixpoint (J9)
+  vote ops -> per-key vote stats (batch replaces dirty-flag recompute)
+
+Scale notes: one shuffle on (author, permlink) services the fold, the
+LWW window and the vote join (co-partitioned aggregate-then-join). The
+J9 fixpoint joins comments against an allowed-keys set that starts as
+top-level posts and grows down reply chains; iterations are bounded by
+max reply depth (reference gets the same closure implicitly from
+time-ordered processing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.json_meta import parse_json_metadata
+from ..functions.scalars import (
+    ALLOWED_APPS,
+    deleted_status,
+    detect_post_type,
+    pullout_ipfs_links,
+    storage_type,
+)
+from .editfold import folded_body
+
+def _order():
+    return [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")]
+
+
+def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
+    """ops: FIXTURES.md raw_ops schema (comment + vote rows used)."""
+    comments = ops.filter(F.col("op_type") == "comment").withColumn(
+        "jm", parse_json_metadata(F.col("json_metadata"))
+    )
+
+    key = ["author", "permlink"]
+    w_last = Window.partitionBy(*key).orderBy(*[c.desc() for c in _order()])
+
+    per_event = comments.select(
+        *key,
+        F.col("block_height"),
+        F.col("tx_idx"),
+        F.col("op_idx"),
+        F.col("block_timestamp"),
+        F.col("parent_author"),
+        F.col("parent_permlink"),
+        F.col("title"),
+        F.col("body"),
+        F.col("json_metadata"),
+        F.col("jm"),
+    )
+
+    # Last-write-wins scalar state (W2) + first/last timestamps + body fold.
+    latest = (
+        per_event.withColumn("_rn", F.row_number().over(w_last))
+        .withColumn("created_at", F.min("block_timestamp").over(Window.partitionBy(*key)))
+        .withColumn("updated_at", F.max("block_timestamp").over(Window.partitionBy(*key)))
+        .withColumn(
+            "_events",
+            F.collect_list(
+                F.struct("block_height", "tx_idx", "op_idx", "body")
+            ).over(Window.partitionBy(*key)),
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("body", folded_body(F.col("_events")))
+        .drop("_rn", "_events", "block_timestamp")
+    )
+
+    tags = F.coalesce(F.col("jm.tags"), F.array().cast("array<string>"))
+    jm_flags = F.coalesce(F.col("jm.flags"), F.array().cast("array<string>"))
+    is_comment = F.col("parent_author") != ""
+
+    posts = (
+        latest.withColumn("tags", tags)
+        .withColumn("app", F.col("jm.app"))
+        .withColumn("app_name", F.split(F.col("jm.app"), "/").getItem(0))
+        .withColumn("post_type", detect_post_type(F.col("jm.app")))
+        .withColumn("status", deleted_status(jm_flags, tags))
+        .withColumn(
+            "flags",
+            F.when(is_comment, F.array(F.lit("comment"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .withColumn("TYPE", F.lit("HIVE"))
+        .withColumn("__t", F.lit("post_hive"))
+        .withColumn("ipfs_links", pullout_ipfs_links(F.coalesce(F.col("jm.video.sourceMap"), F.array().cast("array<struct<type:string,url:string,format:string>>"))))
+        .withColumn("storage_type", storage_type(F.col("jm.video.sourceMap")))
+        .withColumn(
+            "state_control",
+            F.struct(F.col("block_height").alias("block_height")),
+        )
+    )
+
+    # W3 — first_upload: author's first allowed-app video post
+    # (hive-stream.ts:623-631 checks existence at ingest; the window is
+    # the order-insensitive equivalent).
+    w_first = Window.partitionBy("author").orderBy(
+        "created_at", "block_height", "permlink"
+    )
+    posts = posts.withColumn(
+        "first_upload",
+        F.when(
+            F.col("post_type") == "3speak",
+            F.row_number().over(w_first) == 1,
+        ).otherwise(F.lit(False)),
+    )
+
+    # J9 — parent allowlist fixpoint (hive-stream.ts:513-527).
+    allowed_by_type = F.col("post_type").isin(ALLOWED_APPS)
+    posts = posts.withColumn("allowed_by_type", allowed_by_type)
+
+    roots = posts.filter(~is_comment & allowed_by_type).select(
+        F.col("author").alias("pa"), F.col("permlink").alias("pp")
+    )
+    comments_only = posts.filter(is_comment)
+    allowed_keys = roots
+    allowed_comments = None
+    for _ in range(max_reply_depth):
+        newly = (
+            comments_only.join(
+                allowed_keys.hint("broadcast"),
+                (comments_only.parent_author == F.col("pa"))
+                & (comments_only.parent_permlink == F.col("pp")),
+                "left_semi",
+            )
+            .select(F.col("author").alias("pa"), F.col("permlink").alias("pp"))
+        )
+        if allowed_comments is None:
+            allowed_comments = newly
+            prev_count = newly.count()
+        else:
+            grown = allowed_comments.unionByName(newly).distinct()
+            new_count = grown.count()
+            if new_count == prev_count:
+                break
+            allowed_comments, prev_count = grown, new_count
+        allowed_keys = newly
+        if prev_count == 0:
+            break
+
+    all_allowed = roots if allowed_comments is None else roots.unionByName(
+        allowed_comments
+    ).distinct()
+    posts = posts.join(
+        all_allowed.withColumnRenamed("pa", "author").withColumnRenamed(
+            "pp", "permlink"
+        ).withColumn("allowed_by_parent", F.lit(True)),
+        ["author", "permlink"],
+        "left",
+    ).withColumn("allowed_by_parent", F.coalesce(F.col("allowed_by_parent"), F.lit(False)))
+
+    # Vote stats (batch replaces the needs_stat_update dirty-flag loop,
+    # hive-stream.ts:224-260 + core.ts:96-139): aggregate-then-join on
+    # the same key the posts shuffle already used.
+    votes = (
+        ops.filter(F.col("op_type") == "vote")
+        .groupBy("author", "permlink")
+        .agg(F.count(F.lit(1)).alias("num_votes"))
+    )
+    posts = posts.join(votes, ["author", "permlink"], "left").withColumn(
+        "num_votes", F.coalesce(F.col("num_votes"), F.lit(0)).cast("int")
+    )
+
+    return posts.drop("jm")
+
+
+def build_follows(ops: DataFrame) -> DataFrame:
+    """follows pipeline (hive-stream.ts:325-397): follow/unfollow custom
+    ops; last op per edge wins; unfollow = tombstone (anti-join, S8)."""
+    fo = ops.filter(
+        F.col("op_type").isin("custom_json")
+        & F.col("custom_json_id").isin("follow", "spk.follow", "spk.unfollow")
+    ).withColumn(
+        "cj",
+        F.from_json(
+            F.col("custom_json"),
+            "struct<follower:string,following:string,what:array<string>>",
+        ),
+    )
+    edges = fo.select(
+        F.coalesce(F.col("cj.follower"), F.col("required_posting_auths").getItem(0)).alias(
+            "follower"
+        ),
+        F.col("cj.following").alias("following"),
+        F.when(F.col("custom_json_id") == "spk.unfollow", F.lit(True))
+        .when(
+            (F.col("custom_json_id") == "follow")
+            & (F.size(F.coalesce(F.col("cj.what"), F.array())) == 0),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_unfollow"),
+        F.col("block_timestamp").alias("followed_at"),
+        *_order(),
+    )
+    w = Window.partitionBy("follower", "following").orderBy(
+        *[c.desc() for c in _order()]
+    )
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("is_unfollow"))
+        .select(
+            F.concat_ws("-", F.lit("hive"), "follower", "following").alias("_id"),
+            "follower",
+            "following",
+            "followed_at",
+        )
+    )

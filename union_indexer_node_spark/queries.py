@@ -138,6 +138,279 @@ def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Windows in disguise (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+@q(
+    "w2_lww_latest_event",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w2_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import lww_latest
+
+    e = tables.load(spark, sf_dir, "events")
+    return lww_latest(
+        e, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@q(
+    "w3_first_event_per_user",
+    """
+    SELECT user_id, event_id, ts
+    FROM (
+      SELECT user_id, event_id, ts, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def w3_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import first_per_group
+
+    e = tables.load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return first_per_group(e, ["user_id"], [F.col("ts"), F.col("event_id")]).select(
+        "user_id", "event_id", "ts"
+    )
+
+
+# W1 — leaderboard rank over an aggregated (small) frame
+@q(
+    "w1_leaderboard_rank",
+    """
+    SELECT user_id, ROUND(score, 2) AS score,
+           ROW_NUMBER() OVER (ORDER BY ROUND(score, 2) DESC, user_id) AS rank
+    FROM (SELECT user_id, SUM(value) AS score FROM events GROUP BY user_id)
+    WHERE score > 0
+    """,
+)
+def w1_leaderboard_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import ranked
+
+    e = tables.load(spark, sf_dir, "events")
+    scores = (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return ranked(scores, [F.desc("score"), F.asc("user_id")])
+
+
+# W4/O1 — pagination: page 3 of the recency feed
+@q(
+    "w4_feed_pagination",
+    tables.oracle_with_domain(f"""
+    SELECT {_FEED_COLS_SQL}
+    FROM posts
+    WHERE NOT list_contains(COALESCE(flags, []), 'comment')
+      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
+    ORDER BY created_at DESC, permlink
+    LIMIT 25 OFFSET 50
+    """),
+)
+def w4_feed_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    spec = FeedSpec(limit=25, skip=50)
+    return feeds.social_feed(posts, spec).select(*_FEED_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+# J3 — num_comments per post: aggregate-then-join (replaces the
+# reference's N+1 countDocuments, core.ts:106-109)
+@q(
+    "j3_num_comments_per_post",
+    tables.oracle_with_domain("""
+    SELECT p.author, p.permlink, COALESCE(c.n, 0) AS num_comments
+    FROM posts p
+    LEFT JOIN (
+      SELECT parent_author, parent_permlink, COUNT(*) AS n
+      FROM posts WHERE parent_author <> ''
+      GROUP BY parent_author, parent_permlink
+    ) c ON p.author = c.parent_author AND p.permlink = c.parent_permlink
+    WHERE p.parent_author = ''
+    """),
+)
+def j3_num_comments_per_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    counts = (
+        posts.filter(F.col("parent_author") != "")
+        .groupBy(
+            F.col("parent_author").alias("author"),
+            F.col("parent_permlink").alias("permlink"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        posts.filter(F.col("parent_author") == "")
+        .join(counts, ["author", "permlink"], "left")
+        .select(
+            "author",
+            "permlink",
+            F.coalesce(F.col("n"), F.lit(0)).alias("num_comments"),
+        )
+    )
+
+
+# J4 — follower feed: broadcast left-semi join (reference inlines the
+# following list as $in, resolvers/index.ts:126-146)
+@q(
+    "j4_follower_feed",
+    tables.oracle_with_domain("""
+    SELECT p.author, p.permlink, p.created_at
+    FROM posts p
+    WHERE p.author IN (SELECT following FROM follows WHERE follower = 'u7')
+      AND NOT list_contains(COALESCE(p.flags, []), 'comment')
+      AND (p."TYPE" IS NULL OR p."TYPE" <> 'CERAMIC')
+    ORDER BY p.created_at DESC, p.permlink
+    LIMIT 100
+    """),
+)
+def j4_follower_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    fol = tables.follows(spark, sf_dir)
+    spec = FeedSpec(follower="u7", limit=100)
+    return feeds.social_feed(posts, spec, follows=fol).select(
+        "author", "permlink", "created_at"
+    )
+
+
+# J1/J2 — children/parent self-join on the composite post key
+@q(
+    "j1_children_join",
+    tables.oracle_with_domain("""
+    SELECT p.author AS parent_author, p.permlink AS parent_permlink,
+           c.author AS child_author, c.permlink AS child_permlink
+    FROM posts p
+    JOIN posts c ON c.parent_author = p.author AND c.parent_permlink = p.permlink
+    WHERE p.parent_author = ''
+    """),
+)
+def j1_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    p = posts.filter(F.col("parent_author") == "").select(
+        F.col("author").alias("p_author"), F.col("permlink").alias("p_permlink")
+    )
+    c = posts.select(
+        F.col("author").alias("child_author"),
+        F.col("permlink").alias("child_permlink"),
+        "parent_author",
+        "parent_permlink",
+    )
+    return c.join(
+        p,
+        (c.parent_author == p.p_author) & (c.parent_permlink == p.p_permlink),
+    ).select(
+        F.col("p_author").alias("parent_author"),
+        F.col("p_permlink").alias("parent_permlink"),
+        "child_author",
+        "child_permlink",
+    )
+
+
+# J9 — parent-allowlist closure (iterative semi-join fixpoint; oracle is
+# a recursive CTE). Depth >1 chains are covered by tests/test_ingest.py.
+@q(
+    "j9_reply_closure",
+    tables.oracle_with_domain("""
+    , allowed AS (
+      SELECT permlink FROM posts
+      WHERE parent_author = '' AND app_name IN ('3speak', 'dbuzz')
+      UNION
+      SELECT p.permlink FROM posts p
+      JOIN allowed a ON p.parent_permlink = a.permlink
+      WHERE p.parent_author <> ''
+    )
+    SELECT permlink FROM allowed
+    """, recursive=True),
+)
+def j9_reply_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    roots = posts.filter(
+        (F.col("parent_author") == "") & F.col("app_name").isin("3speak", "dbuzz")
+    ).select("permlink")
+    comments = posts.filter(F.col("parent_author") != "").select(
+        "permlink", "parent_permlink"
+    )
+    allowed = roots
+    frontier = roots
+    for _ in range(16):
+        newly = (
+            comments.join(
+                frontier.withColumnRenamed("permlink", "parent_permlink").hint(
+                    "broadcast"
+                ),
+                "parent_permlink",
+                "left_semi",
+            )
+            .select("permlink")
+            .join(allowed, "permlink", "left_anti")
+        )
+        if newly.isEmpty():
+            break
+        allowed = allowed.unionByName(newly)
+        frontier = newly
+    return allowed
+
+
+# ---------------------------------------------------------------------------
+# Mentions / notifications (SURVEY A9 + X14)
+# ---------------------------------------------------------------------------
+@q(
+    "a9_mention_notifications",
+    tables.oracle_with_domain("""
+    SELECT DISTINCT
+      'hive/' || author || '/' || permlink AS ref,
+      lower(m) AS target,
+      'hive' AS type,
+      'mention' AS notification_type,
+      author AS "from",
+      created_at AS mentioned_at
+    FROM (
+      SELECT author, permlink, created_at,
+             UNNEST(regexp_extract_all(body,
+               '@((?:did:[a-zA-Z0-9:._-]+)|[a-zA-Z0-9][a-zA-Z0-9._-]*)', 1)) AS m
+      FROM posts
+    )
+    """),
+)
+def a9_mention_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import mention_notifications
+
+    posts = tables.posts(spark, sf_dir)
+    return mention_notifications(posts).select(
+        "ref", "target", "type", "notification_type", "from", "mentioned_at"
+    )
+
+
+# X18 — hex -> long conversion (block height decode, utils.ts:19)
+@q(
+    "x18_hex_to_long",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS block_height
+    FROM documents
+    """,
+)
+def x18_hex_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import block_height_from_id
+
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", block_height_from_id(F.md5(F.col("text"))).alias("block_height")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Generic relational sanity: TPC-H Q1-shaped pricing summary (agg + codegen)
 # ---------------------------------------------------------------------------
 @q(

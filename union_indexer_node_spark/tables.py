@@ -249,6 +249,10 @@ def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
     follows(spark, sf_dir).createOrReplaceTempView("follows")
 
 
-def oracle_with_domain(body_sql: str) -> str:
-    """Wrap an oracle query body with the domain-view CTEs (DuckDB)."""
-    return f"WITH {POSTS_CTE.strip()}, {FOLLOWS_CTE.strip()} {body_sql}"
+def oracle_with_domain(body_sql: str, *, recursive: bool = False) -> str:
+    """Wrap an oracle query body with the domain-view CTEs (DuckDB).
+
+    ``recursive=True`` emits WITH RECURSIVE so the body may append
+    recursive CTEs (DuckDB allows non-recursive CTEs under it)."""
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {POSTS_CTE.strip()}, {FOLLOWS_CTE.strip()} {body_sql}"

@@ -22,6 +22,13 @@ BENCH_QUERIES = [
     "f1_tag_membership",
     "a1_trending_tags",
     "tpch_q1_pricing_summary",
+    "w2_lww_latest_event",
+    "j3_num_comments_per_post",
+    "a9_mention_notifications",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality_features",
 ]
 
 

@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is one hash-shuffle on a 32-hex digest, not on the text
+  itself (bytes moved ∝ 32B/doc, not doc size).
+- MinHash/LSH: signatures are computed map-side (explode shingles ->
+  partial min per hash seed); only (doc_id, 8×32B) rows shuffle. The
+  LSH band join turns all-pairs O(n²) into per-bucket joins; AQE's
+  skew handling splits hot buckets.
+- The verification Jaccard runs only on candidate pairs.
+
+Determinism: the hash family is md5(shingle || ':' || seed) — identical
+bytes in any engine, so every stage is oracle-checkable (no engine-
+specific hash like xxhash64/murmur, whose constants differ between
+Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased word tokens, empties removed (shared tokenizer —
+    keep in lockstep with oracle regexp_split_to_array)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-computed token array.
+
+    Callers must materialize the token array in a prior projection:
+    inlining ``tokens(text)`` here makes Catalyst re-evaluate the
+    split/lower tokenizer inside every element_at of the lambda —
+    O(tokens·n) tokenizer runs per document (observed 3-4× wall-clock
+    on the LSH pipeline)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (convenience for one-shot use; for
+    hot paths prefer a projection of tokens() + shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate detection via content digest: every row keeps its
+    group key (text_hash), group size, and whether it is the canonical
+    (min-id) representative. Aggregate-then-join on the digest — the
+    only shuffle key is 32 hex chars."""
+    digest = F.md5(F.col(text_col))
+    hashed = df.select(F.col(id_col), digest.alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return hashed.join(groups, "text_hash").select(
+        id_col,
+        "text_hash",
+        "dup_count",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash over word-n-gram shingles. One explode +
+    one groupBy(doc): the k mins are computed as k aggregate exprs with
+    map-side partial aggregation (each worker emits one candidate min
+    per doc per seed before the shuffle)."""
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
+        )
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f":{j}")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFrame:
+    """Band the signature: band b's key is the digest of its `rows`
+    consecutive hash values. Output (id, band_idx, band_key).
+
+    Single-pass: all band keys are computed in one projection and
+    exploded — a union of per-band selects would recompute the
+    signature aggregation `bands` times."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band_idx", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 8, bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidates: pairs sharing >=1 LSH band. The join
+    key is (band_idx, band_key); output pairs are deduped and ordered
+    a < b so the pair set is canonical."""
+    rows = k // bands
+    sig = minhash_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    banded = lsh_bands(sig, id_col, bands=bands, rows=rows)
+    a = banded.select(
+        F.col(id_col).alias("a"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification stage / standalone similarity)
+# ---------------------------------------------------------------------------
+def jaccard_pairs(
+    left: DataFrame, right: DataFrame, pairs: DataFrame, text_col: str,
+    id_col: str, *, shingle_n: int = 3,
+) -> DataFrame:
+    """Shingle-set Jaccard for given (a, b) pairs. Shingle arrays are
+    joined in (broadcast when small); set math stays JVM-side
+    (array_intersect / array_union are codegen'd)."""
+    sh = left.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "a",
+        "b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token, take `bits` bits of md5; bit i of
+    the fingerprint is the sign of sum(±1) over tokens. Expressed as
+    explode(tokens) × explode(bit positions) -> groupBy(doc, bit) ->
+    bit-pack; every step is a built-in expression.
+
+    At 100 TB: tokens×bits row inflation is bounded by choosing 16
+    bits; partial aggregation collapses each (doc, bit) map-side."""
+    # 15 hex chars = 60 bits, always positive in a signed 64-bit long.
+    tok_hash = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = (
+        toks.select(id_col, tok_hash.alias("th"))
+        .select(id_col, "th", bit)
+        .withColumn(
+            "c",
+            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+    )
+    return (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).cast("long")
+            .alias("simhash")
+        )
+    )

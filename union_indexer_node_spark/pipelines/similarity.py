@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one scan, the dot product is a
+JVM-side fold (F.aggregate over zip_with), top-k is
+TakeOrderedAndProject. ~O(n·d) per query with no shuffle beyond the
+final top-k reduction.
+
+Scale path: IVF-style partitioned search — restrict the scan to the
+query's coarse partition (here the `label` column stands in for a
+centroid assignment; a production build would k-means the corpus and
+store the centroid id as a partition column, giving partition pruning
+on the parquet scan).
+
+All math in float64 with explicit rounding so results are
+cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 20,
+) -> DataFrame:
+    """Exact cosine top-k against a constant query vector. The query is
+    a literal array (broadcast by constant folding); ordering ties
+    break on id so the result set is deterministic."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_sim(F.col(vec_col), qv), 6).alias("sim")
+    return (
+        emb.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], query_bucket, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_col: str = "label", k: int = 20,
+) -> DataFrame:
+    """IVF-style approximate top-k: scan only the query's coarse bucket.
+    With the corpus written partitioned-by-bucket, the filter prunes
+    partitions at the parquet scan — the 100 TB path reads ~1/nlist of
+    the data."""
+    return brute_force_topk(
+        emb.filter(F.col(bucket_col) == query_bucket),
+        query_vec,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+    )
+
+
+def pairwise_cosine(
+    emb: DataFrame, pairs: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine for explicit (a, b) id pairs (embedding-based near-dup
+    verification stage)."""
+    e = emb.select(F.col(id_col), F.col(vec_col))
+    out = (
+        pairs.join(e.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
+        .join(e.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
+    )
+    return out.select(
+        "a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine")
+    )

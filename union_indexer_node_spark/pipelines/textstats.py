@@ -1,0 +1,111 @@
+"""Text analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+All pure column expressions (codegen'd, no UDFs); each is
+oracle-checkable because the primitives (regexp split, list ops, md5)
+behave identically in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# (A production build ships larger profiles; the operator shape —
+# tokenize, profile-overlap count, argmax — is what matters.)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "une", "dans"],
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite
+    quality score (the standard pre-training heuristics bundle)."""
+    df = df.select(
+        "*", tokens(F.col(text_col)).alias("_toks")
+    )  # materialize once; inline reuse re-runs the tokenizer per reference
+    t = F.col(text_col)
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    avg_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    score = (
+        F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language ID: score = |tokens ∩ profile| per
+    language, argmax wins (ties broken by profile order; 'und' when no
+    profile matches)."""
+    df = df.select("*", F.array_distinct(tokens(F.col(text_col))).alias("_dtoks"))
+    toks = F.col("_dtoks")
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    cols = [F.col(id_col), pred.alias("lang_pred")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES]
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 4) -> DataFrame:
+    """Document fingerprints: full-content digest + a winnowing-style
+    min-shingle-hash (stable under local edits away from the minimum)."""
+    from .dedup import shingles_from_tokens
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+    )
+    min_shingle = F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s)))
+    return staged.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

@@ -410,6 +410,311 @@ def x18_hex_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# LLM-data-pipeline extensions (BASELINE.json north star): dedup,
+# similarity search, text analysis. Shared tokenizer contract: the Spark
+# side (pipelines.dedup.tokens) and every oracle use lower +
+# split-on-[^a-z0-9]+ with empties removed.
+# ===========================================================================
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+_SIG_CTE = f"""
+{_TOKS_CTE.strip()},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  )) AS s
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+    min(md5(s || ':0')) h0, min(md5(s || ':1')) h1,
+    min(md5(s || ':2')) h2, min(md5(s || ':3')) h3,
+    min(md5(s || ':4')) h4, min(md5(s || ':5')) h5,
+    min(md5(s || ':6')) h6, min(md5(s || ':7')) h7
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_SHINGLE_SIG_CTE = f"""
+{_SIG_CTE.strip()},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+    groups AS (
+      SELECT text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_id
+      FROM hashed GROUP BY text_hash
+    )
+    SELECT h.doc_id, h.text_hash, g.dup_count,
+           h.doc_id = g.canonical_id AS is_canonical
+    FROM hashed h JOIN groups g USING (text_hash)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import exact_dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@q(
+    "dedup_minhash_signature",
+    f"WITH {_SIG_CTE.strip()} SELECT * FROM sig",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import minhash_signature
+
+    d = tables.load(spark, sf_dir, "documents")
+    return minhash_signature(d, "text", "doc_id", k=8, shingle_n=3)
+
+
+@q(
+    "dedup_lsh_candidates",
+    f"WITH {_SHINGLE_SIG_CTE.strip()} SELECT a, b FROM cand",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import lsh_candidate_pairs
+
+    d = tables.load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SIG_CTE.strip()},
+    shset AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ) AS sh
+      FROM toks
+    )
+    SELECT c.a, c.b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN shset sa ON sa.doc_id = c.a
+    JOIN shset sb ON sb.doc_id = c.b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
+    return jaccard_pairs(d, d, pairs, "text", "doc_id", shingle_n=3)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+      FROM tok
+    ),
+    contrib AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) b
+    ),
+    bits AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import simhash
+
+    d = tables.load(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=16)
+
+
+# --- similarity search ------------------------------------------------------
+@q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import brute_force_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, list(qv), k=20)
+
+
+@q(
+    "sim_ivf_topk_label",
+    """
+    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings e, q
+    WHERE e.label = q.label
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def sim_ivf_topk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import ivf_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    return ivf_topk(emb, list(row[0]), row[1], k=20)
+
+
+@q(
+    "sim_pairwise_cosine",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import pairwise_cosine
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + 1).alias("b")
+    ).join(
+        emb.select(F.col("vec_id").alias("b")), "b", "left_semi"
+    )
+    return pairwise_cosine(emb, pairs)
+
+
+# --- text analysis ----------------------------------------------------------
+@q(
+    "text_quality_features",
+    f"""
+    WITH {_TOKS_CTE.strip()}
+    SELECT d.doc_id,
+           len(t.toks) AS n_tokens,
+           length(d.text) AS n_chars,
+           ROUND(CASE WHEN len(t.toks) > 0
+                 THEN CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE)
+                      / len(t.toks) ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN len(t.toks) > 0
+                 THEN CAST(len(list_intersect(list_distinct(t.toks),
+                      ['the','and','of','to','a','in','is'])) AS DOUBLE)
+                      / len(t.toks) ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN length(d.text) > 0
+                 THEN CAST(length(d.text)
+                      - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / length(d.text) ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(LEAST(CAST(len(t.toks) AS DOUBLE) / 100, 1.0) * 0.5
+                 + (CASE WHEN len(t.toks) > 0
+                    THEN CAST(len(list_intersect(list_distinct(t.toks),
+                         ['the','and','of','to','a','in','is'])) AS DOUBLE)
+                         / len(t.toks) ELSE 0.0 END) * 0.3
+                 + (1 - (CASE WHEN length(d.text) > 0
+                    THEN CAST(length(d.text)
+                         - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / length(d.text) ELSE 0.0 END)) * 0.2, 6) AS quality_score
+    FROM documents d JOIN toks t USING (doc_id)
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import quality_features
+
+    d = tables.load(spark, sf_dir, "documents")
+    return quality_features(d, "text", "doc_id")
+
+
+@q(
+    "text_language_id",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    scored AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(toks),
+                 ['the','and','of','to','a','in','is'])) AS score_en,
+             len(list_intersect(list_distinct(toks),
+                 ['el','la','de','que','y','en','un'])) AS score_es,
+             len(list_intersect(list_distinct(toks),
+                 ['le','la','de','et','un','une','dans'])) AS score_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en = GREATEST(score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = GREATEST(score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           score_en, score_es, score_fr
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import detect_language
+
+    d = tables.load(spark, sf_dir, "documents")
+    return detect_language(d, "text", "doc_id")
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(toks) - 3),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      ) AS sh
+      FROM toks
+    )
+    SELECT d.doc_id, md5(d.text) AS content_hash,
+           list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_hash
+    FROM documents d JOIN sh s USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import fingerprint
+
+    d = tables.load(spark, sf_dir, "documents")
+    return fingerprint(d, "text", "doc_id", shingle_n=4)
+
+
 # ---------------------------------------------------------------------------
 # Generic relational sanity: TPC-H Q1-shaped pricing summary (agg + codegen)
 # ---------------------------------------------------------------------------

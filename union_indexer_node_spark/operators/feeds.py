@@ -167,10 +167,16 @@ def trending_tags(posts: DataFrame, *, limit: int = 5, window_days: int = 14) ->
     # identical for a live table.
 
 
-def related_feed(posts: DataFrame, author: str, permlink: str, *, limit: int = 25, seed: int = 42) -> DataFrame:
+def related_feed(
+    posts: DataFrame, author: str, permlink: str, *, limit: int = 25,
+    seed: int = 42, hash_sample: bool = False,
+) -> DataFrame:
     """relatedFeed (resolvers/index.ts:280-302): posts sharing tags (or
     community when top-level) with the anchor post, random sample of
-    `limit`. Deterministic via seeded rand for testability."""
+    `limit`. ``hash_sample=True`` substitutes order-by-content-hash for
+    rand() — a deterministic pseudo-random sample reproducible across
+    engines (Mongo $sample is nondeterministic anyway, so sample-of-25
+    semantics are preserved)."""
     anchor = posts.filter((F.col("author") == author) & (F.col("permlink") == permlink)).select(
         F.col("tags").alias("_tags"),
         F.col("parent_permlink").alias("_community"),
@@ -186,11 +192,8 @@ def related_feed(posts: DataFrame, author: str, permlink: str, *, limit: int = 2
     df = df.filter(same_tags | same_comm).filter(
         ~((F.col("author") == author) & (F.col("permlink") == permlink))
     )
-    return (
-        df.drop("_tags", "_community", "_pa")
-        .orderBy(F.rand(seed))
-        .limit(limit)
-    )
+    order = F.md5(F.col("permlink")) if hash_sample else F.rand(seed)
+    return df.drop("_tags", "_community", "_pa").orderBy(order).limit(limit)
 
 
 def leaderboard(profiles: DataFrame) -> DataFrame:

@@ -749,3 +749,326 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ===========================================================================
+# Wave 4: query-layer completion — remaining feeds, filters, aggregates,
+# scalar functions from SURVEY §2.
+# ===========================================================================
+
+# O2+A8 — trendingFeed: max-created_at anchor, 3-day window, payout sort
+@q(
+    "o2_a8_trending_feed_payout",
+    tables.oracle_with_domain("""
+    , filtered AS (
+      SELECT * FROM posts
+      WHERE NOT list_contains(COALESCE(flags, []), 'comment')
+        AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
+    ), anchor AS (SELECT max(created_at) AS a FROM filtered)
+    SELECT author, permlink, ROUND(payout, 6) AS payout, created_at
+    FROM filtered, anchor
+    WHERE created_at > a - INTERVAL 3 DAY
+    ORDER BY payout DESC, permlink
+    LIMIT 100
+    """),
+)
+def o2_a8_trending_feed_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    spec = FeedSpec(limit=100)
+    return feeds.trending_feed(posts, spec, trending_by="payout", window_days=3).select(
+        "author", "permlink", F.round(F.col("payout"), 6).alias("payout"), "created_at"
+    )
+
+
+# O5 — children top-k per parent (resolvers/posts.ts:224-227, batched)
+@q(
+    "o5_children_topk_per_parent",
+    tables.oracle_with_domain("""
+    SELECT parent_author, parent_permlink, permlink, created_at
+    FROM (
+      SELECT parent_author, parent_permlink, permlink, created_at,
+             ROW_NUMBER() OVER (
+               PARTITION BY parent_author, parent_permlink
+               ORDER BY created_at, permlink
+             ) AS rn
+      FROM posts WHERE parent_author <> ''
+    ) WHERE rn <= 2
+    """),
+)
+def o5_children_topk_per_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    posts = tables.posts(spark, sf_dir)
+    w = Window.partitionBy("parent_author", "parent_permlink").orderBy(
+        "created_at", "permlink"
+    )
+    return (
+        posts.filter(F.col("parent_author") != "")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("parent_author", "parent_permlink", "permlink", "created_at")
+    )
+
+
+# O6 — relatedFeed deterministic sample (same tags OR same community)
+@q(
+    "o6_related_feed_sample",
+    tables.oracle_with_domain("""
+    , anchor AS (
+      SELECT tags AS a_tags, parent_permlink AS a_comm, parent_author AS a_pa,
+             author AS a_author, permlink AS a_permlink
+      FROM posts WHERE permlink = 'p0'
+    )
+    SELECT p.author, p.permlink
+    FROM posts p, anchor
+    WHERE (len(list_intersect(COALESCE(p.tags, []), a_tags)) > 0
+           OR (a_pa = '' AND a_comm LIKE 'hive-%' AND p.parent_permlink = a_comm))
+      AND NOT (p.author = a_author AND p.permlink = a_permlink)
+    ORDER BY md5(p.permlink)
+    LIMIT 25
+    """),
+)
+def o6_related_feed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    row = posts.filter(F.col("permlink") == "p0").select("author").head()
+    return feeds.related_feed(
+        posts, row[0], "p0", limit=25, hash_sample=True
+    ).select("author", "permlink")
+
+
+# X21 — searchFeed: token-AND match, recency sort
+@q(
+    "x21_search_feed",
+    tables.oracle_with_domain("""
+    SELECT author, permlink, created_at
+    FROM posts
+    WHERE list_contains(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'), x -> x <> ''), 'plain')
+      AND list_contains(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'), x -> x <> ''), 'body')
+      AND NOT list_contains(COALESCE(flags, []), 'comment')
+      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
+    ORDER BY created_at DESC, permlink
+    LIMIT 100
+    """),
+)
+def x21_search_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    return feeds.search_feed(posts, "plain body", FeedSpec(limit=100)).select(
+        "author", "permlink", "created_at"
+    )
+
+
+# F4 — regex predicate
+@q(
+    "f4_regex_filter",
+    tables.oracle_with_domain("""
+    SELECT author, permlink, app
+    FROM posts
+    WHERE regexp_matches(app, '^3speak/')
+      AND NOT list_contains(COALESCE(flags, []), 'comment')
+      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
+    ORDER BY permlink
+    """),
+)
+def f4_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.wherefield import compile_wherefield
+
+    posts = tables.posts(spark, sf_dir)
+    pred = compile_wherefield(F.col("app"), {"_regex": "^3speak/"})
+    base = feeds.compile_feed_filter(FeedSpec())
+    return posts.filter(pred & base).select("author", "permlink", "app").orderBy("permlink")
+
+
+# F9 — existence predicate: absent ≡ NULL (Mongo $exists:false)
+@q(
+    "f9_missing_field",
+    tables.oracle_with_domain("""
+    SELECT author, permlink FROM posts WHERE lang IS NULL ORDER BY permlink
+    """),
+)
+def f9_missing_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.wherefield import compile_wherefield
+
+    posts = tables.posts(spark, sf_dir)
+    pred = compile_wherefield(F.col("lang"), {"_eq": None})
+    return posts.filter(pred).select("author", "permlink").orderBy("permlink")
+
+
+# F10 — point lookup on the composite post key
+@q(
+    "f10_point_lookup",
+    tables.oracle_with_domain("""
+    SELECT author, permlink, title, created_at FROM posts WHERE permlink = 'p42' LIMIT 1
+    """),
+)
+def f10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    author = posts.filter(F.col("permlink") == "p42").select("author").head()[0]
+    return (
+        posts.filter((F.col("author") == author) & (F.col("permlink") == "p42"))
+        .select("author", "permlink", "title", "created_at")
+        .limit(1)
+    )
+
+
+# A2/A3 — distinct authors (of an app / overall)
+@q(
+    "a2_distinct_authors_of_app",
+    tables.oracle_with_domain(
+        "SELECT DISTINCT author FROM posts WHERE app_name = '3speak'"
+    ),
+)
+def a2_distinct_authors_of_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    return posts.filter(F.col("app_name") == "3speak").select("author").distinct()
+
+
+@q(
+    "a3_distinct_authors",
+    tables.oracle_with_domain("SELECT DISTINCT author FROM posts"),
+)
+def a3_distinct_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.posts(spark, sf_dir).select("author").distinct()
+
+
+# A5 — creator score: 3*Σcomments + 0.1*Σvotes over 3speak posts
+# (core.ts:285-383); aggregate-then-join replaces the reference's
+# per-author RPC loop.
+@q(
+    "a5_creator_score",
+    tables.oracle_with_domain("""
+    , threespeak AS (
+      SELECT author, permlink, num_votes FROM posts WHERE app_name = '3speak'
+    ), child_counts AS (
+      SELECT parent_author, parent_permlink, COUNT(*) AS n
+      FROM posts WHERE parent_author <> ''
+      GROUP BY parent_author, parent_permlink
+    )
+    SELECT t.author,
+           ROUND(3 * SUM(COALESCE(c.n, 0)) + 0.1 * SUM(t.num_votes), 2) AS score
+    FROM threespeak t
+    LEFT JOIN child_counts c
+      ON c.parent_author = t.author AND c.parent_permlink = t.permlink
+    GROUP BY t.author
+    """),
+)
+def a5_creator_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    threespeak = posts.filter(F.col("app_name") == "3speak").select(
+        "author", "permlink", "num_votes"
+    )
+    child_counts = (
+        posts.filter(F.col("parent_author") != "")
+        .groupBy(
+            F.col("parent_author").alias("author"),
+            F.col("parent_permlink").alias("permlink"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        threespeak.join(child_counts, ["author", "permlink"], "left")
+        .groupBy("author")
+        .agg(
+            F.round(
+                3 * F.sum(F.coalesce(F.col("n"), F.lit(0)))
+                + 0.1 * F.sum("num_votes"),
+                2,
+            ).alias("score")
+        )
+    )
+
+
+# A6 — sign-partitioned counts via higher-order filter (no explode, no
+# shuffle; core.ts:118-119 pattern applied to a numeric array column)
+@q(
+    "a6_sign_counts_higher_order",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> x < 0)) AS n_neg
+    FROM embeddings
+    """,
+)
+def a6_sign_counts_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter(F.col("embedding"), lambda x: x < 0)).alias("n_neg"),
+    )
+
+
+# A7 — scalar count (total active creators, resolvers/index.ts:473)
+@q(
+    "a7_total_active_creators",
+    """
+    SELECT COUNT(*) AS total_active FROM (
+      SELECT user_id, SUM(value) AS score FROM events GROUP BY user_id
+    ) WHERE score > 0
+    """,
+)
+def a7_total_active_creators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum("value").alias("score"))
+        .filter(F.col("score") > 0)
+        .agg(F.count(F.lit(1)).alias("total_active"))
+    )
+
+
+# X1 — schema-on-read JSON access (json_metadata pattern over events.props)
+@q(
+    "x1_json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def x1_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+# X16 — asset-string parsing round trip ('1.234 HBD' -> 1.234)
+@q(
+    "x16_asset_parse",
+    """
+    SELECT event_id,
+           CAST(string_split(CAST(value AS VARCHAR) || ' HBD', ' ')[1] AS DOUBLE)
+             AS amount
+    FROM events
+    """,
+)
+def x16_asset_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import asset_to_float
+
+    e = tables.load(spark, sf_dir, "events")
+    asset = F.concat(F.col("value").cast("string"), F.lit(" HBD"))
+    return e.select("event_id", asset_to_float(asset).alias("amount"))
+
+
+# X2 — detectPostType app-prefix classification
+@q(
+    "x2_detect_post_type",
+    tables.oracle_with_domain("""
+    SELECT author, permlink,
+           CASE string_split(app, '/')[1]
+                WHEN '3speak' THEN '3speak'
+                WHEN 'dBuzz' THEN 'dbuzz'
+                WHEN 'dbuzz' THEN 'dbuzz'
+                WHEN 'steemit' THEN 'steemit'
+                ELSE 'unknown' END AS post_type
+    FROM posts
+    """),
+)
+def x2_detect_post_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import detect_post_type
+
+    posts = tables.posts(spark, sf_dir)
+    return posts.select(
+        "author", "permlink", detect_post_type(F.col("app")).alias("post_type")
+    )

@@ -41,10 +41,61 @@ def _order():
     return [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")]
 
 
+BENEFICIARIES_PATH = "$[0][1].beneficiaries"
+BENEFICIARIES_SCHEMA = "array<struct<account:string,weight:int>>"
+
+
+def _intra_tx_enrichments(ops: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """X5/X6 — the reference peeks at sibling operations of the same
+    transaction imperatively (`tx.operations[2]`, hive-stream.ts:589-620);
+    set-oriented, siblings join on (block_height, tx_idx).
+
+    X6: comment_options carries extensions[0] =
+        ['comment_payout_beneficiaries', {beneficiaries}].
+    X5: custom_json id='3speak-publish' with 'threespeak' among
+        required_posting_auths marks the tx authority-signed."""
+    benef = (
+        ops.filter(F.col("op_type") == "comment_options")
+        .select(
+            "block_height",
+            "tx_idx",
+            F.from_json(
+                F.get_json_object(F.col("extensions"), BENEFICIARIES_PATH),
+                BENEFICIARIES_SCHEMA,
+            ).alias("beneficiaries"),
+        )
+        .filter(F.col("beneficiaries").isNotNull())
+    )
+    auth = (
+        ops.filter(
+            (F.col("op_type") == "custom_json")
+            & (F.col("custom_json_id") == "3speak-publish")
+        )
+        .select(
+            "block_height",
+            "tx_idx",
+            F.array_contains(
+                F.coalesce(
+                    F.col("required_posting_auths"),
+                    F.array().cast("array<string>"),
+                ),
+                "threespeak",
+            ).alias("authority_signed"),
+        )
+        .groupBy("block_height", "tx_idx")
+        .agg(F.max("authority_signed").alias("authority_signed"))
+    )
+    return benef, auth
+
+
 def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     """ops: FIXTURES.md raw_ops schema (comment + vote rows used)."""
-    comments = ops.filter(F.col("op_type") == "comment").withColumn(
-        "jm", parse_json_metadata(F.col("json_metadata"))
+    benef, auth = _intra_tx_enrichments(ops)
+    comments = (
+        ops.filter(F.col("op_type") == "comment")
+        .withColumn("jm", parse_json_metadata(F.col("json_metadata")))
+        .join(benef, ["block_height", "tx_idx"], "left")
+        .join(auth, ["block_height", "tx_idx"], "left")
     )
 
     key = ["author", "permlink"]
@@ -62,6 +113,10 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
         F.col("body"),
         F.col("json_metadata"),
         F.col("jm"),
+        F.col("beneficiaries"),
+        F.coalesce(F.col("authority_signed"), F.lit(False)).alias(
+            "authority_signed"
+        ),
     )
 
     # Last-write-wins scalar state (W2) + first/last timestamps + body fold.

@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_cosine_topk",
     "text_quality_features",
+    "x21_inverted_index_search",
+    "dedup_embedding_neardup",
+    "j11_chain_state_enrichment",
 ]
 
 

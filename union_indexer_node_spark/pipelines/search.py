@@ -1,0 +1,54 @@
+"""Full-text search (SURVEY X21): token index build + query rewrite.
+
+The reference uses a MongoDB text index over post bodies
+(services/db.ts:61-63) but sorts results by recency, never by text
+score (resolvers/index.ts:210-213) — so token-match + recency-sort
+reproduces all observable behavior. Stemming is NOT replicated
+(documented divergence; Mongo's stemmer is engine-internal).
+
+Two physical strategies:
+- v1 (operators/feeds.search_feed): scan + token-AND filter. Fine when
+  the scan is already pruned (date partitions, pushed predicates).
+- v2 (here): an inverted-index table (token -> posting list rows),
+  built once per batch cycle; a query becomes per-term semi-joins on
+  the posting table — at 100 TB this touches only the posting-list
+  partitions for the query terms (the table is written partitioned or
+  bucketed by token), not the corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Posting rows (token, *key). distinct() collapses repeated tokens
+    within a document map-side before the shuffle."""
+    return (
+        df.select(*key_cols, tokens(F.col(text_col)).alias("_toks"))
+        .select(*key_cols, F.explode("_toks").alias("token"))
+        .distinct()
+    )
+
+
+def search_by_index(
+    index: DataFrame, corpus: DataFrame, terms: list[str], key_cols: list[str]
+) -> DataFrame:
+    """Token-AND query: intersect the posting lists of each term, then
+    semi-join the corpus. Each posting-list filter is a pushed-down
+    equality on the (bucketed/partitioned) token column."""
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        return corpus
+    postings = [
+        index.filter(F.col("token") == t).select(*key_cols) for t in terms
+    ]
+    matched = reduce(lambda a, b: a.join(b, key_cols, "inner"), postings)
+    return corpus.join(matched.distinct(), key_cols, "left_semi")

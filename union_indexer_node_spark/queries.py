@@ -1072,3 +1072,226 @@ def x2_detect_post_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posts.select(
         "author", "permlink", detect_post_type(F.col("app")).alias("post_type")
     )
+
+
+# ===========================================================================
+# Wave 6: inverted-index search, remaining joins, set ops, embedding
+# near-dup, approximate aggregates.
+# ===========================================================================
+
+# X21 v2 — inverted-index search (same results as the v1 scan)
+@q(
+    "x21_inverted_index_search",
+    tables.oracle_with_domain("""
+    , idx AS (
+      SELECT DISTINCT author, permlink,
+             unnest(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM posts
+    ), m1 AS (SELECT author, permlink FROM idx WHERE token = 'hello'),
+      m2 AS (SELECT author, permlink FROM idx WHERE token = 'bye')
+    SELECT p.author, p.permlink, p.created_at
+    FROM posts p
+    JOIN (SELECT DISTINCT m1.author, m1.permlink
+          FROM m1 JOIN m2 USING (author, permlink)) m
+      USING (author, permlink)
+    ORDER BY p.created_at DESC, p.permlink
+    """),
+)
+def x21_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.search import build_inverted_index, search_by_index
+
+    posts = tables.posts(spark, sf_dir)
+    idx = build_inverted_index(posts, "body", ["author", "permlink"])
+    return (
+        search_by_index(idx, posts, ["hello", "bye"], ["author", "permlink"])
+        .select("author", "permlink", "created_at")
+        .orderBy(F.desc("created_at"), F.asc("permlink"))
+    )
+
+
+# J2 — reply -> parent (left outer; missing parents stay NULL)
+@q(
+    "j2_parent_post_join",
+    tables.oracle_with_domain("""
+    SELECT c.author, c.permlink, p.author AS parent_found_author,
+           p.title AS parent_title
+    FROM posts c
+    LEFT JOIN posts p
+      ON c.parent_author = p.author AND c.parent_permlink = p.permlink
+    WHERE c.parent_author <> ''
+    """),
+)
+def j2_parent_post_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    c = posts.filter(F.col("parent_author") != "").select(
+        "author", "permlink", "parent_author", "parent_permlink"
+    )
+    p = posts.select(
+        F.col("author").alias("p_author"),
+        F.col("permlink").alias("p_permlink"),
+        F.col("title").alias("parent_title"),
+    )
+    return c.join(
+        p,
+        (c.parent_author == p.p_author) & (c.parent_permlink == p.p_permlink),
+        "left",
+    ).select(
+        "author",
+        "permlink",
+        F.col("p_author").alias("parent_found_author"),
+        "parent_title",
+    )
+
+
+# J7 — follows overview: both directions + counts (resolvers/index.ts:322-351)
+@q(
+    "j7_follows_overview",
+    tables.oracle_with_domain("""
+    SELECT
+      (SELECT COUNT(*) FROM follows WHERE follower = 'u10') AS following_count,
+      (SELECT COUNT(*) FROM follows WHERE following = 'u10') AS follower_count
+    """),
+)
+def j7_follows_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fol = tables.follows(spark, sf_dir)
+    following = fol.filter(F.col("follower") == "u10").agg(
+        F.count(F.lit(1)).alias("following_count")
+    )
+    followers = fol.filter(F.col("following") == "u10").agg(
+        F.count(F.lit(1)).alias("follower_count")
+    )
+    return following.join(followers)
+
+
+# J11 — external chain-state enrichment join + X16 payout choice
+# (core.ts:96-139: per-post RPC becomes a snapshot-table join)
+@q(
+    "j11_chain_state_enrichment",
+    tables.oracle_with_domain("""
+    , chain_state AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS author,
+             'p' || CAST(event_id AS VARCHAR) AS permlink,
+             CAST(value AS VARCHAR) || ' HBD' AS pending_payout_value,
+             CAST(value / 2 AS VARCHAR) || ' HBD' AS total_payout_value,
+             CAST(value / 4 AS VARCHAR) || ' HBD' AS curator_payout_value,
+             CASE WHEN event_id % 3 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                  ELSE ts END AS last_payout
+      FROM events
+    )
+    SELECT p.author, p.permlink,
+           ROUND(CASE WHEN cs.last_payout <= TIMESTAMP '1970-01-01 00:00:00'
+                 THEN CAST(string_split(cs.pending_payout_value, ' ')[1] AS DOUBLE)
+                 ELSE CAST(string_split(cs.total_payout_value, ' ')[1] AS DOUBLE)
+                      + CAST(string_split(cs.curator_payout_value, ' ')[1] AS DOUBLE)
+                 END, 6) AS payout
+    FROM posts p
+    JOIN chain_state cs ON p.author = cs.author AND p.permlink = cs.permlink
+    """),
+)
+def j11_chain_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import payout_value
+
+    e = tables.load(spark, sf_dir, "events")
+    chain_state = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("author"),
+        F.concat(F.lit("p"), F.col("event_id").cast("string")).alias("permlink"),
+        F.concat(F.col("value").cast("string"), F.lit(" HBD")).alias(
+            "pending_payout_value"
+        ),
+        F.concat((F.col("value") / 2).cast("string"), F.lit(" HBD")).alias(
+            "total_payout_value"
+        ),
+        F.concat((F.col("value") / 4).cast("string"), F.lit(" HBD")).alias(
+            "curator_payout_value"
+        ),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("last_payout"),
+    )
+    posts = tables.posts(spark, sf_dir)
+    joined = posts.join(chain_state, ["author", "permlink"])
+    return joined.select(
+        "author",
+        "permlink",
+        F.round(
+            payout_value(
+                F.col("pending_payout_value"),
+                F.col("total_payout_value"),
+                F.col("curator_payout_value"),
+                F.col("last_payout"),
+            ),
+            6,
+        ).alias("payout"),
+    )
+
+
+# §2.7 — union of two post sources with discriminators (Hive + Ceramic)
+@q(
+    "setop_union_sources",
+    tables.oracle_with_domain("""
+    SELECT author, permlink, src FROM (
+      SELECT author, permlink, 'hive' AS src FROM posts
+      WHERE "TYPE" = 'HIVE'
+      UNION ALL
+      SELECT author, permlink, 'ceramic' AS src FROM posts
+      WHERE "TYPE" = 'CERAMIC'
+    )
+    """),
+)
+def setop_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    hive = posts.filter(F.col("TYPE") == "HIVE").select(
+        "author", "permlink", F.lit("hive").alias("src")
+    )
+    ceramic = posts.filter(F.col("TYPE") == "CERAMIC").select(
+        "author", "permlink", F.lit("ceramic").alias("src")
+    )
+    return hive.unionByName(ceramic)
+
+
+# Embedding-cosine near-dup: bucketed pairs above threshold
+@q(
+    "dedup_embedding_neardup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) > 0.8
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import _dot, with_norm
+
+    emb = with_norm(tables.load(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("a"), "label",
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), "label",
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("a", "b", cos.alias("cosine")).filter(
+        F.col("cosine") > 0.8
+    )
+
+
+# approx_count_distinct — HLL sketches differ between engines, so this
+# is a rows-only check (driver records the weaker gate); the exact
+# companion column is oracle-checked via a3_distinct_authors.
+@q("a_approx_distinct_users", None)
+def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

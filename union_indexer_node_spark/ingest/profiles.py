@@ -68,6 +68,70 @@ def build_communities(ops: DataFrame) -> DataFrame:
     )
 
 
+def build_delegated_authority(ops: DataFrame) -> DataFrame:
+    """delegated-authority edges (hive-stream.ts:427-443,
+    types/index.ts:1-8): account_update ops carry posting/active
+    account_auths; each grants an edge {type, from, to}; an update that
+    drops an account revokes it (S8 delete — here: only the latest
+    update per account defines the edge set, so revocation falls out of
+    the LWW + re-derive).
+
+    Payload shape (raw_ops carries it in custom_json for account_update
+    rows): {"posting": {"account_auths": [["acct", w], ...]},
+            "active": {"account_auths": [...]}}"""
+    au = ops.filter(F.col("op_type") == "account_update")
+    latest = lww_latest(
+        au, ["account"], [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")]
+    ).withColumn(
+        "auth",
+        F.from_json(
+            F.col("custom_json"),
+            "struct<posting:struct<account_auths:array<array<string>>>,"
+            "active:struct<account_auths:array<array<string>>>>",
+        ),
+    )
+    # one exploded projection for both auth types — a per-type union
+    # would recompute the LWW window per branch (measured 4 exchanges
+    # instead of 2)
+    typed = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("type"),
+                F.coalesce(
+                    F.col(f"auth.{t}.account_auths"),
+                    F.array().cast("array<array<string>>"),
+                ).alias("grants"),
+            )
+            for t in ("posting", "active")
+        ]
+    )
+    return (
+        latest.select(
+            F.col("account").alias("from"),
+            F.explode(typed).alias("ta"),
+            F.col("block_timestamp").alias("date"),
+            F.col("trx_id"),
+            F.col("block_height"),
+        )
+        .select(
+            F.col("ta.type").alias("type"),
+            "from",
+            F.explode(F.col("ta.grants")).alias("grant"),
+            "date",
+            "trx_id",
+            "block_height",
+        )
+        .select(
+            "type",
+            "from",
+            F.col("grant").getItem(0).alias("to"),
+            "date",
+            "trx_id",
+            "block_height",
+        )
+    )
+
+
 def attach_creator_scores(profiles: DataFrame, scores: DataFrame) -> DataFrame:
     """A5 writeback (core.ts:362-382): left join scores, zero for
     inactive accounts — replaces the reference's two updateMany passes."""

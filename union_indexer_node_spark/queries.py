@@ -1295,3 +1295,42 @@ def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# Salted two-phase aggregation: same answer as the direct groupBy (the
+# oracle is identical to j3's count essence), hot keys spread over 16
+# reducers — the skew path for viral posts / hot communities.
+@q(
+    "skew_salted_comment_counts",
+    tables.oracle_with_domain("""
+    SELECT parent_author, parent_permlink, COUNT(*) AS num_comments,
+           CAST(MAX(num_votes) AS INTEGER) AS max_votes
+    FROM posts WHERE parent_author <> ''
+    GROUP BY parent_author, parent_permlink
+    """),
+)
+def skew_salted_comment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    posts = tables.posts(spark, sf_dir).filter(F.col("parent_author") != "")
+    return salted_agg(
+        posts,
+        ["parent_author", "parent_permlink"],
+        {"num_comments": ("", "count"), "max_votes": ("num_votes", "max")},
+        buckets=16,
+    )
+
+
+# Exact distinct count per group via value-salted two-phase
+@q(
+    "skew_salted_distinct_count",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_count
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_distinct_count
+
+    e = tables.load(spark, sf_dir, "events")
+    return salted_distinct_count(e, ["event_type"], "user_id", buckets=16)

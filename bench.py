@@ -48,11 +48,15 @@ def main() -> None:
     for n in names:
         reg[n].fn(spark, sf_dir).limit(1).collect()
 
+    def run_to_completion(df):
+        # noop sink executes the full plan (no column pruning shortcut
+        # like count(), no driver-side row transfer like collect())
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
-        df = reg[n].fn(spark, sf_dir)
-        df.collect()
+        run_to_completion(reg[n].fn(spark, sf_dir))
         timings[n] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -47,7 +47,13 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     Exchange from the join plan — the co-located join layout for the
     posts/(chain-state|votes) joins at scale."""
     # warehouse.dir is a static conf; tables land in ./spark-warehouse
-    # (gitignored) under the test session's default warehouse
+    # (gitignored). The in-memory catalog forgets tables across
+    # sessions but the directories persist — clean both first.
+    import shutil
+
+    for t in ("bl_left", "bl_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     left = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("x")
     )

@@ -1334,3 +1334,114 @@ def skew_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "events")
     return salted_distinct_count(e, ["event_type"], "user_id", buckets=16)
+
+
+# ===========================================================================
+# Capstone compositions: the training-data curation pipeline end-to-end.
+# ===========================================================================
+
+# Dedup APPLICATION: the surviving corpus after (a) exact-dup removal
+# (keep min doc_id) and (b) near-dup removal — of every LSH candidate
+# pair with shingle-Jaccard >= 0.7, the higher doc_id is dropped.
+@q(
+    "dedup_apply_keep_canonical",
+    f"""
+    WITH {_SHINGLE_SIG_CTE.strip()},
+    shset AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ) AS sh
+      FROM toks
+    ),
+    near AS (
+      SELECT c.a, c.b
+      FROM cand c JOIN shset sa ON sa.doc_id = c.a
+                  JOIN shset sb ON sb.doc_id = c.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.7
+    ),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM documents
+      ) WHERE doc_id <> canon
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT b FROM near)
+      AND d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    """,
+)
+def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
+
+    d = tables.load(spark, sf_dir, "documents")
+    exact = exact_dedup(d, "text", "doc_id")
+    cand = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
+    near = jaccard_pairs(d, d, cand, "text", "doc_id", shingle_n=3).filter(
+        F.col("jaccard") >= 0.7
+    )
+    keep_exact = exact.filter(F.col("is_canonical")).select("doc_id")
+    return keep_exact.join(
+        near.select(F.col("b").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+
+# The curation pipeline in ONE plan: language gate + quality gate +
+# near-dup removal -> per-source corpus stats. This is the shape a
+# pre-training data job takes at 100 TB: all gates are map-side
+# expressions over one scan; the only shuffles are the LSH bucket join
+# and the final per-source aggregate.
+@q(
+    "pipeline_corpus_curation",
+    f"""
+    WITH {_SHINGLE_SIG_CTE.strip()},
+    shset AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ) AS sh
+      FROM toks
+    ),
+    near AS (
+      SELECT c.b
+      FROM cand c JOIN shset sa ON sa.doc_id = c.a
+                  JOIN shset sb ON sb.doc_id = c.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.7
+    ),
+    gated AS (
+      SELECT d.doc_id, d.source, len(t.toks) AS n_tokens
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE len(t.toks) >= 20
+        AND d.doc_id NOT IN (SELECT b FROM near)
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM gated GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs, tokens
+
+    d = tables.load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
+    near = jaccard_pairs(d, d, cand, "text", "doc_id", shingle_n=3).filter(
+        F.col("jaccard") >= 0.7
+    )
+    gated = (
+        d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 20)
+        .join(near.select(F.col("b").alias("doc_id")), "doc_id", "left_anti")
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )

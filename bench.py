@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "x21_inverted_index_search",
     "dedup_embedding_neardup",
     "j11_chain_state_enrichment",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "pipeline_corpus_curation",
 ]
 
 

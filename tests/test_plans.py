@@ -69,6 +69,16 @@ def test_point_lookup_pushes_equality(spark):
     assert "Exchange" not in plan
 
 
+def test_q5_broadcasts_dimensions(spark):
+    """Multi-way star join: the small dims (supplier/nation/region)
+    broadcast; only the fact-side join shuffles."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q5_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_exact_dedup_single_shuffle(spark):
     """Exact dedup shuffles once on the digest (aggregate) and reuses
     the exchange for the join-back."""

@@ -1,0 +1,114 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+The reference keeps no stream-time state (SURVEY T5: its "trending"
+windows are query-time filters), but a 100 TB event pipeline needs
+both standard shapes, so they're first-class here:
+
+- ``windowed_counts``: tumbling event-time windows with a watermark —
+  late rows beyond the watermark are dropped and window state is
+  evicted, so state size is bounded by (watermark horizon / window).
+- ``sessionize``: custom per-key state via applyInPandasWithState —
+  session tracking with an inactivity gap, the canonical use of the
+  arbitrary-stateful API. Arrow-batched; state is one small tuple per
+  active key.
+
+Operational gotcha: a stateful query with ProcessingTimeTimeout keeps
+scheduling state-cleanup micro-batches even when no data is pending, so
+``trigger(availableNow=True)`` never self-stops and
+``processAllAvailable()`` never returns. Drive such queries by polling
+``recentProgress`` for the expected input rows, then ``stop()``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-event-type counts with late-data bound."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def _session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each user's events into the open session; emit the session
+    when the inactivity timeout fires. Timestamps tracked as epoch
+    micros in state (state schema must be flat)."""
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_min, ts_max, count = None, None, 0
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["ts"])
+        lo, hi = ts.min(), ts.max()
+        ts_min = lo if ts_min is None else min(ts_min, lo)
+        ts_max = hi if ts_max is None else max(ts_max, hi)
+        count += len(pdf)
+    lo_us = int(ts_min.value // 1000)
+    hi_us = int(ts_max.value // 1000)
+    if state.exists:
+        start, last, n = state.get
+        state.update((min(start, lo_us), max(last, hi_us), n + count))
+    else:
+        state.update((lo_us, hi_us, count))
+    state.setTimeoutDuration(30 * 60 * 1000)  # 30 min inactivity gap
+    yield pd.DataFrame(
+        columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user sessions with a 30-minute
+    inactivity gap (applyInPandasWithState)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -182,3 +182,30 @@ def test_ingest_permutation_invariance(spark):
         )
         results.append(got)
     assert results[0] == results[1] == results[2]
+
+
+def test_editfold_dmp_patch_applier(spark):
+    """X13 — the minimal dmp patch applier: well-formed patches apply
+    exactly; malformed or mismatching patches fall back to replacement
+    (the reference's own failure path, hive-stream.ts:540-548)."""
+    from union_indexer_node_spark.ingest.editfold import _apply_patch
+
+    base = "hello world, this is the body"
+    # dmp patch text: replace 'world' with 'there' (context-bearing)
+    patch = "@@ -1,16 +1,16 @@\n hello \n-world\n+there\n , this is\n"
+    assert _apply_patch(base, patch) == "hello there, this is the body"
+
+    # insertion at the end
+    patch2 = "@@ -25,5 +25,9 @@\n  body\n+ now\n"
+    assert _apply_patch(base, patch2) == "hello world, this is the body now"
+
+    # context mismatch -> verbatim fallback
+    bad = "@@ -1,16 +1,16 @@\n goodbye \n-world\n+there\n , this\n"
+    assert _apply_patch(base, bad) == bad
+
+    # non-patch body -> verbatim (the common full-body case)
+    assert _apply_patch(base, "just a new body") == "just a new body"
+
+    # %-encoded payloads (dmp encodes specials)
+    patch3 = "@@ -1,5 +1,5 @@\n-hello\n+h%C3%A9llo\n"
+    assert _apply_patch(base, patch3) == "héllo world, this is the body"

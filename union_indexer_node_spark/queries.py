@@ -1534,3 +1534,31 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# BPE-ish pre-tokenizer count (RE2-safe alternation — no lookaheads, so
+# Java regex and DuckDB RE2 find identical non-overlapping matches).
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+@q(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}')) AS bpe_tokens,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import tokens
+
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+    )

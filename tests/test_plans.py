@@ -80,15 +80,15 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_exact_dedup_single_shuffle(spark):
-    """Exact dedup shuffles once on the digest (aggregate) and reuses
-    the exchange for the join-back."""
+    """Exact dedup is one scan + one digest-key shuffle (window form);
+    the aggregate-then-join form md5'd the corpus twice."""
     from union_indexer_node_spark.pipelines.dedup import exact_dedup
     from union_indexer_node_spark import tables
 
     d = tables.load(spark, SF_DIR, "documents")
     plan = _plan(exact_dedup(d, "text", "doc_id"))
-    # two Exchange nodes max (agg + join side); a naive plan has 3+
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 2  # once per half of _plan()
 
 
 def test_lww_single_shuffle(spark):

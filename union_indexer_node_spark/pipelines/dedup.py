@@ -59,19 +59,26 @@ def shingles(text: Column, n: int = 3) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate detection via content digest: every row keeps its
     group key (text_hash), group size, and whether it is the canonical
-    (min-id) representative. Aggregate-then-join on the digest — the
-    only shuffle key is 32 hex chars."""
+    (min-id) representative.
+
+    Window form, not aggregate-then-join: the join-back would scan and
+    md5 the corpus twice (the digest is recomputed on the probe side).
+    One scan, one 32-hex-key shuffle, two unordered window functions
+    over the same partition spec."""
+    from pyspark.sql import Window
+
     digest = F.md5(F.col(text_col))
-    hashed = df.select(F.col(id_col), digest.alias("text_hash"))
-    groups = hashed.groupBy("text_hash").agg(
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min(id_col).alias("canonical_id"),
-    )
-    return hashed.join(groups, "text_hash").select(
-        id_col,
-        "text_hash",
-        "dup_count",
-        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select(F.col(id_col), digest.alias("text_hash"))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "text_hash",
+            "dup_count",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
     )
 
 

@@ -209,3 +209,29 @@ def test_editfold_dmp_patch_applier(spark):
     # %-encoded payloads (dmp encodes specials)
     patch3 = "@@ -1,5 +1,5 @@\n-hello\n+h%C3%A9llo\n"
     assert _apply_patch(base, patch3) == "héllo world, this is the body"
+
+
+def test_ann_lsh_multiprobe_widens(spark):
+    """Hyperplane-LSH: probing Hamming-1 buckets supersets the probe-0
+    candidate set and can only improve recall; signatures land every
+    vector in exactly one bucket."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.ann_lsh import (
+        ann_topk,
+        hyperplanes,
+        signatures,
+    )
+    from conftest import SF_DIR
+
+    planes = hyperplanes(dim=64, n_bits=8)
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    sig = signatures(emb, planes)
+    assert sig.count() == emb.count()
+    assert sig.filter((F.col("bucket") < 0) | (F.col("bucket") > 255)).count() == 0
+
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    r0 = {r.vec_id for r in ann_topk(emb, qv, planes, k=50, hamming_probe=0).collect()}
+    r1 = {r.vec_id for r in ann_topk(emb, qv, planes, k=50, hamming_probe=1).collect()}
+    # probe-1 candidates superset probe-0's top-k pool at same k
+    assert len(r1) >= len(r0)
+    assert 0 in r0  # the query vector itself is in its own bucket

@@ -1,0 +1,122 @@
+"""Hyperplane LSH for cosine ANN (the honest LSH-bucketed scale path;
+`similarity.ivf_topk` is the partition-pruned coarse variant).
+
+Signatures: bit j of a vector's bucket is sign(dot(v, h_j)) for
+`n_bits` fixed hyperplanes. Vectors with small angles share buckets
+with high probability; search touches only the query's bucket (or its
+Hamming-1 neighbors for higher recall).
+
+Determinism: hyperplane components are derived from md5 digests of
+(seed, bit, dim) — the SAME constants can be embedded in any engine
+(the oracle SQL embeds them as literals), so the whole pipeline is
+cross-engine checkable, unlike library LSH with engine-internal RNG.
+
+Scale: signatures are one map-side projection (n_bits dot products per
+row, no shuffle); the bucket join groups ~n/2^bits vectors per bucket.
+
+Recall honesty (measured, sf0.1 = 5000 uniform-random 64-dim vectors):
+recall@10 vs exact = 1/10 @ probe 0 (0.4% of corpus), 2/10 @ Hamming-1
+(3.5%), 4/10 @ Hamming-2 (14.5%). Uniform-random vectors are the
+worst case — neighbors are barely above noise, so recall tracks scan
+fraction; on real clustered embeddings the same buckets concentrate
+true neighbors and recall at probe 1 is typically >0.8. The exact
+`brute_force_topk` stays the correctness baseline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hyperplanes(dim: int, n_bits: int = 8, seed: str = "ann") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim.
+    Component (j, i) comes from the first 8 md5 hex chars of
+    '<seed>:<j>:<i>' scaled to [0,1) minus 0.5."""
+    planes = []
+    for j in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2**32 - 0.5, 9))
+        planes.append(row)
+    return planes
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    """dot(v, constant plane) as an index-free fold: zip the vector
+    with the literal plane array (same left-to-right accumulation in
+    Spark and DuckDB)."""
+    lit_plane = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """The vector's LSH bucket id (sum of sign bits)."""
+    acc = None
+    for j, plane in enumerate(planes):
+        term = F.when(_dot_lit(vec, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    return acc.cast("int")
+
+
+def signatures(
+    emb: DataFrame, planes: list[list[float]], *, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col), bucket_expr(F.col(vec_col), planes).alias("bucket")
+    )
+
+
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    qb = 0
+    for j, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, plane)) > 0:
+            qb |= 1 << j
+    return qb
+
+
+def ann_topk(
+    emb: DataFrame, query_vec: list[float], planes: list[list[float]], *,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
+    hamming_probe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: scan the query's bucket (plus all buckets
+    within `hamming_probe` bit flips — multi-probe trades scan fraction
+    for recall: probe 1 reads (1+bits)/2^bits of the corpus). Exact
+    cosine within the probed set. With the corpus written partitioned
+    by bucket this is a partition-pruned read."""
+    from itertools import combinations
+
+    from .similarity import cosine_sim
+
+    qb = query_bucket(query_vec, planes)
+    probes = {qb}
+    n_bits = len(planes)
+    for dist in range(1, hamming_probe + 1):
+        for flip in combinations(range(n_bits), dist):
+            b = qb
+            for j in flip:
+                b ^= 1 << j
+            probes.add(b)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sig = signatures(emb, planes, id_col=id_col, vec_col=vec_col)
+    in_bucket = emb.join(
+        sig.filter(F.col("bucket").isin(list(probes))), id_col, "left_semi"
+    )
+    return (
+        in_bucket.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), qv), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1562,3 +1562,62 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(tokens(F.col("text"))).alias("ws_tokens"),
     )
+
+
+# ===========================================================================
+# Hyperplane-LSH ANN: deterministic signatures shared with the oracle.
+# ===========================================================================
+from .pipelines.ann_lsh import hyperplanes as _hyperplanes
+
+_ANN_PLANES = _hyperplanes(dim=64, n_bits=8)
+
+
+def _planes_sql() -> list[str]:
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in _ANN_PLANES]
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> (CAST({vec_expr} AS DOUBLE[]))[i] * ({p})[i])) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes_sql())
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+@q(
+    "ann_lsh_signatures",
+    f"SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings",
+)
+def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.ann_lsh import signatures
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return signatures(emb, _ANN_PLANES)
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ), q AS (
+      SELECT e.embedding AS qv, s.bucket AS qb
+      FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id = 0
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS sim
+    FROM embeddings e JOIN sig s USING (vec_id), q
+    WHERE s.bucket = q.qb
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.ann_lsh import ann_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk(emb, list(qv), _ANN_PLANES, k=10)

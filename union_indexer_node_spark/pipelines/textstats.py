@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles, tokens
+from .dedup import tokens
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # (A production build ships larger profiles; the operator shape —
@@ -87,6 +87,48 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     cols = [F.col(id_col), pred.alias("lang_pred")]
     cols += [scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES]
     return df.select(*cols)
+
+
+# Char-trigram profiles for the n-gram language-ID heuristic (tiny
+# demo profiles; production ships the full ranked trigram tables).
+NGRAM_PROFILES = {
+    "en": ["the", "he ", " th", "ing", "and", "ion"],
+    "es": ["de ", " de", "os ", "la ", "ión", "ent"],
+    "fr": ["es ", " de", "de ", "ent", "le ", "ion"],
+}
+
+
+def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Char-n-gram language ID: extract the text's character trigrams,
+    score = |trigrams ∩ language profile|, argmax wins ('und' on zero).
+    Same operator shape as the stopword variant but over character
+    n-grams (the classic Cavnar-Trenkle-style heuristic, minus the
+    rank correlation)."""
+    # substring(col, pos, len) needs a literal pos in the Python DSL;
+    # the lambda-index variant goes through expr (and stages the
+    # trigram array per row — see catalyst lambda-inlining note in
+    # dedup.shingles_from_tokens)
+    staged = df.select(
+        F.col(id_col),
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)), "
+            f"i -> substring(lower({text_col}), i, 3)))"
+        ).alias("_tris"),
+    )
+    scores = {
+        lang: F.size(
+            F.array_intersect(F.col("_tris"), F.array(*[F.lit(g) for g in grams]))
+        )
+        for lang, grams in NGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(NGRAM_PROFILES)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    cols = [F.col(id_col), pred.alias("lang_pred")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in NGRAM_PROFILES]
+    return staged.select(*cols)
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 4) -> DataFrame:

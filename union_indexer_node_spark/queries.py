@@ -1621,3 +1621,37 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ann_topk(emb, list(qv), _ANN_PLANES, k=10)
+
+
+# Char-n-gram language ID (the classic n-gram-profile heuristic;
+# complements the stopword variant in text_language_id)
+@q(
+    "text_language_id_ngram",
+    """
+    WITH tris AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 2, 0)),
+               i -> substring(lower(text), i, 3))) AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+        len(list_intersect(t, ['the','he ',' th','ing','and','ion'])) AS score_en,
+        len(list_intersect(t, ['de ',' de','os ','la ','ión','ent'])) AS score_es,
+        len(list_intersect(t, ['es ',' de','de ','ent','le ','ion'])) AS score_fr
+      FROM tris
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en = GREATEST(score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = GREATEST(score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           score_en, score_es, score_fr
+    FROM scored
+    """,
+)
+def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import detect_language_ngram
+
+    d = tables.load(spark, sf_dir, "documents")
+    return detect_language_ngram(d, "text", "doc_id")

@@ -40,6 +40,29 @@ GENERIC_TABLES = (
 )
 
 
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to run our queries — including a vanilla
+    session built by an external harness, not just ``session.get_spark()``.
+
+    Both confs are runtime-settable SQLConfs, so ``spark.conf.set`` works
+    after session construction:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which a
+      stock Spark 4 reader rejects with PARQUET_TYPE_ILLEGAL. Reading the
+      ns value as long (then truncating ns->us in ``load``) matches
+      DuckDB's read of the same file.
+    - ``timeZone=UTC``: timestamp→string/date rendering must agree with
+      the DuckDB oracle regardless of the host machine's zone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        # A session with static-conf lockdown; proceed — reads may still
+        # work if the conf was set at build time.
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach
     the parquet scan because we return the raw reader output (no caching,
@@ -48,6 +71,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate ns->us,
     matching DuckDB's read of the same file."""
+    _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

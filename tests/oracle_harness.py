@@ -33,7 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
+            # Normalize null spelling first: Spark→pandas gives None,
+            # DuckDB→pandas gives NaN; astype(str) would diverge.
+            na = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[na, c] = "<NULL>"
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

@@ -233,7 +233,18 @@ def follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         e.select(F.col("user_id").cast("long").alias("uid")).distinct()
     )
-    k = u.select("uid", F.explode(F.sequence(F.lit(1), (F.col("uid") % 4))).alias("k"))
+    # Guard the sequence: Spark's sequence(1, 0) yields the DESCENDING
+    # [1, 0] while DuckDB's generate_series(1, 0) is empty — uid%4==0
+    # users must have zero followings in both engines.
+    n = F.col("uid") % 4
+    k = u.select(
+        "uid",
+        F.explode(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("k"),
+    )
     user_edges = k.select(
         F.concat(F.lit("u"), F.col("uid").cast("string")).alias("follower"),
         F.concat(

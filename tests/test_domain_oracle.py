@@ -40,6 +40,28 @@ def test_follows_view_row_identical(spark, sf_dir):
     assert not compare(spdf, ddf, "follows"), compare(spdf, ddf, "follows")
 
 
+def test_social_connections_view_row_identical(spark, sf_dir):
+    spdf = tables.social_connections(spark, sf_dir).toPandas()
+    ddf = _duck(sf_dir, "SELECT * FROM social_connections")
+    assert len(spdf) > 0, "derivation must produce DID edges"
+    assert not compare(spdf, ddf, "social_connections"), compare(
+        spdf, ddf, "social_connections"
+    )
+
+
+def test_did_follower_routes_to_social_connections(spark, sf_dir):
+    """feeds.social_feed must consult social_connections (not follows)
+    for a did:-prefixed byFollower — reference resolvers/index.ts:126-146."""
+    import pytest
+
+    from union_indexer_node_spark.operators.feeds import FeedSpec, social_feed
+
+    posts = tables.posts(spark, sf_dir)
+    fol = tables.follows(spark, sf_dir)
+    with pytest.raises(ValueError, match="social_connections"):
+        social_feed(posts, FeedSpec(follower="did:key:zu6"), follows=fol)
+
+
 def test_follows_mod4_zero_users_have_no_blog_edges(spark, sf_dir):
     f = tables.follows(spark, sf_dir).toPandas()
     blog = f[f["what"] == "blog"]

@@ -56,11 +56,18 @@ def spkvideo_filters(args: Mapping[str, Any]):
     return preds
 
 
-def social_feed(posts: DataFrame, args: Mapping[str, Any], follows: DataFrame | None = None) -> DataFrame:
+def social_feed(
+    posts: DataFrame,
+    args: Mapping[str, Any],
+    follows: DataFrame | None = None,
+    social_connections: DataFrame | None = None,
+) -> DataFrame:
     spec = compile_args(args)
     for p in spkvideo_filters(args):
         posts = posts.filter(p)
-    return feeds.social_feed(posts, spec, follows=follows)
+    return feeds.social_feed(
+        posts, spec, follows=follows, social_connections=social_connections
+    )
 
 
 def search_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
@@ -137,5 +144,10 @@ def execute(root_field: str, posts: DataFrame, args: Mapping[str, Any], **tables
     (schema.ts:308-328)."""
     fn = ROOT_FIELDS[root_field]
     if root_field == "socialFeed":
-        return fn(posts, args, follows=tables.get("follows"))
+        return fn(
+            posts,
+            args,
+            follows=tables.get("follows"),
+            social_connections=tables.get("social_connections"),
+        )
     return fn(posts, args)

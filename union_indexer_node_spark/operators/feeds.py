@@ -85,18 +85,36 @@ def compile_feed_filter(spec: FeedSpec) -> Column | None:
     return and_of(preds)
 
 
-def social_feed(posts: DataFrame, spec: FeedSpec, follows: DataFrame | None = None) -> DataFrame:
+def social_feed(
+    posts: DataFrame,
+    spec: FeedSpec,
+    follows: DataFrame | None = None,
+    social_connections: DataFrame | None = None,
+) -> DataFrame:
     """socialFeed (resolvers/index.ts:165-192): filter -> sort created_at
     desc -> skip/limit. Follower feeds are a broadcast left-semi join
-    (the reference inlines the following list as $in — same semantics)."""
+    (the reference inlines the following list as $in — same semantics).
+
+    DID routing (resolvers/index.ts:126-146): a ``did:``-prefixed
+    byFollower reads the offchain ``social_connections`` collection
+    instead of ``follows``; both compile to the same broadcast semi-join,
+    only the edge table differs."""
     df = posts
     pred = compile_feed_filter(spec)
     if pred is not None:
         df = df.filter(pred)
     if spec.follower is not None:
-        if follows is None:
-            raise ValueError("follower feed requires the follows table")
-        following = follows.filter(F.col("follower") == spec.follower).select(
+        if spec.follower.startswith("did:"):
+            edges = social_connections
+            if edges is None:
+                raise ValueError(
+                    "did: follower feed requires the social_connections table"
+                )
+        else:
+            edges = follows
+            if edges is None:
+                raise ValueError("follower feed requires the follows table")
+        following = edges.filter(F.col("follower") == spec.follower).select(
             F.col("following").alias("author")
         )
         df = df.join(F.broadcast(following), "author", "left_semi")

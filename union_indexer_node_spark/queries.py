@@ -284,6 +284,31 @@ def j4_follower_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J4b — DID follower feed: byFollower starting with 'did:' routes to the
+# offchain social_connections graph (resolvers/index.ts:126-146) instead
+# of follows; same broadcast semi-join shape.
+@q(
+    "j4_follower_feed_did",
+    tables.oracle_with_domain("""
+    SELECT p.author, p.permlink, p.created_at
+    FROM posts p
+    WHERE p.author IN (SELECT following FROM social_connections
+                       WHERE follower = 'did:key:zu6')
+      AND NOT list_contains(COALESCE(p.flags, []), 'comment')
+      AND (p."TYPE" IS NULL OR p."TYPE" <> 'CERAMIC')
+    ORDER BY p.created_at DESC, p.permlink
+    LIMIT 100
+    """),
+)
+def j4_follower_feed_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = tables.posts(spark, sf_dir)
+    sc = tables.social_connections(spark, sf_dir)
+    spec = FeedSpec(follower="did:key:zu6", limit=100)
+    return feeds.social_feed(posts, spec, social_connections=sc).select(
+        "author", "permlink", "created_at"
+    )
+
+
 # J1/J2 — children/parent self-join on the composite post key
 @q(
     "j1_children_join",

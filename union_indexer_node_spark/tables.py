@@ -276,12 +276,55 @@ follows AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain view: social_connections (offchain DID follow graph)
+# ---------------------------------------------------------------------------
+# The reference keeps a SEPARATE offchain collection for Ceramic/DID
+# identities: `social_connections` in the offchain db
+# (/root/reference/src/services/index.ts:149,165), consulted by the
+# byFollower resolver when the id starts with 'did:'
+# (/root/reference/src/modules/api/graphql-v2/resolvers/index.ts:126-146).
+# Derivation rule: every uid%3==0 user has a DID persona
+# 'did:key:zu<uid>' following 1..(1+(uid%7)%3) on-chain authors at
+# (uid*7+k)%40 — always >=1 edge, so no empty-sequence divergence.
+
+
+def social_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.select(F.col("user_id").cast("long").alias("uid")).distinct()
+    did = u.filter(F.col("uid") % 3 == 0)
+    k = did.select(
+        "uid",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + (F.col("uid") % 7) % 3)
+        ).alias("k"),
+    )
+    return k.select(
+        F.concat(F.lit("did:key:zu"), F.col("uid").cast("string")).alias("follower"),
+        F.concat(
+            F.lit("u"), ((F.col("uid") * 7 + F.col("k")) % 40).cast("string")
+        ).alias("following"),
+    )
+
+
+SOCIAL_CONNECTIONS_CTE = """
+social_connections AS (
+  SELECT 'did:key:zu' || CAST(uid AS VARCHAR) AS follower,
+         'u' || CAST((uid * 7 + k) % 40 AS VARCHAR) AS following
+  FROM (SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 3 = 0) u,
+       LATERAL (SELECT UNNEST(generate_series(
+                  1, CAST(1 + (uid % 7) % 3 AS INTEGER))) AS k) s
+)
+"""
+
+
 def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
     """Register generic tables + domain views as temp views for spark.sql."""
     for n in GENERIC_TABLES:
         load(spark, sf_dir, n).createOrReplaceTempView(n)
     posts(spark, sf_dir).createOrReplaceTempView("posts")
     follows(spark, sf_dir).createOrReplaceTempView("follows")
+    social_connections(spark, sf_dir).createOrReplaceTempView("social_connections")
 
 
 def oracle_with_domain(body_sql: str, *, recursive: bool = False) -> str:
@@ -290,4 +333,7 @@ def oracle_with_domain(body_sql: str, *, recursive: bool = False) -> str:
     ``recursive=True`` emits WITH RECURSIVE so the body may append
     recursive CTEs (DuckDB allows non-recursive CTEs under it)."""
     kw = "WITH RECURSIVE" if recursive else "WITH"
-    return f"{kw} {POSTS_CTE.strip()}, {FOLLOWS_CTE.strip()} {body_sql}"
+    return (
+        f"{kw} {POSTS_CTE.strip()}, {FOLLOWS_CTE.strip()}, "
+        f"{SOCIAL_CONNECTIONS_CTE.strip()} {body_sql}"
+    )

@@ -99,3 +99,16 @@ def test_lww_single_shuffle(spark):
     e = tables.load(spark, SF_DIR, "events")
     df = lww_latest(e, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")])
     assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_neardup_banded_no_label_cartesian(spark):
+    """Embedding near-dup must pair within (label, band, band-value) LSH
+    keys, never a raw per-label all-pairs: no nested-loop/cartesian join
+    in the plan, and the candidate equi-join carries the band keys."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["dedup_embedding_neardup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bv" in plan

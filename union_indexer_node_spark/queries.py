@@ -1278,36 +1278,8 @@ def setop_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hive.unionByName(ceramic)
 
 
-# Embedding-cosine near-dup: bucketed pairs above threshold
-@q(
-    "dedup_embedding_neardup",
-    """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) > 0.8
-    """,
-)
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipelines.similarity import _dot, with_norm
-
-    emb = with_norm(tables.load(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("a"), "label",
-        F.col("embedding").alias("va"), F.col("norm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b"), "label",
-        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
-    )
-    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return pairs.select("a", "b", cos.alias("cosine")).filter(
-        F.col("cosine") > 0.8
-    )
+# Embedding-cosine near-dup lives with the ANN-LSH block below (it
+# shares the hyperplane literals): see dedup_embedding_neardup.
 
 
 # approx_count_distinct — HLL sketches differ between engines, so this
@@ -1609,6 +1581,101 @@ def _bucket_sql(vec_expr: str) -> str:
         for j, p in enumerate(_planes_sql())
     ]
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+# Embedding-cosine near-dup, LSH-banded (the 100 TB-safe form).
+#
+# Candidate pairs come from LSH *bands* of the 8-bit hyperplane
+# signature (4 bands x 2 bits, MinHash-band style): two vectors pair
+# only when they share a label AND at least one full band — never a raw
+# per-label all-pairs, so one hot label can no longer own the job
+# (within a label, a band bucket holds ~n_label/4 rows in expectation
+# per band value, and genuinely parallel band values spread the work).
+# Exact cosine then verifies candidates (threshold 0.35 — the synthetic
+# embeddings are near-orthogonal, max within-label cosine ~0.47, so a
+# "near-dup" threshold that can actually fire on this corpus).
+# Recall: a high-cosine pair differs in few signature bits, so the
+# probability all 4 bands are broken is small; this is the standard
+# banding trade (documented, like dedup_lsh_candidates for MinHash).
+@q(
+    "dedup_embedding_neardup",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, label, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), keys AS (
+      SELECT vec_id, label, g AS band, (bucket >> (2 * g)) & 3 AS bv
+      FROM sig, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS g) s
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM keys x
+      JOIN keys y ON x.label = y.label AND x.band = y.band
+                 AND x.bv = y.bv AND x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6) > 0.35
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.ann_lsh import bucket_expr
+    from .pipelines.similarity import _dot, with_norm
+
+    emb = with_norm(tables.load(spark, sf_dir, "embeddings"))
+    # One projection computes the 8-bit signature; bands are cheap bit
+    # slices of it (no recompute per band — catalyst would inline a
+    # per-band lambda otherwise).
+    sig = emb.select(
+        "vec_id", "label", bucket_expr(F.col("embedding"), _ANN_PLANES).alias("bucket")
+    )
+    keys = sig.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("band"),
+                        F.shiftright(F.col("bucket"), 2 * g)
+                        .bitwiseAND(F.lit(3))
+                        .alias("bv"),
+                    )
+                    for g in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "label", F.col("k.band").alias("band"), F.col("k.bv").alias("bv"))
+    x = keys.select(
+        F.col("vec_id").alias("a"), "label", "band", "bv"
+    )
+    y = keys.select(
+        F.col("vec_id").alias("b"), "label", "band", "bv"
+    )
+    cand = (
+        x.join(y, ["label", "band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = cand.join(ea, "a").join(eb, "b")
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("a", "b", cos.alias("cosine")).filter(F.col("cosine") > 0.35)
 
 
 @q(

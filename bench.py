@@ -5,16 +5,22 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count of the result) so the full
-plan runs; a warmup pass first touches the parquet footers so we time
-compute, not first-touch I/O.
+Each query is executed to completion via the noop sink so the full plan
+runs; a warmup pass first touches the parquet footers so we time
+compute, not first-touch I/O. Every query is timed REPEATS times and the
+median is reported — single-shot timing made round-over-round deltas
+indistinguishable from machine noise (r1→r2 showed a uniform 1.33x
+drift on untouched queries).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
+
+REPEATS = 3
 
 BENCH_QUERIES = [
     "social_feed_by_app",
@@ -35,6 +41,9 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "pipeline_corpus_curation",
+    "j9_reply_closure",
+    "o5_children_topk_per_parent",
+    "ann_lsh_topk",
 ]
 
 
@@ -58,9 +67,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        run_to_completion(reg[n].fn(spark, sf_dir))
-        timings[n] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run_to_completion(reg[n].fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[n] = round(statistics.median(samples), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

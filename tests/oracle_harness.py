@@ -26,6 +26,12 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# NUL can't appear in real data from either engine, so a genuine NULL
+# in one engine can never compare equal to a same-looking string value
+# in the other (a "<NULL>"-style sentinel could collide).
+_NULL_SENTINEL = "\x00<NULL>\x00"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize temporal + categorical dtypes for cross-engine compare
@@ -37,7 +43,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # DuckDB→pandas gives NaN; astype(str) would diverge.
             na = df[c].isna()
             df[c] = df[c].astype(str)
-            df.loc[na, c] = "<NULL>"
+            df.loc[na, c] = _NULL_SENTINEL
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

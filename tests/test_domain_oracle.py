@@ -14,7 +14,7 @@ zero 'blog' followings in both engines (tables.follows guards this).
 
 from __future__ import annotations
 
-from tests.oracle_harness import compare, duckdb_conn
+from oracle_harness import compare, duckdb_conn
 from union_indexer_node_spark import tables
 
 

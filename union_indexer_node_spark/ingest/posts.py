@@ -182,24 +182,35 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     roots = posts.filter(~is_comment & allowed_by_type).select(
         F.col("author").alias("pa"), F.col("permlink").alias("pp")
     )
-    comments_only = posts.filter(is_comment)
+    # Fixpoint hygiene: the (narrow) comment key set is persisted — it is
+    # re-joined every level — and each level plus the accumulated set is
+    # localCheckpoint'd so iteration N does not re-execute the N-1 prior
+    # joins (and the whole upstream editfold window) per count() action.
+    comment_keys = (
+        posts.filter(is_comment)
+        .select("author", "permlink", "parent_author", "parent_permlink")
+        .persist()
+    )
     allowed_keys = roots
     allowed_comments = None
     for _ in range(max_reply_depth):
         newly = (
-            comments_only.join(
+            comment_keys.join(
                 allowed_keys.hint("broadcast"),
-                (comments_only.parent_author == F.col("pa"))
-                & (comments_only.parent_permlink == F.col("pp")),
+                (comment_keys.parent_author == F.col("pa"))
+                & (comment_keys.parent_permlink == F.col("pp")),
                 "left_semi",
             )
             .select(F.col("author").alias("pa"), F.col("permlink").alias("pp"))
+            .localCheckpoint()
         )
         if allowed_comments is None:
             allowed_comments = newly
             prev_count = newly.count()
         else:
-            grown = allowed_comments.unionByName(newly).distinct()
+            grown = (
+                allowed_comments.unionByName(newly).distinct().localCheckpoint()
+            )
             new_count = grown.count()
             if new_count == prev_count:
                 break
@@ -207,6 +218,7 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
         allowed_keys = newly
         if prev_count == 0:
             break
+    comment_keys.unpersist()
 
     all_allowed = roots if allowed_comments is None else roots.unionByName(
         allowed_comments

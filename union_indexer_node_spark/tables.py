@@ -54,13 +54,20 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
     - ``timeZone=UTC``: timestamp→string/date rendering must agree with
       the DuckDB oracle regardless of the host machine's zone.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        # A session with static-conf lockdown; proceed — reads may still
-        # work if the conf was set at build time.
-        pass
+    # Each conf gets its own guard: a failure on one must not silently
+    # skip the other, and a locked-down session should leave a trace
+    # (a swallowed timeZone failure would otherwise surface much later
+    # as a confusing timestamp-rendering oracle mismatch).
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception as exc:  # static-conf lockdown; may still work
+            import warnings
+
+            warnings.warn(f"could not set {key}={value}: {exc}", stacklevel=2)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -42,6 +42,68 @@ def test_api_root_field_dispatch(spark):
     assert search.count() == 5
 
 
+def test_api_root_field_dispatch_complete(spark):
+    """Every root field of the reference schema (schema.ts:308-328) has a
+    dispatch entry with a working plan behind it."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.ingest.incremental import watermark_state
+    from union_indexer_node_spark.operators import api
+
+    assert set(api.ROOT_FIELDS) == {
+        "socialFeed", "searchFeed", "trendingFeed", "relatedFeed",
+        "trendingTags", "socialPost", "profile", "community", "follows",
+        "leaderBoard", "syncState",
+    }
+
+    posts = tables.posts(spark, SF_DIR)
+    follows = tables.follows(spark, SF_DIR)
+    profiles = spark.createDataFrame(
+        [("u1", "did:key:zu1", 12.5), ("u2", None, 0.0), ("u3", None, 3.0)],
+        "username string, did string, score double",
+    )
+    communities = spark.createDataFrame(
+        [("hive/hive-1", "hive-1", "Community One")],
+        "_id string, name string, title string",
+    )
+
+    trending = api.execute("trendingFeed", posts, {"limit": 5}).collect()
+    assert 0 < len(trending) <= 5
+
+    related_anchor = posts.filter(F.col("permlink") == "p0").select("author").head()
+    related = api.execute(
+        "relatedFeed", posts,
+        {"author": related_anchor[0], "permlink": "p0", "limit": 5},
+    )
+    assert related.count() <= 5
+
+    by_name = api.execute("profile", posts, {"id": "u1"}, profiles=profiles).collect()
+    assert len(by_name) == 1 and by_name[0].username == "u1"
+    by_did = api.execute(
+        "profile", posts, {"id": "did:key:zu1"}, profiles=profiles
+    ).collect()
+    assert len(by_did) == 1 and by_did[0].username == "u1"
+
+    comm = api.execute(
+        "community", posts, {"id": "hive-1"}, communities=communities
+    ).collect()
+    assert len(comm) == 1 and comm[0]._id == "hive/hive-1"
+    cfeed = api.community_feed(posts, {"id": "hive-1", "limit": 5}).collect()
+    assert all(r.parent_permlink == "hive-1" for r in cfeed)
+
+    ov = api.execute("follows", posts, {"id": "u10"}, follows=follows).collect()[0]
+    assert ov.followings_count == len(ov.followings)
+    assert ov.followers_count == len(ov.followers)
+
+    lb = api.execute("leaderBoard", posts, {}, profiles=profiles).collect()
+    assert [r.username for r in lb] == ["u1", "u3"]
+    assert [r.rank for r in lb] == [1, 2]
+
+    state = watermark_state(spark, {"posts": (95, 100), "profiles": (100, 100)})
+    sync = api.execute("syncState", posts, {}, state=state).collect()
+    lag = {r.table_name: r.block_lag for r in sync}
+    assert lag == {"posts": 5, "profiles": 0}
+
+
 def test_api_nested_enrichment_joins(spark):
     from union_indexer_node_spark import tables
     from union_indexer_node_spark.operators import api

@@ -52,3 +52,17 @@ def incremental_refresh(
     merged = upsert(state, fresh, keys, order)
     new_wm = source.agg(F.max(watermark_col)).collect()[0][0]
     return merged, new_wm
+
+
+def watermark_state(spark, entries: dict[str, tuple]) -> DataFrame:
+    """The syncState backing table (reference stats doc,
+    resolvers/index.ts:352-362): one row per derived table with the
+    watermark it has incorporated and the newest source watermark seen —
+    their difference is the lag the reference reports as blockLag."""
+    rows = [
+        (name, int(incorporated), int(source_seen))
+        for name, (incorporated, source_seen) in entries.items()
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, watermark long, source_watermark long"
+    )

@@ -129,6 +129,80 @@ def with_community(posts: DataFrame, communities: DataFrame) -> DataFrame:
     ).drop("_community_id")
 
 
+def profile(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """profile(id) root field (resolvers/index.ts:308-321): a did:-prefixed
+    id resolves against the DID column (the reference routes to the
+    Ceramic profile store), anything else by username."""
+    ident = args.get("id") or args.get("username")
+    if ident is None:
+        return profiles.limit(0)
+    if str(ident).startswith("did:"):
+        pred = F.col("did") == ident
+    else:
+        pred = F.col("username") == ident
+    return profiles.filter(pred).limit(1)
+
+
+def community(communities: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """community(id) root field (resolvers/index.ts:406-454): point lookup
+    by community name ('hive-xxx') or full _id ('hive/hive-xxx'). The
+    reference's nested latestFeed/trendingFeed close over socialFeed with
+    byCommunity injected — the DataFrame analog is community_feed()."""
+    ident = args["id"]
+    return communities.filter(
+        (F.col("name") == ident) | (F.col("_id") == ident)
+    ).limit(1)
+
+
+def community_feed(
+    posts: DataFrame, args: Mapping[str, Any], *, trending: bool = False
+) -> DataFrame:
+    """The community root field's nested latestFeed/trendingFeed
+    (resolvers/index.ts:425-452): socialFeed/trendingFeed with
+    byCommunity {_eq: id} injected into the args."""
+    merged = dict(args)
+    merged["byCommunity"] = {"_eq": args["id"]}
+    if trending:
+        return trending_feed(posts, merged)
+    return feeds.social_feed(posts, compile_args(merged))
+
+
+def follows_overview(follows: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """follows(id) root field (resolvers/index.ts:322-351): both edge
+    directions with their counts — the reference's two find() + two
+    countDocuments() collapse into one pass over the (small) filtered
+    edge sets."""
+    ident = args["id"]
+    following = follows.filter(F.col("follower") == ident).agg(
+        F.count(F.lit(1)).alias("followings_count"),
+        F.sort_array(F.collect_list("following")).alias("followings"),
+    )
+    followers = follows.filter(F.col("following") == ident).agg(
+        F.count(F.lit(1)).alias("followers_count"),
+        F.sort_array(F.collect_list("follower")).alias("followers"),
+    )
+    return following.join(followers)
+
+
+def leaderboard(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """leaderBoard root field (resolvers/index.ts:455-475)."""
+    return feeds.leaderboard(profiles)
+
+
+def sync_state(state: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """syncState root field (resolvers/index.ts:352-362): the reference
+    reads a single stats doc {blockLag, syncEtaSeconds, blockLagDiff}.
+    Here the analog is the ingest watermark table: one row per derived
+    table with its high watermark; the lag columns are computed against
+    the newest source watermark seen (see ingest/incremental.py)."""
+    return state.select(
+        "table_name",
+        "watermark",
+        "source_watermark",
+        (F.col("source_watermark") - F.col("watermark")).alias("block_lag"),
+    )
+
+
 ROOT_FIELDS = {
     "socialFeed": social_feed,
     "searchFeed": search_feed,
@@ -136,12 +210,28 @@ ROOT_FIELDS = {
     "relatedFeed": related_feed,
     "trendingTags": trending_tags,
     "socialPost": social_post,
+    "profile": profile,
+    "community": community,
+    "follows": follows_overview,
+    "leaderBoard": leaderboard,
+    "syncState": sync_state,
+}
+
+# root fields that resolve against a table other than posts
+_FIELD_TABLE = {
+    "profile": "profiles",
+    "community": "communities",
+    "follows": "follows",
+    "leaderBoard": "profiles",
+    "syncState": "state",
 }
 
 
 def execute(root_field: str, posts: DataFrame, args: Mapping[str, Any], **tables) -> DataFrame:
     """Dispatch a root field like the GraphQL schema does
-    (schema.ts:308-328)."""
+    (schema.ts:308-328). ``posts`` backs the feed/post fields; profile,
+    community, follows, leaderBoard and syncState resolve against the
+    matching keyword table."""
     fn = ROOT_FIELDS[root_field]
     if root_field == "socialFeed":
         return fn(
@@ -150,4 +240,6 @@ def execute(root_field: str, posts: DataFrame, args: Mapping[str, Any], **tables
             follows=tables.get("follows"),
             social_connections=tables.get("social_connections"),
         )
+    if root_field in _FIELD_TABLE:
+        return fn(tables[_FIELD_TABLE[root_field]], args)
     return fn(posts, args)

@@ -163,6 +163,93 @@ def test_streaming_posts_incremental(spark, tmp_path):
     assert rows[0].block_height == 20
 
 
+def test_streaming_rewrite_is_partition_bounded(spark, tmp_path):
+    """A micro-batch must rewrite only the created_date partitions it
+    touches: data files of untouched partitions keep their exact paths
+    and mtimes across a batch that lands in a different date."""
+    import os
+
+    from union_indexer_node_spark.streaming.stream import (
+        ops_file_stream,
+        start_posts_stream,
+    )
+
+    ops_dir = str(tmp_path / "ops")
+    state_dir = str(tmp_path / "posts_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot_files(part: str) -> dict[str, float]:
+        d = os.path.join(state_dir, part)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # batch 1: post on 2024-01-01 (comment(h) stamps T0 + h minutes)
+    b1 = spark.createDataFrame([comment(10, "a", "p1", "day one")], schema=OPS_SCHEMA)
+    b1.write.parquet(ops_dir + "/f1.parquet")
+    sq = start_posts_stream(
+        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+    )
+    sq.awaitTermination(120)
+    day1 = "created_date=2024-01-01"
+    before = snapshot_files(day1)
+    assert before, "day-1 partition must exist after batch 1"
+
+    # batch 2: different key, lands on 2024-01-02 (h=2000 min > 1 day)
+    b2 = spark.createDataFrame([comment(2000, "b", "p2", "day two")], schema=OPS_SCHEMA)
+    b2.write.parquet(ops_dir + "/f2.parquet")
+    sq = start_posts_stream(
+        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+    )
+    sq.awaitTermination(120)
+
+    assert snapshot_files(day1) == before, (
+        "untouched day-1 partition was rewritten"
+    )
+    assert os.path.isdir(os.path.join(state_dir, "created_date=2024-01-02"))
+    got = {r.permlink: r.body for r in spark.read.parquet(state_dir).collect()}
+    assert got == {"p1": "day one", "p2": "day two"}
+
+
+def test_streaming_partition_migration_on_edit(spark, tmp_path):
+    """An edit arriving in a later batch moves the post's created_at
+    (per-batch min): the winner must land in the new date partition and
+    the stale row's old partition must not keep a duplicate."""
+    import os
+
+    from union_indexer_node_spark.streaming.stream import (
+        ops_file_stream,
+        start_posts_stream,
+    )
+
+    ops_dir = str(tmp_path / "ops")
+    state_dir = str(tmp_path / "posts_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame([comment(10, "a", "p1", "v1")], schema=OPS_SCHEMA)
+    b1.write.parquet(ops_dir + "/f1.parquet")
+    sq = start_posts_stream(
+        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+    )
+    sq.awaitTermination(120)
+
+    # same key, higher block, next day -> LWW winner migrates partitions
+    b2 = spark.createDataFrame([comment(2000, "a", "p1", "v2")], schema=OPS_SCHEMA)
+    b2.write.parquet(ops_dir + "/f2.parquet")
+    sq = start_posts_stream(
+        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+    )
+    sq.awaitTermination(120)
+
+    rows = spark.read.parquet(state_dir).collect()
+    assert len(rows) == 1 and rows[0].body == "v2"
+    assert not os.path.isdir(os.path.join(state_dir, "created_date=2024-01-01")), (
+        "emptied partition must be removed, not left with the stale row"
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 def test_multimodal_probe_and_frame_plan(spark):
     from union_indexer_node_spark.pipelines.multimodal import (

@@ -63,32 +63,91 @@ def start_posts_stream(
     replacement-body fallback applies; a full deterministic rebuild
     (the batch pipeline) remains the reconciliation path, exactly like
     the reference's reindex twin worker (hive-stream-reindex.ts).
+
+    The snapshot is date-partitioned on ``created_date`` and each
+    micro-batch rewrites ONLY the partitions it touches (dynamic
+    partition overwrite) — O(touched days), not O(table), per batch.
+    Touched = dates carried by the batch's new rows PLUS dates of
+    existing rows whose key the batch updates (an edit arriving in a
+    later batch can move a post's created_at, i.e. migrate partitions).
+    A partition whose last surviving row was migrated away is removed
+    explicitly — dynamic overwrite cannot drop a partition it writes
+    zero rows into. On Delta/Iceberg all of this is one MERGE.
     """
+
+    def _touched_dates(current: DataFrame, new_posts: DataFrame) -> list:
+        keys = new_posts.select("author", "permlink").distinct()
+        old_dates = (
+            current.join(F.broadcast(keys), ["author", "permlink"], "left_semi")
+            .select("created_date")
+            .distinct()
+        )
+        new_dates = new_posts.select("created_date").distinct()
+        return [
+            r[0]
+            for r in new_dates.unionByName(old_dates).distinct().collect()
+            if r[0] is not None
+        ]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        new_posts = build_posts(batch_df)
+        import shutil
+
+        new_posts = build_posts(batch_df).withColumn(
+            "created_date", F.to_date("created_at")
+        )
+        spark_b = batch_df.sparkSession
         current = None
         if os.path.exists(state_dir):
             try:
-                current = batch_df.sparkSession.read.parquet(state_dir)
+                current = spark_b.read.parquet(state_dir)
             except Exception:
                 current = None
+
+        if current is not None and "created_date" not in current.columns:
+            # legacy unpartitioned snapshot: one full rewrite migrates it
+            merged = upsert(
+                current.withColumn("created_date", F.to_date("created_at")),
+                new_posts,
+                ["author", "permlink"],
+                [F.col("block_height")],
+            )
+            write_snapshot(merged, state_dir + ".tmp", partition_by=["created_date"])
+            shutil.rmtree(state_dir)
+            os.rename(state_dir + ".tmp", state_dir)
+            return
+
+        if current is None:
+            write_snapshot(new_posts, state_dir, partition_by=["created_date"])
+            return
+
+        touched = _touched_dates(current, new_posts)
         merged = upsert(
-            current,
+            current.filter(F.col("created_date").isin(touched)),
             new_posts,
             ["author", "permlink"],
             [F.col("block_height")],
+        ).withColumn("created_date", F.to_date("created_at"))
+        # localCheckpoint materializes the (touched-partitions-only)
+        # merge result so the write plan no longer reads state_dir —
+        # Spark refuses to overwrite a path it is also reading from.
+        merged = merged.localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("created_date")
+            .parquet(state_dir)
         )
-        write_snapshot(merged, state_dir + ".tmp")
-        # atomic-ish swap for the local-fs demo; a table format makes
-        # this a transactional MERGE instead
-        import shutil
-
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(state_dir + ".tmp", state_dir)
+        surviving = {
+            r[0] for r in merged.select("created_date").distinct().collect()
+        }
+        for d in touched:
+            if d not in surviving:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"created_date={d}"),
+                    ignore_errors=True,
+                )
 
     return (
         ops_stream.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,139 @@
+"""Corpus-curation operators a pre-training data pipeline needs beyond
+dedup/quality: repetition (boilerplate) detection, PII scrubbing,
+domain-mixture weighting, and stratified sampling.
+
+All pure column expressions / relational aggregations (no UDFs), all
+deterministic and cross-engine oracle-checkable.
+
+Scale notes (100 TB):
+- repetition_stats shuffles (doc_id, bigram) rows once with map-side
+  partial counts; everything else about it is per-row expressions.
+- scrub_pii is fully map-side (regexp_replace / regexp_count).
+- domain_mixture_weights aggregates to |sources| rows before the
+  window; the global normalization touches only that tiny frame.
+- stratified_sample is one hash-shuffle on the stratum key; the
+  md5-order rank replaces rand() so any engine draws the same sample
+  (reproducible pipelines beat true randomness for training-data work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# RE2-safe (no lookarounds) so Java regex and DuckDB find identical
+# matches; both are anchored to be greedy over the same character sets.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    fraction of all bigrams claimed by the single most frequent bigram.
+    High values on either flag boilerplate / degenerate text.
+
+    One (doc, bigram) explode + count with map-side combine, then a
+    per-doc max/sum; docs with <2 tokens get ratio 0 via the left join.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("_n_distinct"),
+        F.col("_toks"),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_toks"), i),
+                    F.element_at(F.col("_toks"), i + 1),
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_cnt"), F.sum("c").alias("_total_g"))
+    )
+    dup_ratio = F.when(
+        F.col("n_tokens") > 0,
+        1 - F.col("_n_distinct").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    top_ratio = F.coalesce(
+        F.col("_top_cnt").cast("double") / F.col("_total_g"), F.lit(0.0)
+    )
+    return (
+        base.drop("_toks")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(dup_ratio, 6).alias("dup_token_ratio"),
+            F.round(top_ratio, 6).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII redaction: replace emails/US-style phone numbers with typed
+    placeholders and count what was removed. Map-side only; the scrubbed
+    text ships alongside its content digest so audits can verify the
+    rewrite without re-reading the original."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame, group_col: str, text_col: str, *, alpha: float = 0.5
+) -> DataFrame:
+    """Per-domain sampling weights for mixture training: weight_s ∝
+    (total tokens in s)^alpha, normalized to sum 1 (alpha<1 upweights
+    small domains, the standard temperature-style mix). The corpus
+    aggregates to |domains| rows before the normalization window."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("total_tokens"),
+    )
+    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))
+    w = Window.partitionBy()
+    return per.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        F.round(raw / F.sum(raw).over(w), 6).alias("mix_weight"),
+    ).orderBy(group_col)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, *, per_stratum: int = 20
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum
+    by md5 of their id (an engine-independent stand-in for rand()) and
+    keep the first `per_stratum`. Same rows fall out of any engine, any
+    run — reproducibility a training-data pipeline needs from its
+    sampler. One hash-shuffle on the stratum key."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(F.col(id_col), F.col(stratum_col))
+        .withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= per_stratum)
+    )

@@ -91,7 +91,15 @@ def minhash_signature(
     """k-permutation MinHash over word-n-gram shingles. One explode +
     one groupBy(doc): the k mins are computed as k aggregate exprs with
     map-side partial aggregation (each worker emits one candidate min
-    per doc per seed before the shuffle)."""
+    per doc per seed before the shuffle).
+
+    Hash family: ceil(k/4) md5 digests per shingle (md5(s), md5(s||'#'),
+    md5(s||'##'), ...) concatenated, then split into k fixed-width 8-hex
+    windows — 4 sub-hashes per digest instead of one md5 PER seed (the
+    digest work dominated the whole LSH pipeline; this quarters it).
+    min() over fixed-width lowercase hex is the numeric min, and the
+    same bytes fall out of any engine's md5, so every stage stays
+    oracle-checkable."""
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(
@@ -99,11 +107,22 @@ def minhash_signature(
             F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
         )
     )
+    n_digests = (k * 8 + 31) // 32
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.col("s"), F.lit("#" * d)) if d else F.col("s"))
+            for d in range(n_digests)
+        ]
+    )
+    # materialize the concatenated digest once per shingle row; the k
+    # substring aggregates below slice it (keeps the md5 out of every
+    # aggregate expression)
+    hashed = sh.select(F.col(id_col), hexcat.alias("_hx"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f":{j}")))).alias(f"h{j}")
+        F.min(F.substring(F.col("_hx"), 8 * j + 1, 8)).alias(f"h{j}")
         for j in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFrame:
@@ -160,11 +179,26 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 def jaccard_pairs(
     left: DataFrame, right: DataFrame, pairs: DataFrame, text_col: str,
-    id_col: str, *, shingle_n: int = 3,
+    id_col: str, *, shingle_n: int = 3, prune: bool = False,
 ) -> DataFrame:
     """Shingle-set Jaccard for given (a, b) pairs. Shingle arrays are
     joined in (broadcast when small); set math stays JVM-side
-    (array_intersect / array_union are codegen'd)."""
+    (array_intersect / array_union are codegen'd).
+
+    ``prune=True`` tokenizes/shingles ONLY documents that appear in a
+    candidate pair (semi-join on the pair ids) instead of the full
+    corpus — at 100 TB the candidate set is orders of magnitude smaller
+    than the corpus, so verification cost tracks candidates, not corpus
+    size. Callers must pass a MATERIALIZED ``pairs`` frame
+    (localCheckpoint/persist): the id derivation references it a second
+    time, and an unmaterialized LSH plan would recompute end-to-end."""
+    if prune:
+        ids = (
+            pairs.select(F.col("a").alias(id_col))
+            .unionByName(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        left = left.join(F.broadcast(ids), id_col, "left_semi")
     sh = left.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(

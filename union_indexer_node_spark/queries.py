@@ -61,6 +61,13 @@ _DEPRIORITIZED = [
     "x21_search_feed",  # X21 v1 scan; inverted-index variant is in-window
     "a5_creator_score",  # subsumed by a5_score_zeroing (superset incl. zeroing arm)
     "x18_hex_to_long",  # trivial scalar, driver-verified in r01+r02
+    # -- new in round 3: local-oracle-green, queued to rotate INTO the
+    #    window next round once this round's window entries have their
+    #    driver rows --
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "pipeline_domain_mix",
+    "sample_stratified",
 ]
 
 
@@ -497,13 +504,16 @@ sh AS (
   )) AS s
   FROM toks
 ),
+hashed AS (
+  SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
+),
 sig AS (
   SELECT doc_id,
-    min(md5(s || ':0')) h0, min(md5(s || ':1')) h1,
-    min(md5(s || ':2')) h2, min(md5(s || ':3')) h3,
-    min(md5(s || ':4')) h4, min(md5(s || ':5')) h5,
-    min(md5(s || ':6')) h6, min(md5(s || ':7')) h7
-  FROM sh GROUP BY doc_id
+    min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
+    min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
+    min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
+    min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
+  FROM hashed GROUP BY doc_id
 )
 """
 
@@ -590,8 +600,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs
 
     d = tables.load(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
-    return jaccard_pairs(d, d, pairs, "text", "doc_id", shingle_n=3)
+    # materialize the (small) pair set once; verification then shingles
+    # only candidate docs, not the corpus (prune=True)
+    pairs = lsh_candidate_pairs(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=3
+    ).localCheckpoint()
+    return jaccard_pairs(d, d, pairs, "text", "doc_id", shingle_n=3, prune=True)
 
 
 @q(
@@ -1484,10 +1498,12 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     exact = exact_dedup(d, "text", "doc_id")
-    cand = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
-    near = jaccard_pairs(d, d, cand, "text", "doc_id", shingle_n=3).filter(
-        F.col("jaccard") >= 0.7
-    )
+    cand = lsh_candidate_pairs(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=3
+    ).localCheckpoint()
+    near = jaccard_pairs(
+        d, d, cand, "text", "doc_id", shingle_n=3, prune=True
+    ).filter(F.col("jaccard") >= 0.7)
     keep_exact = exact.filter(F.col("is_canonical")).select("doc_id")
     return keep_exact.join(
         near.select(F.col("b").alias("doc_id")), "doc_id", "left_anti"
@@ -1533,10 +1549,12 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs, tokens
 
     d = tables.load(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=3)
-    near = jaccard_pairs(d, d, cand, "text", "doc_id", shingle_n=3).filter(
-        F.col("jaccard") >= 0.7
-    )
+    cand = lsh_candidate_pairs(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=3
+    ).localCheckpoint()
+    near = jaccard_pairs(
+        d, d, cand, "text", "doc_id", shingle_n=3, prune=True
+    ).filter(F.col("jaccard") >= 0.7)
     gated = (
         d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
         .filter(F.col("n_tokens") >= 20)
@@ -1856,3 +1874,146 @@ def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return detect_language_ngram(d, "text", "doc_id")
+
+
+# ===========================================================================
+# Round-3 curation operators (registered past the driver window this
+# round — local oracle twins cover them; rotate into the window next
+# round once the round-3 window entries have their driver rows).
+# ===========================================================================
+
+
+# Gopher-style repetition/boilerplate signals
+@q(
+    "text_repetition_stats",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM toks
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total_g
+      FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(CASE WHEN b.n_tokens > 0
+                 THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                 ELSE 0 END, 6) AS dup_token_ratio,
+           ROUND(COALESCE(CAST(t.top_cnt AS DOUBLE) / t.total_g, 0), 6)
+             AS top_bigram_ratio
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import repetition_stats
+
+    d = tables.load(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id")
+
+
+# PII scrub over deterministically injected PII (the synthetic corpus
+# carries none; the injection is part of the QUERY, the scrub operator
+# itself is generic — pipelines/curation.py:scrub_pii)
+@q(
+    "text_pii_scrub",
+    """
+    WITH with_pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM with_pii
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import scrub_pii
+
+    d = tables.load(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(injected, "text", "doc_id").select(
+        "doc_id", "n_emails", "n_phones", "scrubbed_hash"
+    )
+
+
+# Domain-mixture weights (temperature-style, alpha=0.5)
+@q(
+    "pipeline_domain_mix",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+               AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(POWER(CAST(total_tokens AS DOUBLE), 0.5)
+                 / SUM(POWER(CAST(total_tokens AS DOUBLE), 0.5)) OVER (), 6)
+             AS mix_weight
+    FROM per ORDER BY source
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import domain_mixture_weights
+
+    d = tables.load(spark, sf_dir, "documents")
+    return domain_mixture_weights(d, "source", "text", alpha=0.5)
+
+
+# Deterministic stratified sampling (md5-order draw, 20 per source)
+@q(
+    "sample_stratified",
+    """
+    SELECT doc_id, source, draw_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS draw_rank
+      FROM documents
+    ) WHERE draw_rank <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import stratified_sample
+
+    d = tables.load(spark, sf_dir, "documents")
+    return stratified_sample(d, "source", "doc_id", per_stratum=20)

@@ -101,6 +101,35 @@ def test_lww_single_shuffle(spark):
     assert _plan(df).count("Exchange hashpartitioning") == 1
 
 
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must shuffle ONCE on the join key —
+    no range-probe join, no broadcast requirement, no second exchange."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.temporal import asof_join
+
+    e = tables.load(spark, SF_DIR, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    df = asof_join(left, right, ["user_id"], payload=["value"])
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the per-session aggregate reuse ONE user_id
+    partitioning (hashpartitioning(user_id) satisfies the clustered
+    distribution of the (user_id, session_id) groupBy)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.temporal import sessionize
+
+    e = tables.load(spark, SF_DIR, "events")
+    df = sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id")
+    assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
 def test_embedding_neardup_banded_no_label_cartesian(spark):
     """Embedding near-dup must pair within (label, band, band-value) LSH
     keys, never a raw per-label all-pairs: no nested-loop/cartesian join

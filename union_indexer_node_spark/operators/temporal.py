@@ -1,0 +1,157 @@
+"""Temporal operators: as-of join, batch sessionization, time rollup.
+
+The reference engine has no temporal algebra beyond created_at sorts —
+these are the operators a time-series/training-data workload adds on
+top (the prompt-side analog of TimescaleDB's asof/hypertable pieces),
+each expressed as a single-shuffle DataFrame plan with an exact DuckDB
+oracle (ASOF JOIN / window / ROLLUP are native there).
+
+Scale notes (100 TB):
+- asof_join is the union+window form: ONE hash-shuffle on the join key
+  (no per-row range probe, no broadcast requirement); both inputs are
+  tagged, interleaved in (ts, side) order, and the right payload is
+  carried forward with last(ignorenulls) — the standard distributed
+  as-of used by point-in-time-correct feature stores.
+- sessionize is two stacked windows over the same (user) partitioning —
+  one shuffle, lag + running sum, then the per-session aggregate reuses
+  the partitioning.
+- time_rollup uses DataFrame rollup(): partial aggregation happens
+  map-side once and the grouping-set expansion is metadata, not extra
+  scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str],
+) -> DataFrame:
+    """Point-in-time join: for every left row, the payload of the LATEST
+    right row with right_ts <= left_ts within the same key group (the
+    inclusive-`>=` semantics of DuckDB/kdb ASOF JOIN).
+
+    Right rows must be unique per (key, ts) — pre-aggregate with an LWW
+    window otherwise, or the tie winner is engine-dependent.
+    """
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal ts => inclusive match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_f_{c}").alias(f"asof_{c}") for c in payload],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds `gap_minutes`. Returns one
+    row per session (key, session_id, start/end ts, n_events).
+
+    Gap arithmetic is in whole microseconds (unix_micros) so any engine
+    computes identical boundaries — no float epoch rounding."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    # tiebreak_col makes LAG deterministic when two events share a
+    # timestamp — without it the session boundary of tied rows is
+    # engine- (and run-) dependent
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    marked = df.select(
+        key_col,
+        ts_col,
+        *( [tiebreak_col] if tiebreak_col is not None else [] ),
+        F.when(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(ts_col).over(w))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_session"),
+    )
+    with_sid = marked.select(
+        key_col,
+        ts_col,
+        F.sum("_new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return with_sid.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dim_col: str,
+    value_col: str,
+    *,
+    granularity: str = "day",
+) -> DataFrame:
+    """Hypertable-style rollup: (time bucket, dimension) aggregates plus
+    the per-bucket and grand totals in ONE pass — DataFrame rollup()
+    keeps the partial aggregation map-side and expands grouping sets
+    without extra scans."""
+    # the bucket is emitted as a formatted string: subtotal rows carry a
+    # NULL bucket, and a nullable string column round-trips engines
+    # cleanly where a NaT-bearing timestamp column does not
+    bucket = F.date_format(
+        F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd"
+    ).alias("bucket")
+    return (
+        df.select(bucket, F.col(dim_col), F.col(value_col))
+        .rollup("bucket", dim_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )

@@ -68,6 +68,9 @@ _DEPRIORITIZED = [
     "text_pii_scrub",
     "pipeline_domain_mix",
     "sample_stratified",
+    "temporal_asof_join",
+    "temporal_sessionize",
+    "temporal_time_rollup",
 ]
 
 
@@ -1996,6 +1999,111 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return domain_mixture_weights(d, "source", "text", alpha=0.5)
+
+
+# Point-in-time as-of join: each purchase picks up the value of the
+# user's latest click at-or-before it (union+window form, one shuffle;
+# oracle is DuckDB's native ASOF LEFT JOIN — same inclusive semantics).
+@q(
+    "temporal_asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), c0 AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+    ), c AS (
+      SELECT user_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM c0
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.ts, p.event_id,
+           ROUND(c.value, 2) AS asof_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+    from .operators.windows import lww_latest
+
+    e = tables.load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = lww_latest(
+        e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        [F.col("event_id")],
+    ).select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, ["user_id"], payload=["value"])
+    return out.select(
+        "user_id", "ts", "event_id", F.round(F.col("asof_value"), 2).alias("asof_value")
+    )
+
+
+# Batch sessionization: 30-minute inactivity gap, deterministic
+# boundaries via whole-microsecond arithmetic + event_id tiebreak.
+@q(
+    "temporal_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('microsecond',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ), sid AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import sessionize
+
+    e = tables.load(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id")
+
+
+# Hypertable-style rollup: (day, event_type) + day subtotals + grand
+# total in one pass (DataFrame rollup == SQL GROUP BY ROLLUP).
+@q(
+    "temporal_time_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) * 2
+                + GROUPING(event_type) AS BIGINT) AS grouping_level
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+    """,
+)
+def temporal_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import time_rollup
+
+    e = tables.load(spark, sf_dir, "events")
+    out = time_rollup(e, "ts", "event_type", "value", granularity="day")
+    return out.select(
+        "bucket",
+        "event_type",
+        "n",
+        "total_value",
+        F.col("grouping_level").cast("long").alias("grouping_level"),
+    )
 
 
 # Deterministic stratified sampling (md5-order draw, 20 per source)

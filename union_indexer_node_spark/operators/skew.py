@@ -30,9 +30,16 @@ def salted_agg(
 
     ``aggs`` maps output column -> (input column, fn) where fn is one
     of count/sum/min/max (algebraic, so partials merge exactly).
+
+    The salt hashes the row's non-key aggregate inputs — deterministic
+    per row content, so a task retry re-produces the same partials
+    (monotonically_increasing_id would re-deal rows to different salt
+    buckets on retry; harmless for algebraic merges but harder to
+    reason about, and useless when partials are ever materialized).
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    salt = (F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id())) % buckets)
+    salt_inputs = sorted({col for col, _ in aggs.values() if col}) or keys
+    salt = F.abs(F.hash(*[F.col(c) for c in salt_inputs], F.spark_partition_id())) % buckets
     phase1_aggs = []
     for out, (col, fn) in aggs.items():
         expr = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(col))

@@ -1716,17 +1716,17 @@ def _bucket_sql(vec_expr: str) -> str:
 # Embedding-cosine near-dup, LSH-banded (the 100 TB-safe form).
 #
 # Candidate pairs come from LSH *bands* of the 8-bit hyperplane
-# signature (4 bands x 2 bits, MinHash-band style): two vectors pair
+# signature (2 bands x 4 bits, MinHash-band style): two vectors pair
 # only when they share a label AND at least one full band — never a raw
-# per-label all-pairs, so one hot label can no longer own the job
-# (within a label, a band bucket holds ~n_label/4 rows in expectation
-# per band value, and genuinely parallel band values spread the work).
-# Exact cosine then verifies candidates (threshold 0.35 — the synthetic
-# embeddings are near-orthogonal, max within-label cosine ~0.47, so a
-# "near-dup" threshold that can actually fire on this corpus).
-# Recall: a high-cosine pair differs in few signature bits, so the
-# probability all 4 bands are broken is small; this is the standard
-# banding trade (documented, like dedup_lsh_candidates for MinHash).
+# per-label all-pairs, so one hot label can no longer own the job.
+# Band width matters: 2-bit bands (round 2) kept 68% of within-label
+# pairs as candidates — barely pruning; 4-bit bands keep ~29% of
+# borderline pairs (p_bit=0.63 at cosine 0.35: 1-(1-.63^4)^2) but >=95%
+# of true near-dups (p_bit>=0.94 at cosine>=0.9, the operator's design
+# point) — the standard S-curve trade, and 3x fewer exact-cosine
+# verifications. Exact cosine then verifies candidates (threshold 0.35
+# because the synthetic embeddings are near-orthogonal — max
+# within-label cosine ~0.47 — so a threshold that can actually fire).
 @q(
     "dedup_embedding_neardup",
     f"""
@@ -1734,8 +1734,8 @@ def _bucket_sql(vec_expr: str) -> str:
       SELECT vec_id, label, {_bucket_sql('embedding')} AS bucket
       FROM embeddings
     ), keys AS (
-      SELECT vec_id, label, g AS band, (bucket >> (2 * g)) & 3 AS bv
-      FROM sig, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS g) s
+      SELECT vec_id, label, g AS band, (bucket >> (4 * g)) & 15 AS bv
+      FROM sig, LATERAL (SELECT UNNEST([0, 1]) AS g) s
     ), cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM keys x
@@ -1772,11 +1772,11 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(g).alias("band"),
-                        F.shiftright(F.col("bucket"), 2 * g)
-                        .bitwiseAND(F.lit(3))
+                        F.shiftright(F.col("bucket"), 4 * g)
+                        .bitwiseAND(F.lit(15))
                         .alias("bv"),
                     )
-                    for g in range(4)
+                    for g in range(2)
                 ]
             )
         ).alias("k"),

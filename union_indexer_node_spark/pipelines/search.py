@@ -38,6 +38,23 @@ def build_inverted_index(
     )
 
 
+def update_inverted_index(
+    index: DataFrame, changed_docs: DataFrame, text_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Incremental posting-list maintenance (F12/T6 applied to X21):
+    drop every posting of a changed/deleted key (anti-join on the key)
+    and append the fresh postings — O(changed docs) work per cycle, not
+    an O(corpus) rebuild. Pass the changed docs with their NEW text
+    (deleted docs: include the key with empty text). With the posting
+    table bucketed by token, the anti-join prunes to the touched
+    buckets and the append preserves layout."""
+    fresh = build_inverted_index(changed_docs, text_col, key_cols)
+    kept = index.join(
+        changed_docs.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return kept.unionByName(fresh)
+
+
 def search_by_index(
     index: DataFrame, corpus: DataFrame, terms: list[str], key_cols: list[str]
 ) -> DataFrame:

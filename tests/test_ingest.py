@@ -72,9 +72,8 @@ OPS_SCHEMA = """
 """
 
 
-@pytest.fixture(scope="module")
-def ops(spark):
-    rows = [
+def _ops_rows():
+    return [
         # (a) LWW: edits at h=10, h=30; stale duplicate at h=20 arrives
         # "after" (row order shuffled) — final title must be h=30's
         comment(10, "alice", "post1", "v1 body"),
@@ -101,7 +100,37 @@ def ops(spark):
         follow_op(61, "follow", "zoe", "alice", []),  # empty what = unfollow
         follow_op(62, "spk.follow", "yan", "alice", ["blog"]),
     ]
-    return spark.createDataFrame(rows, schema=OPS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def ops(spark):
+    return spark.createDataFrame(_ops_rows(), schema=OPS_SCHEMA)
+
+
+def test_ingest_permutation_invariance(spark, ops):
+    """SURVEY §5.4: every table is a deterministic function of the op
+    SET — replaying the ops in any order (row order AND partitioning)
+    must yield identical posts/follows tables. This is the guarantee
+    the LWW windows + explicit event ordering provide and the reference
+    only approximates with buffered height ordering."""
+    import random
+
+    from union_indexer_node_spark.ingest.posts import build_follows
+
+    def canon(df):
+        return sorted(map(tuple, df.fillna("").collect()))
+
+    base_posts = canon(build_posts(ops).drop("beneficiaries"))
+    base_follows = canon(build_follows(ops))
+    rows = _ops_rows()
+    for seed in (1, 7, 42):
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        odf = spark.createDataFrame(shuffled, schema=OPS_SCHEMA).repartition(
+            5, "block_height"
+        )
+        assert canon(build_posts(odf).drop("beneficiaries")) == base_posts, seed
+        assert canon(build_follows(odf)) == base_follows, seed
 
 
 def test_lww_and_editfold(spark, ops):

@@ -131,6 +131,26 @@ def test_api_nested_enrichment_joins(spark):
     assert all(r.community is None for r in blog)
 
 
+def test_api_children_nested_field(spark):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR)
+    enriched = api.with_children(posts, limit=2)
+    rows = enriched.filter(F.size("children") > 0).limit(20).collect()
+    assert rows, "some posts must have replies in the fixture data"
+    child_keys = {
+        (c.parent_author, c.parent_permlink)
+        for c in posts.filter(F.col("parent_author") != "").collect()
+    }
+    for r in rows:
+        assert (r.author, r.permlink) in child_keys
+        assert len(r.children) <= 2
+        assert [c.rank for c in r.children] == sorted(c.rank for c in r.children)
+    no_kids = enriched.filter(F.size("children") == 0).limit(5).collect()
+    assert all(r.children == [] for r in no_kids)
+
+
 def test_ceramic_source_union(spark):
     from union_indexer_node_spark.sources.ceramic import (
         CERAMIC_DOCS_SCHEMA,

@@ -129,6 +129,47 @@ def with_community(posts: DataFrame, communities: DataFrame) -> DataFrame:
     ).drop("_community_id")
 
 
+def with_children(posts: DataFrame, *, limit: int = 100) -> DataFrame:
+    """J1 as a nested field — the reference's per-post children find()
+    (resolvers/posts.ts:224-227) batched: top-`limit` replies per post
+    (created_at asc, the O5 window) collected into one array<struct>
+    column. One shuffle on the reply key; posts without replies carry
+    an empty array."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("parent_author", "parent_permlink").orderBy(
+        "created_at", "permlink"
+    )
+    kids = (
+        posts.filter(F.col("parent_author") != "")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .groupBy(
+            F.col("parent_author").alias("author"),
+            F.col("parent_permlink").alias("permlink"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_rn").alias("rank"),
+                        F.col("author").alias("child_author"),
+                        F.col("permlink").alias("child_permlink"),
+                        F.col("created_at").alias("child_created_at"),
+                    )
+                )
+            ).alias("children")
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<rank:int,child_author:string,"
+        "child_permlink:string,child_created_at:timestamp>>"
+    )
+    return posts.join(kids, ["author", "permlink"], "left").withColumn(
+        "children", F.coalesce(F.col("children"), empty)
+    )
+
+
 def profile(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
     """profile(id) root field (resolvers/index.ts:308-321): a did:-prefixed
     id resolves against the DID column (the reference routes to the

@@ -14,9 +14,10 @@ cross-engine checkable, unlike library LSH with engine-internal RNG.
 Scale: signatures are one map-side projection (n_bits dot products per
 row, no shuffle); the bucket join groups ~n/2^bits vectors per bucket.
 
-Recall honesty (measured, sf0.1 = 5000 uniform-random 64-dim vectors):
-recall@10 vs exact = 1/10 @ probe 0 (0.4% of corpus), 2/10 @ Hamming-1
-(3.5%), 4/10 @ Hamming-2 (14.5%). Uniform-random vectors are the
+Recall honesty (measured round 1 on the driver's uniform-random 64-dim
+embeddings): recall@10 vs exact = 1/10 @ probe 0 (0.4% of corpus),
+2/10 @ Hamming-1 (3.5%), 4/10 @ Hamming-2 (14.5%). Uniform-random
+vectors are the
 worst case — neighbors are barely above noise, so recall tracks scan
 fraction; on real clustered embeddings the same buckets concentrate
 true neighbors and recall at probe 1 is typically >0.8. The exact

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "j9_reply_closure",
     "o5_children_topk_per_parent",
     "ann_lsh_topk",
+    "temporal_sessionize",
+    "text_repetition_stats",
 ]
 
 

@@ -27,7 +27,6 @@ true neighbors and recall at probe 1 is typically >0.8. The exact
 from __future__ import annotations
 
 import hashlib
-import struct
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

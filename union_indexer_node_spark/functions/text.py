@@ -24,6 +24,24 @@ def extract_mentions(body: Column) -> Column:
     )
 
 
+# RE2-safe (no lookarounds) so any engine finds identical matches.
+HASHTAG_RE = r"#([a-zA-Z0-9_]+)"
+URL_RE = r"https?://[a-zA-Z0-9./_%\-?=&#]+"
+
+
+def extract_hashtags(body: Column) -> Column:
+    """All #hashtags, lower-cased (SURVEY §7 Phase 5: the mention
+    extractor generalized to the other social markup)."""
+    return F.transform(
+        F.regexp_extract_all(body, F.lit(HASHTAG_RE), 1), lambda t: F.lower(t)
+    )
+
+
+def extract_urls(body: Column) -> Column:
+    """All http(s) URLs, verbatim."""
+    return F.regexp_extract_all(body, F.lit(URL_RE), 0)
+
+
 def tokenize(text: Column) -> Column:
     """X21 v1 tokenizer: lower-case word split. Token-AND matching over
     this reproduces the observable behavior of Mongo's $text for the

@@ -34,8 +34,12 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     fraction of all bigrams claimed by the single most frequent bigram.
     High values on either flag boilerplate / degenerate text.
 
-    One (doc, bigram) explode + count with map-side combine, then a
-    per-doc max/sum; docs with <2 tokens get ratio 0 via the left join.
+    ONE shuffle total: documents are repartitioned by id BEFORE the
+    bigram explode (narrow doc rows move, not exploded gram rows), and
+    both aggregations — (doc, gram) counts and the per-doc max/sum —
+    reuse that partitioning (hashpartitioning(id) satisfies the
+    clustered distribution of any grouping that has id as a prefix).
+    Docs with <2 tokens get ratio 0 via the left join.
     """
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
         F.col(id_col),
@@ -43,6 +47,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(F.array_distinct(F.col("_toks"))).alias("_n_distinct"),
         F.col("_toks"),
     )
+    base = base.repartition(id_col)
     grams = base.select(
         F.col(id_col),
         F.explode(

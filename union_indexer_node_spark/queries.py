@@ -71,6 +71,7 @@ _DEPRIORITIZED = [
     "temporal_asof_join",
     "temporal_sessionize",
     "temporal_time_rollup",
+    "text_hashtag_url_extract",
 ]
 
 
@@ -2103,6 +2104,56 @@ def temporal_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
         F.col("grouping_level").cast("long").alias("grouping_level"),
+    )
+
+
+# Hashtag/URL extraction (SURVEY §7 Phase 5: the mention extractor
+# generalized). The derived bodies carry no #tags/URLs, so the query
+# injects them deterministically — the extractors themselves are
+# generic (functions/text.py).
+@q(
+    "text_hashtag_url_extract",
+    tables.oracle_with_domain("""
+    , marked AS (
+      SELECT author, permlink,
+             body || CASE WHEN event_id % 3 = 0
+               THEN ' #Tag' || CAST(event_id % 7 AS VARCHAR)
+                    || ' see https://example.com/p/' || CAST(event_id AS VARCHAR)
+               ELSE '' END AS body
+      FROM posts
+    )
+    SELECT author, permlink,
+           list_transform(regexp_extract_all(body, '#([a-zA-Z0-9_]+)', 1),
+                          t -> lower(t)) AS hashtags,
+           regexp_extract_all(body, 'https?://[a-zA-Z0-9./_%\\-?=&#]+') AS urls
+    FROM marked
+    """),
+)
+def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import extract_hashtags, extract_urls
+
+    posts = tables.posts(spark, sf_dir)
+    marked = posts.select(
+        "author",
+        "permlink",
+        F.concat(
+            F.col("body"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit(" #Tag"),
+                    (F.col("event_id") % 7).cast("string"),
+                    F.lit(" see https://example.com/p/"),
+                    F.col("event_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    return marked.select(
+        "author",
+        "permlink",
+        extract_hashtags(F.col("body")).alias("hashtags"),
+        extract_urls(F.col("body")).alias("urls"),
     )
 
 

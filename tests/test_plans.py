@@ -130,6 +130,21 @@ def test_sessionize_single_shuffle(spark):
     assert _plan(df).count("Exchange hashpartitioning") == 1
 
 
+def test_repetition_stats_shuffles_docs_not_grams(spark):
+    """Both bigram aggregations and the join must reuse the narrow
+    doc-id repartition — no exchange keyed on the exploded gram."""
+    import re
+
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.curation import repetition_stats
+
+    d = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(repetition_stats(d, "text", "doc_id"))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected the doc-id repartition"
+    assert all(k.strip().startswith("doc_id") for k in keys), keys
+
+
 def test_embedding_neardup_banded_no_label_cartesian(spark):
     """Embedding near-dup must pair within (label, band, band-value) LSH
     keys, never a raw per-label all-pairs: no nested-loop/cartesian join

@@ -77,6 +77,35 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Per-bucket centroids (element-wise mean): the IVF coarse-index
+    builder / embedding-drift monitor. posexplode to (bucket, dim, val)
+    rows so the mean is a plain partial-aggregated groupBy — the
+    scalable form for wide corpora (no whole-vector accumulator on one
+    reducer); the centroid reassembles via sort_array(collect_list).
+    Also emits the bucket population."""
+    exploded = emb.select(
+        F.col(bucket_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    per_dim = exploded.groupBy(bucket_col, "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+    )
+    counts = emb.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        per_dim.groupBy(bucket_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .join(counts, bucket_col)
+        .select(bucket_col, "n_vectors", "centroid")
+    )
+
+
 def with_norm(emb: DataFrame, *, vec_col: str = "embedding", norm_col: str = "norm") -> DataFrame:
     """Stage the L2 norm as a column. Pair-joins that divide by norms
     must hoist this per-vector: computing _norm inside the pair

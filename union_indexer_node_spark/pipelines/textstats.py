@@ -131,6 +131,28 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return staged.select(*cols)
 
 
+def vocabulary_topk(
+    df: DataFrame, text_col: str, group_col: str, *, k: int = 10
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens per group
+    (per-source stopword discovery / tokenizer-training input). One
+    explode + partial-aggregated count, then a per-group top-k window
+    over the (much smaller) distinct-token frame."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "token", "n")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 4) -> DataFrame:
     """Document fingerprints: full-content digest + a winnowing-style
     min-shingle-hash (stable under local edits away from the minimum)."""

@@ -72,6 +72,8 @@ _DEPRIORITIZED = [
     "temporal_sessionize",
     "temporal_time_rollup",
     "text_hashtag_url_extract",
+    "sim_label_centroids",
+    "text_vocab_topk_per_source",
 ]
 
 
@@ -2155,6 +2157,63 @@ def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_hashtags(F.col("body")).alias("hashtags"),
         extract_urls(F.col("body")).alias("urls"),
     )
+
+
+# Per-label embedding centroids (IVF coarse-index builder / drift stats)
+@q(
+    "sim_label_centroids",
+    """
+    WITH per_dim AS (
+      SELECT label, dim, ROUND(AVG(val), 6) AS m
+      FROM (
+        SELECT label,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+               UNNEST(generate_series(1, len(embedding))) AS dim
+        FROM embeddings
+      )
+      GROUP BY label, dim
+    ), cent AS (
+      SELECT label, list(m ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ), cnt AS (
+      SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+    )
+    SELECT c.label, n.n_vectors, c.centroid
+    FROM cent c JOIN cnt n USING (label)
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import label_centroids
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+# Vocabulary head per source (tokenizer-training / stopword discovery)
+@q(
+    "text_vocab_topk_per_source",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+    )
+    SELECT source, rank, token, n FROM (
+      SELECT source, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n DESC, token) AS rank
+      FROM counts
+    ) WHERE rank <= 10
+    """,
+)
+def text_vocab_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import vocabulary_topk
+
+    d = tables.load(spark, sf_dir, "documents")
+    return vocabulary_topk(d, "text", "source", k=10)
 
 
 # Deterministic stratified sampling (md5-order draw, 20 per source)

@@ -74,6 +74,8 @@ _DEPRIORITIZED = [
     "text_hashtag_url_extract",
     "sim_label_centroids",
     "text_vocab_topk_per_source",
+    "tpch_q4_order_priority",
+    "tpch_q13_custdist",
 ]
 
 
@@ -1663,6 +1665,70 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# Q4 shape — EXISTS decorrelated to a left-semi join: orders in a date
+# range with at least one returned lineitem, counted by priority.
+@q(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q13 shape — customer order-count distribution: LEFT join keeps
+# zero-order customers (count(key) skips their NULLs), then histogram.
+@q(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 

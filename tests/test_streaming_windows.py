@@ -69,6 +69,65 @@ def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """One representative per content digest across micro-batches
+    (intra-batch survivor choice is arbitrary); re-arrivals within the
+    watermark are dropped."""
+    import datetime as dt
+
+    from union_indexer_node_spark.streaming.windows import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "dd_src")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(
+        [
+            (1, "alpha body", t0),
+            (2, "beta body", t0 + dt.timedelta(minutes=1)),
+            (3, "alpha body", t0 + dt.timedelta(minutes=2)),  # dup in-batch
+        ],
+        schema,
+    ).write.parquet(src + "/b1.parquet")
+
+    def drain():
+        q = (
+            stream_exact_dedup(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # batch 2: cross-batch duplicate + one fresh doc
+    spark.createDataFrame(
+        [
+            (4, "beta body", t0 + dt.timedelta(minutes=5)),  # dup cross-batch
+            (5, "gamma body", t0 + dt.timedelta(minutes=6)),
+        ],
+        schema,
+    ).write.parquet(src + "/b2.parquet")
+    drain()
+
+    rows = spark.read.parquet(out_dir).collect()
+    ids = {r.doc_id for r in rows}
+    assert len(rows) == 3, rows  # one representative per distinct text
+    assert {r.text for r in rows} == {"alpha body", "beta body", "gamma body"}
+    assert len(ids & {1, 3}) == 1  # exactly one alpha survivor
+    assert 4 not in ids  # cross-batch duplicate dropped (state held)
+    assert {2, 5} <= ids
+
+
 def test_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: events within the gap
     fold into one session; the inactivity timeout emits it."""

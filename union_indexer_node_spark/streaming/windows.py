@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream exact dedup: ONE representative per content digest is
+    emitted (which duplicate survives within a micro-batch is not
+    defined — micro-batches have no total row order); re-arrivals
+    within the watermark horizon are dropped and the digest state is
+    evicted once the watermark passes — bounded state, unlike a naive
+    dropDuplicates whose key set grows forever. The batch
+    `pipelines.dedup.exact_dedup` remains the reconciliation path for
+    duplicates farther apart than the horizon."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     *,

@@ -145,6 +145,18 @@ def test_repetition_stats_shuffles_docs_not_grams(spark):
     assert all(k.strip().startswith("doc_id") for k in keys), keys
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge EQUI join
+    on the bucket id — not the nested-loop a bare non-equi join gets."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["temporal_range_join"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and "_bucket" in plan
+
+
 def test_embedding_neardup_banded_no_label_cartesian(spark):
     """Embedding near-dup must pair within (label, band, band-value) LSH
     keys, never a raw per-label all-pairs: no nested-loop/cartesian join

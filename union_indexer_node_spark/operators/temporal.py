@@ -79,6 +79,47 @@ def asof_join(
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Range join (point-in-interval) without the nested-loop plan
+    Spark produces for a bare non-equi join: both sides map to
+    fixed-width time buckets — an interval explodes into every bucket
+    it overlaps — and the pairing becomes a hash EQUI-join on the
+    bucket id refined by the exact range predicate. Shuffle volume
+    tracks rows x (interval span / bucket width), not |points| x
+    |intervals|; pick bucket_minutes near the typical interval span.
+    Output: all (point, interval) columns for points inside [start, end]
+    (inclusive both ends)."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    p = points.withColumn(
+        "_bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / bucket_us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bucket")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -76,6 +76,7 @@ _DEPRIORITIZED = [
     "text_vocab_topk_per_source",
     "tpch_q4_order_priority",
     "tpch_q13_custdist",
+    "temporal_range_join",
 ]
 
 
@@ -2144,6 +2145,42 @@ def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "events")
     return sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id")
+
+
+# Range join: clicks falling inside 10-minute attribution windows
+# opened by purchases — bucketed to an equi-join (no nested loop);
+# oracle is DuckDB's native range join (IEJoin).
+@q(
+    "temporal_range_join",
+    """
+    WITH windows AS (
+      SELECT event_id AS purchase_id, user_id,
+             ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, w.purchase_id, w.user_id
+    FROM clicks c JOIN windows w
+      ON c.ts >= w.start_ts AND c.ts <= w.end_ts
+    """,
+)
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import bucketed_range_join
+
+    e = tables.load(spark, sf_dir, "events")
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    return bucketed_range_join(
+        clicks, windows, point_ts="ts", bucket_minutes=10
+    ).select("click_id", "purchase_id", "user_id")
 
 
 # Hypertable-style rollup: (day, event_type) + day subtotals + grand

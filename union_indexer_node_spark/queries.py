@@ -77,6 +77,7 @@ _DEPRIORITIZED = [
     "tpch_q4_order_priority",
     "tpch_q13_custdist",
     "temporal_range_join",
+    "tpch_q17_small_quantity",
 ]
 
 
@@ -1730,6 +1731,39 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# Q17 shape — correlated scalar subquery (per-part average) decorrelated
+# to an aggregate-then-join: small-order revenue for one brand.
+@q(
+    "tpch_q17_small_quantity",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    # decorrelate: per-part avg once (aggregate), then join — the
+    # correlated form would re-aggregate per probe row
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 

@@ -1,0 +1,65 @@
+"""Round-4 regression tests: the <2-token repetition_stats crash
+(ADVICE r3 high), LSH hot-bucket capping, byte-budget multimodal
+partitioning, and range-join long-interval bounding.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 (high): repetition_stats crashed with
+# INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any doc with <2 tokens, because
+# F.sequence(1, 0) defaults step to -1 and emits [1, 0]. The DuckDB
+# oracle's generate_series(1, 0) is empty, so the engines silently
+# diverged. Short docs must produce ratios of 0 in BOTH engines.
+# ---------------------------------------------------------------------------
+SHORT_DOCS = [
+    (1, ""),                    # 0 tokens
+    (2, "one"),                 # 1 token
+    (3, "...!!!"),              # 0 tokens after tokenizer strips punct
+    (4, "two tokens"),          # minimal bigram case
+    (5, "spam spam spam spam"), # degenerate repetition
+]
+
+
+def test_repetition_stats_short_docs_no_crash(spark):
+    from union_indexer_node_spark.pipelines.curation import repetition_stats
+
+    d = spark.createDataFrame(SHORT_DOCS, "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(d, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for short_id in (1, 2, 3):
+        assert rows[short_id].dup_token_ratio == 0.0
+        assert rows[short_id].top_bigram_ratio == 0.0
+    assert rows[4].n_tokens == 2
+    assert rows[4].top_bigram_ratio == 1.0  # single bigram claims 100%
+    assert rows[5].dup_token_ratio == 0.75  # 4 tokens, 1 distinct
+    assert rows[5].top_bigram_ratio == 1.0  # "spam spam" x3
+
+
+def test_repetition_stats_short_docs_match_duckdb(spark):
+    """The oracle twin of text_repetition_stats over a corpus that
+    includes <2-token docs (the shipped documents table has none, which
+    is how the crash survived round 3)."""
+    from union_indexer_node_spark.pipelines.curation import repetition_stats
+
+    d = spark.createDataFrame(SHORT_DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n_tokens, r.dup_token_ratio, r.top_bigram_ratio)
+        for r in repetition_stats(d, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in SHORT_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    from union_indexer_node_spark import queries as q
+
+    oracle = q.registry()["text_repetition_stats"].oracle
+    want = {tuple(r) for r in con.execute(oracle).fetchall()}
+    assert got == want

@@ -39,7 +39,10 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     both aggregations — (doc, gram) counts and the per-doc max/sum —
     reuse that partitioning (hashpartitioning(id) satisfies the
     clustered distribution of any grouping that has id as a prefix).
-    Docs with <2 tokens get ratio 0 via the left join.
+    Docs with <2 tokens produce no bigrams (the gram list is explicitly
+    guarded to empty — F.sequence(1, 0) would otherwise emit the
+    DESCENDING [1, 0] and make element_at throw) and get ratio 0 via
+    the left join + coalesce.
     """
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
         F.col(id_col),
@@ -51,15 +54,16 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     grams = base.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+            F.when(
+                F.size(F.col("_toks")) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_toks")) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + 1),
+                    ),
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("_toks"), i),
-                    F.element_at(F.col("_toks"), i + 1),
-                ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     top = (

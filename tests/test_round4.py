@@ -63,3 +63,59 @@ def test_repetition_stats_short_docs_match_duckdb(spark):
     oracle = q.registry()["text_repetition_stats"].oracle
     want = {tuple(r) for r in con.execute(oracle).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 "what's wrong" #1: LSH hot buckets. m docs in one band
+# bucket emit m(m-1)/2 pairs — AQE redistributes the work but not the
+# output. Guards: identical texts band one canonical; residual over-cap
+# buckets are dropped.
+# ---------------------------------------------------------------------------
+def test_lsh_identical_docs_collapse_to_one_canonical(spark):
+    """1,000 byte-identical docs must contribute ZERO candidate pairs
+    (one digest-canonical is banded); the near-dup pair among the two
+    genuinely distinct texts must survive."""
+    from union_indexer_node_spark.pipelines.dedup import lsh_candidate_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+              for i in range(1000)]
+    near = [
+        (2000, "a genuinely different document about spark catalyst plans here"),
+        (2001, "a genuinely different document about spark catalyst plans there"),
+    ]
+    d = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    pairs = {(p.a, p.b) for p in lsh_candidate_pairs(d, "text", "doc_id").collect()}
+    assert not {(a, b) for a, b in pairs if a < 1000 and b < 1000}, (
+        "identical-text docs emitted pairs; digest-canonical collapse failed"
+    )
+    assert (2000, 2001) in pairs, "true near-dup pair lost"
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_blowup(spark):
+    """120 DISTINCT texts with identical token arrays (punctuation-only
+    variants — the tokenizer strips punctuation) collide in every band.
+    With bucket_cap=50 the hot bucket is dropped (0 pairs); uncapped it
+    explodes to 120·119/2 pairs. This is the quadratic the cap exists
+    to bound."""
+    from union_indexer_node_spark.pipelines.dedup import lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base + "!" * (i + 1)) for i in range(120)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = lsh_candidate_pairs(d, "text", "doc_id", bucket_cap=50).count()
+    assert capped == 0
+    uncapped = lsh_candidate_pairs(d, "text", "doc_id", bucket_cap=None).count()
+    assert uncapped == 120 * 119 // 2
+
+
+def test_lsh_bucket_stats_reports_dropped_mass(spark):
+    """The audit companion: bucket sizes over the boilerplate corpus
+    must show the 4 hot buckets (one per band) of 120 members each, so
+    a pipeline can compute and log the recall mass a cap drops."""
+    from union_indexer_node_spark.pipelines.dedup import lsh_bucket_stats
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base + "!" * (i + 1)) for i in range(120)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = lsh_bucket_stats(d, "text", "doc_id").collect()
+    assert sorted(r.n_members for r in stats) == [120, 120, 120, 120]

@@ -5,8 +5,17 @@ Design for 100 TB:
   itself (bytes moved ∝ 32B/doc, not doc size).
 - MinHash/LSH: signatures are computed map-side (explode shingles ->
   partial min per hash seed); only (doc_id, 8×32B) rows shuffle. The
-  LSH band join turns all-pairs O(n²) into per-bucket joins; AQE's
-  skew handling splits hot buckets.
+  LSH band join turns all-pairs O(n²) into per-bucket joins.
+- Hot buckets are a QUADRATIC hazard AQE cannot fix: AQE splits a
+  skewed partition's work across tasks, but a single band bucket of m
+  docs still emits m·(m-1)/2 candidate pairs no matter how the work is
+  scheduled. Two guards in lsh_candidate_pairs: (a) identical texts —
+  the worst offender, since they share every band — are collapsed to
+  one digest-canonical representative BEFORE signatures are computed;
+  (b) residual buckets larger than `bucket_cap` (boilerplate with
+  trivial variations) are dropped entirely, a documented recall trade
+  (an over-cap bucket is a near-certain duplicate cluster; audit the
+  dropped mass with lsh_bucket_stats).
 - The verification Jaccard runs only on candidate pairs.
 
 Determinism: the hash family is md5(shingle || ':' || seed) — identical
@@ -150,16 +159,63 @@ def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFram
     ).select(id_col, "bk.band_idx", "bk.band_key")
 
 
+def _digest_canonicals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min id) per distinct content digest —
+    identical texts share every MinHash band, so banding them all would
+    alone emit m·(m-1)/2 pairs per duplicate cluster. Window over the
+    digest: the corpus shuffles once on a 32-hex key (same bytes-moved
+    scale as the signature explode that follows), and duplicate texts
+    additionally skip signature computation entirely."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("_digest")
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_digest", F.md5(F.col(text_col)))
+        .withColumn("_canon", F.min(id_col).over(wd))
+        .filter(F.col(id_col) == F.col("_canon"))
+        .drop("_digest", "_canon")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 8, bands: int = 4,
-    shingle_n: int = 3,
+    shingle_n: int = 3, unique_text_first: bool = True,
+    bucket_cap: int | None = 200,
 ) -> DataFrame:
     """Near-duplicate candidates: pairs sharing >=1 LSH band. The join
     key is (band_idx, band_key); output pairs are deduped and ordered
-    a < b so the pair set is canonical."""
+    a < b so the pair set is canonical.
+
+    Hot-bucket guards (both on by default — see module docstring; AQE
+    does NOT solve this: it splits a skewed partition's WORK, the m²
+    pair OUTPUT of an m-doc bucket is unchanged):
+    - ``unique_text_first``: band one digest-canonical per distinct
+      text (_digest_canonicals). Exact duplicates belong to
+      exact_dedup, not the band join — at corpus scale empty/templated
+      bodies otherwise create million-doc buckets and 10^12 pairs.
+    - ``bucket_cap``: drop residual buckets with more than `bucket_cap`
+      members (distinct texts whose shingle sets still collide, e.g.
+      boilerplate differing only in punctuation). A documented recall
+      trade, not silent: lsh_bucket_stats reports every bucket's size
+      so a pipeline can log the dropped mass before choosing the cap.
+      The count window shuffles on the same (band_idx, band_key) key
+      the self-join needs, so both join sides read the windowed
+      exchange rather than adding one each.
+    """
+    from pyspark.sql import Window
+
     rows = k // bands
-    sig = minhash_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
+    sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
     banded = lsh_bands(sig, id_col, bands=bands, rows=rows)
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_m", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_m") <= bucket_cap)
+            .drop("_m")
+        )
     a = banded.select(
         F.col(id_col).alias("a"), "band_idx", "band_key"
     )
@@ -171,6 +227,23 @@ def lsh_candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 8, bands: int = 4,
+    shingle_n: int = 3, unique_text_first: bool = True,
+) -> DataFrame:
+    """Band-bucket size histogram (band_idx, band_key, n_members) for
+    auditing what a `bucket_cap` would drop: the candidate pairs lost
+    to a cap c are Σ over buckets with n_members > c of n·(n-1)/2. Run
+    before choosing the cap; log the over-cap mass in the pipeline."""
+    rows = k // bands
+    src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
+    sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
+    banded = lsh_bands(sig, id_col, bands=bands, rows=rows)
+    return banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
 
 

@@ -531,13 +531,30 @@ sig AS (
 )
 """
 
+# Twin of pipelines.dedup.lsh_candidate_pairs DEFAULTS: band only the
+# min-id representative per distinct text digest (unique_text_first)
+# and drop band buckets with >200 members (bucket_cap) before pairing.
 _SHINGLE_SIG_CTE = f"""
 {_SIG_CTE.strip()},
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+bands_all AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key
+  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3)
+  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5)
+  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7)
+  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
+),
 bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT doc_id, band_idx, band_key,
+           COUNT(*) OVER (PARTITION BY band_idx, band_key) AS m
+    FROM bands_all
+  ) WHERE m <= 200
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

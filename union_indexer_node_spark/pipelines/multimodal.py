@@ -45,10 +45,46 @@ def _fake_probe(content: bytes) -> tuple[int, int, int]:
     return (w, h, frames)
 
 
+def _byte_budget_partitions(
+    df: DataFrame, content_col: str, target_partition_bytes: int
+) -> int:
+    """Partition count so each partition carries ~target bytes. Uses
+    the optimizer's sizeInBytes statistic (parquet footers / file
+    sizes) — free, no data scan — and falls back to an exact
+    sum(length(content)) aggregate when the planner reports the
+    unknown sentinel (Long.Max, e.g. for in-memory relations). Media
+    rows are large; one oversized partition is one oversized Arrow
+    batch and an OOM'd Python worker, so partitions are sized by
+    bytes, not row count.
+
+    Caveat: for file-backed sources the statistic is the COMPRESSED
+    size. Real media blobs (jpeg/mp4/opus payloads) are already
+    entropy-coded so parquet adds ~nothing and file bytes ≈ in-memory
+    bytes; for compressible binary, tune
+    spark.sql.sources.fileCompressionFactor upward."""
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= (1 << 62):  # planner sentinel for "unknown"
+        est = (
+            df.agg(
+                F.sum(F.coalesce(F.length(F.col(content_col)), F.lit(0)))
+            ).first()[0]
+            or 0
+        )
+    return max(1, min(-(-est // target_partition_bytes), 1 << 20))
+
+
 def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "content",
                 mime_col: str = "mime", use_fake_decoder: bool = True,
-                target_partition_bytes: int = 128 << 20) -> DataFrame:
+                target_partition_bytes: int | None = 128 << 20) -> DataFrame:
     """Extract media metadata with mapInPandas (Arrow batches).
+
+    The input is repartitioned to ceil(estimated_bytes /
+    ``target_partition_bytes``) partitions first, bounding the bytes
+    any single Python worker materializes (pass ``None`` to keep the
+    incoming partitioning, e.g. when the caller already bucketed by
+    byte budget). Per-batch work is column-wise over the pandas frame —
+    the only per-element Python is the probe/sha kernel itself, which
+    is inherently per-blob.
 
     ``use_fake_decoder=False`` raises NotImplementedError inside the
     workers (the real-codec path, intentionally stubbed)."""
@@ -56,32 +92,31 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row[content_col]) if row[content_col] is not None else b""
-                if use_fake_decoder:
-                    w, h, n = _fake_probe(content)
-                else:
-                    w, h = _decode_image(content)
-                    n = 1
-                out.append(
-                    {
-                        "id": row[id_col],
-                        "mime": row[mime_col],
-                        "n_bytes": len(content),
-                        "sha": hashlib.sha256(content).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "n_frames": n,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[
-                "id", "mime", "n_bytes", "sha", "width", "height", "n_frames"
-            ])
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf[content_col]
+            ]
+            if use_fake_decoder:
+                dims = [_fake_probe(c) for c in contents]
+            else:
+                dims = [(*_decode_image(c), 1) for c in contents]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "mime": pdf[mime_col].to_numpy(),
+                    "n_bytes": [len(c) for c in contents],
+                    "sha": [hashlib.sha256(c).hexdigest() for c in contents],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
 
-    return df.select(id_col, content_col, mime_col).mapInPandas(
-        probe, schema=MEDIA_SCHEMA
-    )
+    src = df.select(id_col, content_col, mime_col)
+    if target_partition_bytes is not None:
+        src = src.repartition(
+            _byte_budget_partitions(src, content_col, target_partition_bytes)
+        )
+    return src.mapInPandas(probe, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, *, every_n: int = 30) -> DataFrame:

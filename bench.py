@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "temporal_sessionize",
     "text_repetition_stats",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "tpch_q4_order_priority",
+    "tpch_q13_custdist",
+    "tpch_q17_small_quantity",
 ]
 
 

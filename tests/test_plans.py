@@ -147,12 +147,16 @@ def test_repetition_stats_shuffles_docs_not_grams(spark):
 
 def test_range_join_is_bucketed_equi_join(spark):
     """The bucketed range join must plan as a hash/sort-merge EQUI join
-    on the bucket id — not the nested-loop a bare non-equi join gets."""
+    on the bucket id — not the nested-loop a bare non-equi join gets.
+    One BroadcastNestedLoopJoin IS expected since r5: the intentional
+    rare-long-interval arm (intervals exceeding max_buckets_per_interval
+    skip the explode and broadcast instead). The main arm must still be
+    the bucket equi-join."""
     from union_indexer_node_spark import queries as q
 
     df = q.registry()["temporal_range_join"].fn(spark, SF_DIR)
-    plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(df)  # sparkPlan + executedPlan: the one BNLJ node prints twice
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
     assert "Join" in plan and "_bucket" in plan
 

@@ -87,6 +87,7 @@ def bucketed_range_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_minutes: int = 60,
+    max_buckets_per_interval: int | None = 1000,
 ) -> DataFrame:
     """Range join (point-in-interval) without the nested-loop plan
     Spark produces for a bare non-equi join: both sides map to
@@ -95,29 +96,40 @@ def bucketed_range_join(
     bucket id refined by the exact range predicate. Shuffle volume
     tracks rows x (interval span / bucket width), not |points| x
     |intervals|; pick bucket_minutes near the typical interval span.
-    Output: all (point, interval) columns for points inside [start, end]
-    (inclusive both ends)."""
+
+    The explode is the failure mode (VERDICT r3): one open-ended or
+    year-long interval at a 60-min bucket silently inflates the build
+    side by span/width rows. ``max_buckets_per_interval`` bounds it —
+    intervals spanning more buckets than the cap are routed to a
+    broadcast arm joined on the bare range predicate instead of
+    exploding. That arm IS a broadcast nested-loop over the long
+    intervals only; the premise is that cap-exceeding intervals are
+    rare (if they are the common case, bucket_minutes is mis-chosen —
+    raise it). Pass ``None`` to disable the split and explode
+    everything (the pre-r5 behavior).
+
+    Output: all (point, interval) columns for points inside
+    [start, end] (inclusive both ends)."""
     bucket_us = bucket_minutes * 60 * 1_000_000
     p = points.withColumn(
         "_bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
     )
-    i = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                (F.unix_micros(F.col(start_col)) / bucket_us).cast("long"),
-                (F.unix_micros(F.col(end_col)) / bucket_us).cast("long"),
-            )
-        ),
+    start_b = (F.unix_micros(F.col(start_col)) / bucket_us).cast("long")
+    end_b = (F.unix_micros(F.col(end_col)) / bucket_us).cast("long")
+    in_range = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
     )
-    return (
-        p.join(i, "_bucket")
-        .filter(
-            (F.col(point_ts) >= F.col(start_col))
-            & (F.col(point_ts) <= F.col(end_col))
-        )
-        .drop("_bucket")
-    )
+    short_iv = intervals
+    if max_buckets_per_interval is not None:
+        n_buckets = end_b - start_b + F.lit(1)
+        short_iv = intervals.filter(n_buckets <= max_buckets_per_interval)
+        long_iv = intervals.filter(n_buckets > max_buckets_per_interval)
+    i = short_iv.withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
+    out = p.join(i, "_bucket").filter(in_range).drop("_bucket")
+    if max_buckets_per_interval is not None:
+        long_arm = points.join(F.broadcast(long_iv), in_range)
+        out = out.unionByName(long_arm)
+    return out
 
 
 def sessionize(

@@ -162,19 +162,18 @@ def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFram
 def _digest_canonicals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One representative (min id) per distinct content digest —
     identical texts share every MinHash band, so banding them all would
-    alone emit m·(m-1)/2 pairs per duplicate cluster. Window over the
-    digest: the corpus shuffles once on a 32-hex key (same bytes-moved
-    scale as the signature explode that follows), and duplicate texts
-    additionally skip signature computation entirely."""
-    from pyspark.sql import Window
-
-    wd = Window.partitionBy("_digest")
+    alone emit m·(m-1)/2 pairs per duplicate cluster. Aggregate, not
+    window (ADVICE r4): a window partitioned by digest lands the
+    million-member identical-text cluster this exists to collapse in a
+    single task — exactly the skew hotspot being guarded against. The
+    groupBy emits one row per digest and gets map-side partial
+    aggregation, so the hot cluster collapses to one row per input
+    partition BEFORE the shuffle."""
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .withColumn("_digest", F.md5(F.col(text_col)))
-        .withColumn("_canon", F.min(id_col).over(wd))
-        .filter(F.col(id_col) == F.col("_canon"))
-        .drop("_digest", "_canon")
+        .groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min_by(F.struct(id_col, text_col), F.col(id_col)).alias("_c"))
+        .select(F.col(f"_c.{id_col}").alias(id_col), F.col(f"_c.{text_col}").alias(text_col))
     )
 
 

@@ -46,24 +46,36 @@ def _fake_probe(content: bytes) -> tuple[int, int, int]:
 
 
 def _byte_budget_partitions(
-    df: DataFrame, content_col: str, target_partition_bytes: int
+    df: DataFrame, content_col: str, target_partition_bytes: int,
+    estimated_bytes: int | None = None,
 ) -> int:
-    """Partition count so each partition carries ~target bytes. Uses
-    the optimizer's sizeInBytes statistic (parquet footers / file
-    sizes) — free, no data scan — and falls back to an exact
-    sum(length(content)) aggregate when the planner reports the
-    unknown sentinel (Long.Max, e.g. for in-memory relations). Media
-    rows are large; one oversized partition is one oversized Arrow
-    batch and an OOM'd Python worker, so partitions are sized by
-    bytes, not row count.
+    """Partition count so each partition carries ~target bytes. Order
+    of preference: (1) caller-supplied ``estimated_bytes`` (no scan, no
+    py4j — works under Spark Connect); (2) the optimizer's sizeInBytes
+    statistic (parquet footers / file sizes — free, no data scan; needs
+    the classic py4j ``_jdf`` handle, so it's wrapped in try/except);
+    (3) an exact sum(length(content)) aggregate — one extra pass over
+    the blob column, last resort for stats-less in-memory relations or
+    Connect sessions. Media rows are large; one oversized partition is
+    one oversized Arrow batch and an OOM'd Python worker, so partitions
+    are sized by bytes, not row count.
 
     Caveat: for file-backed sources the statistic is the COMPRESSED
     size. Real media blobs (jpeg/mp4/opus payloads) are already
     entropy-coded so parquet adds ~nothing and file bytes ≈ in-memory
     bytes; for compressible binary, tune
     spark.sql.sources.fileCompressionFactor upward."""
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est >= (1 << 62):  # planner sentinel for "unknown"
+    est = estimated_bytes
+    if est is None:
+        try:  # classic py4j only; absent under Spark Connect
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is not None and est >= (1 << 62):  # "unknown" sentinel
+            est = None
+    if est is None:
         est = (
             df.agg(
                 F.sum(F.coalesce(F.length(F.col(content_col)), F.lit(0)))
@@ -75,16 +87,34 @@ def _byte_budget_partitions(
 
 def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "content",
                 mime_col: str = "mime", use_fake_decoder: bool = True,
-                target_partition_bytes: int | None = 128 << 20) -> DataFrame:
+                target_partition_bytes: int | None = 128 << 20,
+                estimated_bytes: int | None = None,
+                isolate_oversized: bool = False) -> DataFrame:
     """Extract media metadata with mapInPandas (Arrow batches).
 
     The input is repartitioned to ceil(estimated_bytes /
     ``target_partition_bytes``) partitions first, bounding the bytes
     any single Python worker materializes (pass ``None`` to keep the
     incoming partitioning, e.g. when the caller already bucketed by
-    byte budget). Per-batch work is column-wise over the pandas frame —
-    the only per-element Python is the probe/sha kernel itself, which
-    is inherently per-blob.
+    byte budget). ``estimated_bytes`` lets callers who know the corpus
+    size skip both the stats lookup and the fallback length() scan.
+    Per-batch work is column-wise over the pandas frame — the only
+    per-element Python is the probe/sha kernel itself, which is
+    inherently per-blob.
+
+    The default round-robin repartition(n) bounds partition bytes only
+    IN EXPECTATION: with many comparably-sized rows the deviation
+    averages out, but a single multi-GB video among thumbnails can blow
+    one partition far past the target — the exact OOM this budget
+    exists to prevent. For mixed-size corpora pass
+    ``isolate_oversized=True``: rows with length(content) >= target
+    split into their own arm, range-partitioned on ``id_col`` into ~1
+    row per partition (such rows exceed any budget alone and must be
+    isolated regardless); the small-row arm keeps the round-robin,
+    where per-partition overshoot is now bounded by the largest small
+    row (< target, so < 2x target per partition). Cost: the size filter
+    evaluates in both arms' scans (two passes over the source), which
+    is why strict mode is opt-in rather than the default.
 
     ``use_fake_decoder=False`` raises NotImplementedError inside the
     workers (the real-codec path, intentionally stubbed)."""
@@ -113,9 +143,23 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
 
     src = df.select(id_col, content_col, mime_col)
     if target_partition_bytes is not None:
-        src = src.repartition(
-            _byte_budget_partitions(src, content_col, target_partition_bytes)
+        n = _byte_budget_partitions(
+            src, content_col, target_partition_bytes, estimated_bytes
         )
+        if isolate_oversized:
+            sz = F.coalesce(F.length(F.col(content_col)), F.lit(0))
+            big = src.filter(sz >= F.lit(target_partition_bytes))
+            small = src.filter(sz < F.lit(target_partition_bytes))
+            # Each oversized row is >= target, so there are at most n of
+            # them: n range partitions on the distinct id give ~1 blob
+            # per partition without a count() pass. union() of the two
+            # repartitioned arms is narrow (no re-shuffle) — mapInPandas
+            # sees the arms' partitions side by side.
+            src = small.repartition(n).unionByName(
+                big.repartitionByRange(n, F.col(id_col))
+            )
+        else:
+            src = src.repartition(n)
     return src.mapInPandas(probe, schema=MEDIA_SCHEMA)
 
 

@@ -2283,13 +2283,20 @@ def temporal_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM posts
     )
     SELECT author, permlink,
-           list_transform(regexp_extract_all(body, '#([a-zA-Z0-9_]+)', 1),
-                          t -> lower(t)) AS hashtags,
-           regexp_extract_all(body, 'https?://[a-zA-Z0-9./_%\\-?=&#]+') AS urls
+           COALESCE(array_to_string(
+             list_transform(regexp_extract_all(body, '#([a-zA-Z0-9_]+)', 1),
+                            t -> lower(t)), ' '), '') AS hashtags,
+           COALESCE(array_to_string(
+             regexp_extract_all(body, 'https?://[a-zA-Z0-9./_%\\-?=&#]+'),
+             ' '), '') AS urls
     FROM marked
     """),
 )
 def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: the registry projection space-joins the arrays because the
+    # driver's canonicalizer hashes scalar columns only (array cells are
+    # unhashable in its pandas sort path — observed in CORRECTNESS_r04).
+    # The production extractors (functions/text.py) still return arrays.
     from .functions.text import extract_hashtags, extract_urls
 
     posts = tables.posts(spark, sf_dir)
@@ -2312,8 +2319,8 @@ def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.select(
         "author",
         "permlink",
-        extract_hashtags(F.col("body")).alias("hashtags"),
-        extract_urls(F.col("body")).alias("urls"),
+        F.concat_ws(" ", extract_hashtags(F.col("body"))).alias("hashtags"),
+        F.concat_ws(" ", extract_urls(F.col("body"))).alias("urls"),
     )
 
 
@@ -2322,29 +2329,41 @@ def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_label_centroids",
     """
     WITH per_dim AS (
-      SELECT label, dim, ROUND(AVG(val), 6) AS m
+      SELECT label, dim, ROUND(AVG(val), 6) AS centroid_val
       FROM (
         SELECT label,
                UNNEST(CAST(embedding AS DOUBLE[])) AS val,
                UNNEST(generate_series(1, len(embedding))) AS dim
-        FROM embeddings
+      FROM embeddings
       )
       GROUP BY label, dim
-    ), cent AS (
-      SELECT label, list(m ORDER BY dim) AS centroid
-      FROM per_dim GROUP BY label
     ), cnt AS (
       SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
     )
-    SELECT c.label, n.n_vectors, c.centroid
-    FROM cent c JOIN cnt n USING (label)
+    SELECT p.label, n.n_vectors, CAST(p.dim AS BIGINT) AS dim, p.centroid_val
+    FROM per_dim p JOIN cnt n USING (label)
     """,
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Registry projection explodes the centroid to (label, dim, value)
+    # rows: the driver's canonicalizer can't hash array cells
+    # (CORRECTNESS_r04), and the exploded form hash-checks every
+    # coordinate anyway. label_centroids() itself still returns the
+    # assembled array<double> centroid.
     from .pipelines.similarity import label_centroids
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    return label_centroids(emb)
+    cent = label_centroids(emb)
+    return cent.select(
+        "label",
+        "n_vectors",
+        F.posexplode("centroid").alias("dim0", "centroid_val"),
+    ).select(
+        "label",
+        "n_vectors",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        "centroid_val",
+    )
 
 
 # Vocabulary head per source (tokenizer-training / stopword discovery)
@@ -2472,19 +2491,29 @@ def stream_dedup_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("ts"),
     )
     corpus = base.unionByName(rearrivals)
+    # tempdir removed after the memory sink materializes (ADVICE r4:
+    # repeated correctness/bench runs were leaking the corpus copy in
+    # /tmp on every invocation).
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
-    corpus.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(corpus.schema).parquet(src)
-    deduped = stream_exact_dedup(
-        stream, text_col="text", time_col="ts", watermark="365 days"
-    )
-    qname = f"stream_dedup_eq_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.select("text_hash")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(qname)
+    try:
+        corpus.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        deduped = stream_exact_dedup(
+            stream, text_col="text", time_col="ts", watermark="365 days"
+        )
+        qname = f"stream_dedup_eq_{uuid.uuid4().hex[:8]}"
+        query = (
+            deduped.select("text_hash")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # memory sink holds the rows on the driver; the parquet copy is
+        # no longer needed once the query has terminated.
+        return spark.table(qname)
+    finally:
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)

@@ -173,3 +173,31 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 4
         F.md5(F.col(text_col)).alias("content_hash"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+def length_percentiles(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact token-length percentiles per group (corpus length-profile
+    audit — the distribution report that sizes chunking/packing
+    budgets). Uses Spark's exact ``percentile`` (linear interpolation,
+    matching DuckDB's quantile_cont) rather than approx_percentile so
+    the result is engine-independent and oracle-checkable; at 100 TB
+    swap in approx_percentile(…, accuracy) — same plan shape, partial
+    aggregation either way."""
+    n_tok = token_count(F.col(text_col)).cast("double")
+    aggs = [
+        F.round(F.percentile(F.col("_n"), F.lit(p)), 4).alias(
+            f"p{int(round(p * 100)):02d}"
+        )
+        for p in ps
+    ]
+    return (
+        df.select(F.col(group_col), n_tok.alias("_n"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    )

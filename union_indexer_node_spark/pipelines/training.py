@@ -1,0 +1,287 @@
+"""Training-data preparation operators: benchmark decontamination,
+sliding-window chunking, near-dup cluster resolution (connected
+components), greedy sequence packing, and deterministic weighted
+sampling.
+
+These extend the dedup/quality layer (SURVEY.md §7 Phase 5 /
+BASELINE.json north star) with the last-mile operations a pre-training
+pipeline runs after curation: drop eval-set contamination, split
+documents into model-window chunks, collapse near-dup clusters to one
+representative, pack chunks into fixed token budgets, and draw a
+reproducible mixture sample. (The reference has no analog — its closest
+shape is the derived-table enrichment pass, core.ts:451-466; everything
+here is the engine-extension layer.)
+
+Scale notes (100 TB):
+- ``decontaminate``: eval suites are tiny next to a training corpus
+  (~1e4-1e6 n-grams vs ~1e12), so the distinct benchmark-gram set is
+  md5-hashed and BROADCAST; the train side stays map-side (explode +
+  broadcast hash join) with one final doc-id count shuffle. Grams cross
+  the join as 32-byte digests, never full strings, so cost is
+  independent of n.
+- ``chunk_sliding``: pure per-row expressions (sequence + slice), ZERO
+  shuffles; output is ~n_tokens/stride rows per doc.
+- ``connected_components``: iterative min-label propagation; each step
+  shuffles the EDGE set only (LSH candidate pairs, already capped by
+  dedup's bucket cap — not the corpus), with localCheckpoint truncating
+  lineage per iteration exactly like the J9 fixpoint
+  (ingest/posts.py:178). Converges in <= component-diameter steps;
+  near-dup clusters are shallow (dupes of one canonical), so 3-5
+  iterations in practice.
+- ``pack_next_fit``: packing is sequential WITHIN a stratum (that is
+  its definition), so the stratum is the parallelism unit and
+  applyInPandas hands each stratum to one task as Arrow batches. For a
+  stratum too large for one task, pre-shard the stratum key upstream —
+  the only cost is bins that straddle shards staying unmerged (bounded
+  waste, no correctness impact).
+- ``weighted_sample``: map-side filter on an md5 hash draw — no
+  shuffle, and no rand(): reproducible across retries, engines and
+  cluster sizes by construction (same reasoning as
+  curation.stratified_sample).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_from_tokens, tokens
+
+
+def _safe_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams, explicitly [] for docs with <n tokens.
+
+    shingles_from_tokens alone would hit Spark's descending
+    ``sequence(1, 0) == [1, 0]`` edge for short docs and fabricate ""
+    grams (see curation.repetition_stats for the same guard).
+    """
+    return F.when(F.size(toks) >= n, shingles_from_tokens(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination stats: for every training doc, how many
+    of its distinct word n-grams appear in ANY benchmark doc.
+
+    Returns (id, n_grams, n_hit, contamination) where contamination =
+    n_hit / n_grams (0.0 for docs with no grams). Callers drop or flag
+    rows above their threshold; returning stats instead of filtering
+    keeps one scan reusable for both reporting and gating.
+    """
+    bench_grams = (
+        bench.select(F.explode(_safe_shingles(tokens(F.col(text_col)), n)).alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    grams = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), _safe_shingles(F.col("_toks"), n).alias("_grams"))
+    exploded = grams.select(
+        F.col(id_col),
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("_g"),
+    ).select(F.col(id_col), F.col("n_grams"), F.md5("_g").alias("_gh"))
+    hits = exploded.join(F.broadcast(bench_grams), "_gh", "left_semi")
+    counted = hits.groupBy(id_col).agg(F.count("*").alias("n_hit"))
+    return (
+        grams.select(F.col(id_col), F.size("_grams").alias("n_grams"))
+        .join(counted, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking (context-window preparation).
+
+    Emits one row per (doc, window) with 1-based ``chunk_start``, the
+    actual ``chunk_len`` (<= chunk) and the space-joined ``chunk_text``.
+    The final window is always anchored at ``n - chunk + 1`` so the doc
+    tail is covered even when stride does not land on it. Empty docs
+    emit no chunks. Entirely map-side: no shuffle, no UDF.
+    """
+    last = F.greatest(F.size(F.col("_toks")) - chunk + 1, F.lit(1))
+    starts = F.array_distinct(
+        F.concat(F.sequence(F.lit(1), last, F.lit(stride)), F.array(last))
+    )
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_toks").alias("_n"),
+        F.col("_toks"),
+        F.explode(starts).alias("chunk_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_start").cast("long"),
+        F.least(F.lit(chunk), F.col("_n") - F.col("chunk_start") + 1)
+        .cast("long")
+        .alias("chunk_len"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("chunk_start"), chunk)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node's label converges to the smallest
+    node id in its component. Returns (node, cluster_id).
+
+    Each iteration is one edge-set join + one node-key aggregate;
+    lineage is truncated per step with localCheckpoint (same pattern as
+    the J9 reply-closure fixpoint, ingest/posts.py:178-221). Converges
+    within the max component diameter; ``max_iter`` bounds adversarial
+    chains, and non-convergence raises rather than returning a wrong
+    clustering.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nl"))
+        )
+        updated = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nl", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
+
+
+def pack_next_fit(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    *,
+    budget: int,
+    by: str,
+) -> DataFrame:
+    """Greedy next-fit-decreasing sequence packing: within each ``by``
+    stratum, sort items by (length desc, id asc) and fill bins left to
+    right, opening a new bin when the next item would overflow
+    ``budget``. Items longer than the budget get a singleton bin
+    (documented overflow, never dropped). Returns
+    (by, id, len, bin) with bin ids dense from 0 per stratum.
+
+    Deterministic by construction (no rand, total ordering), so any
+    engine reproduces the same packing — the DuckDB oracle walks the
+    identical recurrence with a recursive CTE. This is the repo's one
+    applyInPandas custom stateful batch operator (SURVEY §2.10 scope:
+    everything else compiles to column expressions).
+    """
+
+    out_schema = f"{by} string, {id_col} long, {len_col} long, bin long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins, fill, cur = [], 0, -1
+        for ln in pdf[len_col].tolist():
+            if cur < 0 or fill + ln > budget:
+                cur += 1
+                fill = ln
+            else:
+                fill += ln
+            bins.append(cur)
+        return pd.DataFrame(
+            {
+                by: pdf[by].astype(str),
+                id_col: pdf[id_col].astype("int64"),
+                len_col: pdf[len_col].astype("int64"),
+                "bin": pd.Series(bins, dtype="int64", index=pdf.index),
+            }
+        )
+
+    return df.select(by, id_col, len_col).groupBy(by).applyInPandas(pack, out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its md5 hash draw
+    (uniform on [0, 1) from the first 8 hex chars of md5(id)) is below
+    ``weight_col``. Same draw idiom as curation.stratified_sample —
+    reproducible across engines/retries, no rand(). Map-side only.
+    """
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    return df.withColumn("draw", F.round(draw, 6)).filter(
+        F.col("draw") < F.col(weight_col)
+    )
+
+
+def coverage_check(chunks: DataFrame, id_col: str) -> DataFrame:
+    """Audit helper: per doc, the max token index any chunk covers —
+    used by tests to prove chunk_sliding covers every token."""
+    return chunks.groupBy(id_col).agg(
+        F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("max_covered"),
+        F.min("chunk_start").alias("min_start"),
+    )

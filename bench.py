@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "tpch_q4_order_priority",
     "tpch_q13_custdist",
     "tpch_q17_small_quantity",
+    "training_decontaminate",
+    "training_chunk_sliding",
+    "dedup_cc_clusters",
+    "training_pack_next_fit",
 ]
 
 

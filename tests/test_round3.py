@@ -24,6 +24,8 @@ MUST_BE_IN_WINDOW = [
     "training_pack_next_fit",
     "sample_weighted_bernoulli",
     "text_length_percentiles",
+    "sim_quantize_int8",
+    "training_epoch_interleave",
     # failed in CORRECTNESS_r04 (driver hasher crash on array columns);
     # the scalar-projection fix has not seen the driver yet
     "text_hashtag_url_extract",
@@ -37,7 +39,7 @@ MUST_BE_IN_WINDOW = [
     "dedup_apply_keep_canonical",
     "pipeline_corpus_curation",
     "dedup_embedding_neardup",
-    "ann_lsh_topk",
+    "ann_recall_eval",
     "o2_a8_trending_feed_payout",
     "text_repetition_stats",
     "text_pii_scrub",
@@ -68,7 +70,7 @@ def test_deprioritized_entries_exist_and_sort_last():
 
 
 def test_window_is_exactly_full():
-    """83 entries, 33 deprioritized: the 50-slot window is fully used —
+    """86 entries, 36 deprioritized: the 50-slot window is fully used —
     adding a new entry without curating the window should fail loudly
     here rather than silently push a verified query out."""
     reg = list(q.registry())

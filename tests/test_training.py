@@ -42,15 +42,19 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def test_connected_components_matches_union_find(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0], ids=["driver", "distributed"])
+def test_connected_components_matches_union_find(spark, threshold):
     # chain + triangle + bridge + two disjoint pairs: exercises
-    # multi-hop label propagation, cycles, and isolated components
+    # multi-hop label propagation, cycles, and isolated components —
+    # in BOTH physical arms (driver union-find and distributed loop)
     edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
              (4, 10), (20, 21), (30, 31)]
     df = spark.createDataFrame(edges, "a long, b long")
     got = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(df, "a", "b").collect()
+        for r in connected_components(
+            df, "a", "b", driver_threshold=threshold
+        ).collect()
     }
     assert got == _uf_components(edges)
 
@@ -59,7 +63,7 @@ def test_connected_components_raises_without_fixpoint(spark):
     chain = [(i, i + 1) for i in range(1, 8)]
     df = spark.createDataFrame(chain, "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, "a", "b", max_iter=1)
+        connected_components(df, "a", "b", max_iter=1, driver_threshold=0)
 
 
 # ---------------------------------------------------------------------------
@@ -195,3 +199,86 @@ def test_weighted_sample_is_shuffle_free(spark):
     df = spark.createDataFrame([(i, 0.4) for i in range(10)], "id long, weight double")
     plan = weighted_sample(df, "id", "weight")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: reconstruction error bound
+# ---------------------------------------------------------------------------
+def test_quantize_int8_reconstruction_bound(spark):
+    from union_indexer_node_spark.pipelines.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet").limit(50)
+    joined = quantize_int8(emb).join(emb, "vec_id").collect()
+    for r in joined:
+        if r["scale"] == 0:
+            assert all(v == 0 for v in r["q_vec"])
+            continue
+        step = r["scale"] / 127.0
+        for x, qv in zip(r["embedding"], r["q_vec"]):
+            assert abs(x - qv * step) <= step / 2 + 1e-6
+        assert max(abs(v) for v in r["q_vec"]) <= 127
+
+
+# ---------------------------------------------------------------------------
+# epoch interleaving: consuming keys below T draws floor(T*w) per source
+# ---------------------------------------------------------------------------
+def test_epoch_interleave_realizes_mixture_rates(spark):
+    from union_indexer_node_spark.pipelines.training import epoch_interleave
+
+    rows = [(i, "a", 0.8) for i in range(100)] + [
+        (i + 1000, "b", 0.2) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, weight double")
+    out = epoch_interleave(df, "id", "src", "weight").toPandas()
+    for t in (50.0, 125.0, 250.0):
+        below = out[out["interleave_key"] <= t].groupby("src").size().to_dict()
+        # rows below T are exactly the ranks <= T*w (keys are rank/w)
+        assert below.get("a", 0) == min(int(t * 0.8), 100)
+        assert below.get("b", 0) == min(int(t * 0.2), 100)
+    # determinism: same input -> same order
+    again = epoch_interleave(df, "id", "src", "weight").toPandas()
+    assert out.sort_values("id").reset_index(drop=True).equals(
+        again.sort_values("id").reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch ANN: bucket join broadcasts the query side, never a cartesian
+# ---------------------------------------------------------------------------
+def test_ann_topk_batch_plan_is_bucket_pruned(spark):
+    from union_indexer_node_spark.pipelines.ann_lsh import ann_topk_batch, hyperplanes
+
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = hyperplanes(64, n_bits=8)
+    plan = (
+        ann_topk_batch(emb, queries, planes, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recall_at_k_bounds(spark):
+    from union_indexer_node_spark.pipelines.ann_lsh import (
+        ann_topk_batch,
+        brute_topk_batch,
+        hyperplanes,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = hyperplanes(64, n_bits=8)
+    rec = recall_at_k(
+        ann_topk_batch(emb, queries, planes, k=10),
+        brute_topk_batch(emb, queries, k=10),
+        k=10,
+    ).collect()
+    assert len(rec) == 5
+    for r in rec:
+        assert 0.0 <= r["recall"] <= 1.0
+        # the query vector itself shares its own bucket: recall > 0
+        assert r["n_hits"] >= 1

@@ -120,3 +120,86 @@ def ann_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_topk_batch(
+    emb: DataFrame, queries: DataFrame, planes: list[list[float]], *,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
+) -> DataFrame:
+    """Batch ANN: top-k per query row via a bucket equi-join.
+
+    ``queries`` is a DataFrame of (id, vec) — typically small (an eval
+    set, a dedup probe batch) and is BROADCAST; the corpus side computes
+    signatures map-side, so the join scans each corpus row once and
+    pairs it only with same-bucket queries (~|Q|/2^bits pairings per
+    row instead of |Q|). Exact cosine + per-query top-k window on the
+    surviving pairs. Ties break on rounded sim then id so rank
+    boundaries are engine-stable.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_sim
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), planes).alias("bucket")
+    )
+    pairs = sig.join(F.broadcast(q), "bucket")
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def brute_topk_batch(
+    emb: DataFrame, queries: DataFrame, *,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
+) -> DataFrame:
+    """Exact batch top-k (the recall baseline): broadcast the query set
+    and score every (query, corpus) pair — O(|Q|·n·d), which is the
+    honest cost of exact search; keep |Q| small. Same tie-break as
+    ann_topk_batch so the two rank sets are directly comparable."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_sim
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def recall_at_k(lsh_topk: DataFrame, exact_topk: DataFrame, *, k: int) -> DataFrame:
+    """recall@k per query: |LSH topk ∩ exact topk| / k. The honest
+    quality metric for any ANN index — run it on a sampled query set
+    after (re)building buckets to validate the recall/scan-fraction
+    trade documented on ann_topk."""
+    hits = lsh_topk.join(exact_topk, ["q_id", "vec_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count("*").alias("n_hits"))
+    all_q = exact_topk.select("q_id").distinct()
+    return all_q.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+    )

@@ -132,3 +132,29 @@ def pairwise_cosine(
     out = pairs.join(ea, "a").join(eb, "b")
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return out.select("a", "b", F.round(cos, 6).alias("cosine"))
+
+
+def quantize_int8(
+    emb: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the standard ANN-index
+    compression step: 4x smaller vectors, dot products in integer
+    SIMD). scale = max|x| per vector; q_i = round(127 * x_i / scale).
+    Fully map-side — no shuffle, no UDF. Arithmetic is forced to double
+    on both engines so the rounding boundary is engine-independent.
+    Zero vectors quantize to all-zero with scale 0."""
+    v = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(v)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(
+            scale > 0, F.round(F.lit(127.0) * x.cast("double") / scale, 0)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q_vec"),
+    )

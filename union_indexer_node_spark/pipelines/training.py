@@ -157,17 +157,23 @@ def connected_components(
     b_col: str = "b",
     *,
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list via iterative
     min-label propagation: every node's label converges to the smallest
     node id in its component. Returns (node, cluster_id).
 
-    Each iteration is one edge-set join + one node-key aggregate;
-    lineage is truncated per step with localCheckpoint (same pattern as
-    the J9 reply-closure fixpoint, ingest/posts.py:178-221). Converges
-    within the max component diameter; ``max_iter`` bounds adversarial
-    chains, and non-convergence raises rather than returning a wrong
-    clustering.
+    Physical strategy is size-gated, like Catalyst's broadcast-join
+    choice: an edge set at or below ``driver_threshold`` (default 1M
+    edges ~ 16 MB of longs) is collected and solved with union-find in
+    one pass — a small CC problem costs 2 Spark jobs instead of
+    2 x diameter. Above the threshold, the distributed loop runs: one
+    edge-set join + one node-key aggregate per iteration, lineage
+    truncated per step with localCheckpoint (same pattern as the J9
+    reply-closure fixpoint, ingest/posts.py:178-221), converging within
+    the max component diameter. ``max_iter`` bounds adversarial chains,
+    and non-convergence raises rather than returning a wrong
+    clustering. Both arms produce identical output (tested).
     """
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -175,19 +181,49 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if und.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in und.toLocalIterator():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # min-id root: matches the label-propagation fixpoint
+                parent[max(ra, rb)] = min(ra, rb)
+        node_t = und.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        out_schema = StructType(
+            [StructField("node", node_t), StructField("cluster_id", node_t)]
+        )
+        rows = [(n, find(n)) for n in parent]
+        return und.sparkSession.createDataFrame(rows, out_schema)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint()
     )
+    # Convergence probe: min-propagation only ever LOWERS labels, so the
+    # label sum strictly decreases while anything changes — comparing
+    # sums on the checkpointed frame is one cheap aggregate per
+    # iteration instead of a self-join + count.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("_nl"))
         )
-        updated = (
+        labels = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
@@ -197,15 +233,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
 
 
@@ -284,4 +315,37 @@ def coverage_check(chunks: DataFrame, id_col: str) -> DataFrame:
     return chunks.groupBy(id_col).agg(
         F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("max_covered"),
         F.min("chunk_start").alias("min_start"),
+    )
+
+
+def epoch_interleave(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic mixture-interleaved training order: each row gets
+    ``interleave_key = rank_in_source / weight``, where rank_in_source
+    is an md5-shuffled position within its source. Consuming the corpus
+    in interleave_key order yields each source at a rate proportional
+    to its mixture weight (the standard epoch-construction step), with
+    a reproducible shuffle — no rand().
+
+    Scale: one hash shuffle on the source key + a within-partition
+    sort for the rank window. Deliberately does NOT materialize a
+    global position (a row_number over the whole corpus would be a
+    single-task sort); consumers ``orderBy(interleave_key)``, which
+    Spark executes as a distributed range sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    rank = F.row_number().over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        rank.cast("long").alias("source_rank"),
+        F.round(rank / F.col(weight_col), 6).alias("interleave_key"),
     )

@@ -91,6 +91,9 @@ _DEPRIORITIZED = [
     "f9_missing_field",  # F-family null semantics; f1/f2_f3_f5 + feeds in-window
     "text_bpe_token_count",  # text family: quality/langid/vocab in-window
     "dedup_simhash",  # sketch family: minhash-LSH + embedding bands in-window
+    "j1_children_join",  # J1 self-join; o5 per-parent top-k + j3 agg-join in-window
+    "sim_cosine_topk",  # exact cosine top-k; ann batch entries + neardup in-window
+    "ann_lsh_topk",  # single-query LSH top-k; subsumed by ann_recall_eval (batched)
 ]
 
 
@@ -2745,3 +2748,144 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return length_percentiles(d, "text", "source")
+
+
+# Per-vector symmetric int8 quantization (ANN index compression). The
+# quantized vector is emitted space-joined (driver hasher takes scalar
+# columns only); production callers use similarity.quantize_int8 and
+# keep the int array.
+@q(
+    "sim_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CASE WHEN sc > 0
+                            THEN CAST(ROUND(127.0 * CAST(x AS DOUBLE) / sc, 0)
+                                      AS INTEGER)
+                            ELSE 0 END AS VARCHAR)), ' ') AS q_str
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import quantize_int8
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q8 = quantize_int8(emb)
+    return q8.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            " ", F.transform(F.col("q_vec"), lambda x: x.cast("string"))
+        ).alias("q_str"),
+    )
+
+
+# Deterministic mixture-interleaved epoch order: md5-shuffled rank
+# within source scaled by 1/weight; consuming in interleave_key order
+# realizes the mixture without a global single-task sort.
+@q(
+    "training_epoch_interleave",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             ROUND(CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 80
+                   / 100.0 + 0.1, 6) AS weight
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS source_rank
+      FROM w
+    )
+    SELECT doc_id, source, source_rank,
+           ROUND(source_rank / weight, 6) AS interleave_key
+    FROM r
+    """,
+)
+def training_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import epoch_interleave
+
+    d = tables.load(spark, sf_dir, "documents")
+    weight = F.round(
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long") % 80
+        / F.lit(100.0)
+        + 0.1,
+        6,
+    )
+    weighted = d.select("doc_id", "source", weight.alias("weight"))
+    return epoch_interleave(weighted, "doc_id", "source", "weight")
+
+
+# ANN quality eval: recall@10 of the hyperplane-LSH index vs exact
+# brute-force, over a 5-query probe set. Subsumes the single-query
+# ann_lsh_topk shape (same signatures + bucket equi-join + top-k
+# window, batched) and adds the honest ANN quality metric. Ties break
+# on rounded sim then vec_id in BOTH engines so rank-10 boundaries are
+# engine-stable.
+@q(
+    "ann_recall_eval",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, bucket AS qb
+      FROM sig WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    lsh_pairs AS (
+      SELECT q.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                          CAST(q.q_vec AS DOUBLE[])), 6) AS sim
+      FROM sig s JOIN q ON s.bucket = q.qb
+    ),
+    lsh AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM lsh_pairs
+      ) WHERE rank <= 10
+    ),
+    exact_pairs AS (
+      SELECT q.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                          CAST(q.q_vec AS DOUBLE[])), 6) AS sim
+      FROM sig s, q
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM exact_pairs
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT l.q_id, COUNT(*) AS n
+      FROM lsh l JOIN exact x ON x.q_id = l.q_id AND x.vec_id = l.vec_id
+      GROUP BY l.q_id
+    )
+    SELECT e.q_id, COALESCE(h.n, 0) AS n_hits,
+           ROUND(COALESCE(h.n, 0) / 10.0, 6) AS recall
+    FROM (SELECT DISTINCT q_id FROM exact) e
+    LEFT JOIN hits h USING (q_id)
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.ann_lsh import ann_topk_batch, brute_topk_batch, recall_at_k
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    lsh = ann_topk_batch(emb, queries, _ANN_PLANES, k=10)
+    exact = brute_topk_batch(emb, queries, k=10)
+    return recall_at_k(lsh, exact, k=10)

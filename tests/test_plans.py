@@ -172,3 +172,62 @@ def test_embedding_neardup_banded_no_label_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "bv" in plan
+
+
+def test_pack_next_fit_one_shuffle_then_pandas(spark):
+    """Sequence packing: exactly one exchange (the stratum hash) feeding
+    the grouped-map pandas stage — no extra sort/shuffle layers."""
+    import re
+
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["training_pack_next_fit"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
+    n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_ex == 1, plan
+
+
+def test_length_percentiles_partial_aggregation(spark):
+    """Exact percentile must still partial-aggregate (ObjectHashAggregate
+    partial -> final), one exchange on the group key."""
+    import re
+
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["text_length_percentiles"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ObjectHashAggregate" in plan
+    n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_ex == 1, plan
+
+
+def test_epoch_interleave_no_global_sort(spark):
+    """The interleave key must come from a per-source window (one hash
+    exchange), never a single-partition global sort."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["training_epoch_interleave"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_q18_broadcasts_qualifying_orders(spark):
+    """Q18: the HAVING-derived qualifying set joins as a broadcast
+    (semi) join, not a shuffled join of the full orders table."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q18_large_volume"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_broadcasts_nation(spark):
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q10_returned_items"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

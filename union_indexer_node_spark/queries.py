@@ -98,6 +98,8 @@ _DEPRIORITIZED = [
     #    by never-driver-verified entries); rotate in next round --
     "tpch_q18_large_volume",
     "tpch_q10_returned_items",
+    "stream_windowed_counts_batch_equivalence",
+    "pipeline_training_prep",
 ]
 
 
@@ -2995,4 +2997,131 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+# T5 hard signal: tumbling-window streamed counts must equal the batch
+# GROUP BY over the same events. The stream runs the production
+# windowed_counts operator (watermarked tumbling windows) over a
+# file-source replay of the events table with availableNow; complete
+# output mode flushes every window including the ones the watermark
+# has not closed, which is what makes stream == batch exact.
+@q(
+    "stream_windowed_counts_batch_equivalence",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts_batch_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.windows import windowed_counts
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="stream_wc_src_")
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        counts = windowed_counts(stream, window="1 hour", watermark="1 hour")
+        qname = f"stream_wc_eq_{uuid.uuid4().hex[:8]}"
+        query = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qname)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+# The training-prep pipeline in ONE plan: length gate -> benchmark
+# decontamination gate -> sliding-window chunking -> per-source corpus
+# stats. Composes the round-5 operators the way a real pre-training
+# job would run them: gates map-side, the only shuffles are the
+# decontamination count (on doc_id) and the final per-source aggregate;
+# the benchmark gram set is broadcast.
+@q(
+    "pipeline_training_prep",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    grams AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ) AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+    gated AS (
+      SELECT t.doc_id, t.toks, len(t.toks) AS n, g.gs
+      FROM toks t JOIN grams g USING (doc_id)
+      WHERE t.doc_id % 19 <> 0 AND len(t.toks) >= 20
+    ),
+    tg AS (SELECT doc_id, unnest(gs) AS g FROM gated),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_hit
+      FROM tg JOIN bench USING (g) GROUP BY tg.doc_id
+    ),
+    kept AS (
+      SELECT ga.doc_id, ga.toks, ga.n
+      FROM gated ga LEFT JOIN hits h USING (doc_id)
+      WHERE ROUND(COALESCE(h.n_hit, 0) / GREATEST(len(ga.gs), 1), 6) <= 0.2
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(list_distinct(list_append(
+               generate_series(1, GREATEST(n - 24 + 1, 1), 12),
+               GREATEST(n - 24 + 1, 1)))) AS chunk_start
+      FROM kept
+    )
+    SELECT d.source,
+           COUNT(DISTINCT c.doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST(24, c.n - c.chunk_start + 1)) AS BIGINT)
+             AS total_chunk_tokens
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import tokens
+    from .pipelines.training import chunk_sliding, decontaminate
+
+    d = tables.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0).filter(
+        F.size(tokens(F.col("text"))) >= 20
+    )
+    decon = decontaminate(train, bench, "text", "doc_id", n=3)
+    kept = train.join(
+        decon.filter(F.col("contamination") <= 0.2).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    chunks = chunk_sliding(kept, "text", "doc_id", chunk=24, stride=12)
+    return (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+        )
+        .orderBy("source")
     )

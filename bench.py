@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "training_chunk_sliding",
     "dedup_cc_clusters",
     "training_pack_next_fit",
+    # round-5 second batch: TPC-H breadth (scan-heavy + multi-join shapes)
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 

@@ -231,3 +231,60 @@ def test_q10_broadcasts_nation(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_only_with_pushdown(spark):
+    """Q6 is a pure scan-aggregate: no join, no shuffle beyond the
+    single-row final aggregate, and the shipdate/discount/quantity
+    predicates reach the parquet scan as PushedFilters."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q6_forecast_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """Q19's OR-of-ANDs must not defeat the equi-join extraction: the
+    part join stays a BroadcastHashJoin with the disjunction as a
+    residual filter, never BroadcastNestedLoopJoin/CartesianProduct."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q19_disjunctive_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    """Q7/Q8: every dim (supplier/nation/region/part) broadcasts; the
+    only shuffled joins are the fact-fact lineitem-orders-customer
+    chain."""
+    from union_indexer_node_spark import queries as q
+
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        df = q.registry()[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q15_single_fact_pass(spark):
+    """Q15: exactly one lineitem scan and one per-supplier shuffle; the
+    scalar max comes from a window over the aggregated frame, not a
+    second pass over the fact table."""
+    import re
+
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q15_top_supplier"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 1, plan
+    n_scan = plan.count("lineitem.parquet")
+    assert n_scan == 2, plan  # sparkPlan + executedPlan, one scan each

@@ -94,12 +94,23 @@ _DEPRIORITIZED = [
     "j1_children_join",  # J1 self-join; o5 per-parent top-k + j3 agg-join in-window
     "sim_cosine_topk",  # exact cosine top-k; ann batch entries + neardup in-window
     "ann_lsh_topk",  # single-query LSH top-k; subsumed by ann_recall_eval (batched)
-    # -- round-5 additions born past the window (the 50 slots are taken
-    #    by never-driver-verified entries); rotate in next round --
-    "tpch_q18_large_volume",
-    "tpch_q10_returned_items",
-    "stream_windowed_counts_batch_equivalence",
-    "pipeline_training_prep",
+    # -- rotated out late in round 5 (all double driver-green r3+r4) to
+    #    hand the four newest never-driver-verified entries (Q18/Q10
+    #    shapes, streamed-window equivalence, training-prep capstone)
+    #    their first hard signal. Family siblings stay in-window. --
+    "tpch_q1_pricing_summary",  # TPC-H family: q3/q5/q13/q17 in-window
+    "dedup_exact",  # dedup family: lsh/embedding/canonical/cc in-window
+    "text_quality_features",  # text family: langid/repetition/pii/vocab/percentiles in-window
+    "x21_inverted_index_search",  # sibling x21_index_incremental_update in-window
+    # -- round-5 second-batch TPC-H shapes (Q6/Q7/Q8/Q14/Q15/Q19), born
+    #    past the full window; all locally oracle-tested, rotate into
+    #    the driver window in future rounds --
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 
@@ -3124,4 +3135,347 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H relational breadth, round-5 second batch: Q6/Q14/Q19 (scan-heavy
+# predicate + conditional-aggregate shapes), Q7/Q8 (multi-join shapes
+# with disjunctive nation-pair predicates and market-share ratios), Q15
+# (scalar-subquery max over an aggregated view). All revenue sums use
+# the integer-cent idiom (see tpch_q10_returned_items) so Spark and
+# DuckDB agree exactly; ratios divide exact BIGINTs. The schemas are the
+# driver's trimmed TPC-H (no partsupp, no l_shipmode/l_commitdate), so
+# Q19 keeps brand/size/quantity disjunctions and drops the container
+# and shipmode arms.
+
+_CENTS = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC_PCT = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+
+
+def _cents_col() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+
+def _disc_pct_col() -> F.Column:
+    return F.round(F.col("l_discount") * 100, 0).cast("long")
+
+
+def _rev_cents_col() -> F.Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4 units."""
+    return _cents_col() * (100 - _disc_pct_col())
+
+
+# Q6 shape: pure scan + predicate + single global aggregate — the
+# whole query should compile to one WholeStageCodegen scan stage with
+# every filter pushed to parquet, no join, one-row output.
+@q(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT ROUND(SUM({_CENTS} * {_DISC_PCT}) / 10000.0, 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_cents_col() * _disc_pct_col()) / 10000.0, 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# Q7 shape: bidirectional nation-pair trade volume. The nation dims
+# broadcast; the disjunctive pair predicate is applied after the two
+# nation joins; revenue grouped by (supp_nation, cust_nation, year).
+@q(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
+                     * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')}))
+                 / 10000.0, 4) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev_cents_col()) / 10000.0, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# Q8 shape: national market share — the share of one nation's revenue
+# within a region's total per year. Conditional aggregate over a
+# 6-table join; the ratio divides two exact BIGINT cent sums.
+@q(
+    "tpch_q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
+               * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_4' THEN volume ELSE 0 END)
+                 * 1000000 / SUM(volume), 0) AS share_ppm,
+           ROUND(SUM(volume) / 10000.0, 4) AS total_revenue
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_cents_col().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_4", F.col("volume"))
+                    .otherwise(F.lit(0))
+                )
+                * 1000000
+                / F.sum("volume"),
+                0,
+            ).alias("share_ppm"),
+            F.round(F.sum("volume") / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# Q14 shape: promo revenue share for one month — conditional aggregate
+# over the part join, ratio of exact cent sums in parts-per-million.
+@q(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN {_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
+                               * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})
+                          ELSE 0 END)
+                 * 1000000 / SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
+                                 * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})),
+                 0) AS promo_ppm,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = tables.load(spark, sf_dir, "part")
+    rev = _rev_cents_col()
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            * 1000000
+            / F.sum(rev),
+            0,
+        ).alias("promo_ppm"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Q15 shape: top supplier — aggregate a 3-month revenue view per
+# supplier, then keep the row(s) matching the scalar MAX. The max is
+# computed over exact BIGINT cents, so the tie semantics are exact; the
+# qualifying set joins back to the supplier dim as a broadcast.
+@q(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_CENTS} * (100 - {_DISC_PCT})) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.total_cents / 10000.0, 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents_col()).alias("total_cents")
+    )
+    # A separate rev.agg(max) subquery would recompute the whole
+    # lineitem scan + shuffle (Catalyst shares no subplans before AQE
+    # exchange-reuse kicks in); the global max over the ALREADY
+    # AGGREGATED frame (|suppliers| narrow rows) costs one small
+    # single-partition window instead of a second fact scan.
+    top = rev.withColumn(
+        "_mx", F.max("total_cents").over(Window.partitionBy())
+    ).filter(F.col("total_cents") == F.col("_mx"))
+    return (
+        top.join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# Q19 shape: OR-of-ANDs across the part join — brand/size/quantity
+# disjunctions (the trimmed schema has no container/shipmode arms).
+# Catalyst extracts the common l_partkey = p_partkey equi-key so this
+# stays a broadcast hash join with the disjunction as residual, never a
+# nested-loop join; the plan test locks that in.
+@q(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT ROUND(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
+                     * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')}))
+                 / 10000.0, 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev_cents_col()) / 10000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )

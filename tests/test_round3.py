@@ -70,7 +70,7 @@ def test_deprioritized_entries_exist_and_sort_last():
 
 
 def test_window_is_exactly_full():
-    """96 entries, 46 deprioritized: the 50-slot window is fully used —
+    """97 entries, 47 deprioritized: the 50-slot window is fully used —
     adding a new entry without curating the window should fail loudly
     here rather than silently push a verified query out."""
     reg = list(q.registry())

@@ -210,3 +210,141 @@ def test_sessionize_stateful(spark, tmp_path):
         for r in emitted.collect():
             assert r.session_end >= r.session_start
             assert r.n_events >= 1
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Inner stream-stream join over a single-file availableNow replay
+    must equal the batch interval join row-for-row."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.streaming.windows import stream_stream_attribution
+
+    ev = tables.load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "ssj_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_eq_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.table("ssj_eq_test").collect()
+    }
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    expected = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            F.expr(
+                "v.user_id = p.user_id AND p.ts >= v.ts "
+                "AND p.ts <= v.ts + interval 1 hour"
+            ),
+        )
+        .select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_stream_join_drops_beyond_watermark(spark, tmp_path):
+    """Late-data semantics: with the view arriving in a later
+    micro-batch, AFTER the watermark has advanced past its join
+    horizon, the pair is dropped — bounded state has real eviction."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from union_indexer_node_spark.streaming.windows import stream_stream_attribution
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    src = str(tmp_path / "late_src")
+    # batch 1: the view enters join state; an unrelated far-future
+    # purchase advances the watermark to ~46h at batch end, which
+    # evicts the view (view_ts + horizon is far behind the watermark).
+    spark.createDataFrame(
+        [
+            Row(event_id=2, user_id=7, event_type="view", ts=t0, value=0.0),
+            Row(event_id=1, user_id=99, event_type="purchase",
+                ts=t0 + dt.timedelta(hours=48), value=5.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch 2: an unrelated row — its only job is to run a micro-batch
+    # under the advanced watermark, which is when state cleanup fires
+    # (eviction lags the watermark update by one batch).
+    spark.createDataFrame(
+        [
+            Row(event_id=4, user_id=98, event_type="view",
+                ts=t0 + dt.timedelta(hours=47), value=0.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q_mid = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_mid.awaitTermination()
+    # batch 3: the matching purchase 30 min after the view — but the
+    # view's state was evicted, so no match is emitted. (Within one
+    # micro-batch the pair WOULD match: late input is not filtered,
+    # only state is evicted — the cross-batch arrival is what makes
+    # eviction observable.)
+    spark.createDataFrame(
+        [
+            Row(event_id=3, user_id=7, event_type="purchase",
+                ts=t0 + dt.timedelta(minutes=30), value=9.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert all(r.view_id != 2 for r in rows)

@@ -102,6 +102,9 @@ _DEPRIORITIZED = [
     "dedup_exact",  # dedup family: lsh/embedding/canonical/cc in-window
     "text_quality_features",  # text family: langid/repetition/pii/vocab/percentiles in-window
     "x21_inverted_index_search",  # sibling x21_index_incremental_update in-window
+    "f1_tag_membership",  # F1 membership double-verified r3+r4; F-family
+    #    siblings f2_f3_f5 + social_feed_by_app stay in-window (swapped
+    #    for the stream-stream join hard signal)
     # -- round-5 second-batch TPC-H shapes (Q6/Q7/Q8/Q14/Q15/Q19), born
     #    past the full window; all locally oracle-tested, rotate into
     #    the driver window in future rounds --
@@ -3479,3 +3482,60 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# Stream-stream join hard signal: a watermarked view->purchase
+# attribution join over an availableNow replay must equal the batch
+# interval join. Inner stream-stream joins emit eagerly (no
+# watermark-close latency), and the replay is written as ONE file so
+# the single micro-batch sees every row before any watermark advances
+# — batch == stream exactly, which the DuckDB interval-join oracle
+# pins.
+@q(
+    "stream_stream_join_attribution",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.windows import stream_stream_attribution
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        joined = stream_stream_attribution(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+            watermark="2 hours",
+        )
+        qname = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qname)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -134,3 +134,53 @@ def sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    every view by the same user within ``horizon`` before it (the
+    classic attribution shape; the reference has no streaming joins at
+    all — SURVEY T-family — but a 100 TB event pipeline does).
+
+    State on BOTH sides is bounded by the watermark: a buffered view
+    row can stop matching once event time passes view_ts + horizon +
+    watermark, so the state store evicts it; purchases likewise. Inner
+    join emits eagerly (no watermark-close latency), so an
+    ``availableNow`` replay of a batch dataset produces exactly the
+    batch join — the registry entry pins that equivalence against a
+    DuckDB interval-join oracle.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + interval {horizon}
+            """
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

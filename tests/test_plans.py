@@ -213,6 +213,42 @@ def test_epoch_interleave_no_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_epoch_interleave_rank_is_sharded(spark):
+    """No WindowExec partition may carry a whole source: every
+    row_number window must partition by (source, _shard) — a mixture
+    has O(10) sources, so a source-only rank window would sort multi-TB
+    sources in one task at scale."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["training_epoch_interleave"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    rn_windows = [
+        line
+        for line in plan.splitlines()
+        if "row_number()" in line and "Window" in line
+    ]
+    assert rn_windows, plan
+    assert all("_shard" in line for line in rn_windows), plan
+
+
+def test_stratified_sample_rank_is_sharded(spark):
+    """Hot-stratum guard: the full-corpus pre-rank window must partition
+    by (stratum, _shard); only the bounded survivor frame (<=
+    256*per_stratum rows per stratum) may use a stratum-only window.
+    WindowGroupLimit must prune map-side so the shuffle ships top-k per
+    group, not the corpus."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["sample_stratified"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "_shard" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the (stratum, shard) pre-rank exchange exists
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*_shard", plan), plan
+
+
 def test_q18_broadcasts_qualifying_orders(spark):
     """Q18: the HAVING-derived qualifying set joins as a broadcast
     (semi) join, not a shuffled join of the full orders table."""

@@ -224,10 +224,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     src = str(tmp_path / "ssj_src")
     ev.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    joined = stream_stream_attribution(
-        stream.filter(F.col("event_type") == "view"),
-        stream.filter(F.col("event_type") == "purchase"),
-    )
+    joined = stream_stream_attribution(stream)
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -290,10 +287,7 @@ def test_stream_stream_join_drops_beyond_watermark(spark, tmp_path):
         .parquet(src)
     )
     joined = stream_stream_attribution(
-        stream.filter(F.col("event_type") == "view"),
-        stream.filter(F.col("event_type") == "purchase"),
-        horizon="1 hour",
-        watermark="2 hours",
+        stream, horizon="1 hour", watermark="2 hours"
     )
     ckpt = str(tmp_path / "late_ckpt")
     out = str(tmp_path / "late_out")

@@ -137,12 +137,26 @@ def stratified_sample(
     by md5 of their id (an engine-independent stand-in for rand()) and
     keep the first `per_stratum`. Same rows fall out of any engine, any
     run — reproducibility a training-data pipeline needs from its
-    sampler. One hash-shuffle on the stratum key."""
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    sampler.
+
+    Scale: a hot stratum (one domain = half the corpus) would make a
+    rank window partitioned by stratum alone a single multi-TB task.
+    Two-level instead: rank within (stratum, md5-prefix shard) and keep
+    each shard's top `per_stratum` — at most 256*per_stratum survivors
+    per stratum, a bounded frame — then rank the survivors exactly.
+    md5's lexicographic order equals (prefix, rest) order, so the
+    survivor set provably contains the global per-stratum top and the
+    final ranks equal the single-window ranks."""
+    m = F.md5(F.col(id_col).cast("string"))
+    pre = Window.partitionBy(stratum_col, "_shard").orderBy("_md5", id_col)
+    w = Window.partitionBy(stratum_col).orderBy("_md5", id_col)
     return (
         df.select(F.col(id_col), F.col(stratum_col))
+        .withColumn("_md5", m)
+        .withColumn("_shard", F.substring(F.col("_md5"), 1, 2))
+        .withColumn("_pre_rank", F.row_number().over(pre))
+        .filter(F.col("_pre_rank") <= per_stratum)
         .withColumn("draw_rank", F.row_number().over(w))
         .filter(F.col("draw_rank") <= per_stratum)
+        .drop("_md5", "_shard", "_pre_rank")
     )

@@ -331,21 +331,49 @@ def epoch_interleave(
     to its mixture weight (the standard epoch-construction step), with
     a reproducible shuffle — no rand().
 
-    Scale: one hash shuffle on the source key + a within-partition
-    sort for the rank window. Deliberately does NOT materialize a
-    global position (a row_number over the whole corpus would be a
-    single-task sort); consumers ``orderBy(interleave_key)``, which
-    Spark executes as a distributed range sort.
+    Scale: a mixture has O(10) sources, so a rank window partitioned by
+    source alone would sort multi-TB sources in ONE task. Instead the
+    rank is two-level: rows shard by their md5 prefix (256 uniform
+    shards per source — md5's lexicographic order equals (prefix, rest)
+    order, so shard-local ranks concatenate into the exact per-source
+    md5 order), rank within (source, shard), then add a broadcast
+    per-shard prefix-count offset. Same deterministic output as a
+    single per-source window; max window-task size is |source|/256.
+    Deliberately does NOT materialize a global position (a row_number
+    over the whole corpus would be a single-task sort); consumers
+    ``orderBy(interleave_key)``, which Spark executes as a distributed
+    range sort.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    m = F.md5(F.col(id_col).cast("string"))
+    ranked = df.withColumn("_md5", m).withColumn(
+        "_shard", F.substring(F.col("_md5"), 1, 2)
     )
-    rank = F.row_number().over(w)
-    return df.select(
+    w_shard = Window.partitionBy(source_col, "_shard").orderBy("_md5", id_col)
+    ranked = ranked.withColumn("_r", F.row_number().over(w_shard))
+    # Tiny frame: |sources| x 256 rows. Running-count offsets via a
+    # window over it, then broadcast back.
+    offsets = (
+        ranked.groupBy(source_col, "_shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy(source_col)
+                    .orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    rank = (F.col("_off") + F.col("_r")).cast("long")
+    return ranked.join(F.broadcast(offsets), [source_col, "_shard"]).select(
         F.col(id_col),
         F.col(source_col),
-        rank.cast("long").alias("source_rank"),
+        rank.alias("source_rank"),
         F.round(rank / F.col(weight_col), 6).alias("interleave_key"),
     )

@@ -3522,10 +3522,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         ev.coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(ev.schema).parquet(src)
         joined = stream_stream_attribution(
-            stream.filter(F.col("event_type") == "view"),
-            stream.filter(F.col("event_type") == "purchase"),
-            horizon="1 hour",
-            watermark="2 hours",
+            stream, horizon="1 hour", watermark="2 hours"
         )
         qname = f"stream_ssj_{uuid.uuid4().hex[:8]}"
         query = (

@@ -23,9 +23,15 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Sort-merge fallback shouldn't dominate small dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # events.parquet stores TIMESTAMP(NANOS); read as long and convert in
-    # tables.load (matches DuckDB's ns->us truncation).
+    # Older driver testdata stored ts as TIMESTAMP(NANOS): read as long
+    # and convert in tables.load (matches DuckDB's ns->us truncation).
+    # Harmless for the current TIMESTAMP(MICROS) testdata.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Current testdata stores TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    # which Spark 4 would infer as TIMESTAMP_NTZ — NTZ can't carry a
+    # streaming watermark, so read as plain TIMESTAMP (value-identical
+    # under the pinned UTC zone; matches DuckDB's naive read).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
 }
 

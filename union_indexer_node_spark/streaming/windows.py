@@ -137,36 +137,61 @@ def sessionize(events: DataFrame) -> DataFrame:
 
 
 def stream_stream_attribution(
-    views: DataFrame,
-    purchases: DataFrame,
+    events: DataFrame,
     *,
+    view_type: str = "view",
+    purchase_type: str = "purchase",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    time_col: str = "ts",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: attribute each purchase to
     every view by the same user within ``horizon`` before it (the
     classic attribution shape; the reference has no streaming joins at
     all — SURVEY T-family — but a 100 TB event pipeline does).
 
-    State on BOTH sides is bounded by the watermark: a buffered view
-    row can stop matching once event time passes view_ts + horizon +
-    watermark, so the state store evicts it; purchases likewise. Inner
-    join emits eagerly (no watermark-close latency), so an
-    ``availableNow`` replay of a batch dataset produces exactly the
-    batch join — the registry entry pins that equivalence against a
-    DuckDB interval-join oracle.
+    Takes ONE mixed event stream and splits it internally. This is
+    deliberate and load-bearing for state eviction: if the caller
+    pre-filters the stream into a view branch and a purchase branch and
+    each branch is watermarked separately, each branch's
+    ``EventTimeWatermark`` node only observes its own event type, so a
+    quiet branch pins the global (min-policy) watermark and join state
+    grows without bound — the exact hazard this operator exists to
+    avoid. Nor can the split happen as a post-watermark ``filter``:
+    Catalyst's ``PushPredicateThroughNonJoin`` pushes any predicate not
+    referencing the event-time column BELOW the watermark node (and
+    ``SimplifyConditionalsInPredicate`` unwraps CASE-based guards), so
+    the watermark node would again see only one type. The robust split
+    is a null-key projection: each side keeps EVERY row (so both
+    watermark nodes track the global max event time) but nulls the join
+    key for rows of the other type — null keys never satisfy the inner
+    equi-join, so they produce no output and are evicted from state on
+    the normal watermark schedule. Trade: every event is buffered on
+    both sides until eviction (~2x join state vs a perfect split);
+    state stays bounded by the watermark horizon either way.
+
+    Inner join emits eagerly (no watermark-close latency), so an
+    ``availableNow`` replay of a batch dataset in one micro-batch
+    produces exactly the batch join — the registry entry pins that
+    equivalence against a DuckDB interval-join oracle; the eviction
+    registry entry pins the cross-micro-batch drop.
     """
-    v = views.select(
-        F.col("user_id").alias("v_user"),
+    wm = events.withWatermark(time_col, watermark)
+    v = wm.select(
+        F.when(F.col("event_type") == view_type, F.col("user_id")).alias(
+            "v_user"
+        ),
         F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-    ).withWatermark("view_ts", watermark)
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
+        F.col(time_col).alias("view_ts"),
+    )
+    p = wm.select(
+        F.when(F.col("event_type") == purchase_type, F.col("user_id")).alias(
+            "p_user"
+        ),
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+        F.col(time_col).alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
+    )
     return v.join(
         p,
         F.expr(

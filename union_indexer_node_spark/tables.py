@@ -61,6 +61,13 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # Current driver testdata stores ts as TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ
+        # by default. NTZ can't carry a streaming watermark
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so read it as plain
+        # TIMESTAMP instead — value-identical under the pinned UTC
+        # session zone, and matches DuckDB's naive read.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(key, value)
@@ -75,12 +82,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the parquet scan because we return the raw reader output (no caching,
     no materialization barriers).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate ns->us,
-    matching DuckDB's read of the same file."""
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (older driver
+    testdata — Spark reads it as long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and we truncate ns->us) and
+    plain TIMESTAMP(MICROS) (current testdata — no conversion needed).
+    Branch on the *read* dtype so both generations load identically and
+    match DuckDB's read of the same file."""
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -62,7 +62,42 @@ BENCH_QUERIES = [
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_revenue",
+    # round 6: de-skewed two-level rank windows + the stream-id merge job
+    "training_epoch_interleave",
+    "sample_stratified",
+    "offchain_id_refresh",
 ]
+
+# Pinned calibration workload: pure JVM/CPU hash-aggregate over
+# spark.range — touches no engine code and no testdata, so its runtime
+# only moves when the HOST moves. BASELINE.md:38-48 documents ~2x
+# cross-round host-speed drift that previously needed hand-normalizing;
+# the emitted "calibration_factor" (this run / reference) lets any two
+# rounds be compared as raw/factor without guessing. It runs AFTER the
+# query loop so JVM warmth is the same every round. Reference value:
+# round-6 host, warm steady state (~1.0-1.1s spread), median of 3.
+CALIBRATION_REFERENCE_SEC = 1.05
+
+
+def _calibrate(spark) -> float:
+    from pyspark.sql import functions as F
+
+    def one_rep() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.count(F.when(F.col("h") > "80", 1)).alias("n"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    # JIT warmup dominates cold measurements (~10x); two untimed reps +
+    # the end-of-bench call position keep the timed reps in the warm
+    # steady state every round.
+    one_rep()
+    one_rep()
+    return round(statistics.median(one_rep() for _ in range(3)), 4)
 
 
 def main() -> None:
@@ -92,6 +127,8 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[n] = round(statistics.median(samples), 4)
 
+    cal = _calibrate(spark)
+    factor = round(cal / CALIBRATION_REFERENCE_SEC, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -101,6 +138,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-speed self-calibration: divide any raw number by
+                # calibration_factor before comparing across rounds
+                "calibration_sec": cal,
+                "calibration_factor": factor,
+                "value_normalized": round(sum(timings.values()) / factor, 4),
+                "queries_normalized": {
+                    n: round(t / factor, 4) for n, t in timings.items()
+                },
             }
         )
     )

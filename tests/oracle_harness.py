@@ -68,6 +68,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[
                     (math.isnan(x) and math.isnan(y)) or abs(x - y) <= 1e-9 + 1e-9 * abs(y)
                 )
             ]
+        elif pd.api.types.is_datetime64_any_dtype(a[c]):
+            # NaT != NaT, so plain != flags matching null timestamps
+            bad = [
+                i
+                for i, (x, y) in enumerate(zip(a[c], b[c]))
+                if not (x == y or (pd.isna(x) and pd.isna(y)))
+            ]
         else:
             bad = [i for i, (x, y) in enumerate(zip(a[c], b[c])) if x != y]
         if bad:

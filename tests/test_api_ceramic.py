@@ -232,3 +232,71 @@ def test_spkvideo_getter_and_resolution(spark):
     assert out[0].res.width == 1920 and out[0].res.height == 1080
     assert out[1].sv is None  # no duration => no spkvideo struct
     assert out[1].res is None
+
+
+def _stream_id_posts(spark):
+    return spark.createDataFrame(
+        [
+            # eligible: flagged, no id, HIVE
+            ("u1", "p1", "HIVE", True, None),
+            # flagged but already has an id -> pre-existing id wins
+            ("u2", "p2", "HIVE", True, "ceramic://pre-2"),
+            # flagged but CERAMIC type -> not eligible
+            ("u3", "p3", "CERAMIC", True, None),
+            # unflagged -> untouched
+            ("u4", "p4", "HIVE", False, None),
+            # eligible but the service returned nothing for it
+            ("u5", "p5", "HIVE", True, None),
+        ],
+        "author string, permlink string, TYPE string, "
+        "needs_stream_id boolean, offchain_id string",
+    )
+
+
+def test_assign_stream_ids_merge_semantics(spark):
+    """offchainIdRefresh merge (background-proc/core.ts:44-70): only
+    flagged HIVE posts without an id get one; pre-existing ids win
+    (controller.ts:20-23); unmatched flagged rows stay flagged."""
+    from union_indexer_node_spark.sources.ceramic import (
+        assign_stream_ids,
+        flagged_for_stream_id,
+    )
+
+    posts = _stream_id_posts(spark)
+    flagged = {
+        (r.author, r.permlink) for r in flagged_for_stream_id(posts).collect()
+    }
+    assert flagged == {("u1", "p1"), ("u5", "p5")}
+
+    assignments = spark.createDataFrame(
+        [("u1", "p1", "ceramic://new-1"), ("u3", "p3", "ceramic://wrong-3")],
+        "author string, permlink string, stream_id string",
+    )
+    out = {
+        r.author: (r.offchain_id, r.needs_stream_id)
+        for r in assign_stream_ids(posts, assignments).collect()
+    }
+    assert out["u1"] == ("ceramic://new-1", False)  # assigned + flag cleared
+    assert out["u2"] == ("ceramic://pre-2", True)  # pre-existing id wins
+    assert out["u3"] == (None, True)  # CERAMIC never assigned
+    assert out["u4"] == (None, False)  # unflagged untouched
+    assert out["u5"] == (None, True)  # no assignment -> still flagged
+
+
+def test_assign_stream_ids_idempotent(spark):
+    """Re-running the job with the same assignment snapshot is a no-op:
+    the first pass cleared the flags, so nothing is eligible."""
+    from union_indexer_node_spark.sources.ceramic import (
+        assign_stream_ids,
+        flagged_for_stream_id,
+    )
+
+    posts = _stream_id_posts(spark)
+    assignments = spark.createDataFrame(
+        [("u1", "p1", "ceramic://new-1")],
+        "author string, permlink string, stream_id string",
+    )
+    once = assign_stream_ids(posts, assignments)
+    assert flagged_for_stream_id(once).count() == 1  # only u5 remains
+    twice = assign_stream_ids(once, assignments)
+    assert sorted(once.collect()) == sorted(twice.collect())

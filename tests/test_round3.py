@@ -11,40 +11,51 @@ from union_indexer_node_spark import queries as q
 
 from conftest import SF_DIR
 
-# Entries the round-3 driver never oracle-checked (they sat past the
-# 50-entry CORRECTNESS window) plus this round's additions — all must
-# now be inside the window. (The round-3 targets this list previously
-# held are driver-green in CORRECTNESS_r03.json; several rotated out
-# this round in favor of the entries below.)
+# Window-curation policy pin, updated per round: entries that have
+# never seen the driver's oracle MUST be inside the 50-entry window,
+# plus distinct operators with no in-window sibling representative.
+# (Round-5 targets this list previously held are driver-green in
+# CORRECTNESS_r05.json; round 6 rotated several out in favor of the
+# never-verified entries below — rationale at queries.py:_DEPRIORITIZED.)
 MUST_BE_IN_WINDOW = [
-    # round-5 additions, never driver-verified
-    "training_decontaminate",
-    "training_chunk_sliding",
-    "dedup_cc_clusters",
-    "training_pack_next_fit",
-    "sample_weighted_bernoulli",
-    "text_length_percentiles",
-    "sim_quantize_int8",
+    # round-6 additions + round-5 TPC-H second batch, never
+    # driver-verified
+    "offchain_id_refresh",
+    "stream_ssj_watermark_eviction",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "w5_scd2_history",
+    # ADVICE r5 re-rotations (r1/r2-era signal staleness)
+    "f10_point_lookup",
+    "x18_hex_to_long",
+    "a7_total_active_creators",
+    "a3_distinct_authors",
+    # operators whose implementation changed this round — their green
+    # row must be re-earned
     "training_epoch_interleave",
-    # failed in CORRECTNESS_r04 (driver hasher crash on array columns);
-    # the scalar-projection fix has not seen the driver yet
-    "text_hashtag_url_extract",
-    "sim_label_centroids",
+    "sample_stratified",
+    "stream_stream_join_attribution",
     # distinct operators with no sibling representative — must STAY
     "temporal_asof_join",
-    "temporal_sessionize",
     "temporal_range_join",
     "x21_index_incremental_update",
     "stream_dedup_batch_equivalence",
-    "dedup_apply_keep_canonical",
+    "stream_windowed_counts_batch_equivalence",
     "pipeline_corpus_curation",
     "dedup_embedding_neardup",
+    "dedup_cc_clusters",
+    "dedup_lsh_candidates",
     "ann_recall_eval",
     "o2_a8_trending_feed_payout",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "pipeline_domain_mix",
-    "sample_stratified",
+    "training_decontaminate",
+    "training_pack_next_fit",
+    "sample_weighted_bernoulli",
+    "pipeline_training_prep",
     "j9_reply_closure",
 ]
 

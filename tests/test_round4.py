@@ -172,3 +172,49 @@ def test_probe_media_uses_file_stats_without_content_scan(spark, tmp_path):
     n_loose = probe_media(media, target_partition_bytes=1 << 30).rdd.getNumPartitions()
     assert n_loose == 1
     assert n_tight >= 8, f"expected >=8 byte-budget partitions, got {n_tight}"
+
+
+def test_real_decoder_pillow_path(spark):
+    """The real-codec arm (use_fake_decoder=False): when Pillow is
+    installed, probe_media decodes actual image headers; the stub
+    boundary (NotImplementedError) is only for codec-less containers."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    from union_indexer_node_spark.pipelines.multimodal import probe_media
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, png_bytes(32, 48), "image/png"), (2, png_bytes(100, 10), "image/png")],
+        "id long, content binary, mime string",
+    )
+    out = {
+        r.id: (r.width, r.height)
+        for r in probe_media(media, use_fake_decoder=False).collect()
+    }
+    assert out == {1: (32, 48), 2: (100, 10)}
+
+
+def test_real_decoder_raises_without_codec(spark):
+    """Codec-less container: the real-decode arm must fail loudly
+    (NotImplementedError from the worker), never silently fake."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; stub arm not reachable")
+    except ImportError:
+        pass
+    from py4j.protocol import Py4JJavaError
+    from union_indexer_node_spark.pipelines.multimodal import probe_media
+
+    media = _media_frame(spark, 2, 64)
+    with pytest.raises(Exception) as exc_info:
+        probe_media(media, use_fake_decoder=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )

@@ -53,3 +53,32 @@ def paginate(df: DataFrame, order: list[Column], *, skip: int = 0, limit: int = 
     if skip:
         out = out.offset(skip)
     return out.limit(limit)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    order: list[Column] | None = None,
+) -> DataFrame:
+    """W5 (extension) — slowly-changing-dimension type-2 history: every
+    version of a key becomes a validity interval [valid_from, valid_to)
+    with ``is_current`` on the open row. The complement of W2: LWW keeps
+    only the winner, SCD2 keeps the full lineage queryable by as-of
+    time (pair with temporal.asof_join for point-in-time reads). The
+    reference's Mongo upserts overwrite history (hive-stream.ts:536-582)
+    — a 100 TB warehouse wants the history table instead.
+
+    One window partitioned by the natural key (bounded by per-key
+    version count, not corpus size): valid_to = lead(valid_from). An
+    extra ``order`` tiebreak makes the interval chain deterministic for
+    same-timestamp versions.
+    """
+    tiebreak = order or []
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc(), *tiebreak)
+    valid_to = F.lead(time_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(time_col))
+        .withColumn("valid_to", valid_to)
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -29,8 +29,22 @@ MEDIA_SCHEMA = (
 
 
 def _decode_image(content: bytes) -> tuple[int, int]:
-    """Real decoder stub — requires an image codec (not in container)."""
-    raise NotImplementedError("image decode requires codec libs (e.g. Pillow)")
+    """Real decoder: Pillow-backed (width, height) probe when the codec
+    lib is installed (optional dependency — import inside the worker
+    function so only the real-decode path needs it); raises
+    NotImplementedError otherwise so the stub boundary stays explicit.
+    ``Image.open`` reads only the header for size, so this probe does
+    NOT decompress the full pixel buffer."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # container has no codec libs
+        raise NotImplementedError(
+            "image decode requires codec libs (e.g. Pillow)"
+        ) from exc
+    with Image.open(io.BytesIO(content)) as im:
+        return (im.width, im.height)
 
 
 def _fake_probe(content: bytes) -> tuple[int, int, int]:

@@ -50,17 +50,13 @@ def q(name: str, oracle: str | None):
 # they sort last. They remain fully oracle-tested locally by
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 _DEPRIORITIZED = [
-    "a3_distinct_authors",  # A3 ≡ A2 minus the app filter (a2_distinct_authors_of_app)
     "x16_asset_parse",  # X16 asset parse exercised inside j11_chain_state_enrichment
     "w3_first_event_per_user",  # W3 window family: w1/w2/w4 + o5 in-window
-    "f10_point_lookup",  # F10 point filter subsumed by F1-F9 wherefield coverage
-    "a7_total_active_creators",  # scalar count; j7_follows_overview is the same shape
     "a_approx_distinct_users",  # rows-only either way (HLL sketches differ per engine)
     "skew_salted_distinct_count",  # salting covered by skew_salted_comment_counts
     "text_language_id",  # stopword langid; char-trigram variant is in-window
     "x21_search_feed",  # X21 v1 scan; inverted-index variant is in-window
     "a5_creator_score",  # subsumed by a5_score_zeroing (superset incl. zeroing arm)
-    "x18_hex_to_long",  # trivial scalar, driver-verified in r01+r02
     # -- rotated out in round 4 (all driver-green in r3,
     #    CORRECTNESS_r03.json) to make room for the 14 round-3 entries
     #    + 2 round-4 entries that have never seen the driver's hard
@@ -77,7 +73,7 @@ _DEPRIORITIZED = [
     "a2_distinct_authors_of_app",  # count-distinct shape ≡ j7_follows_overview
     "a6_sign_counts_higher_order",  # HOF aggregate; a5_score_zeroing in-window
     "dedup_ngram_jaccard",  # verify stage runs inside pipeline_corpus_curation
-    "text_fingerprint",  # rolling-hash scalar; text_quality_features in-window
+    "text_fingerprint",  # rolling-hash scalar; text family langid_ngram/vocab in-window (r6)
     "sim_ivf_topk_label",  # IVF probe ≡ ann_lsh_topk bucket-pruned top-k shape
     "j7_follows_overview",  # J7 agg-join ≡ j3_num_comments_per_post shape
     "j4_follower_feed_did",  # J4 DID-routing arm; j4_follower_feed in-window
@@ -85,8 +81,8 @@ _DEPRIORITIZED = [
     # -- rotated out in round 5 (all driver-green in r4,
     #    CORRECTNESS_r04.json) to make room for the six training-data
     #    operators added this round. Family siblings stay in-window. --
-    "tpch_q4_order_priority",  # TPC-H family: q1/q3/q5/q13/q17 in-window
-    "temporal_time_rollup",  # temporal family: asof/range/sessionize in-window
+    "tpch_q4_order_priority",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window (r6)
+    "temporal_time_rollup",  # temporal family: asof/range in-window (r6)
     "o2_trending_feed_comments",  # O2 COMMENTS arm; PAYOUT arm (o2_a8) in-window
     "f9_missing_field",  # F-family null semantics; f1/f2_f3_f5 + feeds in-window
     "text_bpe_token_count",  # text family: quality/langid/vocab in-window
@@ -98,22 +94,34 @@ _DEPRIORITIZED = [
     #    hand the four newest never-driver-verified entries (Q18/Q10
     #    shapes, streamed-window equivalence, training-prep capstone)
     #    their first hard signal. Family siblings stay in-window. --
-    "tpch_q1_pricing_summary",  # TPC-H family: q3/q5/q13/q17 in-window
-    "dedup_exact",  # dedup family: lsh/embedding/canonical/cc in-window
-    "text_quality_features",  # text family: langid/repetition/pii/vocab/percentiles in-window
+    "tpch_q1_pricing_summary",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window (r6)
+    "dedup_exact",  # dedup family: lsh/embedding/cc + curation pipeline in-window (r6)
+    "text_quality_features",  # text family: langid_ngram/vocab/percentiles in-window (r6)
     "x21_inverted_index_search",  # sibling x21_index_incremental_update in-window
     "f1_tag_membership",  # F1 membership double-verified r3+r4; F-family
     #    siblings f2_f3_f5 + social_feed_by_app stay in-window (swapped
     #    for the stream-stream join hard signal)
-    # -- round-5 second-batch TPC-H shapes (Q6/Q7/Q8/Q14/Q15/Q19), born
-    #    past the full window; all locally oracle-tested, rotate into
-    #    the driver window in future rounds --
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
+    # -- rotated out in round 6 (all driver-green in r5,
+    #    CORRECTNESS_r05.json) to hand the window to: the six round-5
+    #    TPC-H shapes (Q6/Q7/Q8/Q14/Q15/Q19) that had never seen the
+    #    driver, the two round-6 entries (offchain_id_refresh,
+    #    stream_ssj_watermark_eviction), and four r1/r2-era re-rotations
+    #    (f10/x18/a7/a3, per ADVICE r5: bound driver-signal staleness).
+    #    Family siblings stay in-window, noted inline. --
+    "tpch_q3_shipping_priority",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window
+    "tpch_q5_local_supplier_volume",  # TPC-H family (same siblings)
+    "tpch_q13_custdist",  # TPC-H family (same siblings)
+    "tpch_q17_small_quantity",  # TPC-H family (same siblings)
+    "temporal_sessionize",  # temporal family: asof + range in-window
+    "text_repetition_stats",  # text family: langid_ngram/vocab/percentiles in-window
+    "text_pii_scrub",  # text family (same siblings); map-side regexp shape
+    "text_hashtag_url_extract",  # regexp-extract shape ≡ pii scrub; a9 mention extract in-window
+    "sim_label_centroids",  # sim family: quantize_int8 + ann_recall_eval in-window
+    "dedup_apply_keep_canonical",  # dedup family: lsh/cc/embedding + curation pipeline in-window
+    "pipeline_domain_mix",  # weights feed sample_weighted_bernoulli (in-window); small-agg shape
+    "training_chunk_sliding",  # chunking runs inside pipeline_training_prep (in-window)
+    "text_length_percentiles",  # text family: langid_ngram/vocab in-window; swapped for w5_scd2_history
+    "sim_quantize_int8",  # sim family: ann_recall_eval in-window; swapped for tpch_q22
 ]
 
 
@@ -3536,3 +3544,283 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.table(qname)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ===========================================================================
+# Round 6: offchain stream-id assignment (S-layer) + stream-stream join
+# watermark EVICTION hard signal (T-layer).
+# ===========================================================================
+
+
+# Batch analog of the reference's offchainIdRefresh job
+# (workers/background-proc/core.ts:44-70) + create_stream_id endpoint
+# (modules/api/controller.ts:6-40): flagged HIVE posts with no
+# offchain_id get one from an assignment snapshot (the external Ceramic
+# create modeled as a table, like S4/J11 model RPC state); the merge
+# clears needs_stream_id only where an id was actually assigned, and a
+# pre-existing offchain_id always wins. The flag/pre-id derivations are
+# pure modulo arithmetic so DuckDB reproduces the whole job.
+@q(
+    "offchain_id_refresh",
+    tables.oracle_with_domain("""
+    , flagged AS (
+      SELECT author, permlink, "TYPE",
+             event_id % 6 = 0 AS needs_stream_id,
+             CASE WHEN event_id % 12 = 1
+                  THEN 'ceramic://pre-' || CAST(event_id AS VARCHAR)
+             END AS offchain_id
+      FROM posts
+    )
+    SELECT author, permlink,
+           COALESCE(offchain_id,
+                    CASE WHEN needs_stream_id AND offchain_id IS NULL
+                              AND "TYPE" = 'HIVE'
+                         THEN 'ceramic://' || md5(author || '/' || permlink)
+                    END) AS offchain_id,
+           CASE WHEN needs_stream_id AND offchain_id IS NULL
+                     AND "TYPE" = 'HIVE'
+                THEN FALSE ELSE needs_stream_id END AS needs_stream_id
+    FROM flagged
+    """),
+)
+def offchain_id_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.ceramic import assign_stream_ids, flagged_for_stream_id
+
+    p = tables.posts(spark, sf_dir).select(
+        "author",
+        "permlink",
+        "TYPE",
+        (F.col("event_id") % 6 == 0).alias("needs_stream_id"),
+        F.when(
+            F.col("event_id") % 12 == 1,
+            F.concat(F.lit("ceramic://pre-"), F.col("event_id").cast("string")),
+        ).alias("offchain_id"),
+    )
+    # The external create: one stream id per flagged key. Deterministic
+    # md5 stand-in for the Ceramic-generated id (production swaps this
+    # frame for the service's snapshot table).
+    assignments = flagged_for_stream_id(p).select(
+        "author",
+        "permlink",
+        F.concat(
+            F.lit("ceramic://"),
+            F.md5(F.concat(F.col("author"), F.lit("/"), F.col("permlink"))),
+        ).alias("stream_id"),
+    )
+    return assign_stream_ids(p, assignments).select(
+        "author", "permlink", "offchain_id", "needs_stream_id"
+    )
+
+
+# T-layer hard signal #2: watermark EVICTION in the stream-stream join.
+# Three micro-batches over a shared checkpoint:
+#   b1: per-user "early" views (near t0) + one far-future purchase that
+#       advances the watermark ~46h past their join horizon;
+#   b2: one unrelated view — state cleanup fires under the advanced
+#       watermark (eviction lags the watermark update by one batch);
+#   b3: purchases 30min after the b1 views (their pairs MUST NOT emit:
+#       the views were evicted / the purchases are below-watermark late
+#       input) + fresh view/purchase pairs above the watermark (these
+#       MUST emit — they prove b3 actually joined, so an implementation
+#       that silently drops everything also fails).
+# Expected output = exactly the fresh b3 pairs, which DuckDB computes
+# from the same deterministic per-user timestamp arithmetic. The
+# single-batch equivalence entry (stream_stream_join_attribution) can't
+# see any of this — its one micro-batch never advances the watermark.
+@q(
+    "stream_ssj_watermark_eviction",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20
+    )
+    SELECT user_id,
+           2000000 + user_id AS view_id,
+           4000000 + user_id AS purchase_id,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 47 HOUR
+             + INTERVAL 1 MINUTE * (user_id % 60) AS view_ts,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 47 HOUR
+             + INTERVAL 1 MINUTE * (user_id % 60)
+             + INTERVAL 10 MINUTE AS purchase_ts,
+           ROUND(CAST(user_id AS DOUBLE), 2) AS purchase_value
+    FROM u
+    """,
+)
+def stream_ssj_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.windows import stream_stream_attribution
+
+    T0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    users = (
+        tables.load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(20)
+    )
+    umin = (F.col("user_id") % 60) * 60  # per-user minute offset, seconds
+
+    def mk(eid_base: int, etype: str, offset_sec, value):
+        return users.select(
+            (F.lit(eid_base) + F.col("user_id")).cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.timestamp_seconds(F.lit(T0) + offset_sec).alias("ts"),
+            value.alias("value"),
+        )
+
+    zero = F.lit(0.0)
+    early_views = mk(1_000_000, "view", umin, zero)
+    wm_driver = early_views.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.timestamp_seconds(F.lit(T0 + 48 * 3600)).alias("ts"),
+        zero.alias("value"),
+    )
+    cleanup_tick = early_views.limit(1).select(
+        F.lit(-2).cast("long").alias("event_id"),
+        F.lit(-2).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.timestamp_seconds(F.lit(T0 + 47 * 3600)).alias("ts"),
+        zero.alias("value"),
+    )
+    late_purchases = mk(3_000_000, "purchase", umin + 30 * 60, zero)
+    fresh_views = mk(2_000_000, "view", F.lit(47 * 3600) + umin, zero)
+    fresh_purchases = mk(
+        4_000_000,
+        "purchase",
+        F.lit(47 * 3600) + umin + 600,
+        F.round(F.col("user_id").cast("double"), 2),
+    )
+
+    src = tempfile.mkdtemp(prefix="ssj_evict_src_")
+    out = tempfile.mkdtemp(prefix="ssj_evict_out_")
+    ckpt = tempfile.mkdtemp(prefix="ssj_evict_ckpt_")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    try:
+        def run_batch(df):
+            df.coalesce(1).write.mode("append").parquet(src)
+            query = (
+                stream_stream_attribution(
+                    spark.readStream.schema(schema).parquet(src),
+                    horizon="1 hour",
+                    watermark="2 hours",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+        run_batch(early_views.unionByName(wm_driver))
+        run_batch(cleanup_tick)
+        run_batch(
+            late_purchases.unionByName(fresh_views).unionByName(fresh_purchases)
+        )
+        return (
+            spark.read.parquet(out)
+            .select(
+                "user_id",
+                "view_id",
+                "purchase_id",
+                "view_ts",
+                "purchase_ts",
+                "purchase_value",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# Q22 shape: "global sales opportunity" — customers with above-average
+# balance and no orders, counted per country. Adds the two shapes the
+# TPC-H family was missing: a scalar-subquery threshold (computed in
+# EXACT integer-cent space — cents*count > total avoids the
+# cross-engine double-avg ulp hazard on the > comparison) and an
+# anti-join against the fact table. The nation dim broadcasts; the
+# anti-join shuffles on custkey (both sides need it — Q22 semantics).
+@q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH bal AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS tot,
+             COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS cntry,
+           COUNT(*) AS numcust,
+           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey, bal
+    WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * bal.cnt > bal.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY cntry
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    nat = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        cust.join(F.broadcast(bal))
+        .filter(cents * F.col("cnt") > F.col("tot"))
+        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+# W5 (extension): SCD2 history — every version of a key becomes a
+# validity interval; the complement of W2 LWW (which keeps only the
+# winner). Window bounded by per-key version count; pairs with
+# temporal.asof_join for point-in-time reads. The open interval's NULL
+# valid_to is coalesced to a far-future sentinel (2200, inside pandas ns range) FOR THE ORACLE ROW
+# ONLY (NaT-vs-NaT equality and NULL sort placement differ across
+# engines/hashers; is_current carries the open-endedness signal).
+@q(
+    "w5_scd2_history",
+    """
+    SELECT event_id, user_id, ROUND(value, 2) AS value,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER w, TIMESTAMP '2200-01-01 00:00:00')
+             AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import scd2_history
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "ts"
+    )
+    return scd2_history(e, ["user_id"], "ts", order=[F.col("event_id")]).select(
+        "event_id",
+        "user_id",
+        "value",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to"), F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        "is_current",
+    )

@@ -60,3 +60,72 @@ def union_post_sources(hive_posts: DataFrame, ceramic: DataFrame) -> DataFrame:
     missing columns null-filled; the discriminators keep query-side
     defaults (F7) working."""
     return hive_posts.unionByName(ceramic, allowMissingColumns=True)
+
+
+def flagged_for_stream_id(posts: DataFrame) -> DataFrame:
+    """The offchainIdRefresh selection (workers/background-proc/
+    core.ts:44-51): posts flagged ``needs_stream_id`` with no
+    ``offchain_id`` yet, HIVE type only. This is the key scan a batch
+    refresh job feeds to the external Ceramic stream-creation service;
+    pushdown-friendly (three column predicates on the posts scan)."""
+    return posts.filter(
+        F.col("needs_stream_id")
+        & F.col("offchain_id").isNull()
+        & (F.col("TYPE") == "HIVE")
+    ).select("author", "permlink")
+
+
+def assign_stream_ids(posts: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Batch analog of ``offchainIdRefresh`` (workers/background-proc/
+    core.ts:44-70, scheduled per-minute at :464) plus the on-demand
+    ``create_stream_id`` path (modules/api/controller.ts:6-40): merge
+    externally-created Ceramic stream ids back onto posts, setting
+    ``offchain_id`` and clearing ``needs_stream_id`` for the rows that
+    got one. The external create itself is out-of-engine (a Ceramic
+    write); ``assignments(author, permlink, stream_id)`` models its
+    result as a snapshot table, the same way S4/J11 model RPC state.
+
+    Semantics mirror the reference's per-post findOneAndUpdate:
+    - only rows matching the flagged selection are eligible (a
+      pre-existing offchain_id always wins — controller.ts:20-23);
+    - unmatched or unflagged rows pass through untouched.
+
+    Scale: assignments is bounded by the flagged count (a per-minute
+    refresh batch), so it broadcasts; the posts table is never
+    shuffled — one broadcast hash join + a projection.
+    """
+    a = assignments.select(
+        F.col("author").alias("_a_author"),
+        F.col("permlink").alias("_a_permlink"),
+        F.col("stream_id").alias("_a_stream_id"),
+    )
+    # Eligibility must be computed against the PRE-merge offchain_id;
+    # materialize it as a column before either output column overwrites
+    # the inputs it reads.
+    assigned = (
+        F.col("needs_stream_id")
+        & F.col("offchain_id").isNull()
+        & (F.col("TYPE") == "HIVE")
+        & F.col("_a_stream_id").isNotNull()
+    )
+    return (
+        posts.join(
+            F.broadcast(a),
+            (F.col("author") == F.col("_a_author"))
+            & (F.col("permlink") == F.col("_a_permlink")),
+            "left",
+        )
+        .withColumn("_assigned", assigned)
+        .withColumns(
+            {
+                "offchain_id": F.coalesce(
+                    F.col("offchain_id"),
+                    F.when(F.col("_assigned"), F.col("_a_stream_id")),
+                ),
+                "needs_stream_id": F.when(
+                    F.col("_assigned"), F.lit(False)
+                ).otherwise(F.col("needs_stream_id")),
+            }
+        )
+        .drop("_a_author", "_a_permlink", "_a_stream_id", "_assigned")
+    )

@@ -75,8 +75,10 @@ BENCH_QUERIES = [
 # the emitted "calibration_factor" (this run / reference) lets any two
 # rounds be compared as raw/factor without guessing. It runs AFTER the
 # query loop so JVM warmth is the same every round. Reference value:
-# round-6 host, warm steady state (~1.0-1.1s spread), median of 3.
-CALIBRATION_REFERENCE_SEC = 1.05
+# round-6 host, 8g driver heap (session.py default), end-of-bench warm
+# steady state, median of 3. Heap size moves this number — re-pin if
+# the session default changes.
+CALIBRATION_REFERENCE_SEC = 0.6
 
 
 def _calibrate(spark) -> float:

@@ -30,8 +30,16 @@ def service(spark):
         [("posts", 900.0, 1000.0)],
         "table_name string, watermark double, source_watermark double",
     )
+    communities = spark.createDataFrame(
+        [("hive/hive-3", "hive-3", "Community Three", "about three")],
+        "_id string, name string, title string, about string",
+    )
     return GraphQLService(
-        posts=posts, follows=follows, profiles=profiles, state=state
+        posts=posts,
+        follows=follows,
+        profiles=profiles,
+        state=state,
+        communities=communities,
     )
 
 
@@ -124,6 +132,30 @@ def test_point_and_aggregate_root_fields(service):
     assert d["follows"]["followings_count"] >= 0
     assert d["syncState"]["items"][0]["block_lag"] == 100.0
     assert d["profile"]["username"] == "u2"
+
+
+def test_community_nested_feed_injects_by_community(service):
+    """community.latestFeed closes over the community id like the
+    reference's nested resolver (resolvers/index.ts:426-437): every
+    returned post belongs to the community."""
+    body = service.execute(
+        """
+        query {
+          community(id: "hive-3") {
+            title
+            latestFeed(pagination: {limit: 8}) {
+              items { author permlink parent_permlink }
+            }
+          }
+        }
+        """
+    )
+    assert "errors" not in body, body
+    c = body["data"]["community"]
+    assert c["title"] == "Community Three"
+    items = c["latestFeed"]["items"]
+    assert len(items) > 0
+    assert all(i["parent_permlink"] == "hive-3" for i in items)
 
 
 def test_unknown_field_is_a_graphql_error(service):

@@ -1,0 +1,151 @@
+"""Round-6 regression tests: SCD2 interval algebra, two-level rank
+equivalence (the de-skewed epoch_interleave / stratified_sample must
+produce byte-identical output to the naive single-window forms they
+replaced), and Q22 plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Per key: intervals are contiguous (valid_to == next valid_from),
+    non-overlapping, and exactly one row is open (is_current)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.windows import scd2_history
+
+    e = tables.load(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    hist = scd2_history(e, ["user_id"], "ts", order=[F.col("event_id")])
+
+    # exactly one open row per key
+    open_counts = (
+        hist.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+        .collect()
+    )
+    assert all(r.n_open == 1 for r in open_counts)
+
+    # contiguity: every closed row's valid_to equals the next version's
+    # valid_from within the key (lead over the same ordering)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    gaps = (
+        hist.withColumn("_next_from", F.lead("valid_from").over(w))
+        .filter(F.col("valid_to").isNotNull())
+        .filter(F.col("valid_to") != F.col("_next_from"))
+        .count()
+    )
+    assert gaps == 0
+
+    # no row lost: history holds every version
+    assert hist.count() == e.count()
+
+
+def test_epoch_interleave_two_level_equals_naive_rank(spark):
+    """The sharded two-level rank must be BYTE-IDENTICAL to the naive
+    per-source window it replaced (same md5 ordering, same offsets)."""
+    from pyspark.sql import Window
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import epoch_interleave
+
+    d = (
+        tables.load(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .withColumn("weight", F.lit(0.5))
+    )
+    got = {
+        (r.doc_id, r.source_rank, r.interleave_key)
+        for r in epoch_interleave(d, "doc_id", "source", "weight").collect()
+    }
+    naive_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = {
+        (r.doc_id, r.source_rank, r.interleave_key)
+        for r in d.select(
+            "doc_id",
+            F.row_number().over(naive_w).cast("long").alias("source_rank"),
+            F.round(
+                F.row_number().over(naive_w) / F.col("weight"), 6
+            ).alias("interleave_key"),
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_stratified_sample_two_level_equals_naive_rank(spark):
+    """Two-level pre-prune + exact rank == the naive per-stratum rank
+    (the survivor set provably contains the global per-stratum top)."""
+    from pyspark.sql import Window
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.curation import stratified_sample
+
+    d = tables.load(spark, SF_DIR, "documents").select("doc_id", "source")
+    got = {
+        (r.doc_id, r.source, r.draw_rank)
+        for r in stratified_sample(d, "source", "doc_id", per_stratum=7).collect()
+    }
+    naive_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = {
+        (r.doc_id, r.source, r.draw_rank)
+        for r in d.withColumn("draw_rank", F.row_number().over(naive_w))
+        .filter(F.col("draw_rank") <= 7)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_q22_anti_join_and_pruned_scans(spark):
+    """Q22 shape: anti-join against orders reads ONLY o_custkey;
+    customer scan prunes to the three needed columns; nation broadcasts."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q22_global_sales_opportunity"].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.sparkPlan().toString() + "\n" + qe.executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # orders scan must be key-only (column pruning reached the source)
+    import re
+
+    orders_scans = [
+        line for line in plan.splitlines() if "parquet" in line and "o_custkey" in line
+    ]
+    assert orders_scans and all(
+        "o_totalprice" not in line and "o_orderdate" not in line
+        for line in orders_scans
+    ), plan
+
+
+def test_scd2_pairs_with_asof_join(spark):
+    """Point-in-time read: joining each event back to the SCD2 history
+    at its own timestamp recovers exactly itself (valid_from <= t <
+    valid_to selects one version per key per instant)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.windows import scd2_history
+
+    e = tables.load(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    hist = scd2_history(e, ["user_id"], "ts", order=[F.col("event_id")]).select(
+        F.col("event_id").alias("h_event_id"),
+        F.col("user_id").alias("h_user"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = e.limit(200)
+    matched = probes.join(
+        hist,
+        (probes.user_id == hist.h_user)
+        & (probes.ts >= hist.valid_from)
+        & ((hist.valid_to.isNull()) | (probes.ts < hist.valid_to)),
+    )
+    # every probe instant hits >= 1 version, and the version whose
+    # valid_from equals the probe ts is the probe's own row
+    own = matched.filter(F.col("valid_from") == F.col("ts"))
+    assert own.filter(F.col("event_id") == F.col("h_event_id")).count() > 0
+    assert matched.count() >= probes.count()

@@ -135,6 +135,10 @@ type Community {
   name: String
   title: String
   about: String
+  latestFeed(pagination: PaginationOptions,
+             feedOptions: FeedOptions): FeedOutput
+  trendingFeed(pagination: PaginationOptions, feedOptions: FeedOptions,
+               trendingBy: TrendingByType): FeedOutput
 }
 
 type FollowOverview {
@@ -271,6 +275,28 @@ class GraphQLService:
         rows = _rows(df)
         return rows[0] if rows else None
 
+    def _community(self, **args: Any) -> dict | None:
+        """community root field with the reference's nested closures
+        (resolvers/index.ts:406-454): latestFeed/trendingFeed re-enter
+        socialFeed/trendingFeed with byCommunity {_eq: id} injected
+        into feedOptions."""
+        row = self._one("community", **args)
+        if row is None:
+            return None
+        cid = args.get("id")
+
+        def feed(field: str):
+            def resolve(info, **a):
+                fo = dict(a.get("feedOptions") or {})
+                fo["byCommunity"] = {"_eq": cid}
+                return self._feed(field, **{**a, "feedOptions": fo})
+
+            return resolve
+
+        row["latestFeed"] = feed("socialFeed")
+        row["trendingFeed"] = feed("trendingFeed")
+        return row
+
     def root_value(self) -> dict:
         return {
             "socialPost": lambda info, **a: self._one("socialPost", **a),
@@ -284,7 +310,7 @@ class GraphQLService:
                 )
             },
             "profile": lambda info, **a: self._one("profile", **a),
-            "community": lambda info, **a: self._one("community", **a),
+            "community": lambda info, **a: self._community(**a),
             "follows": lambda info, **a: self._one("follows", **a),
             "leaderBoard": lambda info, **a: {
                 "items": _rows(

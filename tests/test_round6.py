@@ -149,3 +149,51 @@ def test_scd2_pairs_with_asof_join(spark):
     own = matched.filter(F.col("valid_from") == F.col("ts"))
     assert own.filter(F.col("event_id") == F.col("h_event_id")).count() > 0
     assert matched.count() >= probes.count()
+
+
+def test_char_lm_quality_scores_gibberish_below_corpus_text(spark):
+    """The perplexity proxy must rank text drawn from the corpus
+    distribution above character gibberish, and must be exact-integer
+    (no floats anywhere in the output schema)."""
+    from union_indexer_node_spark.pipelines.textstats import char_lm_quality
+
+    normal = "the quick brown fox jumps over the lazy dog and runs home"
+    docs = [(i, normal) for i in range(20)]
+    docs.append((97, "qzxjvkwpq zzkj xqvw jjqz wkxv"))  # gibberish
+    docs.append((98, ""))  # empty -> zero grams, avg_q 0
+    docs.append((99, "ab"))  # shorter than n -> zero grams
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_lm_quality(df, "text", "doc_id").collect()}
+    assert out[98].n_grams == 0 and out[98].avg_q == 0
+    assert out[99].n_grams == 0 and out[99].avg_q == 0
+    assert out[97].avg_q < out[0].avg_q  # gibberish scores lower
+    for r in out.values():
+        assert isinstance(r.avg_q, int) and isinstance(r.score_sum, int)
+
+
+def test_char_lm_model_tables_broadcast(spark):
+    """Scale pin: both model count tables must broadcast (|charset|^3
+    rows), never shuffle-join the exploded gram stream."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["text_lm_quality_score"].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.sparkPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    """Same id -> same split across invocations; permille fractions
+    land near their targets."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import hash_split
+
+    d = tables.load(spark, SF_DIR, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    assert a == b
+    n = len(a)
+    frac_test = sum(1 for s in a.values() if s == "test") / n
+    frac_val = sum(1 for s in a.values() if s == "val") / n
+    assert 0 <= frac_test < 0.05 and 0 <= frac_val < 0.05
+    assert sum(1 for s in a.values() if s == "train") / n > 0.9

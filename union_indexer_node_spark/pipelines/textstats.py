@@ -201,3 +201,72 @@ def length_percentiles(
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
     )
+
+
+def char_lm_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    scale: int = 1_000_000,
+    smooth_k: int = 1000,
+) -> DataFrame:
+    """Corpus-trained character-n-gram LM score — the classic
+    perplexity-proxy quality signal (gibberish / boilerplate scores low
+    against a model trained on the corpus itself), computed WITHOUT
+    floating point so every engine produces bit-identical scores.
+
+    Model: C_n(g) = corpus count of char n-gram g; C_ctx(g[:n-1]) = count
+    of its (n-1)-char context. Per-gram quantized score (add-k smoothed,
+    integer-only):
+
+        q(g) = (scale * (C_n(g) + 1)) DIV (C_ctx + smooth_k)
+
+    Doc score = SUM(q) and AVG = SUM DIV count — all BIGINT, so the
+    usual cross-engine hazards (libm log differences, float summation
+    order) cannot appear. Monotonically equivalent to a smoothed
+    likelihood for ranking/gating purposes.
+
+    Scale: the char-n-gram model is bounded by |charset|^n (thousands of
+    rows, not corpus-sized) — both count tables aggregate map-side and
+    BROADCAST to the scoring join; the corpus is scanned twice (model
+    pass + scoring pass), each time exploding grams but shuffling only
+    32-byte digested gram keys.
+    """
+    # Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (the same
+    # edge _safe_shingles documents), so short docs need an explicit
+    # empty-array arm rather than a clamped upper bound.
+    base = f"lower({text_col})"
+    grams = F.expr(
+        f"CASE WHEN char_length({base}) >= {n} "
+        f"THEN transform(sequence(1, char_length({base}) - {n - 1}), "
+        f"i -> substring({base}, i, {n})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    model_n = doc_grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cn"))
+    model_ctx = (
+        doc_grams.select(F.substring("_g", 1, n - 1).alias("_ctx"))
+        .groupBy("_ctx")
+        .agg(F.count(F.lit(1)).alias("_cctx"))
+    )
+    q = F.expr(f"CAST({scale} AS BIGINT) * (_cn + 1) DIV (_cctx + {smooth_k})")
+    scored = (
+        doc_grams.join(F.broadcast(model_n), "_g")
+        .withColumn("_ctx", F.substring("_g", 1, n - 1))
+        .join(F.broadcast(model_ctx), "_ctx")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(q).alias("score_sum"),
+        )
+    )
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),
+        F.expr("coalesce(score_sum, 0) DIV greatest(coalesce(n_grams, 0), 1)")
+        .cast("long")
+        .alias("avg_q"),
+    )

@@ -353,7 +353,13 @@ def epoch_interleave(
     w_shard = Window.partitionBy(source_col, "_shard").orderBy("_md5", id_col)
     ranked = ranked.withColumn("_r", F.row_number().over(w_shard))
     # Tiny frame: |sources| x 256 rows. Running-count offsets via a
-    # window over it, then broadcast back.
+    # window over it, then broadcast back. The offsets branch forks the
+    # lineage, so Catalyst plans it as a SECOND pass — but column
+    # pruning cuts that scan to (id, source) only, which at media/text
+    # widths is a small fraction of the corpus bytes; reusing the wide
+    # rank exchange instead would re-read strictly more data than the
+    # pruned rescan. (Counted in the plan test: 2 exchanges on
+    # (source, _shard) — the wide rank one and the narrow count one.)
     offsets = (
         ranked.groupBy(source_col, "_shard")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -377,3 +383,30 @@ def epoch_interleave(
         rank.alias("source_rank"),
         F.round(rank / F.col(weight_col), 6).alias("interleave_key"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 draw (first 8
+    hex chars -> uniform int) lands each row in a permille bucket;
+    buckets [0, test) -> test, [test, test+val) -> val, rest -> train.
+    Same id always lands in the same split, on any engine, at any scale
+    — the property that keeps eval sets stable across pipeline reruns
+    (re-shards, backfills, engine swaps). Map-side only, no shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return df.withColumn("_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("_bucket") < test_permille, "test")
+        .when(F.col("_bucket") < test_permille + val_permille, "val")
+        .otherwise("train"),
+    ).drop("_bucket")

@@ -122,6 +122,10 @@ _DEPRIORITIZED = [
     "training_chunk_sliding",  # chunking runs inside pipeline_training_prep (in-window)
     "text_length_percentiles",  # text family: langid_ngram/vocab in-window; swapped for w5_scd2_history
     "sim_quantize_int8",  # sim family: ann_recall_eval in-window; swapped for tpch_q22
+    # -- round-6 late additions, born past the full window; locally
+    #    oracle-tested, rotate into the driver window next round --
+    "text_lm_quality_score",
+    "training_hash_split",
 ]
 
 
@@ -3824,3 +3828,71 @@ def w5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "is_current",
     )
+
+
+# LM-based quality scoring: corpus-trained char-trigram model, add-k
+# smoothed, scored in EXACT integer arithmetic (quantized probability
+# q = scale*(C3+1) DIV (Cctx+k)) — no libm log, no float summation
+# order, so the scores are bit-identical across engines. The model is
+# |charset|^3 rows -> both count tables broadcast. Born past the
+# 50-entry window this round; rotates in next round.
+@q(
+    "text_lm_quality_score",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, GREATEST(length(lower(text)) - 2, 0)),
+               i -> substring(lower(text), i, 3))) AS gram
+      FROM documents
+    ),
+    mn AS (SELECT gram, COUNT(*) AS cn FROM g GROUP BY gram),
+    mc AS (SELECT substring(gram, 1, 2) AS ctx, COUNT(*) AS cctx
+           FROM g GROUP BY ctx),
+    scored AS (
+      SELECT d.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM((1000000 * (mn.cn + 1)) // (mc.cctx + 1000))
+                  AS BIGINT) AS score_sum
+      FROM g d
+      JOIN mn ON d.gram = mn.gram
+      JOIN mc ON substring(d.gram, 1, 2) = mc.ctx
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
+           CAST(COALESCE(s.score_sum, 0) // GREATEST(COALESCE(s.n_grams, 0), 1)
+                AS BIGINT) AS avg_q
+    FROM documents doc LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import char_lm_quality
+
+    d = tables.load(spark, sf_dir, "documents")
+    return char_lm_quality(d, "text", "doc_id", n=3)
+
+
+# Deterministic hash-based train/val/test split: same id -> same split
+# on any engine at any scale (stable eval sets across reruns/backfills).
+# Map-side only; the oracle recomputes the same md5 permille bucket.
+@q(
+    "training_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 10 THEN 'test'
+                WHEN b < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS BIGINT) % 1000 AS b
+      FROM documents
+    )
+    """,
+)
+def training_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import hash_split
+
+    d = tables.load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", val_permille=10, test_permille=10)

@@ -212,7 +212,11 @@ def test_real_decoder_raises_without_codec(spark):
     from py4j.protocol import Py4JJavaError
     from union_indexer_node_spark.pipelines.multimodal import probe_media
 
-    media = _media_frame(spark, 2, 64)
+    # must be image/* mime: non-image blobs skip the decoder by design
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG fake", "image/png")],
+        "id long, content binary, mime string",
+    )
     with pytest.raises(Exception) as exc_info:
         probe_media(media, use_fake_decoder=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(

@@ -197,3 +197,32 @@ def test_hash_split_deterministic_and_disjoint(spark):
     frac_val = sum(1 for s in a.values() if s == "val") / n
     assert 0 <= frac_test < 0.05 and 0 <= frac_val < 0.05
     assert sum(1 for s in a.values() if s == "train") / n > 0.9
+
+
+def test_epoch_interleave_keeps_null_source_rows(spark):
+    """Regression: the two-level rank join must be null-safe — a NULL
+    source (or NULL id) is a legitimate window group and must survive
+    with the same rank the single-window form would give it."""
+    from union_indexer_node_spark.pipelines.training import epoch_interleave
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, None, 1.0), (4, None, 1.0)],
+        "id long, src string, weight double",
+    )
+    out = epoch_interleave(df, "id", "src", "weight").collect()
+    assert len(out) == 4
+    null_rows = [r for r in out if r.src is None]
+    assert sorted(r.source_rank for r in null_rows) == [1, 2]
+
+
+def test_graphql_missing_required_arg_is_legible_error(spark):
+    """Regression: omitting a resolver-required arg (nullable in the
+    reference SDL) must produce a named GraphQL error, not a KeyError."""
+    pytest.importorskip("graphql")
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.serving import GraphQLService
+
+    svc = GraphQLService(posts=tables.posts(spark, SF_DIR))
+    body = svc.execute("query { searchFeed { items { author } } }")
+    assert body.get("errors")
+    assert "missing required argument" in body["errors"][0]["message"]

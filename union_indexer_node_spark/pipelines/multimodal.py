@@ -130,8 +130,11 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
     evaluates in both arms' scans (two passes over the source), which
     is why strict mode is opt-in rather than the default.
 
-    ``use_fake_decoder=False`` raises NotImplementedError inside the
-    workers (the real-codec path, intentionally stubbed)."""
+    ``use_fake_decoder=False`` runs the real image kernel (Pillow,
+    optional dependency): image/* blobs get header-probed dimensions;
+    non-image mimes, empty, and corrupt blobs yield (0, 0, 0) rather
+    than failing the task. Without the codec lib installed it raises
+    NotImplementedError inside the workers."""
     import hashlib
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +145,23 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
             if use_fake_decoder:
                 dims = [_fake_probe(c) for c in contents]
             else:
-                dims = [(*_decode_image(c), 1) for c in contents]
+                # Real-codec arm: only image/* blobs are decodable by
+                # the image kernel; other mimes, empty content, and
+                # corrupt payloads yield (0, 0) instead of killing the
+                # task — one bad blob must not fail a 100 TB job.
+                # Missing codec libs still raise (NotImplementedError
+                # from _decode_image), which IS a whole-job error.
+                dims = []
+                for c, mime in zip(contents, pdf[mime_col]):
+                    if not c or not str(mime).startswith("image/"):
+                        dims.append((0, 0, 0))
+                        continue
+                    try:
+                        dims.append((*_decode_image(c), 1))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        dims.append((0, 0, 0))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),

@@ -246,10 +246,12 @@ def char_lm_quality(
     )
     doc_grams = df.select(F.col(id_col), F.explode(grams).alias("_g"))
     model_n = doc_grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cn"))
+    # C_ctx(c) == sum of C_n(g) over grams with prefix c, so the context
+    # table rolls up from the n-gram table (|charset|^n rows) instead of
+    # re-exploding the corpus a second time.
     model_ctx = (
-        doc_grams.select(F.substring("_g", 1, n - 1).alias("_ctx"))
-        .groupBy("_ctx")
-        .agg(F.count(F.lit(1)).alias("_cctx"))
+        model_n.groupBy(F.substring("_g", 1, n - 1).alias("_ctx"))
+        .agg(F.sum("_cn").alias("_cctx"))
     )
     q = F.expr(f"CAST({scale} AS BIGINT) * (_cn + 1) DIV (_cctx + {smooth_k})")
     scored = (

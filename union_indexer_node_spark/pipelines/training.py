@@ -377,7 +377,19 @@ def epoch_interleave(
         .drop("_n")
     )
     rank = (F.col("_off") + F.col("_r")).cast("long")
-    return ranked.join(F.broadcast(offsets), [source_col, "_shard"]).select(
+    # Null-safe join keys: a NULL source (or NULL id -> NULL _shard) is
+    # a legitimate window group in the single-window formulation, and a
+    # plain equi-join would silently drop those rows.
+    o = offsets.select(
+        F.col(source_col).alias("_o_src"),
+        F.col("_shard").alias("_o_shard"),
+        "_off",
+    )
+    return ranked.join(
+        F.broadcast(o),
+        F.col(source_col).eqNullSafe(F.col("_o_src"))
+        & F.col("_shard").eqNullSafe(F.col("_o_shard")),
+    ).select(
         F.col(id_col),
         F.col(source_col),
         rank.alias("source_rank"),

@@ -256,24 +256,34 @@ class GraphQLService:
 
     def _feed(self, field: str, **args: Any) -> dict:
         flat = _flatten_feed_args(args)
-        df = _api.execute(
-            field,
-            self._tables["posts"],
-            flat,
-            **{k: v for k, v in self._tables.items() if k != "posts"},
-        )
+        df = self._dispatch(field, flat)
         return {"items": _rows(df)}
 
     def _one(self, field: str, **args: Any) -> dict | None:
         flat = _flatten_feed_args(args)
-        df = _api.execute(
-            field,
-            self._tables.get("posts"),
-            flat,
-            **{k: v for k, v in self._tables.items() if k != "posts"},
-        )
-        rows = _rows(df)
+        rows = _rows(self._dispatch(field, flat))
         return rows[0] if rows else None
+
+    def _dispatch(self, field: str, flat: Mapping[str, Any]) -> DataFrame:
+        """Route through operators/api.execute; a missing required
+        argument surfaces as a clear GraphQL error rather than an
+        opaque KeyError. (The reference SDL declares these args
+        nullable — schema.ts:309-314 — so schema validation can't
+        enforce them; its resolvers crash on undefined instead. We keep
+        SDL parity and make the failure legible.)"""
+        from graphql import GraphQLError
+
+        try:
+            return _api.execute(
+                field,
+                self._tables.get("posts"),
+                flat,
+                **{k: v for k, v in self._tables.items() if k != "posts"},
+            )
+        except KeyError as exc:
+            raise GraphQLError(
+                f"{field}: missing required argument {exc}"
+            ) from exc
 
     def _community(self, **args: Any) -> dict | None:
         """community root field with the reference's nested closures
@@ -285,16 +295,22 @@ class GraphQLService:
             return None
         cid = args.get("id")
 
-        def feed(field: str):
+        # Delegate to operators/api.community_feed — the one place that
+        # owns the byCommunity injection — so the HTTP surface can't
+        # drift from the operator facade.
+        def feed(trending: bool):
             def resolve(info, **a):
-                fo = dict(a.get("feedOptions") or {})
-                fo["byCommunity"] = {"_eq": cid}
-                return self._feed(field, **{**a, "feedOptions": fo})
+                flat = _flatten_feed_args(a)
+                flat["id"] = cid
+                df = _api.community_feed(
+                    self._tables["posts"], flat, trending=trending
+                )
+                return {"items": _rows(df)}
 
             return resolve
 
-        row["latestFeed"] = feed("socialFeed")
-        row["trendingFeed"] = feed("trendingFeed")
+        row["latestFeed"] = feed(False)
+        row["trendingFeed"] = feed(True)
         return row
 
     def root_value(self) -> dict:
@@ -305,32 +321,16 @@ class GraphQLService:
             "relatedFeed": lambda info, **a: self._feed("relatedFeed", **a),
             "searchFeed": lambda info, **a: self._feed("searchFeed", **a),
             "trendingTags": lambda info, **a: {
-                "tags": _rows(
-                    _api.execute("trendingTags", self._tables["posts"], a)
-                )
+                "tags": _rows(self._dispatch("trendingTags", a))
             },
             "profile": lambda info, **a: self._one("profile", **a),
             "community": lambda info, **a: self._community(**a),
             "follows": lambda info, **a: self._one("follows", **a),
             "leaderBoard": lambda info, **a: {
-                "items": _rows(
-                    _api.execute(
-                        "leaderBoard",
-                        self._tables.get("posts"),
-                        a,
-                        profiles=self._tables["profiles"],
-                    )
-                )
+                "items": _rows(self._dispatch("leaderBoard", a))
             },
             "syncState": lambda info, **a: {
-                "items": _rows(
-                    _api.execute(
-                        "syncState",
-                        self._tables.get("posts"),
-                        a,
-                        state=self._tables["state"],
-                    )
-                )
+                "items": _rows(self._dispatch("syncState", a))
             },
         }
 

@@ -36,6 +36,21 @@ _DEFAULTS = {
 }
 
 
+def _default_driver_memory() -> str:
+    """8g when the host can afford it, else half of MemAvailable
+    (floored at 1g — Spark's own default). Keeps the big-heap fix for
+    long multi-query sessions without breaking small containers."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(1, min(8, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "union_indexer_node_spark",
     master: str | None = None,
@@ -70,8 +85,11 @@ def get_spark(
     # (measured: the 41-query bench ran 2.3x slower at 1g than 8g —
     # broadcast blocks and shuffle state accumulate across queries). On
     # a real cluster this key only sizes the driver, where 8g is also a
-    # reasonable floor for a 1000-executor coordinator.
-    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    # reasonable floor for a 1000-executor coordinator. Capped at half
+    # of MemAvailable so the JVM still launches on small hosts/CI.
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_DRIVER_MEMORY", _default_driver_memory()
+    )
     if extra:
         conf.update(extra)
     for k, v in conf.items():

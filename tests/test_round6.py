@@ -226,3 +226,38 @@ def test_graphql_missing_required_arg_is_legible_error(spark):
     body = svc.execute("query { searchFeed { items { author } } }")
     assert body.get("errors")
     assert "missing required argument" in body["errors"][0]["message"]
+
+
+def test_token_budget_allocation_sums_exactly(spark):
+    """Largest-remainder property: allocations sum to EXACTLY the
+    budget for any weight vector, and each source is within 1 token of
+    its proportional share."""
+    from union_indexer_node_spark.pipelines.training import (
+        token_budget_allocation,
+    )
+
+    weights = spark.createDataFrame(
+        [("a", 0.3333), ("b", 0.3333), ("c", 0.3334)],
+        "source string, mix_weight double",
+    )
+    for total in (10, 1001, 999_999):
+        out = token_budget_allocation(weights, total).collect()
+        assert sum(r.alloc_tokens for r in out) == total
+        for r in out:
+            w = {"a": 0.3333, "b": 0.3333, "c": 0.3334}[r.source]
+            assert abs(r.alloc_tokens - total * w) <= 1 + total * 1e-4
+
+
+def test_truncate_renorm_unit_norm_and_zero_guard(spark):
+    """Truncated vectors are unit-norm (up to rounding); an all-zero
+    prefix stays zero instead of dividing by zero."""
+    from union_indexer_node_spark.pipelines.similarity import truncate_renorm
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in truncate_renorm(df, dims=2).collect()}
+    assert abs(out[1].prefix_norm - 5.0) < 1e-6
+    assert abs(sum(x * x for x in out[1].vec_trunc) - 1.0) < 1e-4
+    assert out[2].prefix_norm == 0.0 and list(out[2].vec_trunc) == [0.0, 0.0]

@@ -158,3 +158,36 @@ def quantize_int8(
         F.round(scale, 6).alias("scale"),
         q.alias("q_vec"),
     )
+
+
+def truncate_renorm(
+    emb: DataFrame,
+    *,
+    dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dims`` components
+    and L2-renormalize — the standard cheap-retrieval trick for
+    MRL-trained embeddings (coarse search on the prefix, rerank on the
+    full vector). Fully map-side, no shuffle, no UDF. Zero prefixes
+    stay zero (norm 0 guard). Components round to 6 decimals so both
+    engines agree on the emitted floats."""
+    prefix = F.slice(F.col(vec_col), 1, dims)
+    norm = F.sqrt(
+        F.aggregate(
+            prefix,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    renormed = F.transform(
+        prefix,
+        lambda x: F.when(norm > 0, F.round(x.cast("double") / norm, 6))
+        .otherwise(F.lit(0.0)),
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("prefix_norm"),
+        renormed.alias("vec_trunc"),
+    )

@@ -422,3 +422,53 @@ def hash_split(
         .when(F.col("_bucket") < test_permille + val_permille, "val")
         .otherwise("train"),
     ).drop("_bucket")
+
+
+def token_budget_allocation(
+    weights: DataFrame,
+    total_tokens: int,
+    *,
+    group_col: str = "source",
+    weight_col: str = "mix_weight",
+) -> DataFrame:
+    """Largest-remainder apportionment of a token budget over mixture
+    weights: each source gets floor(total * w) tokens, and the leftover
+    (total - sum of floors) goes one token at a time to the largest
+    fractional remainders (ties broken by group name — fully
+    deterministic). All integer arithmetic after one weight
+    quantization (permyriad), so the allocation is exact: allocations
+    always sum to EXACTLY total_tokens, which proportional-rounding
+    schemes cannot guarantee. Input is the (tiny) per-source weight
+    table (e.g. curation.domain_mixture_weights output); everything
+    here is single-small-frame work, broadcast-scale by construction.
+    """
+    from pyspark.sql import Window
+
+    w10k = F.round(F.col(weight_col) * 10000, 0).cast("long")
+    base = (F.lit(total_tokens) * w10k) / F.lit(10000)
+    floor_alloc = F.floor(base).cast("long")
+    remainder = (F.lit(total_tokens) * w10k) % F.lit(10000)
+    per = weights.select(
+        F.col(group_col),
+        floor_alloc.alias("floor_tokens"),
+        remainder.alias("_rem"),
+    )
+    # leftover = total - sum(floors): a scalar broadcast join
+    leftover = per.agg(
+        (F.lit(total_tokens) - F.sum("floor_tokens")).alias("_left")
+    )
+    rank_w = Window.orderBy(F.desc("_rem"), F.asc(group_col))
+    return (
+        per.join(F.broadcast(leftover))
+        .withColumn("_rank", F.row_number().over(rank_w))
+        .select(
+            group_col,
+            "floor_tokens",
+            (
+                F.col("floor_tokens")
+                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )

@@ -126,6 +126,8 @@ _DEPRIORITIZED = [
     #    oracle-tested, rotate into the driver window next round --
     "text_lm_quality_score",
     "training_hash_split",
+    "sim_truncate_renorm",
+    "training_token_budget",
 ]
 
 
@@ -3896,3 +3898,109 @@ def training_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents").select("doc_id")
     return hash_split(d, "doc_id", val_permille=10, test_permille=10)
+
+
+# Matryoshka-style embedding truncation + L2 renormalize (MRL prefix
+# retrieval). The registry row projects SCALARS (first component +
+# sequential-fold checksum) because the driver hasher cannot take
+# arrays (learned in r04); the operator itself returns the full
+# truncated vector. sqrt and divide are IEEE-correctly-rounded in both
+# engines, so ROUND(,6) agrees.
+@q(
+    "sim_truncate_renorm",
+    """
+    WITH p AS (
+      SELECT vec_id, embedding[1:16] AS pre FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, pre,
+             sqrt(list_sum(list_transform(
+               pre, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM p
+    ),
+    r AS (
+      SELECT vec_id, nrm,
+             CASE WHEN nrm > 0
+                  THEN list_transform(pre, x -> ROUND(CAST(x AS DOUBLE) / nrm, 6))
+                  ELSE list_transform(pre, x -> 0.0) END AS vt
+      FROM n
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS prefix_norm,
+           vt[1] AS c0,
+           ROUND(list_sum(vt), 6) AS checksum
+    FROM r
+    """,
+)
+def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import truncate_renorm
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    t = truncate_renorm(e, dims=16)
+    return t.select(
+        "vec_id",
+        "prefix_norm",
+        F.element_at("vec_trunc", 1).alias("c0"),
+        F.round(
+            F.aggregate(
+                "vec_trunc", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("checksum"),
+    )
+
+
+# Largest-remainder token-budget apportionment over the domain mixture
+# weights — exact integer allocation (always sums to the budget), the
+# step between domain_mixture_weights and an actual sampling run.
+@q(
+    "training_token_budget",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+               AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source,
+             ROUND(POWER(CAST(total_tokens AS DOUBLE), 0.5)
+                   / SUM(POWER(CAST(total_tokens AS DOUBLE), 0.5)) OVER (), 6)
+               AS mix_weight
+      FROM per
+    ),
+    q AS (
+      SELECT source,
+             CAST(ROUND(mix_weight * 10000, 0) AS BIGINT) AS w10k
+      FROM wts
+    ),
+    alloc AS (
+      SELECT source,
+             CAST((1000000 * w10k) // 10000 AS BIGINT) AS floor_tokens,
+             (1000000 * w10k) % 10000 AS rem
+      FROM q
+    ),
+    ranked AS (
+      SELECT source, floor_tokens,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk,
+             (SELECT 1000000 - SUM(floor_tokens) FROM alloc) AS leftover
+      FROM alloc
+    )
+    SELECT source, floor_tokens,
+           CAST(floor_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import domain_mixture_weights
+    from .pipelines.training import token_budget_allocation
+
+    d = tables.load(spark, sf_dir, "documents")
+    weights = domain_mixture_weights(d, "source", "text", alpha=0.5).select(
+        "source", "mix_weight"
+    )
+    return token_budget_allocation(
+        weights, 1_000_000, group_col="source", weight_col="mix_weight"
+    )

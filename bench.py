@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "training_epoch_interleave",
     "sample_stratified",
     "offchain_id_refresh",
+    # round 6 second batch: anti-join TPC-H shape, SCD2 history window,
+    # broadcast-model LM scoring
+    "tpch_q22_global_sales_opportunity",
+    "w5_scd2_history",
+    "text_lm_quality_score",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

@@ -143,19 +143,26 @@ def quantize_int8(
     Fully map-side — no shuffle, no UDF. Arithmetic is forced to double
     on both engines so the rounding boundary is engine-independent.
     Zero vectors quantize to all-zero with scale 0."""
+    # scale must be hoisted into its own projection: referencing the
+    # array_max aggregate inside the quantize lambda re-folds the whole
+    # vector once per element — O(d^2) per vector (same hazard
+    # shingles_from_tokens documents for the tokenizer).
     v = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
-    scale = F.array_max(v)
+    scaled = emb.select(
+        F.col(id_col), F.col(vec_col), F.array_max(v).alias("_scale")
+    )
     q = F.transform(
         F.col(vec_col),
         lambda x: F.when(
-            scale > 0, F.round(F.lit(127.0) * x.cast("double") / scale, 0)
+            F.col("_scale") > 0,
+            F.round(F.lit(127.0) * x.cast("double") / F.col("_scale"), 0),
         )
         .otherwise(F.lit(0.0))
         .cast("int"),
     )
-    return emb.select(
+    return scaled.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
+        F.round(F.col("_scale"), 6).alias("scale"),
         q.alias("q_vec"),
     )
 
@@ -173,21 +180,29 @@ def truncate_renorm(
     full vector). Fully map-side, no shuffle, no UDF. Zero prefixes
     stay zero (norm 0 guard). Components round to 6 decimals so both
     engines agree on the emitted floats."""
+    # norm hoisted into its own projection — referencing the fold
+    # inside the renorm lambda would recompute it per element, O(d^2)
+    # per vector (matters at real 1k-4k dims).
     prefix = F.slice(F.col(vec_col), 1, dims)
-    norm = F.sqrt(
-        F.aggregate(
-            prefix,
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    normed = emb.select(
+        F.col(id_col),
+        prefix.alias("_pre"),
+        F.sqrt(
+            F.aggregate(
+                prefix,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("_norm"),
     )
     renormed = F.transform(
-        prefix,
-        lambda x: F.when(norm > 0, F.round(x.cast("double") / norm, 6))
-        .otherwise(F.lit(0.0)),
+        F.col("_pre"),
+        lambda x: F.when(
+            F.col("_norm") > 0, F.round(x.cast("double") / F.col("_norm"), 6)
+        ).otherwise(F.lit(0.0)),
     )
-    return emb.select(
+    return normed.select(
         F.col(id_col),
-        F.round(norm, 6).alias("prefix_norm"),
+        F.round(F.col("_norm"), 6).alias("prefix_norm"),
         renormed.alias("vec_trunc"),
     )

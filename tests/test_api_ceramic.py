@@ -163,15 +163,25 @@ def test_ceramic_source_union(spark):
     docs = spark.createDataFrame(
         [
             ("k2t6stream1", "v1", "did:key:z6Alice", None, None, "Offchain post",
-             "body text", ["tag1"], "{}", t, t, t, False),
+             "body text", ["tag1"], "{}", t, t, t, False, None),
             ("k2t6stream2", "v1", "did:key:z6Bob", None, None, "Deleted one",
-             "x", [], "{}", t, t, t, True),
+             "x", [], "{}", t, t, t, True, None),
+            # pin-only heartbeat (change touched last_pinged only) —
+            # reference's change-stream handler skips these
+            ("k2t6stream3", "v2", "did:key:z6Eve", None, None, "Heartbeat",
+             "y", [], "{}", t, t, t, False, ["last_pinged"]),
+            # real edit event: changed body + last_pinged -> passes
+            ("k2t6stream4", "v3", "did:key:z6Dan", None, None, "Edited",
+             "z", [], "{}", t, t, t, False, ["body", "last_pinged"]),
         ],
         CERAMIC_DOCS_SCHEMA,
     )
     cer = ceramic_posts(docs)
     rows = cer.collect()
-    assert len(rows) == 1  # deleted doc dropped
+    assert len(rows) == 2  # deleted doc + pin heartbeat dropped
+    assert {r.permlink for r in rows} == {"k2t6stream1", "k2t6stream4"}
+    cer = cer.filter(F.col("permlink") == "k2t6stream1")
+    rows = cer.collect()
     assert rows[0].author == "did:key:z6Alice"
     assert rows[0].permlink == "k2t6stream1"
     assert rows[0].TYPE == "CERAMIC" and rows[0].off_chain_id == "k2t6stream1"
@@ -300,3 +310,19 @@ def test_assign_stream_ids_idempotent(spark):
     assert flagged_for_stream_id(once).count() == 1  # only u5 remains
     twice = assign_stream_ids(once, assignments)
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_assign_stream_ids_dedups_duplicate_assignments(spark):
+    """A retried refresh can snapshot duplicate rows for one key; the
+    merge must not fan out the posts table (min stream_id wins)."""
+    from union_indexer_node_spark.sources.ceramic import assign_stream_ids
+
+    posts = _stream_id_posts(spark)
+    dup = spark.createDataFrame(
+        [("u1", "p1", "ceramic://bbb"), ("u1", "p1", "ceramic://aaa")],
+        "author string, permlink string, stream_id string",
+    )
+    out = assign_stream_ids(posts, dup).collect()
+    assert len(out) == len(posts.collect())  # no key fan-out
+    u1 = [r for r in out if r.author == "u1"][0]
+    assert u1.offchain_id == "ceramic://aaa"  # deterministic winner

@@ -91,6 +91,9 @@ def _ops_rows():
         # (d) app variety + first_upload ordering for alice
         comment(40, "alice", "post2", "second", app="3speak/2.0"),
         comment(17, "henry", "buzz", "b", app="dbuzz/2"),
+        # henry's FIRST 3speak post comes after his dbuzz post: the W3
+        # window ranks 3speak posts only, so this must flag first_upload
+        comment(45, "henry", "vid1", "v", app="3speak/1.0"),
         comment(18, "iris", "other", "o", app="other/1"),
         # votes
         vote(50, "alice", "post1", "v_a"),
@@ -175,6 +178,10 @@ def test_first_upload_window(spark, ops):
     assert rows[("alice", "post1")].first_upload  # W3: earliest 3speak post
     assert not rows[("alice", "post2")].first_upload
     assert not rows[("iris", "other")].first_upload  # not a 3speak post
+    # the window ranks 3SPEAK posts, not all posts: henry's first post
+    # overall was dbuzz, but vid1 is his first 3speak -> flagged
+    assert rows[("henry", "vid1")].first_upload
+    assert not rows[("henry", "buzz")].first_upload
 
 
 def test_follows_tombstone(spark, ops):

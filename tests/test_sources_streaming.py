@@ -126,10 +126,20 @@ def test_intra_tx_beneficiaries_and_authority(spark):
               permlink=None, title=None, body=None, json_metadata=None,
               custom_json_id="3speak-publish", custom_json="{}",
               required_posting_auths=["threespeak"])
+    # a SECOND comment_options in the same tx: must not fan out the
+    # comment row (which would duplicate _events and double-apply edit
+    # patches); the later op wins
+    co2 = dict(co, op_idx=3,
+               extensions=json.dumps(
+                   [["comment_payout_beneficiaries",
+                     {"beneficiaries": [{"account": "spk.second",
+                                         "weight": 100}]}]]))
     plain = comment(9, "txt", "t1", "no extras")
-    ops = spark.createDataFrame([base, co, cj, plain], schema=OPS_SCHEMA)
-    rows = {r.permlink: r for r in build_posts(ops).collect()}
-    assert rows["v1"].beneficiaries == [("spk.beneficiary", 900)]
+    ops = spark.createDataFrame([base, co, co2, cj, plain], schema=OPS_SCHEMA)
+    out = build_posts(ops).collect()
+    assert len([r for r in out if r.permlink == "v1"]) == 1, "benef fan-out"
+    rows = {r.permlink: r for r in out}
+    assert rows["v1"].beneficiaries == [("spk.second", 100)]  # last op wins
     assert rows["v1"].authority_signed is True
     assert rows["t1"].beneficiaries is None
     assert rows["t1"].authority_signed is False
@@ -213,10 +223,12 @@ def test_streaming_rewrite_is_partition_bounded(spark, tmp_path):
     assert got == {"p1": "day one", "p2": "day two"}
 
 
-def test_streaming_partition_migration_on_edit(spark, tmp_path):
-    """An edit arriving in a later batch moves the post's created_at
-    (per-batch min): the winner must land in the new date partition and
-    the stale row's old partition must not keep a duplicate."""
+def test_streaming_edit_keeps_created_at_and_backfill_migrates(spark, tmp_path):
+    """Batch-rebuild equivalence for the cross-event timestamps: a
+    LATER edit wins the LWW but must NOT move created_at (first-seen
+    time is min over ALL events, like the batch pipeline computes); a
+    BACKFILLED earlier event pulls created_at backward, migrating the
+    row's date partition and removing the emptied one."""
     import os
 
     from union_indexer_node_spark.streaming.stream import (
@@ -228,26 +240,34 @@ def test_streaming_partition_migration_on_edit(spark, tmp_path):
     state_dir = str(tmp_path / "posts_state")
     ckpt = str(tmp_path / "ckpt")
 
-    b1 = spark.createDataFrame([comment(10, "a", "p1", "v1")], schema=OPS_SCHEMA)
-    b1.write.parquet(ops_dir + "/f1.parquet")
-    sq = start_posts_stream(
-        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
-    )
-    sq.awaitTermination(120)
+    def run(batch_rows, fname):
+        spark.createDataFrame(batch_rows, schema=OPS_SCHEMA).write.parquet(
+            ops_dir + f"/{fname}.parquet"
+        )
+        sq = start_posts_stream(
+            spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+        )
+        sq.awaitTermination(120)
 
-    # same key, higher block, next day -> LWW winner migrates partitions
-    b2 = spark.createDataFrame([comment(2000, "a", "p1", "v2")], schema=OPS_SCHEMA)
-    b2.write.parquet(ops_dir + "/f2.parquet")
-    sq = start_posts_stream(
-        spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
-    )
-    sq.awaitTermination(120)
+    run([comment(2000, "a", "p1", "v1")], "f1")
+    d1 = spark.read.parquet(state_dir).collect()[0].created_date
 
+    # later edit: LWW winner's body, but created_at must NOT move
+    run([comment(3000, "a", "p1", "v2")], "f2")
     rows = spark.read.parquet(state_dir).collect()
     assert len(rows) == 1 and rows[0].body == "v2"
-    assert not os.path.isdir(os.path.join(state_dir, "created_date=2024-01-01")), (
-        "emptied partition must be removed, not left with the stale row"
-    )
+    assert rows[0].created_date == d1, "later edit must not reset created_at"
+
+    # backfilled EARLIER event: body keeps the LWW winner (h=3000), but
+    # created_at pulls back to the backfill date; the emptied later
+    # partition is removed
+    run([comment(10, "a", "p1", "v0")], "f3")
+    rows = spark.read.parquet(state_dir).collect()
+    assert len(rows) == 1 and rows[0].body == "v2"
+    assert rows[0].created_date < d1, "backfill must pull created_at back"
+    assert not os.path.isdir(
+        os.path.join(state_dir, f"created_date={d1}")
+    ), "emptied partition must be removed, not left with the stale row"
 
 
 # --- multimodal plumbing ----------------------------------------------------
@@ -279,3 +299,126 @@ def test_multimodal_probe_and_frame_plan(spark):
         spark.createDataFrame([(1, 61)], "id long, n_frames int"), every_n=30
     )
     assert [r.frame_idx for r in plan.collect()] == [0, 30, 60]
+
+
+def test_streaming_same_block_edit_tiebreak(spark, tmp_path):
+    """Same-block edits split across batches must resolve by the full
+    (block, tx, op) order key, not partition order: the higher tx_idx
+    wins deterministically."""
+    from union_indexer_node_spark.streaming.stream import (
+        ops_file_stream,
+        start_posts_stream,
+    )
+
+    ops_dir = str(tmp_path / "ops")
+    state_dir = str(tmp_path / "posts_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(batch_rows, fname):
+        spark.createDataFrame(batch_rows, schema=OPS_SCHEMA).write.parquet(
+            ops_dir + f"/{fname}.parquet"
+        )
+        sq = start_posts_stream(
+            spark, ops_file_stream(spark, ops_dir, OPS_SCHEMA), state_dir, ckpt
+        )
+        sq.awaitTermination(120)
+
+    run([comment(10, "a", "p1", "early-tx", tx=5)], "f1")
+    # lower tx in the SAME block arrives later: must NOT win
+    run([comment(10, "a", "p1", "stale-tx", tx=1)], "f2")
+    rows = spark.read.parquet(state_dir).collect()
+    assert len(rows) == 1 and rows[0].body == "early-tx"
+
+
+def test_stream_exact_dedup_null_texts_pass_through(spark, tmp_path):
+    """Distinct NULL-text docs must NOT collapse into one (md5(NULL) is
+    NULL and null keys would compare equal in the dedup state)."""
+    import datetime as dt
+
+    from union_indexer_node_spark.streaming.windows import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "nd_src")
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(
+        [
+            (1, None, t0),
+            (2, None, t0 + dt.timedelta(minutes=1)),
+            (3, "same body", t0 + dt.timedelta(minutes=2)),
+            (4, "same body", t0 + dt.timedelta(minutes=3)),
+        ],
+        schema,
+    ).write.parquet(src + "/b1.parquet")
+    q = (
+        stream_exact_dedup(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("nd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("nd_test").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert 1 in ids and 2 in ids  # both null docs survive
+    assert len([i for i in ids if i in (3, 4)]) == 1  # real dup collapsed
+
+
+def test_sessionize_splits_on_event_time_gap_within_batch(spark, tmp_path):
+    """A replayed day in ONE micro-batch must split into sessions at
+    >30-min event-time gaps, not fold into one giant session."""
+    import datetime as dt
+
+    from union_indexer_node_spark.streaming.windows import sessionize
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    src = str(tmp_path / "sess_src")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    rows = [
+        # burst 1: 3 events within 10 min
+        (7, t0), (7, t0 + dt.timedelta(minutes=5)), (7, t0 + dt.timedelta(minutes=10)),
+        # 4-hour gap -> new session
+        (7, t0 + dt.timedelta(hours=4)), (7, t0 + dt.timedelta(hours=4, minutes=2)),
+        # another 2-hour gap -> third (stays open in state)
+        (7, t0 + dt.timedelta(hours=6, minutes=30)),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(
+        src + "/b1.parquet"
+    )
+    q = (
+        sessionize(
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    emitted = (
+        spark.read.parquet(out_dir).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(out_dir))
+        else []
+    )
+    # the two CLOSED sessions emit in-batch; the open third stays in state
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events) for r in emitted
+    )
+    assert len(got) == 2
+    assert got[0] == (t0, t0 + dt.timedelta(minutes=10), 3)
+    assert got[1] == (
+        t0 + dt.timedelta(hours=4),
+        t0 + dt.timedelta(hours=4, minutes=2),
+        2,
+    )

@@ -59,12 +59,20 @@ def _intra_tx_enrichments(ops: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(
             "block_height",
             "tx_idx",
+            "op_idx",
             F.from_json(
                 F.get_json_object(F.col("extensions"), BENEFICIARIES_PATH),
                 BENEFICIARIES_SCHEMA,
             ).alias("beneficiaries"),
         )
         .filter(F.col("beneficiaries").isNotNull())
+        # One row per tx like auth below: without this, two
+        # comment_options in one tx would fan out the comment join,
+        # duplicating _events structs and double-applying edit patches.
+        # Last op in the tx wins (the reference reads the op it reaches
+        # last imperatively).
+        .groupBy("block_height", "tx_idx")
+        .agg(F.max_by("beneficiaries", "op_idx").alias("beneficiaries"))
     )
     auth = (
         ops.filter(
@@ -161,26 +169,35 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
         )
     )
 
-    # W3 — first_upload: author's first allowed-app video post
-    # (hive-stream.ts:623-631 checks existence at ingest; the window is
-    # the order-insensitive equivalent).
-    w_first = Window.partitionBy("author").orderBy(
-        "created_at", "block_height", "permlink"
+    # W3 — first_upload: author's first 3SPEAK post (hive-stream.ts:
+    # 623-631 checks existence at ingest; SURVEY W3 scopes the window
+    # to 3speak posts). A row_number over ALL the author's posts would
+    # miss authors whose first post overall was a different app, so the
+    # flag compares against the min order-struct among 3speak rows only
+    # (min skips the non-3speak nulls).
+    is_3speak = F.col("post_type") == "3speak"
+    order_struct = F.struct("created_at", "block_height", "permlink")
+    first_3speak = F.min(F.when(is_3speak, order_struct)).over(
+        Window.partitionBy("author")
     )
     posts = posts.withColumn(
         "first_upload",
-        F.when(
-            F.col("post_type") == "3speak",
-            F.row_number().over(w_first) == 1,
-        ).otherwise(F.lit(False)),
+        F.coalesce(is_3speak & (order_struct == first_3speak), F.lit(False)),
     )
 
     # J9 — parent allowlist fixpoint (hive-stream.ts:513-527).
     allowed_by_type = F.col("post_type").isin(ALLOWED_APPS)
     posts = posts.withColumn("allowed_by_type", allowed_by_type)
 
-    roots = posts.filter(~is_comment & allowed_by_type).select(
-        F.col("author").alias("pa"), F.col("permlink").alias("pp")
+    # localCheckpoint: roots feeds both the level-1 fixpoint join and
+    # the final all_allowed union — without materializing this (narrow,
+    # key-only) frame, each consumer re-executes the whole upstream
+    # plan including the editfold Arrow UDF, the engine's most
+    # expensive stage.
+    roots = (
+        posts.filter(~is_comment & allowed_by_type)
+        .select(F.col("author").alias("pa"), F.col("permlink").alias("pp"))
+        .localCheckpoint()
     )
     # Fixpoint hygiene: the (narrow) comment key set is persisted — it is
     # re-joined every level — and each level plus the accumulated set is

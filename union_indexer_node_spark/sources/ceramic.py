@@ -18,21 +18,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Input shape of offchain docs (graph.docs); content is the post body
-# document, creator_id the DID.
+# document, creator_id the DID. ``changed_fields`` is the CDC
+# updateDescription analog (which fields the change event touched);
+# NULL means a full-document event (insert/replace/snapshot read).
 CERAMIC_DOCS_SCHEMA = """
     stream_id string, version_id string, creator_id string,
     parent_author string, parent_permlink string,
     title string, body string, tags array<string>,
     json_metadata string, created_at timestamp, updated_at timestamp,
-    last_pinged timestamp, deleted boolean
+    last_pinged timestamp, deleted boolean,
+    changed_fields array<string>
 """
+
+# fields whose change alone is a heartbeat, not content
+_PIN_ONLY_FIELDS = ["last_pinged", "last_checked"]
 
 
 def ceramic_posts(docs: DataFrame) -> DataFrame:
     """Map offchain docs -> post rows (services/index.ts:77-119):
     author = DID, permlink = stream id, TYPE/__t discriminators set to
     CERAMIC; pin-only heartbeats and deletes dropped (the reference
-    filters both in the change-stream handler, :67-76)."""
+    filters both in the change-stream handler, :67-76 — a change event
+    whose updated fields are all pin bookkeeping is skipped). Rows
+    without a ``changed_fields`` column (or NULL) are full-document
+    events and always pass."""
+    if "changed_fields" in docs.columns:
+        pin_only = F.col("changed_fields").isNotNull() & (
+            F.size(
+                F.array_except(
+                    F.col("changed_fields"),
+                    F.array(*[F.lit(f) for f in _PIN_ONLY_FIELDS]),
+                )
+            )
+            == 0
+        )
+        docs = docs.filter(~pin_only)
     return (
         docs.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         .select(
@@ -94,11 +114,14 @@ def assign_stream_ids(posts: DataFrame, assignments: DataFrame) -> DataFrame:
     refresh batch), so it broadcasts; the posts table is never
     shuffled — one broadcast hash join + a projection.
     """
-    a = assignments.select(
+    # One assignment per key: a retried refresh can snapshot duplicate
+    # (author, permlink) rows, and an un-deduped broadcast join would
+    # fan out the posts table (duplicate keys downstream). min() is the
+    # deterministic winner.
+    a = assignments.groupBy(
         F.col("author").alias("_a_author"),
         F.col("permlink").alias("_a_permlink"),
-        F.col("stream_id").alias("_a_stream_id"),
-    )
+    ).agg(F.min("stream_id").alias("_a_stream_id"))
     # Eligibility must be computed against the PRE-merge offchain_id;
     # materialize it as a column before either output column overwrites
     # the inputs it reads.

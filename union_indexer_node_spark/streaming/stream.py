@@ -64,15 +64,24 @@ def start_posts_stream(
     (the batch pipeline) remains the reconciliation path, exactly like
     the reference's reindex twin worker (hive-stream-reindex.ts).
 
+    Cross-batch aggregates are inherited, not recomputed: a later
+    batch's build_posts sees only that batch's events, so its
+    created_at (min event time) / updated_at (max event time) are
+    batch-local; the merge takes least/greatest against the snapshot's
+    values per key so both match the full-batch rebuild.
+
     The snapshot is date-partitioned on ``created_date`` and each
-    micro-batch rewrites ONLY the partitions it touches (dynamic
-    partition overwrite) — O(touched days), not O(table), per batch.
-    Touched = dates carried by the batch's new rows PLUS dates of
-    existing rows whose key the batch updates (an edit arriving in a
-    later batch can move a post's created_at, i.e. migrate partitions).
-    A partition whose last surviving row was migrated away is removed
-    explicitly — dynamic overwrite cannot drop a partition it writes
-    zero rows into. On Delta/Iceberg all of this is one MERGE.
+    micro-batch REWRITES only the partitions it touches (dynamic
+    partition overwrite) — write cost is O(touched days). The read side
+    is honest-O(rows-of-key-columns): finding the old dates / prior
+    timestamps of updated keys scans the snapshot's (author, permlink,
+    created_at, updated_at, created_date) columns (parquet
+    column-pruned, not full rows) each batch. Bounding the read to
+    O(touched keys) as well needs a key -> created_date sidecar index
+    or a transactional format; on Delta/Iceberg all of this is one
+    MERGE. A partition whose last surviving row was migrated away is
+    removed explicitly — dynamic overwrite cannot drop a partition it
+    writes zero rows into.
     """
 
     def _touched_dates(current: DataFrame, new_posts: DataFrame) -> list:
@@ -88,6 +97,34 @@ def start_posts_stream(
             for r in new_dates.unionByName(old_dates).distinct().collect()
             if r[0] is not None
         ]
+
+    def _merge_with_timestamps(cur: DataFrame, new_posts: DataFrame) -> DataFrame:
+        """Row-level LWW for event-carried fields + per-key aggregate
+        merge for the cross-event timestamps: created_at = min over
+        BOTH sides, updated_at = max — regardless of which side's row
+        wins the LWW. A later-batch edit therefore cannot reset a
+        post's first-seen time (and a backfilled earlier event pulls it
+        back), matching the full batch rebuild exactly."""
+        key = ["author", "permlink"]
+        ts_cols = [*key, "created_at", "updated_at"]
+        ts = (
+            cur.select(*ts_cols)
+            .unionByName(new_posts.select(*ts_cols))
+            .groupBy(*key)
+            .agg(
+                F.min("created_at").alias("created_at"),
+                F.max("updated_at").alias("updated_at"),
+            )
+        )
+        merged = upsert(
+            cur,
+            new_posts,
+            key,
+            [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")],
+        ).drop("created_at", "updated_at", "created_date")
+        return merged.join(ts, key).withColumn(
+            "created_date", F.to_date("created_at")
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -107,11 +144,9 @@ def start_posts_stream(
 
         if current is not None and "created_date" not in current.columns:
             # legacy unpartitioned snapshot: one full rewrite migrates it
-            merged = upsert(
+            merged = _merge_with_timestamps(
                 current.withColumn("created_date", F.to_date("created_at")),
                 new_posts,
-                ["author", "permlink"],
-                [F.col("block_height")],
             )
             write_snapshot(merged, state_dir + ".tmp", partition_by=["created_date"])
             shutil.rmtree(state_dir)
@@ -123,12 +158,13 @@ def start_posts_stream(
             return
 
         touched = _touched_dates(current, new_posts)
-        merged = upsert(
-            current.filter(F.col("created_date").isin(touched)),
-            new_posts,
-            ["author", "permlink"],
-            [F.col("block_height")],
-        ).withColumn("created_date", F.to_date("created_at"))
+        # Full LWW order key inside _merge_with_timestamps: block_height
+        # alone ties for same-block edits, making the winner
+        # partition-order dependent — the tiebreakers keep replays
+        # byte-identical (T1/T2).
+        merged = _merge_with_timestamps(
+            current.filter(F.col("created_date").isin(touched)), new_posts
+        )
         # localCheckpoint materializes the (touched-partitions-only)
         # merge result so the write plan no longer reads state_dir —
         # Spark refuses to overwrite a path it is also reading from.

@@ -44,12 +44,23 @@ def stream_exact_dedup(
     evicted once the watermark passes — bounded state, unlike a naive
     dropDuplicates whose key set grows forever. The batch
     `pipelines.dedup.exact_dedup` remains the reconciliation path for
-    duplicates farther apart than the horizon."""
-    return (
-        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    duplicates farther apart than the horizon.
+
+    NULL-text rows bypass the dedup entirely: md5(NULL) is NULL and
+    dropDuplicatesWithinWatermark treats NULL keys as equal, which
+    would silently collapse distinct no-content documents into one.
+    The null branch is stateless, so its separate watermark node cannot
+    pin anything."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    deduped = (
+        hashed.filter(F.col("text_hash").isNotNull())
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+    nulls = hashed.filter(F.col("text_hash").isNull()).withWatermark(
+        time_col, watermark
+    )
+    return deduped.unionByName(nulls)
 
 
 def windowed_counts(
@@ -79,14 +90,22 @@ def windowed_counts(
 
 SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
 _STATE_SCHEMA = "start long, last long, n int"
+_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity gap, event time
 
 
 def _session_fn(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold each user's events into the open session; emit the session
-    when the inactivity timeout fires. Timestamps tracked as epoch
-    micros in state (state schema must be flat)."""
+    """Fold each user's events into gap-delimited sessions. The 30-min
+    inactivity gap is enforced in EVENT time within the batch (events
+    are sorted and split wherever consecutive timestamps are more than
+    the gap apart — a replayed day of history in one micro-batch still
+    yields one session per activity burst, not one giant session), and
+    across batches (a batch whose earliest event is past the open
+    session's last + gap closes that session first). Closed sessions
+    emit immediately; the trailing open session stays in state and
+    emits when the processing-time timeout fires. Timestamps tracked as
+    epoch micros in state (state schema must be flat)."""
     if state.hasTimedOut:
         start, last, n = state.get
         state.remove()
@@ -100,23 +119,33 @@ def _session_fn(
         )
         return
 
-    ts_min, ts_max, count = None, None, 0
+    ts_us: list[int] = []
     for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"])
-        lo, hi = ts.min(), ts.max()
-        ts_min = lo if ts_min is None else min(ts_min, lo)
-        ts_max = hi if ts_max is None else max(ts_max, hi)
-        count += len(pdf)
-    lo_us = int(ts_min.value // 1000)
-    hi_us = int(ts_max.value // 1000)
-    if state.exists:
-        start, last, n = state.get
-        state.update((min(start, lo_us), max(last, hi_us), n + count))
-    else:
-        state.update((lo_us, hi_us, count))
-    state.setTimeoutDuration(30 * 60 * 1000)  # 30 min inactivity gap
+        ts_us.extend(int(v) // 1000 for v in pd.to_datetime(pdf["ts"]).astype("int64"))
+    ts_us.sort()
+
+    open_session = list(state.get) if state.exists else None  # [start, last, n]
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if open_session is None:
+            open_session = [t, t, 1]
+        elif t - open_session[1] <= _GAP_US:
+            open_session[1] = max(open_session[1], t)
+            open_session[2] += 1
+        else:
+            closed.append(tuple(open_session))
+            open_session = [t, t, 1]
+
+    if open_session is not None:
+        state.update(tuple(open_session))
+        state.setTimeoutDuration(30 * 60 * 1000)
     yield pd.DataFrame(
-        columns=["user_id", "session_start", "session_end", "n_events"]
+        {
+            "user_id": [key[0]] * len(closed),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+            "n_events": [n for _, _, n in closed],
+        }
     )
 
 

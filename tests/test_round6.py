@@ -261,3 +261,103 @@ def test_truncate_renorm_unit_norm_and_zero_guard(spark):
     assert abs(out[1].prefix_norm - 5.0) < 1e-6
     assert abs(sum(x * x for x in out[1].vec_trunc) - 1.0) < 1e-4
     assert out[2].prefix_norm == 0.0 and list(out[2].vec_trunc) == [0.0, 0.0]
+
+
+def test_spkvideo_view_ansi_edge_cases(spark):
+    """Default-ANSI Spark 4: empty images array and a body without the
+    '---' divider must yield defaults/NULL, not an array-index crash;
+    malformed asset strings must degrade to NULL, not abort."""
+    from union_indexer_node_spark.functions.scalars import (
+        asset_to_float,
+        spkvideo_view,
+    )
+
+    df = spark.createDataFrame(
+        [(120.0, [], None, "no divider here", "al", "p1")],
+        "duration double, images array<string>, "
+        "sm array<struct<type:string,url:string,format:string>>, "
+        "body string, author string, permlink string",
+    )
+    row = df.select(
+        spkvideo_view(
+            F.col("duration"), F.col("images"), F.col("sm"), F.col("body"),
+            F.col("author"), F.col("permlink"),
+        ).alias("sv")
+    ).collect()[0]
+    assert row.sv.thumbnail_url.endswith("thumbnails/default.png")
+    assert row.sv.short_description is None
+
+    bad = spark.createDataFrame([("",), ("HBD",), ("1.5 HBD",)], "a string")
+    vals = [r.v for r in bad.select(asset_to_float(F.col("a")).alias("v")).collect()]
+    assert vals == [None, None, 1.5]
+
+
+def test_search_feed_skip_and_punctuated_terms(spark):
+    """searchFeed pagination (skip) and query-term tokenization parity:
+    a punctuated term matches as its word tokens, like Mongo $text."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import feeds
+
+    posts = tables.posts(spark, SF_DIR)
+    p1 = feeds.search_feed(posts, "plain body", feeds.FeedSpec(limit=5))
+    p2 = feeds.search_feed(posts, "plain body", feeds.FeedSpec(limit=5, skip=5))
+    a, b = [r.permlink for r in p1.collect()], [r.permlink for r in p2.collect()]
+    assert a and b and not set(a) & set(b), "skip must advance the page"
+
+    # 'plain-body' tokenizes to the same two tokens
+    punct = feeds.search_feed(posts, "plain-body!", feeds.FeedSpec(limit=5))
+    assert [r.permlink for r in punct.collect()] == a
+
+
+def test_time_rollup_hourly_buckets(spark):
+    """Sub-day granularity must produce per-hour buckets, not collapse
+    into one day."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators.temporal import time_rollup
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [(t0 + dt.timedelta(hours=h), "a", 1.0) for h in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, type string, value double")
+    out = time_rollup(df, "ts", "type", "value", granularity="hour")
+    buckets = {r.bucket for r in out.collect() if r.bucket is not None}
+    assert len(buckets) == 5
+    assert "2024-06-01 03:00" in buckets
+
+
+def test_api_feed_parity_fixes(spark):
+    """trendingBy omitted -> comment-count ordering (reference has no
+    schema default); community_feed accepts the _id form; spkvideo
+    filters reach searchFeed."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR)
+    default = api.trending_feed(posts, {"limit": 10})
+    assert "num_comments" in default.columns  # comments arm engaged
+
+    by_name = api.community_feed(posts, {"id": "hive-3", "limit": 5}).collect()
+    by_id = api.community_feed(posts, {"id": "hive/hive-3", "limit": 5}).collect()
+    assert by_name and [r.permlink for r in by_id] == [
+        r.permlink for r in by_name
+    ]
+
+    silver = posts.withColumn("first_upload", F.col("event_id") % 2 == 0)
+    filtered = api.search_feed(
+        silver, {"term": "plain", "spkvideo": {"firstUpload": True}, "limit": 50}
+    )
+    assert all(r.first_upload for r in filtered.collect())
+
+
+def test_ann_topk_single_scan_no_shuffle_join(spark):
+    """The probe scan must be one map-side bucket filter over the
+    corpus — no self-join, no exchange before the top-k."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.ann_lsh import ann_topk, hyperplanes
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    planes = hyperplanes(64, 4)
+    q = [0.1] * 64
+    df = ann_topk(emb, q, planes, k=5)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "Join" not in plan, plan

@@ -66,8 +66,12 @@ def is_short(duration: Column, height: Column, width: Column) -> Column:
 
 
 def asset_to_float(asset: Column) -> Column:
-    """X16 — '1.234 HBD' -> 1.234 (core.ts:104, post-stats.ts:46-48)."""
-    return F.split(asset, " ").getItem(0).cast("double")
+    """X16 — '1.234 HBD' -> 1.234 (core.ts:104, post-stats.ts:46-48).
+    try_cast: under Spark 4's default ANSI mode a plain cast on a
+    malformed asset string ('' / 'HBD' in dirty chain data) would abort
+    the whole query; NULL-per-row matches the reference's parseFloat
+    NaN tolerance."""
+    return F.split(asset, " ").getItem(0).try_cast("double")
 
 
 def payout_value(pending: Column, total: Column, curator: Column, last_payout: Column) -> Column:
@@ -153,8 +157,13 @@ def spkvideo_view(
             F.lit("default.m3u8"),
         )
     )
+    # try_element_at both places: under default-ANSI Spark 4, plain
+    # element_at throws on an empty images array (index -1) or a body
+    # without the divider (index 2) instead of returning NULL.
     thumbnail = F.coalesce(
-        F.element_at(F.coalesce(images, F.array().cast("array<string>")), -1),
+        F.try_element_at(
+            F.coalesce(images, F.array().cast("array<string>")), F.lit(-1)
+        ),
         F.concat_ws(
             "/",
             F.lit("https://threespeakvideo.b-cdn.net"),
@@ -162,7 +171,7 @@ def spkvideo_view(
             F.lit("thumbnails/default.png"),
         ),
     )
-    short_desc = F.element_at(F.split(body, r"---\n\n"), 2)
+    short_desc = F.try_element_at(F.split(body, r"---\n\n"), F.lit(2))
     return F.when(
         duration.isNotNull(),
         F.struct(

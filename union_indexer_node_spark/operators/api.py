@@ -56,6 +56,14 @@ def spkvideo_filters(args: Mapping[str, Any]):
     return preds
 
 
+def _with_spkvideo(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    """TransformFeedArgs injects the spkvideo predicates into EVERY
+    feed's query (resolvers/index.ts:61-71), not just socialFeed."""
+    for p in spkvideo_filters(args):
+        posts = posts.filter(p)
+    return posts
+
+
 def social_feed(
     posts: DataFrame,
     args: Mapping[str, Any],
@@ -63,28 +71,35 @@ def social_feed(
     social_connections: DataFrame | None = None,
 ) -> DataFrame:
     spec = compile_args(args)
-    for p in spkvideo_filters(args):
-        posts = posts.filter(p)
     return feeds.social_feed(
-        posts, spec, follows=follows, social_connections=social_connections
+        _with_spkvideo(posts, args),
+        spec,
+        follows=follows,
+        social_connections=social_connections,
     )
 
 
 def search_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
-    return feeds.search_feed(posts, args["term"], compile_args(args))
+    return feeds.search_feed(
+        _with_spkvideo(posts, args), args["term"], compile_args(args)
+    )
 
 
 def trending_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    # Reference parity (resolvers/index.ts:236-241): ONLY the literal
+    # 'PAYOUT' selects the payout metric; an omitted or other value
+    # sorts by comment count — there is no schema default.
+    by = "payout" if str(args.get("trendingBy", "")).upper() == "PAYOUT" else "comments"
     return feeds.trending_feed(
-        posts,
+        _with_spkvideo(posts, args),
         compile_args(args),
-        trending_by=args.get("trendingBy", "payout"),
+        trending_by=by,
     )
 
 
 def related_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
     return feeds.related_feed(
-        posts,
+        _with_spkvideo(posts, args),
         args["author"],
         args["permlink"],
         limit=int(args.get("limit", 25)),
@@ -200,9 +215,13 @@ def community_feed(
 ) -> DataFrame:
     """The community root field's nested latestFeed/trendingFeed
     (resolvers/index.ts:425-452): socialFeed/trendingFeed with
-    byCommunity {_eq: id} injected into the args."""
+    byCommunity {_eq: id} injected into the args. The id may arrive as
+    the community name ('hive-xxx') or the full _id ('hive/hive-xxx' —
+    the form community() itself accepts); posts store the NAME in
+    parent_permlink, so the _id form is normalized to its last
+    segment."""
     merged = dict(args)
-    merged["byCommunity"] = {"_eq": args["id"]}
+    merged["byCommunity"] = {"_eq": str(args["id"]).rsplit("/", 1)[-1]}
     if trending:
         return trending_feed(posts, merged)
     return feeds.social_feed(posts, compile_args(merged))

@@ -124,20 +124,33 @@ def social_feed(
     return df.limit(spec.limit)
 
 
+def query_tokens(term: str) -> list[str]:
+    """Tokenize a query string with the SAME [^a-z0-9]+ split the body
+    tokenizer uses — Mongo $text tokenizes query and document alike, so
+    a punctuated term ('spark-sql') must match as its word tokens, not
+    as a literal that can never appear in the token array."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
+
+
 def search_feed(posts: DataFrame, term: str, spec: FeedSpec) -> DataFrame:
     """searchFeed (resolvers/index.ts:199-216): Mongo $text over body,
     sorted by created_at (NOT text score — resolvers/index.ts:210-213),
     so token-match + recency sort reproduces observable behavior.
     v1 token-AND match; see pipelines/search.py for the inverted-index
-    scale path."""
-    terms = [t.lower() for t in term.split() if t]
+    scale path. skip/limit per the reference's pagination args."""
+    terms = query_tokens(term)
     tokens = F.split(F.lower(F.col("body")), "[^a-z0-9]+")
     pred = and_of([F.array_contains(tokens, t) for t in terms])
     df = posts.filter(pred) if pred is not None else posts
     base = compile_feed_filter(spec)
     if base is not None:
         df = df.filter(base)
-    return df.orderBy(F.desc("created_at"), F.asc("permlink")).limit(spec.limit)
+    df = df.orderBy(F.desc("created_at"), F.asc("permlink"))
+    if spec.skip:
+        df = df.offset(spec.skip)
+    return df.limit(spec.limit)
 
 
 def trending_feed(
@@ -173,11 +186,10 @@ def trending_feed(
     df = df.join(F.broadcast(anchor)).filter(
         F.col("created_at") > F.col("a") - F.expr(f"INTERVAL {window_days} DAYS")
     )
-    return (
-        df.orderBy(F.desc(key), F.asc("permlink"))
-        .drop("a")
-        .limit(spec.limit)
-    )
+    df = df.orderBy(F.desc(key), F.asc("permlink")).drop("a")
+    if spec.skip:
+        df = df.offset(spec.skip)
+    return df.limit(spec.limit)
 
 
 def trending_tags(posts: DataFrame, *, limit: int = 5, window_days: int = 14) -> DataFrame:

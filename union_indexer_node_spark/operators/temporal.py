@@ -195,9 +195,19 @@ def time_rollup(
     without extra scans."""
     # the bucket is emitted as a formatted string: subtotal rows carry a
     # NULL bucket, and a nullable string column round-trips engines
-    # cleanly where a NaT-bearing timestamp column does not
+    # cleanly where a NaT-bearing timestamp column does not. The format
+    # must carry the granularity's precision — a fixed yyyy-MM-dd would
+    # silently collapse hourly/minute rollups into daily buckets.
+    fmt = {
+        "year": "yyyy",
+        "month": "yyyy-MM",
+        "week": "yyyy-MM-dd",
+        "day": "yyyy-MM-dd",
+        "hour": "yyyy-MM-dd HH:00",
+        "minute": "yyyy-MM-dd HH:mm",
+    }.get(granularity.lower(), "yyyy-MM-dd HH:mm:ss")
     bucket = F.date_format(
-        F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd"
+        F.date_trunc(granularity, F.col(ts_col)), fmt
     ).alias("bucket")
     return (
         df.select(bucket, F.col(dim_col), F.col(value_col))

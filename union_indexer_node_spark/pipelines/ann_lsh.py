@@ -108,9 +108,11 @@ def ann_topk(
                 b ^= 1 << j
             probes.add(b)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    sig = signatures(emb, planes, id_col=id_col, vec_col=vec_col)
-    in_bucket = emb.join(
-        sig.filter(F.col("bucket").isin(list(probes))), id_col, "left_semi"
+    # Direct map-side bucket filter: computing signatures into a second
+    # frame and semi-joining back on id would add a full shuffle join
+    # and defeat the partition pruning this scan exists for.
+    in_bucket = emb.filter(
+        bucket_expr(F.col(vec_col), planes).isin(list(probes))
     )
     return (
         in_bucket.select(
@@ -190,12 +192,15 @@ def brute_topk_batch(
     )
 
 
-def recall_at_k(lsh_topk: DataFrame, exact_topk: DataFrame, *, k: int) -> DataFrame:
+def recall_at_k(
+    lsh_topk: DataFrame, exact_topk: DataFrame, *, k: int, id_col: str = "vec_id"
+) -> DataFrame:
     """recall@k per query: |LSH topk ∩ exact topk| / k. The honest
     quality metric for any ANN index — run it on a sampled query set
     after (re)building buckets to validate the recall/scan-fraction
-    trade documented on ann_topk."""
-    hits = lsh_topk.join(exact_topk, ["q_id", "vec_id"], "left_semi")
+    trade documented on ann_topk. ``id_col`` must match the one the
+    top-k frames were built with."""
+    hits = lsh_topk.join(exact_topk, ["q_id", id_col], "left_semi")
     per_q = hits.groupBy("q_id").agg(F.count("*").alias("n_hits"))
     all_q = exact_topk.select("q_id").distinct()
     return all_q.join(per_q, "q_id", "left").select(

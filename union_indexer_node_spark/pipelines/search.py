@@ -60,8 +60,13 @@ def search_by_index(
 ) -> DataFrame:
     """Token-AND query: intersect the posting lists of each term, then
     semi-join the corpus. Each posting-list filter is a pushed-down
-    equality on the (bucketed/partitioned) token column."""
-    terms = [t.lower() for t in terms if t]
+    equality on the (bucketed/partitioned) token column. Terms are
+    re-tokenized with the index's own tokenizer so a punctuated query
+    ('spark-sql') matches as its word tokens — the index can never hold
+    a token containing punctuation."""
+    from ..operators.feeds import query_tokens
+
+    terms = [t for raw in terms for t in query_tokens(raw)]
     if not terms:
         return corpus
     postings = [

@@ -361,3 +361,93 @@ def test_ann_topk_single_scan_no_shuffle_join(spark):
     df = ann_topk(emb, q, planes, k=5)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_lsh_pipeline_survives_short_and_empty_docs(spark):
+    """One short document must not kill an LSH job: sequence(1,0) is
+    DESCENDING in Spark and element_at would crash under default ANSI."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, ""),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "the quick brown fox jumps over the lazy dog today!"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (3, 4) in pairs  # near-dups still found
+    sigs = minhash_signature(docs, "text", "doc_id").collect()
+    assert all(r.doc_id in (3, 4) for r in sigs)  # shingle-less docs skip banding
+    # simhash must KEEP zero-token docs (fingerprint 0 clusters them)
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert set(sh) == {1, 2, 3, 4}
+    assert sh[2] == 0
+
+
+def test_lsh_rejects_bands_not_dividing_k(spark):
+    from union_indexer_node_spark.pipelines.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(docs, "text", "doc_id", k=8, bands=16)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(docs, "text", "doc_id", k=8, bands=3)
+
+
+def test_connected_components_string_ids_distributed_arm(spark):
+    """The distributed loop must converge for NON-numeric node ids (the
+    old sum-based probe crashed under ANSI / false-converged without)."""
+    from union_indexer_node_spark.pipelines.training import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "a string, b string",
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert {out[n] for n in "abcde"} == {"a"}  # diameter-4 chain converges
+    assert {out[n] for n in "xy"} == {"x"}
+
+
+def test_token_budget_exact_with_inexact_quantization(spark):
+    """Three 1/3 weights quantize to 9999 permyriad — the divisor must
+    be the ACTUAL quantized sum or 97 tokens vanish (verified failure
+    of the fixed-10000 form)."""
+    from union_indexer_node_spark.pipelines.training import (
+        token_budget_allocation,
+    )
+
+    thirds = spark.createDataFrame(
+        [("a", 0.333333), ("b", 0.333333), ("c", 0.333333)],
+        "source string, mix_weight double",
+    )
+    out = token_budget_allocation(thirds, 1_000_000).collect()
+    assert sum(r.alloc_tokens for r in out) == 1_000_000
+
+
+def test_jaccard_pairs_cross_corpus(spark):
+    """b-side ids must resolve against `right`, not `left`."""
+    from union_indexer_node_spark.pipelines.dedup import jaccard_pairs
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (200, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 100), (1, 200)], "a long, b long")
+    out = {(r.a, r.b): r.jaccard for r in jaccard_pairs(
+        left, right, pairs, "text", "doc_id"
+    ).collect()}
+    assert out[(1, 100)] == 1.0
+    assert out[(1, 200)] < 0.5

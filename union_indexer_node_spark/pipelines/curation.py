@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import md5_hex, tokens
 
 # RE2-safe (no lookarounds) so Java regex and DuckDB find identical
 # matches; both are anchored to be greedy over the same character sets.
@@ -147,7 +147,7 @@ def stratified_sample(
     md5's lexicographic order equals (prefix, rest) order, so the
     survivor set provably contains the global per-stratum top and the
     final ranks equal the single-window ranks."""
-    m = F.md5(F.col(id_col).cast("string"))
+    m = md5_hex(F.col(id_col))
     pre = Window.partitionBy(stratum_col, "_shard").orderBy("_md5", id_col)
     w = Window.partitionBy(stratum_col).orderBy("_md5", id_col)
     return (

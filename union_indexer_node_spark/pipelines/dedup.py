@@ -38,6 +38,37 @@ def tokens(text: Column) -> Column:
     )
 
 
+# --- shared md5 determinism primitives --------------------------------------
+# Every sampling/sharding operator derives randomness from md5 so the
+# SAME rows fall out of any engine, any run. One implementation each —
+# a divergent hand copy (different substring width, divisor) would
+# silently break cross-engine reproducibility for just that operator.
+
+
+def md5_hex(col: Column) -> Column:
+    """Canonical string digest of any key column."""
+    return F.md5(col.cast("string"))
+
+
+def md5_draw(col: Column) -> Column:
+    """Deterministic uniform draw on [0, 1): first 8 hex chars of
+    md5(key) over 2^32 (an exact rational — identical double in every
+    engine)."""
+    return (
+        F.conv(F.substring(md5_hex(col), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic bucket in [0, n_buckets): the same 8-hex draw
+    reduced modulo n."""
+    return (
+        F.conv(F.substring(md5_hex(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a pre-computed token array.
 
@@ -45,15 +76,25 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     inlining ``tokens(text)`` here makes Catalyst re-evaluate the
     split/lower tokenizer inside every element_at of the lambda —
     O(tokens·n) tokenizer runs per document (observed 3-4× wall-clock
-    on the LSH pipeline)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    on the LSH pipeline).
+
+    Guarded for <n-token docs INSIDE the expression: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], whose element_at(toks, 0)
+    is an error in every mode and whose out-of-range lookups abort the
+    job under default-ANSI Spark 4 — one short document must not kill
+    an LSH pipeline. CASE only evaluates the taken branch, so the guard
+    is airtight."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -204,6 +245,13 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql import Window
 
+    if bands <= 0 or k % bands != 0:
+        # rows = k // bands silently discarding trailing hashes weakens
+        # the signature; bands > k makes every band_key the hash of an
+        # empty concat — all docs collide in every band (the exact m^2
+        # blowup this module exists to avoid, or with a cap, ZERO
+        # candidates). Fail loudly instead.
+        raise ValueError(f"bands must divide k (k={k}, bands={bands})")
     rows = k // bands
     src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
     sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
@@ -237,6 +285,8 @@ def lsh_bucket_stats(
     auditing what a `bucket_cap` would drop: the candidate pairs lost
     to a cap c are Σ over buckets with n_members > c of n·(n-1)/2. Run
     before choosing the cap; log the over-cap mass in the pipeline."""
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(f"bands must divide k (k={k}, bands={bands})")
     rows = k // bands
     src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
     sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
@@ -263,22 +313,29 @@ def jaccard_pairs(
     than the corpus, so verification cost tracks candidates, not corpus
     size. Callers must pass a MATERIALIZED ``pairs`` frame
     (localCheckpoint/persist): the id derivation references it a second
-    time, and an unmaterialized LSH plan would recompute end-to-end."""
-    if prune:
-        ids = (
-            pairs.select(F.col("a").alias(id_col))
-            .unionByName(pairs.select(F.col("b").alias(id_col)))
-            .distinct()
+    time, and an unmaterialized LSH plan would recompute end-to-end.
+
+    Cross-corpus form: ``a`` ids resolve against ``left``, ``b`` ids
+    against ``right`` (pass the same frame twice for self-dedup)."""
+
+    def _sh(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"),
         )
-        left = left.join(F.broadcast(ids), id_col, "left_semi")
-    sh = left.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col), shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
-    )
+
+    if prune:
+        a_ids = pairs.select(F.col("a").alias(id_col)).distinct()
+        b_ids = pairs.select(F.col("b").alias(id_col)).distinct()
+        left = left.join(F.broadcast(a_ids), id_col, "left_semi")
+        right = right.join(F.broadcast(b_ids), id_col, "left_semi")
+    sh_a = _sh(left)
+    sh_b = _sh(right)
     out = (
-        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
-        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
+        pairs.join(sh_a.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh_b.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -318,4 +375,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> Dat
             F.lit(0).cast("long")
         )
         packed = term if packed is None else packed + term
-    return per_doc.select(F.col(id_col), packed.alias("simhash"))
+    fingerprints = per_doc.select(F.col(id_col), packed.alias("simhash"))
+    # Zero-token docs emit no explode rows and would silently vanish —
+    # precisely the highest-multiplicity duplicate class at corpus
+    # scale. Left-join back: they all carry fingerprint 0 and therefore
+    # cluster together.
+    return (
+        df.select(F.col(id_col))
+        .join(fingerprints, id_col, "left")
+        .withColumn("simhash", F.coalesce("simhash", F.lit(0).cast("long")))
+    )

@@ -105,14 +105,19 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     n-grams (the classic Cavnar-Trenkle-style heuristic, minus the
     rank correlation)."""
     # substring(col, pos, len) needs a literal pos in the Python DSL;
-    # the lambda-index variant goes through expr (and stages the
-    # trigram array per row — see catalyst lambda-inlining note in
-    # dedup.shingles_from_tokens)
-    staged = df.select(
+    # the lambda-index variant goes through expr. lower() is hoisted
+    # into its own projection first — referencing lower(text) inside
+    # the lambda re-lowercases the whole doc per trigram position,
+    # O(len^2) per doc (same hazard char_lm_quality documents). The
+    # CASE guard avoids Spark's descending sequence(1, 0) == [1, 0]
+    # edge fabricating a pseudo-gram for <3-char texts.
+    staged = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")).select(
         F.col(id_col),
         F.expr(
-            f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)), "
-            f"i -> substring(lower({text_col}), i, 3)))"
+            "CASE WHEN char_length(_lt) >= 3 "
+            "THEN array_distinct(transform(sequence(1, char_length(_lt) - 2), "
+            "i -> substring(_lt, i, 3))) "
+            "ELSE CAST(array() AS array<string>) END"
         ).alias("_tris"),
     )
     scores = {

@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_from_tokens, tokens
+from .dedup import md5_bucket, md5_draw, md5_hex, shingles_from_tokens, tokens
 
 
 def _safe_shingles(toks: Column, n: int) -> Column:
@@ -212,11 +212,24 @@ def connected_components(
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint()
     )
-    # Convergence probe: min-propagation only ever LOWERS labels, so the
-    # label sum strictly decreases while anything changes — comparing
-    # sums on the checkpointed frame is one cheap aggregate per
-    # iteration instead of a self-join + count.
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # Convergence probe: min-propagation strictly lowers the label
+    # multiset while anything changes, so the xxhash64-sum fingerprint
+    # changes too — one cheap aggregate per iteration instead of a
+    # self-join + count. The hash makes the probe TYPE-AGNOSTIC: a
+    # plain sum(cluster_id) crashes on string node ids under
+    # default-ANSI Spark 4 (CAST_INVALID_INPUT) and silently returns
+    # NULL==NULL (false convergence after one iteration) without ANSI;
+    # decimal(38,0) keeps 1e12 64-bit terms from overflowing.
+    def _fingerprint(frame: DataFrame):
+        return frame.agg(
+            F.sum(
+                F.xxhash64(F.col("cluster_id").cast("string")).cast(
+                    "decimal(38,0)"
+                )
+            )
+        ).collect()[0][0]
+
+    prev_sum = _fingerprint(labels)
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und.dst == labels.node)
@@ -233,7 +246,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        new_sum = _fingerprint(labels)
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum
@@ -298,14 +311,19 @@ def weighted_sample(
     ``weight_col``. Same draw idiom as curation.stratified_sample —
     reproducible across engines/retries, no rand(). Map-side only.
     """
-    draw = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
-        / F.lit(4294967296.0)
-    )
-    return df.withColumn("draw", F.round(draw, 6)).filter(
-        F.col("draw") < F.col(weight_col)
+    draw = md5_draw(F.col(id_col))
+    # Filter on the UNROUNDED draw: rounding first makes draws in
+    # [1 - 5e-7, 1) round to exactly 1.0 and fail `draw < 1.0`, so a
+    # weight-1.0 source ("keep everything") silently loses ~5e-7 of its
+    # rows (~500k docs at 1e12 scale). The emitted column stays rounded
+    # for display/oracle stability; the draw itself is an exact rational
+    # over 2^32 in every engine, so the unrounded comparison is
+    # deterministic too.
+    return (
+        df.withColumn("_draw_exact", draw)
+        .filter(F.col("_draw_exact") < F.col(weight_col))
+        .withColumn("draw", F.round(F.col("_draw_exact"), 6))
+        .drop("_draw_exact")
     )
 
 
@@ -346,7 +364,7 @@ def epoch_interleave(
     """
     from pyspark.sql import Window
 
-    m = F.md5(F.col(id_col).cast("string"))
+    m = md5_hex(F.col(id_col))
     ranked = df.withColumn("_md5", m).withColumn(
         "_shard", F.substring(F.col("_md5"), 1, 2)
     )
@@ -411,11 +429,7 @@ def hash_split(
     — the property that keeps eval sets stable across pipeline reruns
     (re-shards, backfills, engine swaps). Map-side only, no shuffle.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col(id_col), 1000)
     return df.withColumn("_bucket", bucket).withColumn(
         "split",
         F.when(F.col("_bucket") < test_permille, "test")
@@ -438,20 +452,30 @@ def token_budget_allocation(
     deterministic). All integer arithmetic after one weight
     quantization (permyriad), so the allocation is exact: allocations
     always sum to EXACTLY total_tokens, which proportional-rounding
-    schemes cannot guarantee. Input is the (tiny) per-source weight
-    table (e.g. curation.domain_mixture_weights output); everything
-    here is single-small-frame work, broadcast-scale by construction.
+    schemes cannot guarantee. The divisor is the ACTUAL sum of the
+    quantized weights, not the nominal 10000 — weights that quantize to
+    9999 or 10001 (e.g. three 0.333333 thirds) would otherwise leave
+    the leftover larger than the group count and under/over-allocate.
+    With sum-of-quantized as the divisor, leftover < n_groups by
+    construction and the largest-remainder +1s always absorb it. Input
+    is the (tiny) per-source weight table (e.g.
+    curation.domain_mixture_weights output); everything here is
+    single-small-frame work, broadcast-scale by construction.
     """
     from pyspark.sql import Window
 
     w10k = F.round(F.col(weight_col) * 10000, 0).cast("long")
-    base = (F.lit(total_tokens) * w10k) / F.lit(10000)
-    floor_alloc = F.floor(base).cast("long")
-    remainder = (F.lit(total_tokens) * w10k) % F.lit(10000)
-    per = weights.select(
-        F.col(group_col),
-        floor_alloc.alias("floor_tokens"),
-        remainder.alias("_rem"),
+    q = weights.select(F.col(group_col), w10k.alias("_w"))
+    wsum = q.agg(F.sum("_w").alias("_wsum"))
+    per = (
+        q.join(F.broadcast(wsum))
+        .select(
+            F.col(group_col),
+            F.expr(f"CAST({total_tokens} AS BIGINT) * _w DIV _wsum")
+            .cast("long")
+            .alias("floor_tokens"),
+            (F.lit(total_tokens) * F.col("_w") % F.col("_wsum")).alias("_rem"),
+        )
     )
     # leftover = total - sum(floors): a scalar broadcast join
     leftover = per.agg(

@@ -2738,11 +2738,12 @@ def training_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              ROUND(CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 80
                    / 100.0 + 0.1, 6) AS weight,
-             ROUND(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) / 4294967296.0, 6) AS draw
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS draw_exact
       FROM documents
     )
-    SELECT doc_id, source, weight, draw FROM w WHERE draw < weight
+    SELECT doc_id, source, weight, ROUND(draw_exact, 6) AS draw
+    FROM w WHERE draw_exact < weight
     """,
 )
 def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3975,11 +3976,12 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(mix_weight * 10000, 0) AS BIGINT) AS w10k
       FROM wts
     ),
+    tot AS (SELECT SUM(w10k) AS wsum FROM q),
     alloc AS (
       SELECT source,
-             CAST((1000000 * w10k) // 10000 AS BIGINT) AS floor_tokens,
-             (1000000 * w10k) % 10000 AS rem
-      FROM q
+             CAST((1000000 * w10k) // wsum AS BIGINT) AS floor_tokens,
+             (1000000 * w10k) % wsum AS rem
+      FROM q, tot
     ),
     ranked AS (
       SELECT source, floor_tokens,

@@ -128,6 +128,60 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     assert {2, 5} <= ids
 
 
+def test_stream_exact_dedup_state_evicts_without_null_rows(spark, tmp_path):
+    """Regression (ADVICE r6): the null-text branch used to carry its
+    own withWatermark; on a stream with NO null texts that node never
+    observed a row, so the min-policy global watermark stayed at epoch
+    and dedup state was never evicted. With the stateless null branch,
+    a duplicate arriving far past the watermark horizon must be
+    RE-emitted (its digest state was evicted)."""
+    import datetime as dt
+
+    from union_indexer_node_spark.streaming.windows import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "ev_src")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def drain():
+        q = (
+            stream_exact_dedup(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src),
+                watermark="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "alpha body", t0)], schema).write.parquet(
+        src + "/b1.parquet"
+    )
+    drain()
+    # advance event time far past the horizon so batch-1 state evicts
+    spark.createDataFrame(
+        [(2, "filler body", t0 + dt.timedelta(hours=6))], schema
+    ).write.parquet(src + "/b2.parquet")
+    drain()
+    # duplicate of doc 1, long after eviction: must re-emit
+    spark.createDataFrame(
+        [(3, "alpha body", t0 + dt.timedelta(hours=7))], schema
+    ).write.parquet(src + "/b3.parquet")
+    drain()
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2, 3], ids
+
+
 def test_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: events within the gap
     fold into one session; the inactivity timeout emits it."""

@@ -224,7 +224,11 @@ def community_feed(
     merged["byCommunity"] = {"_eq": str(args["id"]).rsplit("/", 1)[-1]}
     if trending:
         return trending_feed(posts, merged)
-    return feeds.social_feed(posts, compile_args(merged))
+    # Route through the module-level social_feed so the spkvideo
+    # predicates reach this path too — the reference's
+    # Community.latestFeed delegates to Resolvers.socialFeed
+    # (resolvers/index.ts:425-437), which applies them to every feed.
+    return social_feed(posts, merged)
 
 
 def follows_overview(follows: DataFrame, args: Mapping[str, Any]) -> DataFrame:

@@ -135,9 +135,10 @@ type Community {
   name: String
   title: String
   about: String
-  latestFeed(pagination: PaginationOptions,
+  latestFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
              feedOptions: FeedOptions): FeedOutput
-  trendingFeed(pagination: PaginationOptions, feedOptions: FeedOptions,
+  trendingFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
+               feedOptions: FeedOptions,
                trendingBy: TrendingByType): FeedOutput
 }
 

@@ -49,17 +49,19 @@ def stream_exact_dedup(
     NULL-text rows bypass the dedup entirely: md5(NULL) is NULL and
     dropDuplicatesWithinWatermark treats NULL keys as equal, which
     would silently collapse distinct no-content documents into one.
-    The null branch is stateless, so its separate watermark node cannot
-    pin anything."""
+    The null branch carries NO withWatermark: it is a stateless append
+    branch, and giving it its own watermark node would be the quiet-
+    branch pinning hazard `stream_stream_attribution` documents — that
+    node would only ever observe null-text rows, so on streams with
+    no/rare null texts the min-policy global watermark stays at epoch
+    and the dedup state on the main branch is never evicted."""
     hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
     deduped = (
         hashed.filter(F.col("text_hash").isNotNull())
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
-    nulls = hashed.filter(F.col("text_hash").isNull()).withWatermark(
-        time_col, watermark
-    )
+    nulls = hashed.filter(F.col("text_hash").isNull())
     return deduped.unionByName(nulls)
 
 

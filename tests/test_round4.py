@@ -174,35 +174,42 @@ def test_probe_media_uses_file_stats_without_content_scan(spark, tmp_path):
     assert n_tight >= 8, f"expected >=8 byte-budget partitions, got {n_tight}"
 
 
-def test_real_decoder_pillow_path(spark):
-    """The real-codec arm (use_fake_decoder=False): when Pillow is
-    installed, probe_media decodes actual image headers; the stub
-    boundary (NotImplementedError) is only for codec-less containers."""
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
+def test_real_decoder_header_probe_path(spark):
+    """The real (default) arm needs NO codec lib for PNG: the header
+    probe reads width/height straight from the IHDR chunk. Bytes are
+    hand-built so this runs in every container (since round 7 the
+    Pillow arm is only the fallback for other formats)."""
     from union_indexer_node_spark.pipelines.multimodal import probe_media
 
     def png_bytes(w, h):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h)).save(buf, format="PNG")
-        return buf.getvalue()
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])  # bit depth / color / std flags
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + len(ihdr).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # crc (unchecked by the probe)
+        )
 
     media = spark.createDataFrame(
         [(1, png_bytes(32, 48), "image/png"), (2, png_bytes(100, 10), "image/png")],
         "id long, content binary, mime string",
     )
     out = {
-        r.id: (r.width, r.height)
-        for r in probe_media(media, use_fake_decoder=False).collect()
+        r.id: (r.width, r.height) for r in probe_media(media).collect()
     }
     assert out == {1: (32, 48), 2: (100, 10)}
 
 
 def test_real_decoder_raises_without_codec(spark):
-    """Codec-less container: the real-decode arm must fail loudly
-    (NotImplementedError from the worker), never silently fake."""
+    """Codec-less container: an image format BEYOND the pure header
+    probe (webp here) must fail loudly (NotImplementedError from the
+    worker), never silently fake. Corrupt blobs of the pure-header
+    formats are data, not config — covered elsewhere."""
     try:
         import PIL  # noqa: F401
 
@@ -212,9 +219,8 @@ def test_real_decoder_raises_without_codec(spark):
     from py4j.protocol import Py4JJavaError
     from union_indexer_node_spark.pipelines.multimodal import probe_media
 
-    # must be image/* mime: non-image blobs skip the decoder by design
     media = spark.createDataFrame(
-        [(1, b"\x89PNG fake", "image/png")],
+        [(1, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")],
         "id long, content binary, mime string",
     )
     with pytest.raises(Exception) as exc_info:

@@ -284,16 +284,17 @@ def test_multimodal_probe_and_frame_plan(spark):
         ],
         "id long, content binary, mime string",
     )
-    out = {r.id: r for r in probe_media(media).collect()}
+    out = {r.id: r for r in probe_media(media, use_fake_decoder=True).collect()}
     assert out[1].n_bytes == 9
     assert out[1].width == 16 + (0x10 % 64) * 16
     assert out[1].height == 16 + (0x20 % 64) * 16
     assert len(out[1].sha) == 64
     assert out[2].n_bytes == 0 and out[2].width == 0
 
-    # real-decoder path is an explicit stub
-    with pytest.raises(Exception):
-        probe_media(media, use_fake_decoder=False).collect()
+    # default (real) path: the png-labeled blob has no valid header ->
+    # corrupt data -> (0, 0, 0), never a task failure
+    real = {r.id: r for r in probe_media(media).collect()}
+    assert real[1].width == 0 and real[1].n_bytes == 9
 
     plan = frame_sample_plan(
         spark.createDataFrame([(1, 61)], "id long, n_frames int"), every_n=30

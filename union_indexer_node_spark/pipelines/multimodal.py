@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract kernels themselves need codec libraries that
-are NOT in this container — they are stubbed behind
-``NotImplementedError`` with a deterministic fake used by tests. What
-IS real and tested here is everything Spark-side:
+The dimension probe — the only decode the reference's media job needs
+(core.ts:164-191 reads video/image sizes, never pixels) — is REAL and
+codec-free for PNG/JPEG/GIF: their (width, height) live in fixed-layout
+header fields parsed with pure byte math (``_header_dims``). Other
+image formats fall back to Pillow when installed; full pixel decode /
+feature extraction would need codec libraries that are NOT in this
+container and stays behind ``NotImplementedError``, with a
+deterministic fake available for plumbing tests. Also real and tested:
 
 - schema convention: ``content binary`` + ``meta struct<mime,width,...>``
 - Arrow-batched ``mapInPandas`` plumbing (batch shape, schema
@@ -28,20 +32,82 @@ MEDIA_SCHEMA = (
 )
 
 
+# Formats whose dimensions the pure-Python header probe below parses
+# with no codec library: (width, height) live in fixed-layout header
+# fields for all three (reference parity: the dimension job in
+# core.ts:164-191 needs exactly this, never pixel data).
+PURE_HEADER_FORMATS = frozenset({"image/png", "image/jpeg", "image/gif"})
+
+
+def _header_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from raw image-container headers — PNG IHDR,
+    GIF logical screen descriptor, JPEG SOF segment — via pure byte
+    math. Returns None when the bytes match none of the three layouts
+    (corrupt, truncated, or a different format)."""
+    # PNG: 8-byte signature, then the IHDR chunk (len + 'IHDR' + W + H,
+    # both 4-byte big-endian) is required to come first by the spec.
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    # GIF87a/89a: logical screen W/H as little-endian uint16 at 6/8.
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    # JPEG: walk the marker stream from SOI to the first SOF frame
+    # header (any of C0-CF except DHT C4 / JPG C8 / DAC CC), which
+    # carries precision(1) + height(2) + width(2) big-endian.
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 3 < n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            while marker == 0xFF and i + 2 < n:  # fill bytes
+                i += 1
+                marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
 def _decode_image(content: bytes) -> tuple[int, int]:
-    """Real decoder: Pillow-backed (width, height) probe when the codec
-    lib is installed (optional dependency — import inside the worker
-    function so only the real-decode path needs it); raises
-    NotImplementedError otherwise so the stub boundary stays explicit.
-    ``Image.open`` reads only the header for size, so this probe does
-    NOT decompress the full pixel buffer."""
+    """Real decoder: the pure header probe first (PNG/JPEG/GIF — no
+    codec lib at all), then a Pillow-backed probe for every other image
+    format when the optional dependency is installed (imported inside
+    the worker function so only that fallback needs it). Raises
+    NotImplementedError when neither can handle the bytes AND Pillow is
+    absent, so the codec-lib boundary stays explicit. ``Image.open``
+    reads only the header for size, so even the fallback does NOT
+    decompress the full pixel buffer."""
+    dims = _header_dims(content)
+    if dims is not None:
+        return dims
     try:
         import io
 
         from PIL import Image
     except ImportError as exc:  # container has no codec libs
         raise NotImplementedError(
-            "image decode requires codec libs (e.g. Pillow)"
+            "image decode beyond PNG/JPEG/GIF headers requires codec "
+            "libs (e.g. Pillow)"
         ) from exc
     with Image.open(io.BytesIO(content)) as im:
         return (im.width, im.height)
@@ -100,7 +166,7 @@ def _byte_budget_partitions(
 
 
 def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "content",
-                mime_col: str = "mime", use_fake_decoder: bool = True,
+                mime_col: str = "mime", use_fake_decoder: bool = False,
                 target_partition_bytes: int | None = 128 << 20,
                 estimated_bytes: int | None = None,
                 isolate_oversized: bool = False) -> DataFrame:
@@ -130,11 +196,16 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
     evaluates in both arms' scans (two passes over the source), which
     is why strict mode is opt-in rather than the default.
 
-    ``use_fake_decoder=False`` runs the real image kernel (Pillow,
-    optional dependency): image/* blobs get header-probed dimensions;
-    non-image mimes, empty, and corrupt blobs yield (0, 0, 0) rather
-    than failing the task. Without the codec lib installed it raises
-    NotImplementedError inside the workers."""
+    The default is the REAL image kernel: PNG/JPEG/GIF dimensions come
+    from the pure header probe (no codec lib), other image formats from
+    Pillow when installed. Non-image mimes, empty, and corrupt blobs
+    yield (0, 0, 0) rather than failing the task — one bad blob must
+    not fail a 100 TB job. An unparseable blob whose mime claims a
+    pure-header format (PNG/JPEG/GIF) counts as corrupt; an unparseable
+    blob of any OTHER image format in a Pillow-less container raises
+    NotImplementedError — that's a missing-codec configuration error,
+    which IS a whole-job error. ``use_fake_decoder=True`` keeps the
+    deterministic fake for plumbing tests."""
     import hashlib
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,12 +216,6 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
             if use_fake_decoder:
                 dims = [_fake_probe(c) for c in contents]
             else:
-                # Real-codec arm: only image/* blobs are decodable by
-                # the image kernel; other mimes, empty content, and
-                # corrupt payloads yield (0, 0) instead of killing the
-                # task — one bad blob must not fail a 100 TB job.
-                # Missing codec libs still raise (NotImplementedError
-                # from _decode_image), which IS a whole-job error.
                 dims = []
                 for c, mime in zip(contents, pdf[mime_col]):
                     if not c or not str(mime).startswith("image/"):
@@ -159,7 +224,12 @@ def probe_media(df: DataFrame, *, id_col: str = "id", content_col: str = "conten
                     try:
                         dims.append((*_decode_image(c), 1))
                     except NotImplementedError:
-                        raise
+                        # no codec lib: corrupt-of-supported-format is
+                        # data (0,0,0); unsupported format is config.
+                        if str(mime) in PURE_HEADER_FORMATS:
+                            dims.append((0, 0, 0))
+                        else:
+                            raise
                     except Exception:
                         dims.append((0, 0, 0))
             yield pd.DataFrame(

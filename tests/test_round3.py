@@ -18,8 +18,20 @@ from conftest import SF_DIR
 # CORRECTNESS_r05.json; round 6 rotated several out in favor of the
 # never-verified entries below — rationale at queries.py:_DEPRIORITIZED.)
 MUST_BE_IN_WINDOW = [
-    # round-6 additions + round-5 TPC-H second batch, never
-    # driver-verified
+    # round-7 entries that have never seen the driver (the four
+    # round-6 late additions VERDICT r6 flagged, plus the round-7
+    # sampled-LM arm)
+    "text_lm_quality_score",
+    "training_hash_split",
+    "sim_truncate_renorm",
+    "training_token_budget",
+    "text_lm_quality_sampled",
+    # round-7 staleness re-rotations (last driver-green r3)
+    "f4_regex_filter",
+    "x1_json_props_extract",
+    "j2_parent_post_join",
+    # single-green r6 entries: one driver row is not yet "multiply
+    # green", so they hold their slot another round
     "offchain_id_refresh",
     "stream_ssj_watermark_eviction",
     "tpch_q6_forecast_revenue",
@@ -30,19 +42,19 @@ MUST_BE_IN_WINDOW = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
     "w5_scd2_history",
-    # ADVICE r5 re-rotations (r1/r2-era signal staleness)
-    "f10_point_lookup",
-    "x18_hex_to_long",
-    "a7_total_active_creators",
-    "a3_distinct_authors",
-    # operators whose implementation changed this round — their green
-    # row must be re-earned
+    # operators whose implementation changed this round (token_count /
+    # char-array grams / contains-langid / LM single-join) — their
+    # green row must be re-earned
+    "text_language_id_ngram",
+    "training_pack_next_fit",
+    "pipeline_corpus_curation",
+    "pipeline_training_prep",
+    # de-skew rework (r6) — keep until multiply green
     "training_epoch_interleave",
     "sample_stratified",
     "stream_stream_join_attribution",
     # distinct operators with no sibling representative — must STAY
     "temporal_asof_join",
-    "temporal_range_join",
     "x21_index_incremental_update",
     "stream_dedup_batch_equivalence",
     "stream_windowed_counts_batch_equivalence",

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_hex, tokens
+from .dedup import md5_hex, token_count, tokens
 
 # RE2-safe (no lookarounds) so Java regex and DuckDB find identical
 # matches; both are anchored to be greedy over the same character sets.
@@ -118,7 +118,7 @@ def domain_mixture_weights(
     aggregates to |domains| rows before the normalization window."""
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("total_tokens"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("total_tokens"),
     )
     raw = F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))
     w = Window.partitionBy()

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens
+from .dedup import token_count as _token_count
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # (A production build ships larger profiles; the operator shape —
@@ -24,7 +25,7 @@ LANG_PROFILES = {
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    return _token_count(text)
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -104,25 +105,23 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     Same operator shape as the stopword variant but over character
     n-grams (the classic Cavnar-Trenkle-style heuristic, minus the
     rank correlation)."""
-    # substring(col, pos, len) needs a literal pos in the Python DSL;
-    # the lambda-index variant goes through expr. lower() is hoisted
-    # into its own projection first — referencing lower(text) inside
-    # the lambda re-lowercases the whole doc per trigram position,
-    # O(len^2) per doc (same hazard char_lm_quality documents). The
-    # CASE guard avoids Spark's descending sequence(1, 0) == [1, 0]
-    # edge fabricating a pseudo-gram for <3-char texts.
-    staged = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")).select(
+    # A profile gram is in the text's trigram set iff the text CONTAINS
+    # it, so |trigrams(text) ∩ profile| = count of profile grams with
+    # contains(text, gram) — |profiles| O(len) substring searches per
+    # doc instead of materializing the per-doc trigram array (which was
+    # also O(len^2): substring(_lt, i, 3) on a STRING re-scans
+    # codepoints from the start per position — the hazard
+    # char_lm_quality documents). lower() is still hoisted once;
+    # coalesce keeps the NULL-text semantics of the old trigram-set
+    # form (empty set -> all scores 0 -> 'und', never NULL scores).
+    staged = df.select(
         F.col(id_col),
-        F.expr(
-            "CASE WHEN char_length(_lt) >= 3 "
-            "THEN array_distinct(transform(sequence(1, char_length(_lt) - 2), "
-            "i -> substring(_lt, i, 3))) "
-            "ELSE CAST(array() AS array<string>) END"
-        ).alias("_tris"),
+        F.coalesce(F.lower(F.col(text_col)), F.lit("")).alias("_lt"),
     )
     scores = {
-        lang: F.size(
-            F.array_intersect(F.col("_tris"), F.array(*[F.lit(g) for g in grams]))
+        lang: sum(
+            (F.contains(F.col("_lt"), F.lit(g)).cast("int") for g in grams),
+            F.lit(0),
         )
         for lang, grams in NGRAM_PROFILES.items()
     }
@@ -216,6 +215,7 @@ def char_lm_quality(
     n: int = 3,
     scale: int = 1_000_000,
     smooth_k: int = 1000,
+    model_sample_rate: float | None = None,
 ) -> DataFrame:
     """Corpus-trained character-n-gram LM score — the classic
     perplexity-proxy quality signal (gibberish / boilerplate scores low
@@ -238,28 +238,50 @@ def char_lm_quality(
     BROADCAST to the scoring join; the corpus is scanned twice (model
     pass + scoring pass), each time exploding grams but shuffling only
     32-byte digested gram keys.
+
+    ``model_sample_rate``: train the model on a deterministic md5
+    sample of docs (draw(id) < rate, the shared md5_draw idiom) instead
+    of the full corpus — a quality *signal* doesn't need exact corpus
+    counts, and the model-pass explode (half the total cost) shrinks by
+    the rate. Scoring still covers every doc; grams unseen by the
+    sampled model score with C_n = C_ctx = 0 under the same smoothing
+    (the left joins below), so the exact arm (rate None) is unchanged
+    and remains the oracle path.
     """
     # Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (the same
     # edge _safe_shingles documents), so short docs need an explicit
-    # empty-array arm rather than a clamped upper bound. lower() is
-    # hoisted into its own column FIRST: referencing lower(text) inside
-    # the transform lambda re-lowercases the whole doc once per gram
-    # position — O(len^2) per doc, measured 8x slower at sf0.1.
+    # empty-array arm rather than a clamped upper bound. Two hoists,
+    # both measured at sf0.1: (a) lower() into its own column —
+    # referencing lower(text) inside the lambda re-lowercases the whole
+    # doc once per gram position, O(len^2), 8x; (b) the doc is split
+    # into a char ARRAY first and grams concat O(1) element lookups —
+    # substring(_lt, i, n) on a STRING is itself O(i) (UTF8String scans
+    # codepoints from the start), another O(len^2) per doc, 1.6x on the
+    # explode.
+    gram_parts = ", ".join(f"_ch[i + {j - 1}]" for j in range(n))
     grams = F.expr(
         f"CASE WHEN char_length(_lt) >= {n} "
         f"THEN transform(sequence(1, char_length(_lt) - {n - 1}), "
-        f"i -> substring(_lt, i, {n})) "
+        f"i -> concat({gram_parts})) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    doc_grams = (
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
-        .select(F.col(id_col), F.explode(grams).alias("_g"))
-    )
+    src = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    ).withColumn("_ch", F.split(F.col("_lt"), ""))
+    doc_grams = src.select(F.col(id_col), F.explode(grams).alias("_g"))
+    if model_sample_rate is None:
+        model_grams = doc_grams
+    else:
+        from .dedup import md5_draw
+
+        model_grams = src.filter(
+            md5_draw(F.col(id_col)) < F.lit(float(model_sample_rate))
+        ).select(F.col(id_col), F.explode(grams).alias("_g"))
     # localCheckpoint: the tiny model table (|charset|^n rows) is
     # consumed twice (scoring broadcast + ctx rollup); without the
     # materialization each consumer re-runs the corpus-wide explode+agg.
     model_n = (
-        doc_grams.groupBy("_g")
+        model_grams.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_cn"))
         .localCheckpoint()
     )
@@ -270,15 +292,30 @@ def char_lm_quality(
         model_n.groupBy(F.substring("_g", 1, n - 1).alias("_ctx"))
         .agg(F.sum("_cn").alias("_cctx"))
     )
-    q = F.expr(f"CAST({scale} AS BIGINT) * (_cn + 1) DIV (_cctx + {smooth_k})")
+    # q(g) depends only on MODEL-side counts, so fold both count tables
+    # into one per-gram q column while the frame is still |charset|^n
+    # rows — the corpus-sized scoring pass then needs ONE broadcast
+    # join (was two, plus a per-doc-gram substring). Grams outside the
+    # (possibly sampled) model take the same add-k smoothing with zero
+    # counts: a constant, supplied via coalesce after the left join;
+    # with the full model every gram matches and the constant is dead.
+    model_q = (
+        model_n.withColumn("_ctx", F.substring("_g", 1, n - 1))
+        .join(model_ctx, "_ctx")
+        .select(
+            "_g",
+            F.expr(
+                f"CAST({scale} AS BIGINT) * (_cn + 1) DIV (_cctx + {smooth_k})"
+            ).alias("_q"),
+        )
+    )
+    unseen_q = F.lit(scale // smooth_k).cast("long")
     scored = (
-        doc_grams.join(F.broadcast(model_n), "_g")
-        .withColumn("_ctx", F.substring("_g", 1, n - 1))
-        .join(F.broadcast(model_ctx), "_ctx")
+        doc_grams.join(F.broadcast(model_q), "_g", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(q).alias("score_sum"),
+            F.sum(F.coalesce(F.col("_q"), unseen_q)).alias("score_sum"),
         )
     )
     return df.select(F.col(id_col)).join(scored, id_col, "left").select(

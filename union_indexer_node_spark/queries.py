@@ -66,10 +66,7 @@ _DEPRIORITIZED = [
     "dedup_minhash_signature",  # subsumed by dedup_lsh_candidates (builds sigs)
     "sim_pairwise_cosine",  # staged-norm cosine in-window via dedup_embedding_neardup
     "x2_detect_post_type",  # X2 getter exercised inside every feed entry
-    "f4_regex_filter",  # F-family regex; wherefield grid + f2_f3_f5 in-window
     "w4_feed_pagination",  # W window family: w1/w2 + o5 in-window
-    "x1_json_props_extract",  # X1 parse path exercised by social_feed/x7 entries
-    "j2_parent_post_join",  # J2 ≡ J1 with sides swapped (j1_children_join in-window)
     "a2_distinct_authors_of_app",  # count-distinct shape ≡ j7_follows_overview
     "a6_sign_counts_higher_order",  # HOF aggregate; a5_score_zeroing in-window
     "dedup_ngram_jaccard",  # verify stage runs inside pipeline_corpus_curation
@@ -122,12 +119,23 @@ _DEPRIORITIZED = [
     "training_chunk_sliding",  # chunking runs inside pipeline_training_prep (in-window)
     "text_length_percentiles",  # text family: langid_ngram/vocab in-window; swapped for w5_scd2_history
     "sim_quantize_int8",  # sim family: ann_recall_eval in-window; swapped for tpch_q22
-    # -- round-6 late additions, born past the full window; locally
-    #    oracle-tested, rotate into the driver window next round --
-    "text_lm_quality_score",
-    "training_hash_split",
-    "sim_truncate_renorm",
-    "training_token_budget",
+    # -- rotated out in round 7 (all multiply driver-green — f10/x18/
+    #    a7/a3 re-verified r6 after r1-r3 greens; q10/q18/range-join
+    #    green r5+r6) to hand the window to the four round-6 late
+    #    additions that had never seen the driver, plus three r3-era
+    #    re-rotations (f4/x1/j2, per the staleness-bounding hygiene:
+    #    no entry's last driver-green should recede past ~4 rounds).
+    #    Family siblings stay in-window, noted inline. --
+    "x18_hex_to_long",  # X18 double-green r1/r2+r6; explode path via setop_union_sources
+    "a3_distinct_authors",  # A3 green r3+r6; count-distinct shape ≡ a5_score_zeroing grouping
+    "a7_total_active_creators",  # A7 green r1/r2+r6; scalar-agg shape ≡ tpch_q6/q14
+    "f10_point_lookup",  # F10 green r1/r2+r6; equality pushdown via social_feed_by_app
+    "tpch_q10_returned_items",  # TPC-H family: q6/q7/q8/q14/q15/q18→q19/q22 in-window
+    "tpch_q18_large_volume",  # TPC-H family (same siblings; semi-join shape ≡ q22 anti)
+    "temporal_range_join",  # temporal family: asof stays in-window; IEJoin plan pytest-pinned
+    "j3_num_comments_per_post",  # J3 green r5+r6; agg-join shape stays via
+    #    skew_salted_comment_counts — swapped for the round-7
+    #    text_lm_quality_sampled arm so it gets its driver signal now
 ]
 
 
@@ -1623,7 +1631,7 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs, tokens
+    from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs, token_count
 
     d = tables.load(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(
@@ -1633,7 +1641,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, d, cand, "text", "doc_id", shingle_n=3, prune=True
     ).filter(F.col("jaccard") >= 0.7)
     gated = (
-        d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        d.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
         .filter(F.col("n_tokens") >= 20)
         .join(near.select(F.col("b").alias("doc_id")), "doc_id", "left_anti")
     )
@@ -1850,7 +1858,7 @@ _BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
     """,
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipelines.dedup import tokens
+    from .pipelines.dedup import token_count
 
     d = tables.load(spark, sf_dir, "documents")
     return d.select(
@@ -1858,7 +1866,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias(
             "bpe_tokens"
         ),
-        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        token_count(F.col("text")).alias("ws_tokens"),
     )
 
 
@@ -2716,14 +2724,14 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def training_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipelines.dedup import tokens
+    from .pipelines.dedup import token_count
     from .pipelines.training import pack_next_fit
 
     d = tables.load(spark, sf_dir, "documents")
     with_len = d.select(
         "source",
         "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     return pack_next_fit(with_len, "n_tokens", "doc_id", budget=256, by="source")
 
@@ -3129,13 +3137,13 @@ def stream_windowed_counts_batch_equivalence(
     """,
 )
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipelines.dedup import tokens
+    from .pipelines.dedup import token_count
     from .pipelines.training import chunk_sliding, decontaminate
 
     d = tables.load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 19 == 0)
     train = d.filter(F.col("doc_id") % 19 != 0).filter(
-        F.size(tokens(F.col("text"))) >= 20
+        token_count(F.col("text")) >= 20
     )
     decon = decontaminate(train, bench, "text", "doc_id", n=3)
     kept = train.join(
@@ -3874,6 +3882,56 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return char_lm_quality(d, "text", "doc_id", n=3)
+
+
+# Sampled-model arm: the LM trains on a deterministic md5 half-sample
+# of the corpus (a quality SIGNAL doesn't need exact corpus counts),
+# shrinking the model-pass explode — the dominant cost — by the rate.
+# Grams unseen by the sampled model score with zero counts under the
+# same add-k smoothing (left joins), so the oracle replays the exact
+# same recurrence. The exact arm above stays the reference path.
+@q(
+    "text_lm_quality_sampled",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, GREATEST(length(lower(text)) - 2, 0)),
+               i -> substring(lower(text), i, 3))) AS gram
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 AS BIGINT) / 4294967296.0 < 0.5
+    ),
+    mg AS (SELECT g.* FROM g JOIN samp USING (doc_id)),
+    mn AS (SELECT gram, COUNT(*) AS cn FROM mg GROUP BY gram),
+    mc AS (SELECT substring(gram, 1, 2) AS ctx, COUNT(*) AS cctx
+           FROM mg GROUP BY ctx),
+    scored AS (
+      SELECT d.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM((1000000 * (COALESCE(mn.cn, 0) + 1))
+                      // (COALESCE(mc.cctx, 0) + 1000))
+                  AS BIGINT) AS score_sum
+      FROM g d
+      LEFT JOIN mn ON d.gram = mn.gram
+      LEFT JOIN mc ON substring(d.gram, 1, 2) = mc.ctx
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
+           CAST(COALESCE(s.score_sum, 0) // GREATEST(COALESCE(s.n_grams, 0), 1)
+                AS BIGINT) AS avg_q
+    FROM documents doc LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_lm_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import char_lm_quality
+
+    d = tables.load(spark, sf_dir, "documents")
+    return char_lm_quality(d, "text", "doc_id", n=3, model_sample_rate=0.5)
 
 
 # Deterministic hash-based train/val/test split: same id -> same split

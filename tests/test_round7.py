@@ -1,0 +1,341 @@
+"""Round-7 regression tests: community-feed spkvideo parity (ADVICE
+r6), image header probing, the sampled LM-quality arm, and scale-boundary
+properties for the two-level rank."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_community_latest_feed_applies_spkvideo(spark):
+    """ADVICE r6: community_feed's non-trending path must apply the
+    spkvideo predicates like every other feed (reference
+    Community.latestFeed delegates to Resolvers.socialFeed,
+    resolvers/index.ts:425-437)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR)
+    silver = posts.withColumn("first_upload", F.col("event_id") % 2 == 0)
+    unfiltered = api.community_feed(silver, {"id": "hive-3", "limit": 50})
+    assert any(not r.first_upload for r in unfiltered.collect())
+    filtered = api.community_feed(
+        silver,
+        {"id": "hive-3", "spkvideo": {"firstUpload": True}, "limit": 50},
+    )
+    rows = filtered.collect()
+    assert rows and all(r.first_upload for r in rows)
+
+
+def _md5_colliding_ids(prefix: str = "00", want: int = 40) -> list[int]:
+    """Brute-force ids whose md5 hex shares a first-2-hex shard — the
+    concentration case the two-level rank's shard split must survive."""
+    import hashlib
+
+    out, i = [], 0
+    while len(out) < want:
+        if hashlib.md5(str(i).encode()).hexdigest().startswith(prefix):
+            out.append(i)
+        i += 1
+    return out
+
+
+_COLLIDE = _md5_colliding_ids()
+
+
+def _naive_stratum_ranks(rows):
+    """Independent pure-Python oracle for the per-stratum md5 rank."""
+    import hashlib
+
+    by: dict = {}
+    for id_, s in rows:
+        by.setdefault(s, []).append(id_)
+    out = []
+    for s, ids in by.items():
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        out.extend((id_, s, r) for r, id_ in enumerate(ordered, 1))
+    return out
+
+
+def test_two_level_rank_scale_boundaries(spark):
+    """VERDICT r6 #8: the two-level (stratum x md5-shard) rank must
+    equal the naive single-window rank when (a) md5 prefixes collide
+    into ONE shard, (b) there are more strata than shards (>256), and
+    (c) a null stratum is present — all three at once, via hypothesis
+    over the row multiset, against a pure-Python oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.curation import stratified_sample
+    from union_indexer_node_spark.pipelines.training import epoch_interleave
+
+    pool = _COLLIDE + list(range(1000, 2000))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        n_strata = data.draw(st.sampled_from([1, 2, 257, 300]))
+        k = data.draw(st.sampled_from([1, 3, 7]))
+        strata = [f"s{i:03d}" for i in range(n_strata)] + [None]
+        # one guaranteed row per stratum (incl. the null stratum), plus
+        # hypothesis-drawn extras biased toward the colliding-shard ids
+        rows = [(pool[i % len(pool)], s) for i, s in enumerate(strata)]
+        rows += data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(_COLLIDE), st.sampled_from(strata)
+                ),
+                max_size=60,
+            )
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        expected = _naive_stratum_ranks(rows)
+        key = lambda t: (t[1] is not None, t[1] or "", t[0], t[2])  # noqa: E731
+
+        got_sample = sorted(
+            (
+                (r.doc_id, r.source, r.draw_rank)
+                for r in stratified_sample(
+                    df, "source", "doc_id", per_stratum=k
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got_sample == sorted(
+            (t for t in expected if t[2] <= k), key=key
+        )
+
+        inter = epoch_interleave(
+            df.withColumn("weight", F.lit(0.5)), "doc_id", "source", "weight"
+        )
+        got_inter = sorted(
+            (
+                (r.doc_id, r.source, r.source_rank, r.interleave_key)
+                for r in inter.collect()
+            ),
+            key=key,
+        )
+        assert got_inter == sorted(
+            ((id_, s, r, round(r / 0.5, 6)) for id_, s, r in expected),
+            key=key,
+        )
+
+    check()
+
+
+def test_char_lm_sampled_model_arm(spark):
+    """The md5-sampled-model arm must keep the quality ranking
+    (gibberish below corpus text) and must score EVERY doc — grams
+    unseen by the sampled model take the zero-count smoothed constant
+    (scale DIV smooth_k) instead of dropping from the sum."""
+    from union_indexer_node_spark.pipelines.textstats import char_lm_quality
+
+    normal = "the quick brown fox jumps over the lazy dog and runs home"
+    docs = [(i, normal) for i in range(40)]
+    docs.append((97, "qzxjvkwpq zzkj xqvw jjqz wkxv"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in char_lm_quality(
+            df, "text", "doc_id", model_sample_rate=0.5
+        ).collect()
+    }
+    assert out[97].avg_q < out[0].avg_q
+    assert all(r.n_grams > 0 for r in out.values())
+
+    # rate ~0 -> empty model -> every gram takes the unseen constant
+    empty_model = {
+        r.doc_id: r
+        for r in char_lm_quality(
+            df, "text", "doc_id", model_sample_rate=1e-12
+        ).collect()
+    }
+    assert all(r.avg_q == 1_000_000 // 1000 for r in empty_model.values())
+
+
+def test_http_graphql_end_to_end(spark):
+    """S9 transport: a real HTTP POST to the reference route
+    (/api/v2/graphql) must execute the same plan as the in-process
+    executor, and transport errors must be HTTP-level."""
+    pytest.importorskip("graphql")
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.serving.graphql_api import GraphQLService
+    from union_indexer_node_spark.serving.http import serve
+
+    posts = tables.posts(spark, SF_DIR)
+    svc = GraphQLService(posts=posts)
+    server = serve(svc, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    query = """
+      query Feed($app: String) {
+        socialFeed(feedOptions: {byApp: {_eq: $app}},
+                   pagination: {limit: 5}) {
+          items { author permlink app_name }
+        }
+      }
+    """
+    try:
+        req = urllib.request.Request(
+            base + "/api/v2/graphql",
+            data=json.dumps(
+                {"query": query, "variables": {"app": "3speak"}}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        assert not body.get("errors"), body.get("errors")
+        items = body["data"]["socialFeed"]["items"]
+        assert items and all(i["app_name"] == "3speak" for i in items)
+        # must equal the in-process executor byte-for-byte
+        direct = svc.execute(query, {"app": "3speak"})
+        assert body["data"] == direct["data"]
+
+        # transport errors are HTTP errors
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            urllib.request.urlopen(base + "/nope", data=b"{}", timeout=10)
+        assert e404.value.code == 404
+        bad = urllib.request.Request(
+            base + "/api/v2/graphql", data=b"not json", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e400:
+            urllib.request.urlopen(bad, timeout=10)
+        assert e400.value.code == 400
+        # query-level errors stay 200 with an errors array
+        req2 = urllib.request.Request(
+            base + "/api/v2/graphql",
+            data=json.dumps({"query": "query { nope }"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req2, timeout=60) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["errors"]
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
+
+
+def _png(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h):
+    # SOI + APP0(JFIF) + DQT-ish filler segment + SOF0 carrying dims
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x01\x01" + b"\x00" * 7
+    filler = b"\xff\xdb" + (5).to_bytes(2, "big") + b"\x00" * 3
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"  # precision
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03\x01\x11\x00"  # component stub
+    )
+    return b"\xff\xd8" + app0 + filler + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def test_header_dims_pure_parsers():
+    """PNG IHDR / JPEG SOF / GIF logical-screen parsing with no codec
+    lib; garbage and truncation return None instead of raising."""
+    from union_indexer_node_spark.pipelines.multimodal import _header_dims
+
+    assert _header_dims(_png(640, 480)) == (640, 480)
+    assert _header_dims(_jpeg(1920, 1080)) == (1920, 1080)
+    assert _header_dims(_gif(12, 7)) == (12, 7)
+    assert _header_dims(b"") is None
+    assert _header_dims(b"\x89PNG fake") is None
+    assert _header_dims(_png(640, 480)[:20]) is None  # truncated IHDR
+    assert _header_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
+    assert _header_dims(b"RIFF....WEBPVP8 ") is None
+
+
+def test_probe_media_default_real_dims(spark):
+    """Default probe_media path returns REAL dimensions for
+    PNG/JPEG/GIF bytes in any container; corrupt blobs of those
+    formats yield (0,0,0) instead of failing the task."""
+    from union_indexer_node_spark.pipelines.multimodal import probe_media
+
+    media = spark.createDataFrame(
+        [
+            (1, _png(32, 48), "image/png"),
+            (2, _jpeg(640, 360), "image/jpeg"),
+            (3, _gif(5, 9), "image/gif"),
+            (4, b"\x89PNG corrupt", "image/png"),
+            (5, b"not an image", "text/plain"),
+        ],
+        "id long, content binary, mime string",
+    )
+    out = {r.id: (r.width, r.height, r.n_frames) for r in probe_media(media).collect()}
+    assert out[1] == (32, 48, 1)
+    assert out[2] == (640, 360, 1)
+    assert out[3] == (5, 9, 1)
+    assert out[4] == (0, 0, 0)
+    assert out[5] == (0, 0, 0)
+
+
+def test_graphql_community_latest_feed_spkvideo_arg(spark):
+    """The SDL must accept spkvideo on Community.latestFeed (reference
+    schema.ts:215-216) and the predicate must reach the plan."""
+    pytest.importorskip("graphql")
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.serving.graphql_api import GraphQLService
+
+    posts = tables.posts(spark, SF_DIR).withColumn(
+        "first_upload", F.col("event_id") % 2 == 0
+    )
+    communities = spark.createDataFrame(
+        [("hive/hive-3", "hive-3", "c3", "about c3")],
+        "_id string, name string, title string, about string",
+    )
+    svc = GraphQLService(posts=posts, communities=communities)
+    body = svc.execute(
+        """
+        query {
+          community(id: "hive-3") {
+            latestFeed(spkvideo: {firstUpload: true},
+                       pagination: {limit: 50}) {
+              items { author permlink }
+            }
+          }
+        }
+        """
+    )
+    assert not body.get("errors"), body.get("errors")
+    items = body["data"]["community"]["latestFeed"]["items"]
+    assert items
+    # every returned (author, permlink) must be a first_upload post
+    keys = {(i["author"], i["permlink"]) for i in items}
+    ok = {
+        (r.author, r.permlink)
+        for r in posts.filter("first_upload").select("author", "permlink").collect()
+    }
+    assert keys <= ok

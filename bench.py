@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "tpch_q22_global_sales_opportunity",
     "w5_scd2_history",
     "text_lm_quality_sampled",
+    # round 7: deterministic Lloyd k-means (SemDeDup/IVF build step)
+    "sim_kmeans_clusters",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

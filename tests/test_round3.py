@@ -26,6 +26,7 @@ MUST_BE_IN_WINDOW = [
     "sim_truncate_renorm",
     "training_token_budget",
     "text_lm_quality_sampled",
+    "sim_kmeans_clusters",
     # round-7 staleness re-rotations (last driver-green r3)
     "f4_regex_filter",
     "x1_json_props_extract",

@@ -132,6 +132,34 @@ def test_two_level_rank_scale_boundaries(spark):
     check()
 
 
+def test_kmeans_assign_properties(spark):
+    """Deterministic Lloyd: every vector assigned to a cluster in
+    [0, k); repeat invocation is byte-identical; the assignment stage
+    is map-only (centroids are plan literals — no join, no extra
+    shuffle beyond the update aggregations already executed)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.similarity import kmeans_assign
+
+    e = tables.load(spark, SF_DIR, "embeddings")
+    out = kmeans_assign(e, k=4, iters=2)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+    assert all(r.dist_sq >= 0 for r in rows)
+    # non-degenerate on real data: more than one cluster populated
+    assert len({r.cluster for r in rows}) > 1
+    again = {(r.vec_id, r.cluster, r.dist_sq) for r in kmeans_assign(e, k=4, iters=2).collect()}
+    assert again == {(r.vec_id, r.cluster, r.dist_sq) for r in rows}
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "Join" not in plan, plan
+
+    # fewer rows than k: each row seeds its own cluster, dist 0
+    tiny = e.limit(3)
+    t = kmeans_assign(tiny, k=4, iters=2).collect()
+    assert len(t) == 3 and all(r.dist_sq == 0.0 for r in t)
+    assert {r.cluster for r in t} == {0, 1, 2}
+
+
 def test_char_lm_sampled_model_arm(spark):
     """The md5-sampled-model arm must keep the quality ranking
     (gibberish below corpus text) and must score EVERY doc — grams

@@ -136,6 +136,9 @@ _DEPRIORITIZED = [
     "j3_num_comments_per_post",  # J3 green r5+r6; agg-join shape stays via
     #    skew_salted_comment_counts — swapped for the round-7
     #    text_lm_quality_sampled arm so it gets its driver signal now
+    "w2_lww_latest_event",  # W2 green r5+r6; w1/w5 stay in-window and the
+    #    LWW merge keeps its permutation-invariance property test —
+    #    swapped for the round-7 sim_kmeans_clusters driver signal
 ]
 
 
@@ -4007,6 +4010,100 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("checksum"),
     )
+
+
+# Deterministic distributed k-means (Lloyd, 2 iterations) — the
+# SemDeDup-style semantic-clustering / IVF-index-build step. The oracle
+# replays the exact recurrence with the iterations unrolled as CTEs:
+# integer-quantized vectors (all cross-row sums exact), ROUND(6)
+# centroids, ROUND(4) distances, lowest-cluster tie-break — the
+# float-determinism discipline that makes an iterative clustering
+# hash-comparable across engines at all.
+@q(
+    "sim_kmeans_clusters",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cluster,
+             list_transform(qv, v -> round(v / 1000000.0, 6)) AS c
+      FROM q
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    d0 AS (
+      SELECT q.vec_id, q.qv, s.cluster,
+             round(list_sum(list_transform(q.qv,
+               (v, i) -> (v / 1000000.0 - s.c[i])
+                         * (v / 1000000.0 - s.c[i]))), 4) AS dist
+      FROM q CROSS JOIN seeds s
+    ),
+    a0 AS (
+      SELECT vec_id, qv, cluster, dist FROM d0
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    ),
+    c1d AS (
+      SELECT a0.cluster, t.i AS dim, SUM(a0.qv[t.i]) AS s, COUNT(*) AS n
+      FROM a0 CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY a0.cluster, t.i
+    ),
+    cent1 AS (
+      SELECT s.cluster,
+             CASE WHEN COUNT(c1d.dim) = 0 THEN ANY_VALUE(s.c)
+                  ELSE list(round(c1d.s / (c1d.n * 1000000.0), 6)
+                            ORDER BY c1d.dim) END AS c
+      FROM seeds s LEFT JOIN c1d ON s.cluster = c1d.cluster
+      GROUP BY s.cluster
+    ),
+    d1 AS (
+      SELECT a0.vec_id, a0.qv, m.cluster,
+             round(list_sum(list_transform(a0.qv,
+               (v, i) -> (v / 1000000.0 - m.c[i])
+                         * (v / 1000000.0 - m.c[i]))), 4) AS dist
+      FROM a0 CROSS JOIN cent1 m
+    ),
+    a1 AS (
+      SELECT vec_id, qv, cluster, dist FROM d1
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    ),
+    c2d AS (
+      SELECT a1.cluster, t.i AS dim, SUM(a1.qv[t.i]) AS s, COUNT(*) AS n
+      FROM a1 CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY a1.cluster, t.i
+    ),
+    cent2 AS (
+      SELECT m.cluster,
+             CASE WHEN COUNT(c2d.dim) = 0 THEN ANY_VALUE(m.c)
+                  ELSE list(round(c2d.s / (c2d.n * 1000000.0), 6)
+                            ORDER BY c2d.dim) END AS c
+      FROM cent1 m LEFT JOIN c2d ON m.cluster = c2d.cluster
+      GROUP BY m.cluster
+    ),
+    d2 AS (
+      SELECT a1.vec_id, m.cluster,
+             round(list_sum(list_transform(a1.qv,
+               (v, i) -> (v / 1000000.0 - m.c[i])
+                         * (v / 1000000.0 - m.c[i]))), 4) AS dist
+      FROM a1 CROSS JOIN cent2 m
+    )
+    SELECT vec_id, cluster, dist AS dist_sq FROM d2
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    """,
+)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import kmeans_assign
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=4, iters=2)
 
 
 # Largest-remainder token-budget apportionment over the domain mixture

@@ -78,7 +78,12 @@ BENCH_QUERIES = [
     "w5_scd2_history",
     "text_lm_quality_sampled",
     # round 7: deterministic Lloyd k-means (SemDeDup/IVF build step)
+    # + the SemDeDup composition (cluster-scoped banded near-dup flags).
+    # Both are iterative (seeds + 2 update jobs + assignment), so at
+    # sf0.1 their time is ~5 Spark-job fixed overheads, not data volume
+    # — the dedup_cc_clusters cost profile, amortized at real scale.
     "sim_kmeans_clusters",
+    "dedup_semantic_flags",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

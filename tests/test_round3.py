@@ -27,6 +27,7 @@ MUST_BE_IN_WINDOW = [
     "training_token_budget",
     "text_lm_quality_sampled",
     "sim_kmeans_clusters",
+    "dedup_semantic_flags",
     # round-7 staleness re-rotations (last driver-green r3)
     "f4_regex_filter",
     "x1_json_props_extract",
@@ -67,7 +68,6 @@ MUST_BE_IN_WINDOW = [
     "o2_a8_trending_feed_payout",
     "training_decontaminate",
     "training_pack_next_fit",
-    "sample_weighted_bernoulli",
     "pipeline_training_prep",
     "j9_reply_closure",
 ]

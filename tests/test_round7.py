@@ -160,6 +160,31 @@ def test_kmeans_assign_properties(spark):
     assert {r.cluster for r in t} == {0, 1, 2}
 
 
+def test_semantic_dup_flags_keep_canonical(spark):
+    """An exact duplicate vector (cosine 1.0 > any threshold, same
+    cluster, same bands by construction) must flag the HIGHER id and
+    keep the lower one; the flag covers every input row."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.ann_lsh import hyperplanes
+    from union_indexer_node_spark.pipelines.similarity import semantic_dup_flags
+
+    e = tables.load(spark, SF_DIR, "embeddings")
+    src = e.select("vec_id", "embedding")
+    clone = src.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    df = src.unionByName(clone)
+    flags = {
+        r.vec_id: r.is_semantic_dup
+        for r in semantic_dup_flags(
+            df, hyperplanes(64, 8), k=4, iters=2, threshold=0.35
+        ).collect()
+    }
+    assert len(flags) == df.count()
+    assert flags[1_000_000] is True  # the clone is the duplicate
+    assert flags[0] is False  # canonical survivor
+
+
 def test_char_lm_sampled_model_arm(spark):
     """The md5-sampled-model arm must keep the quality ranking
     (gibberish below corpus text) and must score EVERY doc — grams

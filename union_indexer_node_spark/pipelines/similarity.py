@@ -206,11 +206,80 @@ def kmeans_assign(
     this extends SURVEY §2.10's pipeline layer (operators a 100 TB
     training-data pipeline needs), like the rest of this module.
     """
-    qv = F.transform(
+    cents = kmeans_centroids(
+        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        quant=quant, dist_round=dist_round,
+    )
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, dist_sq double"
+        )
+    base = emb.select(F.col(id_col), _quantized(vec_col, quant).alias("_q"))
+    cluster, dist_sq = kmeans_cluster_cols(cents, quant=quant, dist_round=dist_round)
+    return base.select(F.col(id_col), cluster, dist_sq)
+
+
+def _quantized(vec_col: str, quant: int) -> Column:
+    return F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
     )
-    base = emb.select(F.col(id_col), qv.alias("_q"))
+
+
+def _kmeans_dists(
+    cents: list[list[float]], *, quant: int, dist_round: int
+) -> list[Column]:
+    """Squared distance of the quantized `_q` column to each centroid.
+    Compact higher-order form, NOT dim-unrolled expression trees: k·dim
+    unrolled (x-c)^2 chains put ~k·dim·4 nodes through janino per
+    iteration (literals change every iteration, so nothing is cached) —
+    measured 8x the whole query's runtime at bench scale. The fold adds
+    terms left-to-right with a 0.0 seed, bit-identical to the unrolled
+    chain (IEEE 0.0+x == x), and matches the oracle's list_sum order."""
+    dq = F.transform(
+        F.col("_q"), lambda v: v.cast("double") / F.lit(float(quant))
+    )
+    out = []
+    for c in cents:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(dq, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        out.append(F.round(d, dist_round))
+    return out
+
+
+def kmeans_cluster_cols(
+    cents: list[list[float]], *, quant: int = 1_000_000, dist_round: int = 4
+) -> tuple[Column, Column]:
+    """(cluster, dist_sq) MAP-SIDE columns over a frame carrying the
+    quantized `_q` vector — lets downstream operators attach the
+    cluster without joining the assignment back (no shuffle). Ties
+    break on the lowest cluster id."""
+    ds = _kmeans_dists(cents, quant=quant, dist_round=dist_round)
+    best = F.least(*ds) if len(ds) > 1 else ds[0]
+    cluster = F.lit(len(ds) - 1)
+    for idx in range(len(ds) - 2, -1, -1):
+        cluster = F.when(ds[idx] == best, F.lit(idx)).otherwise(cluster)
+    return cluster.cast("int").alias("cluster"), best.alias("dist_sq")
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+    dist_round: int = 4,
+) -> list[list[float]]:
+    """Run the Lloyd iterations and return the final centroids as plain
+    Python floats (k·dim bounded model — the collect idiom the module
+    docstring of kmeans_assign justifies)."""
+    base = emb.select(F.col(id_col), _quantized(vec_col, quant).alias("_q"))
 
     from .dedup import md5_hex
 
@@ -225,44 +294,12 @@ def kmeans_assign(
     )
     cents: list[list[float]] = [list(r["_c"]) for r in seed_rows]
     if not cents:
-        return emb.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int, dist_sq double"
-        )
+        return cents
     k = len(cents)  # fewer rows than k: every row is its own seed
     dim = len(cents[0])
 
-    def dists_expr() -> list[Column]:
-        # Compact higher-order form, NOT dim unrolled expression trees:
-        # k x dim unrolled (x-c)^2 chains put ~k*dim*4 nodes through
-        # janino per iteration (literals change every iteration, so
-        # nothing is cached) — measured 8x the whole query's runtime at
-        # bench scale. The fold adds terms left-to-right with a 0.0
-        # seed, bit-identical to the unrolled chain (IEEE 0.0+x == x),
-        # and matches the oracle's list_sum order.
-        dq = F.transform(
-            F.col("_q"), lambda v: v.cast("double") / F.lit(float(quant))
-        )
-        out = []
-        for c in cents:
-            lit_c = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(dq, lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            out.append(F.round(d, dist_round))
-        return out
-
-    def assign_cols():
-        ds = dists_expr()
-        best = F.least(*ds) if len(ds) > 1 else ds[0]
-        cluster = F.lit(len(ds) - 1)
-        for idx in range(len(ds) - 2, -1, -1):
-            cluster = F.when(ds[idx] == best, F.lit(idx)).otherwise(cluster)
-        return cluster.cast("int").alias("cluster"), best.alias("dist_sq")
-
     for _ in range(iters):
-        cluster, _d = assign_cols()
+        cluster, _d = kmeans_cluster_cols(cents, quant=quant, dist_round=dist_round)
         # Update: dim sum-aggregate columns over the assigned frame —
         # one pass, map-side partial aggregation, k rows out. (A
         # posexplode-to-(cluster,dim,val) variant was measured 5x
@@ -297,9 +334,116 @@ def kmeans_assign(
         ).collect()
         by_cluster = {r["cluster"]: list(r["_c"]) for r in new_rows}
         cents = [by_cluster.get(i, cents[i]) for i in range(k)]
+    return cents
 
-    cluster, dist_sq = assign_cols()
-    return base.select(F.col(id_col), cluster, dist_sq)
+
+def semantic_dup_flags(
+    emb: DataFrame,
+    planes: list[list[float]],
+    *,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.35,
+    n_bands: int = 2,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup flags: a vector is a duplicate iff
+    a LOWER-id vector in the SAME kmeans cluster shares a hyperplane
+    band with it and verifies at cosine > threshold. Returns every
+    input row as (id, cluster, is_semantic_dup) — apply by filtering
+    the flag, keep-canonical style.
+
+    Scale shape: the cluster attaches MAP-SIDE (centroid literals via
+    kmeans_cluster_cols — no assignment join), candidate pairs come
+    from a (cluster, band, band-value) equi-join (never per-cluster
+    all-pairs; the embedding_neardup banding argument, further scoped
+    by cluster), and the exact-cosine verify touches candidates only.
+    """
+    from .ann_lsh import bucket_expr
+
+    cents = kmeans_centroids(
+        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant
+    )
+    cluster, _ = kmeans_cluster_cols(cents, quant=quant)
+    # Narrow frames end to end (dedup_embedding_neardup's shape): the
+    # band join moves (id, cluster, band, bv) only — no vector arrays
+    # through the exchange; the exact-cosine verify re-joins the
+    # embeddings for candidate pairs alone. The assignment projection
+    # is localCheckpointed: it is consumed by BOTH band-join sides and
+    # the final output, and the interpreted HOF cluster expression
+    # otherwise re-evaluates in every plan copy (measured 3x the whole
+    # query). The materialized frame is (id, cluster, bucket) — ~16
+    # bytes/row, the same narrow-checkpoint trade lsh_candidate_pairs
+    # makes for its candidate set.
+    assigned = (
+        emb.select(
+            F.col(id_col),
+            _quantized(vec_col, quant).alias("_q"),
+            bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+        )
+        .select(id_col, cluster, "_bucket")
+        .localCheckpoint()
+    )
+    mask = (1 << band_bits) - 1
+    keys = assigned.select(
+        id_col,
+        "cluster",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("band"),
+                        F.shiftright(F.col("_bucket"), band_bits * g)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for g in range(n_bands)
+                ]
+            )
+        ).alias("_k"),
+    ).select(
+        id_col, "cluster",
+        F.col("_k.band").alias("band"), F.col("_k.bv").alias("bv"),
+    )
+    cand = (
+        keys.select(F.col(id_col).alias("_a"), "cluster", "band", "bv")
+        .join(
+            keys.select(F.col(id_col).alias("_b"), "cluster", "band", "bv"),
+            ["cluster", "band", "bv"],
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_a", "_b")
+        .distinct()
+    )
+    e = with_norm(emb, vec_col=vec_col)
+    ea = e.select(
+        F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    eb = e.select(
+        F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb"),
+        F.col("norm").alias("_nb"),
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    dup_ids = (
+        cand.join(ea, "_a")
+        .join(eb, "_b")
+        .filter(cos > threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cluster").join(
+        dup_ids.withColumn("_dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
 
 
 def truncate_renorm(

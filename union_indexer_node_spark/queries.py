@@ -139,6 +139,10 @@ _DEPRIORITIZED = [
     "w2_lww_latest_event",  # W2 green r5+r6; w1/w5 stay in-window and the
     #    LWW merge keeps its permutation-invariance property test —
     #    swapped for the round-7 sim_kmeans_clusters driver signal
+    "sample_weighted_bernoulli",  # green r5+r6; the md5-draw family keeps
+    #    two in-window reps (training_hash_split permille buckets,
+    #    sample_stratified md5-rank) — swapped for the round-7
+    #    dedup_semantic_flags driver signal
 ]
 
 
@@ -4018,11 +4022,9 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-quantized vectors (all cross-row sums exact), ROUND(6)
 # centroids, ROUND(4) distances, lowest-cluster tie-break — the
 # float-determinism discipline that makes an iterative clustering
-# hash-comparable across engines at all.
-@q(
-    "sim_kmeans_clusters",
-    """
-    WITH q AS (
+# hash-comparable across engines at all. The CTE chain is shared with
+# the dedup_semantic_flags oracle below (one recurrence, no hand copy).
+_KMEANS_CTE = """q AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv
@@ -4093,10 +4095,19 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
                (v, i) -> (v / 1000000.0 - m.c[i])
                          * (v / 1000000.0 - m.c[i]))), 4) AS dist
       FROM a1 CROSS JOIN cent2 m
-    )
-    SELECT vec_id, cluster, dist AS dist_sq FROM d2
-    QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    ),
+    asg AS (
+      SELECT vec_id, cluster, dist FROM d2
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    )"""
+
+
+@q(
+    "sim_kmeans_clusters",
+    f"""
+    WITH {_KMEANS_CTE}
+    SELECT vec_id, cluster, dist AS dist_sq FROM asg
     """,
 )
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4104,6 +4115,49 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=4, iters=2)
+
+
+# SemDeDup-style semantic dedup: kmeans cluster (map-side centroid
+# literals) scopes the hyperplane-band candidate join; exact cosine
+# verifies; a row is a duplicate iff a lower-id near-dup exists in its
+# (cluster, band) bucket. Never per-cluster all-pairs.
+@q(
+    "dedup_semantic_flags",
+    f"""
+    WITH {_KMEANS_CTE},
+    sig AS (
+      SELECT e.vec_id, a.cluster, {_bucket_sql('e.embedding')} AS bucket
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    keys AS (
+      SELECT vec_id, cluster, g AS band, (bucket >> (4 * g)) & 15 AS bv
+      FROM sig, LATERAL (SELECT UNNEST([0, 1]) AS g) s
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM keys x
+      JOIN keys y ON x.cluster = y.cluster AND x.band = y.band
+                 AND x.bv = y.bv AND x.vec_id < y.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT c.b AS vec_id
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b
+      WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6)
+            > 0.35
+    )
+    SELECT a.vec_id, a.cluster,
+           (d.vec_id IS NOT NULL) AS is_semantic_dup
+    FROM asg a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import semantic_dup_flags
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    return semantic_dup_flags(e, _ANN_PLANES, k=4, iters=2, threshold=0.35)
 
 
 # Largest-remainder token-budget apportionment over the domain mixture

@@ -160,6 +160,51 @@ def test_kmeans_assign_properties(spark):
     assert {r.cluster for r in t} == {0, 1, 2}
 
 
+def test_ivf_topk_over_kmeans_buckets(spark):
+    """kmeans_assign produces the coarse buckets ivf_topk was designed
+    around: searching only the query vector's own cluster must return
+    the true global top-1 when the nearest neighbor shares the cluster
+    (it does for a query ON a corpus point), with the scan restricted
+    to that bucket."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_assign,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    assign = kmeans_assign(emb, k=4, iters=2).select("vec_id", "cluster")
+    clustered = emb.join(assign, "vec_id")
+    probe = emb.filter(F.col("vec_id") == 7).first()
+    qvec = [float(x) for x in probe.embedding]
+    qcluster = {r.vec_id: r.cluster for r in assign.collect()}[7]
+
+    ivf = ivf_topk(
+        clustered, qvec, qcluster, bucket_col="cluster", k=5
+    ).collect()
+    brute = brute_force_topk(emb, qvec, k=5).collect()
+    # the probe itself (cosine 1.0) is in its own cluster by definition
+    assert ivf[0].vec_id == brute[0].vec_id == 7
+    # every IVF hit comes from the probed bucket
+    hit_ids = [r.vec_id for r in ivf]
+    assert all(qcluster == c for c in (
+        {r.vec_id: r.cluster for r in assign.collect()}[i] for i in hit_ids
+    ))
+
+
+def test_semantic_flags_plan_no_cartesian(spark):
+    """The candidate stage must be a (cluster, band, value) equi-join —
+    never a cartesian/nested-loop — and the verify must join back to
+    the corpus rather than carry vectors through the band exchange."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["dedup_semantic_flags"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_semantic_dup_flags_keep_canonical(spark):
     """An exact duplicate vector (cosine 1.0 > any threshold, same
     cluster, same bands by construction) must flag the HIGHER id and

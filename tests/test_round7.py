@@ -160,6 +160,56 @@ def test_kmeans_assign_properties(spark):
     assert {r.cluster for r in t} == {0, 1, 2}
 
 
+def test_limit_zero_falls_back_to_default(spark):
+    """Reference parity: resolvers read `pagination?.limit || N`, so a
+    FALSY limit (0/None) means the default page size, never zero rows
+    (resolvers/index.ts:178,300,390)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import api
+
+    posts = tables.posts(spark, SF_DIR)
+    assert api.social_feed(posts, {"limit": 0}).count() == 100
+    assert api.social_feed(posts, {"limit": None}).count() == 100
+    assert api.trending_tags(posts, {"limit": 0}).count() == 5
+    r = posts.select("author", "permlink").first()
+    assert (
+        api.related_feed(
+            posts, {"author": r.author, "permlink": r.permlink, "limit": 0}
+        ).count()
+        <= 25
+    )
+
+
+def test_community_lookup_prepends_hive_parity(spark):
+    """Reference parity: community(id) is findOne({_id: `hive/${id}`})
+    (resolvers/index.ts:407-409) — the name form resolves, a full _id
+    input double-prefixes and misses, exactly like the reference."""
+    from union_indexer_node_spark.operators import api
+
+    communities = spark.createDataFrame(
+        [("hive/hive-1", "hive-1", "c", "about")],
+        "_id string, name string, title string, about string",
+    )
+    assert api.community(communities, {"id": "hive-1"}).count() == 1
+    assert api.community(communities, {"id": "hive/hive-1"}).count() == 0
+
+
+def test_profile_did_prefix_routing_parity(spark):
+    """Reference parity: profile(id) routes on startsWith('did') with
+    NO colon (resolvers/index.ts:308) — a username beginning with
+    'did' goes to the DID store and misses, exactly like the
+    reference."""
+    from union_indexer_node_spark.operators import api
+
+    profiles = spark.createDataFrame(
+        [("didier", "did:key:zx", 1.0), ("alice", None, 2.0)],
+        "username string, did string, score double",
+    )
+    assert api.profile(profiles, {"id": "didier"}).count() == 0  # misroute, per ref
+    assert api.profile(profiles, {"id": "did:key:zx"}).first().username == "didier"
+    assert api.profile(profiles, {"id": "alice"}).first().username == "alice"
+
+
 def test_ivf_topk_over_kmeans_buckets(spark):
     """kmeans_assign produces the coarse buckets ivf_topk was designed
     around: searching only the query vector's own cluster must return

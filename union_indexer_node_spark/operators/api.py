@@ -23,15 +23,20 @@ from .feeds import NAME_MAP, FeedSpec
 
 
 def compile_args(args: Mapping[str, Any]) -> FeedSpec:
-    """GraphQL feed args -> FeedSpec (TransformFeedArgs parity)."""
+    """GraphQL feed args -> FeedSpec (TransformFeedArgs parity).
+
+    Limit parity: the reference reads ``pagination?.limit || 100``
+    (resolvers/index.ts:178,209,253) — JS ``||`` sends every FALSY
+    limit (0, null, undefined) to the default, so ``limit: 0`` means
+    "default page", not "no rows"."""
     where = {k: v for k, v in args.items() if k in NAME_MAP}
     spec = FeedSpec(
         where=where,
         or_where=args.get("or", {}),
         include_comments=bool(args.get("includeComments", False)),
         include_ceramic=bool(args.get("includeCeramic", False)),
-        limit=int(args.get("limit", 100)),
-        skip=int(args.get("skip", 0)),
+        limit=int(args.get("limit") or 100),
+        skip=int(args.get("skip") or 0),
         follower=args.get("byFollower"),
     )
     return spec
@@ -98,16 +103,18 @@ def trending_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
 
 
 def related_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    # `|| 25` falsy-default parity (resolvers/index.ts:300)
     return feeds.related_feed(
         _with_spkvideo(posts, args),
         args["author"],
         args["permlink"],
-        limit=int(args.get("limit", 25)),
+        limit=int(args.get("limit") or 25),
     )
 
 
 def trending_tags(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
-    return feeds.trending_tags(posts, limit=int(args.get("limit", 5)))
+    # `$limit: args.limit || 5` falsy-default parity (resolvers/index.ts:390)
+    return feeds.trending_tags(posts, limit=int(args.get("limit") or 5))
 
 
 def social_post(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
@@ -186,13 +193,17 @@ def with_children(posts: DataFrame, *, limit: int = 100) -> DataFrame:
 
 
 def profile(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
-    """profile(id) root field (resolvers/index.ts:308-321): a did:-prefixed
-    id resolves against the DID column (the reference routes to the
-    Ceramic profile store), anything else by username."""
+    """profile(id) root field (resolvers/index.ts:308-321): a
+    did-prefixed id resolves against the DID column (the reference
+    routes to the Ceramic profile store), anything else by username.
+    The prefix check is `startsWith('did')` WITHOUT the colon — exact
+    reference parity, which means a Hive username that happens to start
+    with 'did' (e.g. 'didier') routes to the DID store and misses, just
+    like the reference."""
     ident = args.get("id") or args.get("username")
     if ident is None:
         return profiles.limit(0)
-    if str(ident).startswith("did:"):
+    if str(ident).startswith("did"):
         pred = F.col("did") == ident
     else:
         pred = F.col("username") == ident
@@ -200,14 +211,15 @@ def profile(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
 
 
 def community(communities: DataFrame, args: Mapping[str, Any]) -> DataFrame:
-    """community(id) root field (resolvers/index.ts:406-454): point lookup
-    by community name ('hive-xxx') or full _id ('hive/hive-xxx'). The
-    reference's nested latestFeed/trendingFeed close over socialFeed with
-    byCommunity injected — the DataFrame analog is community_feed()."""
+    """community(id) root field (resolvers/index.ts:406-410): the
+    reference does ``findOne({_id: `hive/${args.id}`})`` — it ALWAYS
+    prepends 'hive/', so only the community NAME form resolves and a
+    full '_id' input ('hive/hive-xxx') becomes 'hive/hive/hive-xxx'
+    and misses, exactly as here. The nested latestFeed/trendingFeed
+    close over socialFeed with byCommunity injected — the DataFrame
+    analog is community_feed()."""
     ident = args["id"]
-    return communities.filter(
-        (F.col("name") == ident) | (F.col("_id") == ident)
-    ).limit(1)
+    return communities.filter(F.col("_id") == f"hive/{ident}").limit(1)
 
 
 def community_feed(

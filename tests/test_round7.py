@@ -381,6 +381,57 @@ def test_http_graphql_end_to_end(spark):
         t.join(timeout=10)
 
 
+def test_http_create_stream_id_rest_route(spark):
+    """REST parity (controller.ts:6-40): unknown post -> stream_id
+    null; post with offchain_id -> that id; flagged post with a
+    snapshot assignment -> assigned id + trx."""
+    pytest.importorskip("graphql")
+    import json
+    import threading
+    import urllib.request
+
+    from union_indexer_node_spark.serving.graphql_api import GraphQLService
+    from union_indexer_node_spark.serving.http import serve
+
+    posts = spark.createDataFrame(
+        [
+            ("alice", "p1", "k2t6existing", False),
+            ("bob", "p2", None, True),
+        ],
+        "author string, permlink string, offchain_id string, needs_stream_id boolean",
+    )
+    assignments = spark.createDataFrame(
+        [("bob", "p2", "k2t6new", "trx9")],
+        "author string, permlink string, stream_id string, trx_id string",
+    )
+    svc = GraphQLService(posts=posts, stream_assignments=assignments)
+    server = serve(svc, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_port}/api/v1/create_stream_id"
+
+    def post(body):
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            return json.loads(resp.read())
+
+    try:
+        assert post({"author": "nope", "permlink": "x"}) == {"stream_id": None}
+        assert post({"author": "alice", "permlink": "p1"}) == {
+            "stream_id": "k2t6existing"
+        }
+        assert post({"author": "bob", "permlink": "p2"}) == {
+            "stream_id": "k2t6new",
+            "trx_id": "trx9",
+        }
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
+
+
 def _png(w, h):
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     return (

@@ -335,6 +335,38 @@ class GraphQLService:
             },
         }
 
+    def create_stream_id(self, author: str, permlink: str) -> dict:
+        """REST ``POST /api/v1/create_stream_id`` parity
+        (modules/api/controller.ts:6-40):
+        - unknown post -> {"stream_id": null};
+        - post already carrying offchain_id -> that id;
+        - else the reference CREATES a Ceramic stream (external write)
+          and persists it. The engine models external Ceramic state as
+          the ``stream_assignments`` snapshot table (the S4/S10 idiom,
+          sources/ceramic.py:assign_stream_ids): an assignment row
+          yields {"stream_id", "trx_id"}; no assignment yields
+          {"stream_id": null} — the id appears once the batch refresh
+          lands, the serving layer itself stays read-only."""
+        posts = self._tables.get("posts")
+        from pyspark.sql import functions as F
+
+        key = (F.col("author") == author) & (F.col("permlink") == permlink)
+        cols = set(posts.columns)
+        row = posts.filter(key).limit(1).collect()
+        if not row:
+            return {"stream_id": None}
+        if "offchain_id" in cols and row[0]["offchain_id"]:
+            return {"stream_id": row[0]["offchain_id"]}
+        asn = self._tables.get("stream_assignments")
+        if asn is not None:
+            arow = asn.filter(key).limit(1).collect()
+            if arow and arow[0]["stream_id"]:
+                out = {"stream_id": arow[0]["stream_id"]}
+                if "trx_id" in asn.columns:
+                    out["trx_id"] = arow[0]["trx_id"]
+                return out
+        return {"stream_id": None}
+
     def execute(self, query: str, variables: dict | None = None) -> dict:
         """Run one GraphQL query; returns {"data": ..., "errors": [...]}
         like an HTTP GraphQL response body."""

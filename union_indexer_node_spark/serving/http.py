@@ -24,12 +24,15 @@ from collections.abc import Callable, Iterable
 from .graphql_api import GraphQLService
 
 GRAPHQL_PATH = "/api/v2/graphql"  # reference route, modules/api/index.ts:62
+STREAM_ID_PATH = "/api/v1/create_stream_id"  # controller.ts:6-8
 
 
 def wsgi_app(service: GraphQLService) -> Callable:
-    """WSGI callable serving ``POST {GRAPHQL_PATH}``. Errors follow the
-    GraphQL-over-HTTP convention: transport problems are HTTP errors
-    (404/405/400), query problems are 200 with an ``errors`` array."""
+    """WSGI callable serving ``POST {GRAPHQL_PATH}`` and the REST
+    ``POST {STREAM_ID_PATH}`` (the reference's full HTTP surface).
+    Errors follow the GraphQL-over-HTTP convention: transport problems
+    are HTTP errors (404/405/400), query problems are 200 with an
+    ``errors`` array."""
 
     def app(environ, start_response) -> Iterable[bytes]:
         def respond(status: str, body: dict) -> Iterable[bytes]:
@@ -43,7 +46,8 @@ def wsgi_app(service: GraphQLService) -> Callable:
             )
             return [payload]
 
-        if environ.get("PATH_INFO") != GRAPHQL_PATH:
+        path = environ.get("PATH_INFO")
+        if path not in (GRAPHQL_PATH, STREAM_ID_PATH):
             return respond("404 Not Found", {"errors": [{"message": "not found"}]})
         if environ.get("REQUEST_METHOD") != "POST":
             return respond(
@@ -53,13 +57,24 @@ def wsgi_app(service: GraphQLService) -> Callable:
         try:
             n = int(environ.get("CONTENT_LENGTH") or 0)
             req = json.loads(environ["wsgi.input"].read(n).decode("utf-8"))
-            query = req["query"]
         except Exception:
+            return respond(
+                "400 Bad Request",
+                {"errors": [{"message": "body must be JSON"}]},
+            )
+        if path == STREAM_ID_PATH:
+            return respond(
+                "200 OK",
+                service.create_stream_id(
+                    req.get("author"), req.get("permlink")
+                ),
+            )
+        if "query" not in req:
             return respond(
                 "400 Bad Request",
                 {"errors": [{"message": 'body must be JSON {"query": ...}'}]},
             )
-        return respond("200 OK", service.execute(query, req.get("variables")))
+        return respond("200 OK", service.execute(req["query"], req.get("variables")))
 
     return app
 

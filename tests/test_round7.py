@@ -381,6 +381,45 @@ def test_http_graphql_end_to_end(spark):
         t.join(timeout=10)
 
 
+def test_write_training_shards_deterministic_roundtrip(spark, tmp_path):
+    """Sharded export: every row lands in exactly one md5-stable shard,
+    the manifest matches the written data, and a re-export produces
+    identical shard assignments."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.dedup import token_count
+    from union_indexer_node_spark.pipelines.training import write_training_shards
+
+    d = (
+        tables.load(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        d, out, n_shards=8, id_col="doc_id", token_col="n_tokens"
+    ).collect()
+    assert sum(r.n_docs for r in manifest) == d.count()
+    assert all(0 <= r.shard < 8 for r in manifest)
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    per_shard = {r.shard: r.n_docs for r in back.groupBy("shard").count().withColumnRenamed("count", "n_docs").collect()}
+    assert per_shard == {r.shard: r.n_docs for r in manifest}
+    tok = {r.shard: r.total_tokens for r in manifest}
+    got_tok = {
+        r.shard: r.t
+        for r in back.groupBy("shard").agg(F.sum("n_tokens").cast("long").alias("t")).collect()
+    }
+    assert got_tok == tok
+
+    # determinism: second export to a new path, same assignment
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(d, out2, n_shards=8, id_col="doc_id")
+    a = {(r.doc_id, r.shard) for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
+
+
 def test_http_create_stream_id_rest_route(spark):
     """REST parity (controller.ts:6-40): unknown post -> stream_id
     null; post with offchain_id -> that id; flagged post with a

@@ -415,6 +415,39 @@ def epoch_interleave(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    id_col: str,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Last-mile export: write the prepared corpus as ``n_shards``
+    deterministic shards (``shard=NNNN`` parquet partitions) and return
+    the shard manifest (shard, n_docs, total_tokens).
+
+    Shard assignment is the shared md5 bucket of the id — stable across
+    reruns/engines (a resumed export rewrites identical shards, and a
+    training job can address any shard subset reproducibly), uniform by
+    md5, and ORDER-FREE: no global sort or row_number, so the write is
+    one partitionBy pass with no extra shuffle beyond the dynamic-
+    partition write itself. Consumers wanting the mixture order sort
+    within shard by ``interleave_key`` (epoch_interleave composes).
+
+    The manifest aggregates from the SAME frame the write consumed —
+    at 100 TB a separate count pass over the output would re-read the
+    corpus."""
+    from .dedup import md5_bucket
+
+    sharded = df.withColumn("shard", md5_bucket(F.col(id_col), n_shards))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("total_tokens"))
+    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -280,6 +280,17 @@ def test_semantic_dup_flags_keep_canonical(spark):
     assert flags[0] is False  # canonical survivor
 
 
+def test_char_lm_sampled_model_broadcasts(spark):
+    """Scale pin for the sampled arm: the per-gram q model must still
+    BROADCAST to the corpus-sized scoring join (never shuffle-join the
+    exploded gram stream)."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["text_lm_quality_sampled"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_char_lm_sampled_model_arm(spark):
     """The md5-sampled-model arm must keep the quality ranking
     (gibberish below corpus text) and must score EVERY doc — grams
@@ -379,6 +390,44 @@ def test_http_graphql_end_to_end(spark):
     finally:
         server.shutdown()
         t.join(timeout=10)
+
+
+def test_pipeline_ops_survive_empty_input(spark):
+    """A scheduled pipeline run over an empty partition/day must not
+    crash: the iterative and banded operators all return empty frames
+    with their declared schemas."""
+    from union_indexer_node_spark.pipelines.ann_lsh import hyperplanes
+    from union_indexer_node_spark.pipelines.dedup import lsh_candidate_pairs
+    from union_indexer_node_spark.pipelines.similarity import (
+        kmeans_assign,
+        semantic_dup_flags,
+    )
+    from union_indexer_node_spark.pipelines.textstats import char_lm_quality
+    from union_indexer_node_spark.pipelines.training import pack_next_fit
+
+    no_docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert kmeans_assign(no_vecs, k=4, iters=2).count() == 0
+    flags = semantic_dup_flags(no_vecs, hyperplanes(64, 8), k=4, iters=2)
+    assert flags.count() == 0
+    assert set(flags.columns) == {"vec_id", "cluster", "is_semantic_dup"}
+    assert char_lm_quality(no_docs, "text", "doc_id").count() == 0
+    assert (
+        char_lm_quality(no_docs, "text", "doc_id", model_sample_rate=0.5).count()
+        == 0
+    )
+    assert lsh_candidate_pairs(no_docs, "text", "doc_id", k=8, bands=4).count() == 0
+    assert (
+        pack_next_fit(
+            no_docs.selectExpr("source", "doc_id", "CAST(1 AS LONG) AS n"),
+            "n",
+            "doc_id",
+            budget=16,
+            by="source",
+        ).count()
+        == 0
+    )
 
 
 def test_write_training_shards_deterministic_roundtrip(spark, tmp_path):

@@ -367,6 +367,10 @@ def semantic_dup_flags(
     cents = kmeans_centroids(
         emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant
     )
+    if not cents:  # empty corpus: nothing to cluster or flag
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, is_semantic_dup boolean"
+        )
     cluster, _ = kmeans_cluster_cols(cents, quant=quant)
     # Narrow frames end to end (dedup_embedding_neardup's shape): the
     # band join moves (id, cluster, band, bv) only — no vector arrays

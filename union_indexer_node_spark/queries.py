@@ -1157,6 +1157,15 @@ def a3_distinct_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
 )
 def a5_creator_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented divergence: the reference's JS accumulator reads
+    ``totalVotes = totalVotes + vid.stats?.num_votes || 0``
+    (core.ts:356) — ``+`` binds before ``||``, so ONE video with
+    missing stats turns the running total NaN and the ``|| 0`` resets
+    it, silently discarding every vote counted before that video in
+    Mongo natural cursor order. That behavior is nondeterministic even
+    for the reference (cursor order is storage order); this engine
+    uses the per-row missing-as-0 semantics the code plainly intends
+    (SUM over COALESCE), which is also the only reproducible reading."""
     posts = tables.posts(spark, sf_dir)
     threespeak = posts.filter(F.col("app_name") == "3speak").select(
         "author", "permlink", "num_votes"
@@ -4024,7 +4033,7 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float-determinism discipline that makes an iterative clustering
 # hash-comparable across engines at all. The CTE chain is shared with
 # the dedup_semantic_flags oracle below (one recurrence, no hand copy).
-_KMEANS_CTE = """q AS (
+_KMEANS_CTE_1 = """q AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv
@@ -4075,7 +4084,10 @@ _KMEANS_CTE = """q AS (
       SELECT vec_id, qv, cluster, dist FROM d1
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY vec_id ORDER BY dist, cluster) = 1
-    ),
+    )"""
+
+# Second Lloyd iteration on top of the shared 1-iteration prefix.
+_KMEANS_CTE = _KMEANS_CTE_1 + """,
     c2d AS (
       SELECT a1.cluster, t.i AS dim, SUM(a1.qv[t.i]) AS s, COUNT(*) AS n
       FROM a1 CROSS JOIN range(1, 65) AS t(i)
@@ -4120,14 +4132,17 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup-style semantic dedup: kmeans cluster (map-side centroid
 # literals) scopes the hyperplane-band candidate join; exact cosine
 # verifies; a row is a duplicate iff a lower-id near-dup exists in its
-# (cluster, band) bucket. Never per-cluster all-pairs.
+# (cluster, band) bucket. Never per-cluster all-pairs. ONE Lloyd
+# iteration: the clustering is a candidate-scoping device here, and
+# each extra iteration costs a full corpus aggregation pass —
+# refinement buys recall the band join already provides.
 @q(
     "dedup_semantic_flags",
     f"""
-    WITH {_KMEANS_CTE},
+    WITH {_KMEANS_CTE_1},
     sig AS (
       SELECT e.vec_id, a.cluster, {_bucket_sql('e.embedding')} AS bucket
-      FROM embeddings e JOIN asg a USING (vec_id)
+      FROM embeddings e JOIN a1 a USING (vec_id)
     ),
     keys AS (
       SELECT vec_id, cluster, g AS band, (bucket >> (4 * g)) & 15 AS bv
@@ -4150,14 +4165,14 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.vec_id, a.cluster,
            (d.vec_id IS NOT NULL) AS is_semantic_dup
-    FROM asg a LEFT JOIN dups d USING (vec_id)
+    FROM a1 a LEFT JOIN dups d USING (vec_id)
     """,
 )
 def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import semantic_dup_flags
 
     e = tables.load(spark, sf_dir, "embeddings")
-    return semantic_dup_flags(e, _ANN_PLANES, k=4, iters=2, threshold=0.35)
+    return semantic_dup_flags(e, _ANN_PLANES, k=4, iters=1, threshold=0.35)
 
 
 # Largest-remainder token-budget apportionment over the domain mixture

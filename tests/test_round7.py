@@ -565,6 +565,76 @@ def test_header_dims_pure_parsers():
     assert _header_dims(b"RIFF....WEBPVP8 ") is None
 
 
+def test_header_dims_never_raises_on_fuzz_bytes():
+    """The header parsers must be total: arbitrary byte strings —
+    including ones starting with valid signatures — return None or a
+    dimension tuple, never raise (one corrupt blob must not fail a
+    worker)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.multimodal import _header_dims
+
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(prefixes),
+        tail=st.binary(max_size=64),
+    )
+    def check(prefix, tail):
+        out = _header_dims(prefix + tail)
+        assert out is None or (
+            isinstance(out, tuple) and len(out) == 2
+        )
+
+    check()
+
+
+def test_kmeans_excludes_null_vectors(spark):
+    """NULL embeddings are not clusterable: they are excluded from
+    assignment (and from flags) rather than silently landing in an
+    engine-dependent cluster via NULL-distance argmin."""
+    from union_indexer_node_spark.pipelines.ann_lsh import hyperplanes
+    from union_indexer_node_spark.pipelines.similarity import (
+        kmeans_assign,
+        semantic_dup_flags,
+    )
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(10)] + [(99, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(emb, k=2, iters=1)
+    ids = {r.vec_id for r in out.collect()}
+    assert 99 not in ids and len(ids) == 10
+    flags = semantic_dup_flags(emb, hyperplanes(2, 8), k=2, iters=1)
+    assert 99 not in {r.vec_id for r in flags.collect()}
+
+
+def test_kmeans_update_is_single_exchange(spark):
+    """Scale pin: one Lloyd update is ONE partial-aggregated exchange
+    (map-side combine to k rows per partition before the shuffle) —
+    never a corpus-wide explode or a second shuffle."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.similarity import (
+        _quantized,
+        kmeans_centroids,
+        kmeans_cluster_cols,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroids(emb, k=4, iters=0)  # seeds only
+    cluster, _ = kmeans_cluster_cols(cents)
+    stats = (
+        emb.select(F.col("vec_id"), _quantized("embedding", 1_000_000).alias("_q"))
+        .select("_q", cluster)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan, plan
+
+
 def test_probe_media_default_real_dims(spark):
     """Default probe_media path returns REAL dimensions for
     PNG/JPEG/GIF bytes in any container; corrupt blobs of those

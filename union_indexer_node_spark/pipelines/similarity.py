@@ -214,7 +214,7 @@ def kmeans_assign(
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster int, dist_sq double"
         )
-    base = emb.select(F.col(id_col), _quantized(vec_col, quant).alias("_q"))
+    base = _quantized_base(emb, vec_col, id_col, quant)
     cluster, dist_sq = kmeans_cluster_cols(cents, quant=quant, dist_round=dist_round)
     return base.select(F.col(id_col), cluster, dist_sq)
 
@@ -223,6 +223,21 @@ def _quantized(vec_col: str, quant: int) -> Column:
     return F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+
+
+def _quantized_base(
+    emb: DataFrame, vec_col: str, id_col: str, quant: int
+) -> DataFrame:
+    """(id, _q) clustering base. NULL vectors are EXCLUDED up front:
+    a NULL embedding propagates NULL distances, and argmin-over-NULLs
+    resolves differently per engine (Spark's when-chain falls through
+    to the last cluster, SQL NULLS-LAST ordering picks the first) — a
+    silent divergence instead of a principled assignment. Rows without
+    an embedding simply aren't clusterable; callers that need them
+    keep them via a left join on the assignment."""
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantized(vec_col, quant).alias("_q")
     )
 
 
@@ -279,7 +294,7 @@ def kmeans_centroids(
     """Run the Lloyd iterations and return the final centroids as plain
     Python floats (k·dim bounded model — the collect idiom the module
     docstring of kmeans_assign justifies)."""
-    base = emb.select(F.col(id_col), _quantized(vec_col, quant).alias("_q"))
+    base = _quantized_base(emb, vec_col, id_col, quant)
 
     from .dedup import md5_hex
 
@@ -383,7 +398,8 @@ def semantic_dup_flags(
     # bytes/row, the same narrow-checkpoint trade lsh_candidate_pairs
     # makes for its candidate set.
     assigned = (
-        emb.select(
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col),
             _quantized(vec_col, quant).alias("_q"),
             bucket_expr(F.col(vec_col), planes).alias("_bucket"),

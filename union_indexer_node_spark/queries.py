@@ -4038,6 +4038,7 @@ _KMEANS_CTE_1 = """q AS (
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     seeds AS (
       SELECT CAST(ROW_NUMBER() OVER (

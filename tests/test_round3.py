@@ -32,6 +32,9 @@ MUST_BE_IN_WINDOW = [
     "f4_regex_filter",
     "x1_json_props_extract",
     "j2_parent_post_join",
+    "j7_follows_overview",
+    "a2_distinct_authors_of_app",
+    "x2_detect_post_type",
     # single-green r6 entries: one driver row is not yet "multiply
     # green", so they hold their slot another round
     "offchain_id_refresh",
@@ -63,10 +66,8 @@ MUST_BE_IN_WINDOW = [
     "pipeline_corpus_curation",
     "dedup_embedding_neardup",
     "dedup_cc_clusters",
-    "dedup_lsh_candidates",
     "ann_recall_eval",
     "o2_a8_trending_feed_payout",
-    "training_decontaminate",
     "training_pack_next_fit",
     "pipeline_training_prep",
     "j9_reply_closure",

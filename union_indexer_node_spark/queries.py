@@ -65,14 +65,11 @@ _DEPRIORITIZED = [
     "o6_related_feed_sample",  # O6 md5-order sampling ≡ sample_stratified's draw
     "dedup_minhash_signature",  # subsumed by dedup_lsh_candidates (builds sigs)
     "sim_pairwise_cosine",  # staged-norm cosine in-window via dedup_embedding_neardup
-    "x2_detect_post_type",  # X2 getter exercised inside every feed entry
     "w4_feed_pagination",  # W window family: w1/w2 + o5 in-window
-    "a2_distinct_authors_of_app",  # count-distinct shape ≡ j7_follows_overview
     "a6_sign_counts_higher_order",  # HOF aggregate; a5_score_zeroing in-window
     "dedup_ngram_jaccard",  # verify stage runs inside pipeline_corpus_curation
     "text_fingerprint",  # rolling-hash scalar; text family langid_ngram/vocab in-window (r6)
     "sim_ivf_topk_label",  # IVF probe ≡ ann_lsh_topk bucket-pruned top-k shape
-    "j7_follows_overview",  # J7 agg-join ≡ j3_num_comments_per_post shape
     "j4_follower_feed_did",  # J4 DID-routing arm; j4_follower_feed in-window
     "ann_lsh_signatures",  # signature stage runs inside ann_lsh_topk
     # -- rotated out in round 5 (all driver-green in r4,
@@ -143,6 +140,17 @@ _DEPRIORITIZED = [
     #    two in-window reps (training_hash_split permille buckets,
     #    sample_stratified md5-rank) — swapped for the round-7
     #    dedup_semantic_flags driver signal
+    # -- second round-7 staleness tranche: three r3-era entries
+    #    (j7/a2/x2, last driver-green r3) re-enter; these three rotate
+    #    out multiply-green (r5+r6) with their operator still running
+    #    inside an in-window composite --
+    "o5_children_topk_per_parent",  # O5 green r5+r6; per-group top-k rank
+    #    shape stays via text_vocab_topk_per_source + w1_leaderboard_rank
+    "training_decontaminate",  # green r5+r6; decontaminate() runs inside
+    #    pipeline_training_prep (in-window capstone)
+    "dedup_lsh_candidates",  # green r5+r6; lsh_candidate_pairs() runs
+    #    inside BOTH pipeline_corpus_curation and dedup_cc_clusters
+    #    (in-window)
 ]
 
 

@@ -392,6 +392,44 @@ def test_http_graphql_end_to_end(spark):
         t.join(timeout=10)
 
 
+def test_search_any_term_matches_mongo_or(spark):
+    """Mongo $text ORs space-delimited terms; any_term=True reproduces
+    that, the default AND stays the documented divergence. OR results
+    must equal AND ∪ (each single-term search)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators import feeds
+    from union_indexer_node_spark.pipelines.search import (
+        build_inverted_index,
+        search_by_index,
+    )
+
+    posts = tables.posts(spark, SF_DIR)
+    spec = feeds.FeedSpec(limit=10_000)
+
+    def keys(df):
+        return {(r.author, r.permlink) for r in df.select("author", "permlink").collect()}
+
+    both = keys(feeds.search_feed(posts, "plain punctuation", spec))
+    either = keys(feeds.search_feed(posts, "plain punctuation", spec, any_term=True))
+    t1 = keys(feeds.search_feed(posts, "plain", spec))
+    t2 = keys(feeds.search_feed(posts, "punctuation", spec))
+    assert both == t1 & t2
+    assert either == t1 | t2
+    assert both <= either
+
+    # v2 has no feed defaults (comment/ceramic filters), so check the
+    # OR/AND algebra within its own surface
+    idx = build_inverted_index(posts, "body", ["author", "permlink"])
+
+    def v2(terms, **kw):
+        return keys(search_by_index(idx, posts, terms, ["author", "permlink"], **kw))
+
+    assert v2(["plain", "punctuation"], any_term=True) == v2(["plain"]) | v2(
+        ["punctuation"]
+    )
+    assert v2(["plain", "punctuation"]) == v2(["plain"]) & v2(["punctuation"])
+
+
 def test_pipeline_ops_survive_empty_input(spark):
     """A scheduled pipeline run over an empty partition/day must not
     crash: the iterative and banded operators all return empty frames

@@ -134,15 +134,27 @@ def query_tokens(term: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
 
 
-def search_feed(posts: DataFrame, term: str, spec: FeedSpec) -> DataFrame:
+def search_feed(
+    posts: DataFrame, term: str, spec: FeedSpec, *, any_term: bool = False
+) -> DataFrame:
     """searchFeed (resolvers/index.ts:199-216): Mongo $text over body,
     sorted by created_at (NOT text score — resolvers/index.ts:210-213),
     so token-match + recency sort reproduces observable behavior.
-    v1 token-AND match; see pipelines/search.py for the inverted-index
-    scale path. skip/limit per the reference's pagination args."""
+
+    Multi-term semantics: Mongo $text ORs space-delimited terms;
+    this engine defaults to token-AND (the SURVEY §2.8/§5 documented
+    divergence — AND is what a search user expects and what the
+    inverted-index path intersects). Pass ``any_term=True`` for
+    Mongo-exact OR matching. Single-term queries — the common case —
+    are identical either way. Stemming is not replicated (same
+    documented divergence).
+
+    v1 scan; see pipelines/search.py for the inverted-index scale
+    path. skip/limit per the reference's pagination args."""
     terms = query_tokens(term)
     tokens = F.split(F.lower(F.col("body")), "[^a-z0-9]+")
-    pred = and_of([F.array_contains(tokens, t) for t in terms])
+    combine = or_of if any_term else and_of
+    pred = combine([F.array_contains(tokens, t) for t in terms])
     df = posts.filter(pred) if pred is not None else posts
     base = compile_feed_filter(spec)
     if base is not None:

@@ -56,21 +56,33 @@ def update_inverted_index(
 
 
 def search_by_index(
-    index: DataFrame, corpus: DataFrame, terms: list[str], key_cols: list[str]
+    index: DataFrame,
+    corpus: DataFrame,
+    terms: list[str],
+    key_cols: list[str],
+    *,
+    any_term: bool = False,
 ) -> DataFrame:
-    """Token-AND query: intersect the posting lists of each term, then
-    semi-join the corpus. Each posting-list filter is a pushed-down
-    equality on the (bucketed/partitioned) token column. Terms are
-    re-tokenized with the index's own tokenizer so a punctuated query
-    ('spark-sql') matches as its word tokens — the index can never hold
-    a token containing punctuation."""
+    """Posting-list query, then a semi-join against the corpus. Default
+    is token-AND (posting-list intersection — the SURVEY §2.8/§5
+    documented divergence from Mongo's $text, which ORs space-delimited
+    terms); ``any_term=True`` gives Mongo-exact OR matching as ONE
+    pushed-down `token IN (...)` scan over the posting table. Either
+    way each access is an equality/IN filter on the
+    (bucketed/partitioned) token column. Terms are re-tokenized with
+    the index's own tokenizer so a punctuated query ('spark-sql')
+    matches as its word tokens — the index can never hold a token
+    containing punctuation."""
     from ..operators.feeds import query_tokens
 
     terms = [t for raw in terms for t in query_tokens(raw)]
     if not terms:
         return corpus
-    postings = [
-        index.filter(F.col("token") == t).select(*key_cols) for t in terms
-    ]
-    matched = reduce(lambda a, b: a.join(b, key_cols, "inner"), postings)
+    if any_term:
+        matched = index.filter(F.col("token").isin(terms)).select(*key_cols)
+    else:
+        postings = [
+            index.filter(F.col("token") == t).select(*key_cols) for t in terms
+        ]
+        matched = reduce(lambda a, b: a.join(b, key_cols, "inner"), postings)
     return corpus.join(matched.distinct(), key_cols, "left_semi")

@@ -62,6 +62,26 @@ def follow_op(h, cid, follower, following, what):
     )
 
 
+def spoofed_follow(h, *, signer, claimed, following):
+    op = follow_op(h, "follow", claimed, following, ["blog"])
+    op["required_posting_auths"] = [signer]
+    op["trx_id"] = f"spoof{h}"
+    return op
+
+
+def community_op(h, account, community, action):
+    return dict(
+        block_height=h, block_timestamp=T0 + dt.timedelta(minutes=h),
+        tx_idx=0, trx_id=f"c{h}", op_idx=0, op_type="custom_json",
+        author=None, permlink=None, parent_author=None, parent_permlink=None,
+        title=None, body=None, json_metadata=None,
+        custom_json_id="community",
+        custom_json=json.dumps({"action": action, "community": community}),
+        required_posting_auths=[account],
+        voter=None, posting_json_metadata=None, account=None, extensions=None,
+    )
+
+
 OPS_SCHEMA = """
     block_height long, block_timestamp timestamp, tx_idx int, trx_id string,
     op_idx int, op_type string, author string, permlink string,
@@ -102,6 +122,13 @@ def _ops_rows():
         follow_op(60, "follow", "zoe", "alice", ["blog"]),
         follow_op(61, "follow", "zoe", "alice", []),  # empty what = unfollow
         follow_op(62, "spk.follow", "yan", "alice", ["blog"]),
+        # spoofed follow: signed by mallory but claiming zoe -> dropped
+        # (hive-stream.ts:366-368)
+        spoofed_follow(63, signer="mallory", claimed="zoe", following="henry"),
+        # community subscribe / unsubscribe lifecycle
+        community_op(64, "walt", "hive-123", "subscribe"),
+        community_op(65, "walt", "hive-999", "subscribe"),
+        community_op(66, "walt", "hive-999", "unsubscribe"),
     ]
 
 
@@ -186,6 +213,16 @@ def test_first_upload_window(spark, ops):
 
 def test_follows_tombstone(spark, ops):
     f = build_follows(ops)
-    edges = {(r.follower, r.following) for r in f.collect()}
+    rows = {(r.follower, r.following): r for r in f.collect()}
+    edges = set(rows)
     assert ("zoe", "alice") not in edges  # unfollow tombstone wins (S8)
     assert ("yan", "alice") in edges
+    # spoofed follow (signed by mallory, claiming zoe) is dropped
+    assert ("zoe", "henry") not in edges
+    assert ("mallory", "henry") not in edges
+    # community subscribe survives; unsubscribe tombstones
+    assert rows[("walt", "hive-123")].what == ["community"]
+    assert rows[("walt", "hive-123")]._id == "hive-walt-hive-123"
+    assert ("walt", "hive-999") not in edges
+    # spk edges keep the reference's slash keyspace
+    assert rows[("yan", "alice")]._id == "hive/yan/alice"

@@ -264,44 +264,95 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
 
 
 def build_follows(ops: DataFrame) -> DataFrame:
-    """follows pipeline (hive-stream.ts:325-397): follow/unfollow custom
-    ops; last op per edge wins; unfollow = tombstone (anti-join, S8)."""
+    """follows pipeline (hive-stream.ts:282-397): the THREE custom_json
+    families the reference routes into followsDb —
+
+    - ``follow`` (hive social graph): ``{follower, following, what}``;
+      an empty ``what`` array is an unfollow (``what.length >= 1``,
+      :370), and the op is DROPPED when the signing account differs
+      from the claimed follower (the spoof guard at :366-368 — without
+      it anyone could create edges for other users);
+    - ``spk.follow`` / ``spk.unfollow`` (DID follows): follower is the
+      signing account, keyed ``hive/{account}/{did}`` (:333-358);
+    - ``community`` subscribe/unsubscribe: follower is the signing
+      account, following the community name, keyed
+      ``hive-{account}-{community}`` (:289-309).
+
+    Last op per EDGE KEY wins (LWW on the op order); unfollow is a
+    tombstone (S8). Keys keep the reference's per-family namespaces, so
+    a hive follow and a spk follow of the same pair stay two edges —
+    exactly as two Mongo docs."""
     fo = ops.filter(
         F.col("op_type").isin("custom_json")
-        & F.col("custom_json_id").isin("follow", "spk.follow", "spk.unfollow")
+        & F.col("custom_json_id").isin(
+            "follow", "spk.follow", "spk.unfollow", "community"
+        )
     ).withColumn(
         "cj",
         F.from_json(
             F.col("custom_json"),
-            "struct<follower:string,following:string,what:array<string>>",
+            "struct<follower:string,following:string,what:array<string>,"
+            "action:string,community:string>",
         ),
     )
+    auth = F.col("required_posting_auths").getItem(0)
+    fo = fo.filter(
+        ~(
+            (F.col("custom_json_id") == "follow")
+            & F.col("cj.follower").isNotNull()
+            & (F.col("cj.follower") != auth)
+        )
+    )
+    is_comm = F.col("custom_json_id") == "community"
+    is_spk = F.col("custom_json_id").startswith("spk.")
     edges = fo.select(
-        F.coalesce(F.col("cj.follower"), F.col("required_posting_auths").getItem(0)).alias(
-            "follower"
-        ),
-        F.col("cj.following").alias("following"),
+        F.when(is_comm, auth)
+        .otherwise(F.coalesce(F.col("cj.follower"), auth))
+        .alias("follower"),
+        F.when(is_comm, F.col("cj.community"))
+        .otherwise(F.col("cj.following"))
+        .alias("following"),
+        F.when(is_comm, F.array(F.lit("community")))
+        .otherwise(F.coalesce(F.col("cj.what"), F.array().cast("array<string>")))
+        .alias("what"),
         F.when(F.col("custom_json_id") == "spk.unfollow", F.lit(True))
         .when(
             (F.col("custom_json_id") == "follow")
             & (F.size(F.coalesce(F.col("cj.what"), F.array())) == 0),
             F.lit(True),
         )
+        .when(is_comm & (F.col("cj.action") == "unsubscribe"), F.lit(True))
         .otherwise(F.lit(False))
         .alias("is_unfollow"),
+        # per-family key namespace (reference _id formats)
+        F.when(
+            is_spk,
+            F.concat_ws(
+                "/",
+                F.lit("hive"),
+                F.coalesce(F.col("cj.follower"), auth),
+                F.col("cj.following"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                "-",
+                F.lit("hive"),
+                F.when(is_comm, auth).otherwise(
+                    F.coalesce(F.col("cj.follower"), auth)
+                ),
+                F.when(is_comm, F.col("cj.community")).otherwise(
+                    F.col("cj.following")
+                ),
+            )
+        )
+        .alias("_id"),
         F.col("block_timestamp").alias("followed_at"),
         *_order(),
     )
-    w = Window.partitionBy("follower", "following").orderBy(
-        *[c.desc() for c in _order()]
-    )
+    w = Window.partitionBy("_id").orderBy(*[c.desc() for c in _order()])
     return (
         edges.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & ~F.col("is_unfollow"))
-        .select(
-            F.concat_ws("-", F.lit("hive"), "follower", "following").alias("_id"),
-            "follower",
-            "following",
-            "followed_at",
-        )
+        .select("_id", "follower", "following", "what", "followed_at")
     )

@@ -146,14 +146,30 @@ def test_delegated_authority(spark):
         [
             au(1, "alice", {"posting": {"account_auths": [["appx", "1"]]},
                             "active": {"account_auths": []}}),
-            # later update REVOKES appx, grants appy
-            au(5, "alice", {"posting": {"account_auths": [["appy", "1"]]},
+            # later update REVOKES appx, grants appy + threespeak
+            au(5, "alice", {"posting": {"account_auths": [["appy", "1"],
+                                                          ["threespeak", "1"]]},
                             "active": {"account_auths": [["vault", "1"]]}}),
         ],
         schema=OPS_SCHEMA,
     )
-    edges = {(r.type, r["from"], r.to) for r in build_delegated_authority(ops).collect()}
-    assert edges == {("posting", "alice", "appy"), ("active", "alice", "vault")}
+    # wildcard arm: every grant of the LATEST update survives
+    edges = {
+        (r.type, r["from"], r.to)
+        for r in build_delegated_authority(ops, allowed_accounts=None).collect()
+    }
+    assert edges == {
+        ("posting", "alice", "appy"),
+        ("posting", "alice", "threespeak"),
+        ("active", "alice", "vault"),
+    }
+    # reference default: only CONFIG.delegated_posting_accounts grantees
+    # are recorded (config.ts:5-9, checked at hive-stream.ts:408,425)
+    filtered = {
+        (r.type, r["from"], r.to)
+        for r in build_delegated_authority(ops).collect()
+    }
+    assert filtered == {("posting", "alice", "threespeak")}
 
 
 def test_ingest_permutation_invariance(spark):

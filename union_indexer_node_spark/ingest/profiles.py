@@ -68,13 +68,28 @@ def build_communities(ops: DataFrame) -> DataFrame:
     )
 
 
-def build_delegated_authority(ops: DataFrame) -> DataFrame:
-    """delegated-authority edges (hive-stream.ts:427-443,
+# The reference only records delegations TO these accounts
+# (CONFIG.delegated_posting_accounts, config.ts:5-9; '*' = everyone,
+# checked at hive-stream.ts:408,425).
+DELEGATED_POSTING_ACCOUNTS = ("threespeak", "threespeak.beta")
+
+
+def build_delegated_authority(
+    ops: DataFrame,
+    *,
+    allowed_accounts: tuple[str, ...] | None = DELEGATED_POSTING_ACCOUNTS,
+) -> DataFrame:
+    """delegated-authority edges (hive-stream.ts:399-447,
     types/index.ts:1-8): account_update ops carry posting/active
     account_auths; each grants an edge {type, from, to}; an update that
     drops an account revokes it (S8 delete — here: only the latest
     update per account defines the edge set, so revocation falls out of
     the LWW + re-derive).
+
+    ``allowed_accounts`` is the reference's grantee allowlist
+    (CONFIG.delegated_posting_accounts): only delegations TO one of
+    these accounts are recorded; ``None`` or a tuple containing ``"*"``
+    keeps every grant (the config's wildcard arm).
 
     Payload shape (raw_ops carries it in custom_json for account_update
     rows): {"posting": {"account_auths": [["acct", w], ...]},
@@ -105,7 +120,7 @@ def build_delegated_authority(ops: DataFrame) -> DataFrame:
             for t in ("posting", "active")
         ]
     )
-    return (
+    edges = (
         latest.select(
             F.col("account").alias("from"),
             F.explode(typed).alias("ta"),
@@ -130,6 +145,15 @@ def build_delegated_authority(ops: DataFrame) -> DataFrame:
             "block_height",
         )
     )
+    return _apply_grantee_allowlist(edges, allowed_accounts)
+
+
+def _apply_grantee_allowlist(
+    edges: DataFrame, allowed: tuple[str, ...] | None
+) -> DataFrame:
+    if allowed is None or "*" in allowed:
+        return edges
+    return edges.filter(F.col("to").isin(list(allowed)))
 
 
 def attach_creator_scores(profiles: DataFrame, scores: DataFrame) -> DataFrame:

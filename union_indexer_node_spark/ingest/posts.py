@@ -175,6 +175,14 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     # miss authors whose first post overall was a different app, so the
     # flag compares against the min order-struct among 3speak rows only
     # (min skips the non-3speak nulls).
+    #
+    # Documented divergence (reference bug): the reference's existence
+    # probe queries `video.first_upload` (:625-626) but the flag is
+    # WRITTEN at `app_metadata.spkvideo.first_upload` (:629) — the
+    # probe can never match, so the reference flags EVERY 3speak post
+    # as a first upload. This engine implements the evident intent
+    # (one flag per author, earliest post); replicating the bug would
+    # make the F8 firstUpload filter a no-op.
     is_3speak = F.col("post_type") == "3speak"
     order_struct = F.struct("created_at", "block_height", "permlink")
     first_3speak = F.min(F.when(is_3speak, order_struct)).over(

@@ -392,6 +392,56 @@ def test_http_graphql_end_to_end(spark):
         t.join(timeout=10)
 
 
+def test_ceramic_replies_carry_comment_flag(spark):
+    """Reference parity (services/index.ts:72-75): an offchain doc with
+    a parent permlink is a reply and carries the 'comment' flag, so a
+    feed with includeCeramic but NOT includeComments excludes it."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators import feeds
+    from union_indexer_node_spark.sources.ceramic import (
+        CERAMIC_DOCS_SCHEMA,
+        ceramic_posts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [
+            ("s1", "v1", "did:key:a", None, None, "top", "body", [], None,
+             t0, t0, None, False, None),
+            ("s2", "v1", "did:key:b", "did:key:a", "s1", "re", "body", [],
+             None, t0, t0, None, False, None),
+        ],
+        CERAMIC_DOCS_SCHEMA,
+    )
+    mapped = {r.permlink: r for r in ceramic_posts(docs).collect()}
+    assert mapped["s1"].flags == []
+    assert mapped["s2"].flags == ["comment"]
+
+    # feed semantics: ceramic-inclusive feed still excludes the reply
+    # unless comments are opted into
+    posts = ceramic_posts(docs).withColumn("app_name", F.lit("blog")).withColumn(
+        "num_votes", F.lit(0)
+    )
+    got = {
+        r.permlink
+        for r in feeds.social_feed(
+            posts, feeds.FeedSpec(include_ceramic=True, limit=10)
+        ).collect()
+    }
+    assert got == {"s1"}
+    got_all = {
+        r.permlink
+        for r in feeds.social_feed(
+            posts,
+            feeds.FeedSpec(
+                include_ceramic=True, include_comments=True, limit=10
+            ),
+        ).collect()
+    }
+    assert got_all == {"s1", "s2"}
+
+
 def test_search_any_term_matches_mongo_or(spark):
     """Mongo $text ORs space-delimited terms; any_term=True reproduces
     that, the default AND stays the documented divergence. OR results

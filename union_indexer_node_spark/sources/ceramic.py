@@ -53,6 +53,13 @@ def ceramic_posts(docs: DataFrame) -> DataFrame:
             == 0
         )
         docs = docs.filter(~pin_only)
+    # A ceramic doc with a parent permlink is a reply and carries the
+    # 'comment' flag (services/index.ts:72-75) — so the F6 comment
+    # exclusion applies to offchain replies too when a feed opts into
+    # includeCeramic without includeComments.
+    is_reply = F.col("parent_permlink").isNotNull() & (
+        F.col("parent_permlink") != ""
+    )
     return (
         docs.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         .select(
@@ -71,6 +78,9 @@ def ceramic_posts(docs: DataFrame) -> DataFrame:
             F.lit("published").alias("status"),
             F.col("stream_id").alias("off_chain_id"),
             F.col("version_id"),
+            F.when(is_reply, F.array(F.lit("comment")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("flags"),
         )
     )
 

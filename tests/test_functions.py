@@ -127,6 +127,16 @@ def test_mentions_did_and_case(spark):
     got = df.select(extract_mentions(F.col("body")).alias("m")).collect()[0].m
     assert got == ["alice", "did:key:z6MkXYZ", "bob-1"]  # X14: hive lowered, DID kept
 
+    # reference-regex boundary rules (notifications.ts:5): an email-like
+    # '@' preceded by a name character is NOT a mention; the name
+    # charset has no dot, so '@threespeak.beta' captures 'threespeak'
+    edge = spark.createDataFrame(
+        [("mail me at foo@bar.com, ping @threespeak.beta and @_under",)],
+        "body string",
+    )
+    got2 = edge.select(extract_mentions(F.col("body")).alias("m")).collect()[0].m
+    assert got2 == ["threespeak", "_under"]
+
 
 def test_delegated_authority(spark):
     from union_indexer_node_spark.ingest.profiles import build_delegated_authority

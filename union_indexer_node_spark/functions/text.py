@@ -10,14 +10,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Simplified form of the twitter-text mention regex used at
-# notifications.ts:5 — captures @name and @did:... tokens.
-MENTION_RE = r"@((?:did:[a-zA-Z0-9:._-]+)|[a-zA-Z0-9][a-zA-Z0-9._-]*)"
+# The reference's mention regex VERBATIM (notifications.ts:5, the
+# twitter-text derivative): group 1 is the left-boundary guard (start
+# of text or a non-name character — 'foo@bar' is NOT a mention), group
+# 2 the @/＠ sign, group 3 the captured name, group 4 an optional
+# /list suffix. The name charset [a-zA-Z0-9_:-] has NO DOT, so
+# '@threespeak.beta' captures only 'threespeak' — faithful to the
+# reference, which inherits the twitter rule. RE2-safe (no lookaround,
+# the boundary is a consumed group), so DuckDB oracles run the
+# identical pattern.
+MENTION_RE = (
+    r"((?:^|[^a-zA-Z0-9_!#$%&*@＠]|(?:^|[^a-zA-Z0-9_+~.-])(?:rt|RT|rT|Rt):?))"
+    r"([@＠])([a-zA-Z0-9_:-]{1,80})(/[a-zA-Z:][a-zA-Z0-9_:-]{0,24})?"
+)
+MENTION_GROUP = 3
 
 
 def extract_mentions(body: Column) -> Column:
-    """All @mentions in a body; hive names lower-cased, DIDs verbatim."""
-    raw = F.regexp_extract_all(body, F.lit(MENTION_RE), 1)
+    """All @mentions in a body; hive names lower-cased, DIDs verbatim
+    (notifications.ts:39-45)."""
+    raw = F.regexp_extract_all(body, F.lit(MENTION_RE), MENTION_GROUP)
     return F.transform(
         raw,
         lambda m: F.when(m.startswith("did:"), m).otherwise(F.lower(m)),
@@ -55,11 +67,15 @@ def mention_notifications(posts: DataFrame) -> DataFrame:
     (notifications.ts:17-56, process-meta.ts:20-30):
     explode mentions, tag type by did-prefix, dedupe on (ref, target,
     notification_type). Pure explode + project + dropDuplicates —
-    map-side until the dedup shuffle."""
+    map-side until the dedup shuffle. The reference stamps
+    ``mentioned_at`` from post.updated_at (notifications.ts:50);
+    frames without that column (the read-side domain view) fall back
+    to created_at."""
+    ts_col = "updated_at" if "updated_at" in posts.columns else "created_at"
     return (
         posts.select(
             F.col("author").alias("from"),
-            F.col("created_at").alias("mentioned_at"),
+            F.col(ts_col).alias("mentioned_at"),
             F.concat_ws("/", F.lit("hive"), F.col("author"), F.col("permlink")).alias(
                 "ref"
             ),

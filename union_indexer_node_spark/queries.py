@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
+from .functions.text import MENTION_RE as _MENTION_RE_SQL
 from .operators import feeds
 from .operators.feeds import FeedSpec
 
@@ -522,15 +523,17 @@ def j9_reply_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.oracle_with_domain("""
     SELECT DISTINCT
       'hive/' || author || '/' || permlink AS ref,
-      lower(m) AS target,
-      'hive' AS type,
+      CASE WHEN m LIKE 'did:%' THEN m ELSE lower(m) END AS target,
+      CASE WHEN m LIKE 'did:%' THEN 'did' ELSE 'hive' END AS type,
       'mention' AS notification_type,
       author AS "from",
       created_at AS mentioned_at
     FROM (
       SELECT author, permlink, created_at,
              UNNEST(regexp_extract_all(body,
-               '@((?:did:[a-zA-Z0-9:._-]+)|[a-zA-Z0-9][a-zA-Z0-9._-]*)', 1)) AS m
+               '"""
+    + _MENTION_RE_SQL
+    + """', 3)) AS m
       FROM posts
     )
     """),

@@ -480,6 +480,63 @@ def test_search_any_term_matches_mongo_or(spark):
     assert v2(["plain", "punctuation"]) == v2(["plain"]) & v2(["punctuation"])
 
 
+def test_asof_join_matches_python_oracle(spark):
+    """Hypothesis property: for every left row, asof_join returns the
+    payload of the LATEST right row with ts <= left ts in the same key
+    group (inclusive at equality), None when no right row qualifies —
+    checked against an independent pure-Python fold over random event
+    sets with deliberately colliding timestamps."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        ts_pool = st.integers(0, 12)  # small pool forces ties
+        keys = st.integers(0, 2)
+        left = data.draw(
+            st.lists(st.tuples(keys, ts_pool), min_size=1, max_size=25)
+        )
+        right = data.draw(
+            st.lists(st.tuples(keys, ts_pool), min_size=0, max_size=25)
+        )
+        # right side unique per (key, ts) — the documented precondition
+        right = list({(k, t) for k, t in right})
+
+        ldf = spark.createDataFrame(
+            [
+                (k, t0 + dt.timedelta(minutes=t), i)
+                for i, (k, t) in enumerate(left)
+            ],
+            "k long, ts timestamp, lid long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(minutes=t), f"p{k}-{t}") for k, t in right],
+            "k long, ts timestamp, payload string",
+        )
+        got = {
+            (r.lid, r.asof_payload)
+            for r in asof_join(ldf, rdf, ["k"], payload=["payload"]).collect()
+        }
+        expected = set()
+        for i, (k, t) in enumerate(left):
+            cands = [(rt, p) for (rk, rt) in right if rk == k and rt <= t
+                     for p in [f"p{rk}-{rt}"]]
+            expected.add((i, max(cands)[1] if cands else None))
+        assert got == expected
+
+    check()
+
+
 def test_pipeline_ops_survive_empty_input(spark):
     """A scheduled pipeline run over an empty partition/day must not
     crash: the iterative and banded operators all return empty frames

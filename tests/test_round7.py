@@ -537,6 +537,64 @@ def test_asof_join_matches_python_oracle(spark):
     check()
 
 
+def test_bucketed_range_join_cap_split_property(spark):
+    """Hypothesis property: the bucket-explode + long-interval
+    broadcast split returns EXACTLY the point-in-interval pairs of a
+    naive cross check, for any cap — including caps that route most
+    intervals to the broadcast arm — and boundary-inclusive at both
+    interval ends."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.operators.temporal import bucketed_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        pts = data.draw(st.lists(st.integers(0, 600), min_size=1, max_size=20))
+        ivs = data.draw(
+            st.lists(
+                st.tuples(st.integers(0, 600), st.integers(0, 600)),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        ivs = [(min(a, b), max(a, b)) for a, b in ivs]
+        cap = data.draw(st.sampled_from([1, 3, None]))
+        p = spark.createDataFrame(
+            [(i, m(t)) for i, t in enumerate(pts)], "pid long, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [(j, m(a), m(b)) for j, (a, b) in enumerate(ivs)],
+            "iid long, start_ts timestamp, end_ts timestamp",
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in bucketed_range_join(
+                p, iv, max_buckets_per_interval=cap
+            ).collect()
+        }
+        expected = {
+            (i, j)
+            for i, t in enumerate(pts)
+            for j, (a, b) in enumerate(ivs)
+            if a <= t <= b
+        }
+        assert got == expected
+
+    check()
+
+
 def test_pipeline_ops_survive_empty_input(spark):
     """A scheduled pipeline run over an empty partition/day must not
     crash: the iterative and banded operators all return empty frames

@@ -69,6 +69,31 @@ def spoofed_follow(h, *, signer, claimed, following):
     return op
 
 
+def followerless_follow(h, signer, following):
+    """Legacy 'follow' whose payload has no follower field — the
+    reference's guard (account !== json[1].follower with follower
+    undefined) drops it."""
+    op = follow_op(h, "follow", None, following, ["blog"])
+    op["custom_json"] = json.dumps({"following": following, "what": ["blog"]})
+    op["required_posting_auths"] = [signer]
+    op["trx_id"] = f"nofo{h}"
+    return op
+
+
+def spk_did_follow(h, signer, did, *, claimed_follower=None):
+    """spk.follow shaped like the reference payload: {did, what}; an
+    optional spoofed 'follower' field must be ignored (hive-stream.ts
+    :325-344 always uses required_posting_auths[0])."""
+    payload = {"did": did, "what": ["blog"]}
+    if claimed_follower is not None:
+        payload["follower"] = claimed_follower
+    op = follow_op(h, "spk.follow", signer, did, ["blog"])
+    op["custom_json"] = json.dumps(payload)
+    op["required_posting_auths"] = [signer]
+    op["trx_id"] = f"spkdid{h}"
+    return op
+
+
 def community_op(h, account, community, action):
     return dict(
         block_height=h, block_timestamp=T0 + dt.timedelta(minutes=h),
@@ -129,6 +154,11 @@ def _ops_rows():
         community_op(64, "walt", "hive-123", "subscribe"),
         community_op(65, "walt", "hive-999", "subscribe"),
         community_op(66, "walt", "hive-999", "unsubscribe"),
+        # follower-less legacy follow: reference guard drops it
+        followerless_follow(67, "quinn", "alice"),
+        # spk.follow with reference payload shape {did, what} + a
+        # spoofed follower field: edge belongs to the SIGNER
+        spk_did_follow(68, "rex", "did:key:z6abc", claimed_follower="zoe"),
     ]
 
 
@@ -226,3 +256,12 @@ def test_follows_tombstone(spark, ops):
     assert ("walt", "hive-999") not in edges
     # spk edges keep the reference's slash keyspace
     assert rows[("yan", "alice")]._id == "hive/yan/alice"
+    # follower-less legacy follow dropped (reference guard: account !==
+    # undefined -> continue)
+    assert ("quinn", "alice") not in edges
+    # spk.follow {did, follower: spoofed}: the edge belongs to the
+    # SIGNER and follows the payload's did — the spoofed follower field
+    # never creates an edge for zoe
+    assert ("rex", "did:key:z6abc") in edges
+    assert rows[("rex", "did:key:z6abc")]._id == "hive/rex/did:key:z6abc"
+    assert ("zoe", "did:key:z6abc") not in edges

@@ -378,6 +378,15 @@ def test_http_graphql_end_to_end(spark):
         with pytest.raises(urllib.error.HTTPError) as e400:
             urllib.request.urlopen(bad, timeout=10)
         assert e400.value.code == 400
+        # valid JSON that is NOT an object ([1], "x") is also a
+        # transport-level 400, not an unhandled 500
+        for payload in (b"[1]", b'"x"', b"42"):
+            nonobj = urllib.request.Request(
+                base + "/api/v2/graphql", data=payload, method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as e400b:
+                urllib.request.urlopen(nonobj, timeout=10)
+            assert e400b.value.code == 400, payload
         # query-level errors stay 200 with an errors array
         req2 = urllib.request.Request(
             base + "/api/v2/graphql",

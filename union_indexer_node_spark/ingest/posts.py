@@ -278,10 +278,19 @@ def build_follows(ops: DataFrame) -> DataFrame:
     - ``follow`` (hive social graph): ``{follower, following, what}``;
       an empty ``what`` array is an unfollow (``what.length >= 1``,
       :370), and the op is DROPPED when the signing account differs
-      from the claimed follower (the spoof guard at :366-368 — without
-      it anyone could create edges for other users);
-    - ``spk.follow`` / ``spk.unfollow`` (DID follows): follower is the
-      signing account, keyed ``hive/{account}/{did}`` (:333-358);
+      from the claimed follower — including when the payload carries
+      NO follower at all (the spoof guard at :366-368 compares
+      ``account !== json[1].follower``, and ``account !== undefined``
+      is true, so a follower-less payload is skipped too);
+    - ``spk.follow`` / ``spk.unfollow`` (DID follows): follower is
+      ALWAYS the signing account — the payload's ``follower`` field, if
+      any, is ignored (the reference never reads one: :333-358 uses
+      ``required_posting_auths[0]`` for both the ``_id`` and the
+      ``follower`` column, so a spoofed field must not create or
+      tombstone another user's edge); the followed DID is the payload's
+      ``did`` field (:347), keyed ``hive/{account}/{did}`` (FIXTURES.md
+      legacy rows carry it as ``following``, so both spellings are
+      accepted, ``did`` winning);
     - ``community`` subscribe/unsubscribe: follower is the signing
       account, following the community name, keyed
       ``hive-{account}-{community}`` (:289-309).
@@ -299,25 +308,38 @@ def build_follows(ops: DataFrame) -> DataFrame:
         "cj",
         F.from_json(
             F.col("custom_json"),
-            "struct<follower:string,following:string,what:array<string>,"
-            "action:string,community:string>",
+            "struct<follower:string,following:string,did:string,"
+            "what:array<string>,action:string,community:string>",
         ),
     )
     auth = F.col("required_posting_auths").getItem(0)
+    # Spoof guard (hive-stream.ts:366-368): a legacy 'follow' op only
+    # applies when the signing account EQUALS the claimed follower. A
+    # NULL follower fails that equality in the reference too
+    # (account !== undefined), so it is dropped, not defaulted.
     fo = fo.filter(
         ~(
             (F.col("custom_json_id") == "follow")
-            & F.col("cj.follower").isNotNull()
-            & (F.col("cj.follower") != auth)
+            & (
+                F.col("cj.follower").isNull()
+                | (F.col("cj.follower") != auth)
+            )
         )
     )
     is_comm = F.col("custom_json_id") == "community"
     is_spk = F.col("custom_json_id").startswith("spk.")
+    # spk/community families: follower is the signing account
+    # UNCONDITIONALLY (the reference never reads a payload follower for
+    # these ids — a spoofed field must not touch another user's edge);
+    # the legacy family survives the guard above only when the payload
+    # follower equals the signer, so auth is correct for all three.
+    spk_following = F.coalesce(F.col("cj.did"), F.col("cj.following"))
     edges = fo.select(
-        F.when(is_comm, auth)
-        .otherwise(F.coalesce(F.col("cj.follower"), auth))
+        F.when(is_comm | is_spk, auth)
+        .otherwise(F.col("cj.follower"))
         .alias("follower"),
         F.when(is_comm, F.col("cj.community"))
+        .when(is_spk, spk_following)
         .otherwise(F.col("cj.following"))
         .alias("following"),
         F.when(is_comm, F.array(F.lit("community")))
@@ -332,23 +354,17 @@ def build_follows(ops: DataFrame) -> DataFrame:
         .when(is_comm & (F.col("cj.action") == "unsubscribe"), F.lit(True))
         .otherwise(F.lit(False))
         .alias("is_unfollow"),
-        # per-family key namespace (reference _id formats)
+        # per-family key namespace (reference _id formats); the signer
+        # is the account component for spk and community keys
         F.when(
             is_spk,
-            F.concat_ws(
-                "/",
-                F.lit("hive"),
-                F.coalesce(F.col("cj.follower"), auth),
-                F.col("cj.following"),
-            ),
+            F.concat_ws("/", F.lit("hive"), auth, spk_following),
         )
         .otherwise(
             F.concat_ws(
                 "-",
                 F.lit("hive"),
-                F.when(is_comm, auth).otherwise(
-                    F.coalesce(F.col("cj.follower"), auth)
-                ),
+                F.when(is_comm, auth).otherwise(F.col("cj.follower")),
                 F.when(is_comm, F.col("cj.community")).otherwise(
                     F.col("cj.following")
                 ),
@@ -357,6 +373,11 @@ def build_follows(ops: DataFrame) -> DataFrame:
         .alias("_id"),
         F.col("block_timestamp").alias("followed_at"),
         *_order(),
+    ).filter(
+        # unparseable custom_json (from_json -> NULL struct) or a
+        # payload missing its target: the reference `continue`s on
+        # parse failure and a NULL-keyed Mongo upsert never happens
+        F.col("following").isNotNull()
     )
     w = Window.partitionBy("_id").orderBy(*[c.desc() for c in _order()])
     return (

@@ -62,6 +62,14 @@ def wsgi_app(service: GraphQLService) -> Callable:
                 "400 Bad Request",
                 {"errors": [{"message": "body must be JSON"}]},
             )
+        if not isinstance(req, dict):
+            # valid JSON but not an object ([1], "x", 42): the req.get
+            # calls below would raise — a 500 instead of the 400 the
+            # transport contract promises
+            return respond(
+                "400 Bad Request",
+                {"errors": [{"message": "body must be a JSON object"}]},
+            )
         if path == STREAM_ID_PATH:
             return respond(
                 "200 OK",

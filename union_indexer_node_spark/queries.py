@@ -4147,7 +4147,10 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cluster, band) bucket. Never per-cluster all-pairs. ONE Lloyd
 # iteration: the clustering is a candidate-scoping device here, and
 # each extra iteration costs a full corpus aggregation pass —
-# refinement buys recall the band join already provides.
+# refinement buys recall the band join already provides. The
+# bucket_cap=200 hot-bucket guard (same pattern and default as
+# lsh_candidate_pairs) is mirrored by the QUALIFY in the keys CTE, so
+# the oracle agrees at any scale where a bucket exceeds the cap.
 @q(
     "dedup_semantic_flags",
     f"""
@@ -4159,6 +4162,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys AS (
       SELECT vec_id, cluster, g AS band, (bucket >> (4 * g)) & 15 AS bv
       FROM sig, LATERAL (SELECT UNNEST([0, 1]) AS g) s
+      QUALIFY COUNT(*) OVER (PARTITION BY cluster, band, bv) <= 200
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -4184,7 +4188,9 @@ def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import semantic_dup_flags
 
     e = tables.load(spark, sf_dir, "embeddings")
-    return semantic_dup_flags(e, _ANN_PLANES, k=4, iters=1, threshold=0.35)
+    return semantic_dup_flags(
+        e, _ANN_PLANES, k=4, iters=1, threshold=0.35, bucket_cap=200
+    )
 
 
 # Largest-remainder token-budget apportionment over the domain mixture

@@ -156,6 +156,9 @@ def _ops_rows():
         community_op(66, "walt", "hive-999", "unsubscribe"),
         # follower-less legacy follow: reference guard drops it
         followerless_follow(67, "quinn", "alice"),
+        # community updateProps: routes to communities, NEVER a follow
+        # edge (hive-stream.ts:311-322 touches communityDb only)
+        community_op(69, "hive-123", "hive-123", "updateProps"),
         # spk.follow with reference payload shape {did, what} + a
         # spoofed follower field: edge belongs to the SIGNER
         spk_did_follow(68, "rex", "did:key:z6abc", claimed_follower="zoe"),
@@ -265,3 +268,5 @@ def test_follows_tombstone(spark, ops):
     assert ("rex", "did:key:z6abc") in edges
     assert rows[("rex", "did:key:z6abc")]._id == "hive/rex/did:key:z6abc"
     assert ("zoe", "did:key:z6abc") not in edges
+    # updateProps never creates a follow edge
+    assert ("hive-123", "hive-123") not in edges

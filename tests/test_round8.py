@@ -90,3 +90,54 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
         n * (n - 1) // 2 for n in sizes if n > 5
     )
     assert over_cap_pairs == 2 * (12 * 11 // 2)
+
+
+def test_apply_bridge_id_flags(spark):
+    """hive-stream.ts:264-281: a spk.bridge_id op flags an EXISTING
+    post needs_stream_id; ops naming nonexistent posts are no-ops;
+    repeated ops for one key must not fan the posts table out; an
+    already-set flag stays set."""
+    import json as _json
+
+    from union_indexer_node_spark.ingest.posts import apply_bridge_id_flags
+
+    posts = spark.createDataFrame(
+        [
+            ("alice", "p1", False),
+            ("bob", "p2", False),
+            ("carol", "p3", True),  # pre-flagged stays flagged
+            ("dave", "p4", False),
+        ],
+        "author string, permlink string, needs_stream_id boolean",
+    )
+
+    def op(author, permlink, cid="spk.bridge_id"):
+        return (
+            "custom_json",
+            cid,
+            _json.dumps({"author": author, "permlink": permlink}),
+        )
+
+    ops = spark.createDataFrame(
+        [
+            op("alice", "p1"),
+            op("alice", "p1"),  # duplicate: no fan-out
+            op("ghost", "nope"),  # findOne miss: no-op
+            op("bob", "p2", cid="other.id"),  # wrong id: ignored
+        ],
+        "op_type string, custom_json_id string, custom_json string",
+    )
+    out = apply_bridge_id_flags(posts, ops)
+    rows = {(r.author, r.permlink): r.needs_stream_id for r in out.collect()}
+    assert len(rows) == 4  # no fan-out from the duplicate op
+    assert rows[("alice", "p1")] is True
+    assert rows[("bob", "p2")] is False
+    assert rows[("carol", "p3")] is True
+    assert rows[("dave", "p4")] is False
+
+    # posts without the column get it created
+    bare = posts.drop("needs_stream_id")
+    out2 = apply_bridge_id_flags(bare, ops)
+    rows2 = {(r.author, r.permlink): r.needs_stream_id for r in out2.collect()}
+    assert rows2[("alice", "p1")] is True
+    assert rows2[("carol", "p3")] is False

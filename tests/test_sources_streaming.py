@@ -83,6 +83,21 @@ def _account_update(h, account, profile, did=None):
     )
 
 
+def _update_props(h, account, title, about):
+    return dict(
+        block_height=h, block_timestamp=T0 + dt.timedelta(minutes=h),
+        tx_idx=0, trx_id=f"up{h}", op_idx=0, op_type="custom_json",
+        author=None, permlink=None, parent_author=None, parent_permlink=None,
+        title=None, body=None, json_metadata=None,
+        custom_json_id="community",
+        custom_json=json.dumps(
+            {"action": "updateProps", "title": title, "about": about}
+        ),
+        required_posting_auths=[account], voter=None,
+        posting_json_metadata=None, account=None, extensions=None,
+    )
+
+
 def test_profiles_and_communities(spark):
     from union_indexer_node_spark.ingest.profiles import (
         build_communities,
@@ -95,7 +110,8 @@ def test_profiles_and_communities(spark):
             _account_update(5, "alice", {"name": "Alice Two", "about": "v2"},
                             did="did:key:z6Alice"),
             _account_update(2, "hive-135485", {"name": "My Community",
-                                               "about": "c"}),
+                                               "about": "c",
+                                               "profile_image": "av.png"}),
         ],
         schema=OPS_SCHEMA,
     )
@@ -109,6 +125,42 @@ def test_profiles_and_communities(spark):
     assert set(comms) == {"hive-135485"}
     assert comms["hive-135485"].title == "My Community"
     assert comms["hive-135485"]._id == "hive/hive-135485"
+
+
+def test_community_updateprops_merge(spark):
+    """hive-stream.ts:311-322 — a community's updateProps custom_json
+    sets title/about on its community row, composing field-wise with
+    the account_update2 family the way sequential Mongo $sets do."""
+    from union_indexer_node_spark.ingest.profiles import build_communities
+
+    ops = spark.createDataFrame(
+        [
+            # props BEFORE the au, then props AFTER it: the later op
+            # wins title/about, the au keeps the images
+            _update_props(1, "hive-135485", "Early Title", "early"),
+            _account_update(2, "hive-135485", {"name": "AU Title",
+                                               "about": "au about",
+                                               "profile_image": "av.png",
+                                               "cover_image": "cov.png"}),
+            _update_props(10, "hive-135485", "Props Title", "props about"),
+            # au LATER than the props: au's profile-derived title wins
+            _update_props(3, "hive-77", "Old Props", "old"),
+            _account_update(8, "hive-77", {"name": "AU Wins", "about": "x"}),
+            # updateProps-only community: the upsert creates the row
+            _update_props(4, "hive-new", "Fresh", "created by props"),
+        ],
+        schema=OPS_SCHEMA,
+    )
+    comms = {r.name: r for r in build_communities(ops).collect()}
+    assert set(comms) == {"hive-135485", "hive-77", "hive-new"}
+    c = comms["hive-135485"]
+    assert c.title == "Props Title" and c.about == "props about"
+    assert c.images.avatar == "av.png" and c.images.cover == "cov.png"
+    assert c.updated_at == T0 + dt.timedelta(minutes=10)
+    assert comms["hive-77"].title == "AU Wins"
+    n = comms["hive-new"]
+    assert n.title == "Fresh" and n._id == "hive/hive-new"
+    assert n.images.avatar is None and n.images.cover is None
 
 
 # --- X5/X6: intra-transaction adjacency -------------------------------------

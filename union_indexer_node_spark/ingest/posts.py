@@ -271,6 +271,54 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     return posts.drop("jm")
 
 
+def apply_bridge_id_flags(posts: DataFrame, ops: DataFrame) -> DataFrame:
+    """``spk.bridge_id`` → ``needs_stream_id`` flag-setter
+    (hive-stream.ts:264-281): the custom_json carries
+    ``{author, permlink}``; when a post with that key EXISTS, the
+    reference sets ``needs_stream_id=true`` on it — the producer
+    feeding the offchainIdRefresh scan (sources/ceramic.py
+    ``flagged_for_stream_id``). An op naming a nonexistent post is a
+    no-op (the reference's findOne miss).
+
+    Batch shape (the F12 dirty-flag pattern): project the distinct
+    (author, permlink) keys out of the bridge ops and LEFT-join them
+    onto posts — distinct first so repeated bridge ops can't fan the
+    posts table out, broadcast because the per-batch op key set is
+    tiny next to the posts table (no posts shuffle). A post already
+    flagged stays flagged (OR-semantics, same as Mongo's $set true).
+    """
+    br = (
+        ops.filter(
+            (F.col("op_type") == "custom_json")
+            & (F.col("custom_json_id") == "spk.bridge_id")
+        )
+        .withColumn(
+            "cj",
+            F.from_json(
+                F.col("custom_json"), "struct<author:string,permlink:string>"
+            ),
+        )
+        .select(
+            F.col("cj.author").alias("author"),
+            F.col("cj.permlink").alias("permlink"),
+        )
+        .filter(F.col("author").isNotNull() & F.col("permlink").isNotNull())
+        .distinct()
+        .withColumn("_bridge", F.lit(True))
+    )
+    if "needs_stream_id" not in posts.columns:
+        posts = posts.withColumn("needs_stream_id", F.lit(False))
+    return (
+        posts.join(F.broadcast(br), ["author", "permlink"], "left")
+        .withColumn(
+            "needs_stream_id",
+            F.coalesce(F.col("needs_stream_id"), F.lit(False))
+            | F.col("_bridge").isNotNull(),
+        )
+        .drop("_bridge")
+    )
+
+
 def build_follows(ops: DataFrame) -> DataFrame:
     """follows pipeline (hive-stream.ts:282-397): the THREE custom_json
     families the reference routes into followsDb —
@@ -312,7 +360,10 @@ def build_follows(ops: DataFrame) -> DataFrame:
             "what:array<string>,action:string,community:string>",
         ),
     )
-    auth = F.col("required_posting_auths").getItem(0)
+    # F.get, not getItem: NULL (not an ANSI error) on an empty auths
+    # array — the same undefined JS gives the reference; such rows then
+    # fail the guards/keys below instead of aborting the job.
+    auth = F.get(F.col("required_posting_auths"), 0)
     # Spoof guard (hive-stream.ts:366-368): a legacy 'follow' op only
     # applies when the signing account EQUALS the claimed follower. A
     # NULL follower fails that equality in the reference too
@@ -327,6 +378,13 @@ def build_follows(ops: DataFrame) -> DataFrame:
         )
     )
     is_comm = F.col("custom_json_id") == "community"
+    # Only subscribe/unsubscribe touch the follows table; the third
+    # community action (updateProps) routes to the communities table
+    # (profiles.community_updateprops, hive-stream.ts:311-322) and any
+    # unknown action falls through every reference branch untouched.
+    fo = fo.filter(
+        ~is_comm | F.col("cj.action").isin("subscribe", "unsubscribe")
+    )
     is_spk = F.col("custom_json_id").startswith("spk.")
     # spk/community families: follower is the signing account
     # UNCONDITIONALLY (the reference never reads a payload follower for

@@ -50,21 +50,109 @@ def build_profiles(ops: DataFrame) -> DataFrame:
     )
 
 
-def build_communities(ops: DataFrame) -> DataFrame:
-    """'hive-*' accounts -> community rows (hive-stream.ts:456-473)."""
-    latest = _latest_account_updates(ops).filter(
-        F.col("account").startswith("hive-")
+def community_updateprops(ops: DataFrame) -> DataFrame:
+    """The third ``community`` custom_json action (hive-stream.ts
+    :311-322): ``updateProps`` upserts ``{title, about}`` into the
+    communities table keyed ``hive/{signing account}`` — the community
+    account posts metadata about ITSELF, so the signer is the key and
+    the payload's ``community`` field (if any) is ignored, exactly as
+    the reference reads only ``json[1].title/about``. Returns one row
+    per op with the event-order columns so ``build_communities`` can
+    field-wise-LWW-merge them against the account_update2 family."""
+    # F.get, not getItem: ANSI Spark raises INVALID_ARRAY_INDEX when the
+    # projection is evaluated on a row with an empty auths array (e.g.
+    # pushed through a union ahead of the custom_json_id filter); get()
+    # returns NULL — the same value JS auths[0] gives the reference.
+    auth = F.get(F.col("required_posting_auths"), 0)
+    return (
+        ops.filter(
+            (F.col("op_type") == "custom_json")
+            & (F.col("custom_json_id") == "community")
+        )
+        .withColumn(
+            "cj",
+            F.from_json(
+                F.col("custom_json"),
+                "struct<action:string,title:string,about:string>",
+            ),
+        )
+        .filter(F.col("cj.action") == "updateProps")
+        .select(
+            auth.alias("account"),
+            F.col("cj.title").alias("title"),
+            F.col("cj.about").alias("about"),
+            F.col("block_timestamp"),
+            F.col("block_height"),
+            F.col("tx_idx"),
+            F.col("op_idx"),
+        )
     )
-    return latest.select(
-        F.concat_ws("/", F.lit("hive"), F.col("account")).alias("_id"),
-        F.col("account").alias("name"),
+
+
+def build_communities(ops: DataFrame) -> DataFrame:
+    """Community rows from BOTH write families, merged field-wise the
+    way sequential Mongo ``$set``s compose (hive-stream.ts):
+
+    - ``account_update2`` on a 'hive-*' account (:456-473) sets the
+      profile-derived fields (title/about from the posting metadata —
+      this engine's X22 projection — plus the images struct);
+    - ``community`` custom_json ``updateProps`` (:311-322) sets
+      title/about only.
+
+    Per field, the LATEST op that sets it wins (Mongo applies each
+    ``$set`` in arrival order; batch replays that as max_by over the
+    event-order struct, restricted per field to the family that writes
+    it). An updateProps for an account with no account_update2 still
+    creates the community row (the reference upserts), with NULL
+    images. One groupBy on account — the au side is pre-collapsed by
+    the LWW window, so the union carries at most one au row plus the
+    updateProps rows per account."""
+    au = _latest_account_updates(ops).filter(
+        F.col("account").startswith("hive-")
+    ).select(
+        F.col("account"),
         F.col("pm.profile.name").alias("title"),
         F.col("pm.profile.about").alias("about"),
+        F.col("pm.profile.profile_image").alias("avatar"),
+        F.col("pm.profile.cover_image").alias("cover"),
+        F.lit(True).alias("sets_images"),
+        F.col("block_timestamp"),
+        F.col("block_height"),
+        F.col("tx_idx"),
+        F.col("op_idx"),
+    )
+    up = community_updateprops(ops).select(
+        "account",
+        "title",
+        "about",
+        F.lit(None).cast("string").alias("avatar"),
+        F.lit(None).cast("string").alias("cover"),
+        F.lit(False).alias("sets_images"),
+        "block_timestamp",
+        "block_height",
+        "tx_idx",
+        "op_idx",
+    )
+    o = F.struct("block_height", "tx_idx", "op_idx")
+    merged = au.unionByName(up).groupBy("account").agg(
+        F.max_by(F.struct("title", "about"), o).alias("_ta"),
+        # image-setting events only: max over a NULL-when-unset order
+        # ignores updateProps rows, so images keep the latest au value
+        F.max_by(
+            F.struct("avatar", "cover"), F.when(F.col("sets_images"), o)
+        ).alias("_img"),
+        F.max_by("block_timestamp", o).alias("updated_at"),
+    )
+    return merged.select(
+        F.concat_ws("/", F.lit("hive"), F.col("account")).alias("_id"),
+        F.col("account").alias("name"),
+        F.col("_ta.title").alias("title"),
+        F.col("_ta.about").alias("about"),
         F.struct(
-            F.col("pm.profile.profile_image").alias("avatar"),
-            F.col("pm.profile.cover_image").alias("cover"),
+            F.col("_img.avatar").alias("avatar"),
+            F.col("_img.cover").alias("cover"),
         ).alias("images"),
-        F.col("block_timestamp").alias("updated_at"),
+        F.col("updated_at"),
     )
 
 

@@ -3600,8 +3600,15 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 # offchain_id get one from an assignment snapshot (the external Ceramic
 # create modeled as a table, like S4/J11 model RPC state); the merge
 # clears needs_stream_id only where an id was actually assigned, and a
-# pre-existing offchain_id always wins. The flag/pre-id derivations are
-# pure modulo arithmetic so DuckDB reproduces the whole job.
+# pre-existing offchain_id always wins. Since round 8 the flag itself
+# is INGEST-DERIVED, not fixture-injected: synthetic spk.bridge_id ops
+# (one per event_id%6==0 naming that post's own key, plus a miss arm at
+# %6==3 naming a nonexistent permlink) run through the real
+# apply_bridge_id_flags semi-join (hive-stream.ts:264-281), so the
+# oracle's `event_id % 6 = 0` is what the flag-setter must REPRODUCE —
+# the miss arm proves nonexistent keys stay unflagged. The pre-id
+# derivation stays pure modulo arithmetic so DuckDB reproduces the
+# whole job.
 @q(
     "offchain_id_refresh",
     tables.oracle_with_domain("""
@@ -3626,18 +3633,37 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     """),
 )
 def offchain_id_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest.posts import apply_bridge_id_flags
     from .sources.ceramic import assign_stream_ids, flagged_for_stream_id
 
     p = tables.posts(spark, sf_dir).select(
         "author",
         "permlink",
         "TYPE",
-        (F.col("event_id") % 6 == 0).alias("needs_stream_id"),
         F.when(
             F.col("event_id") % 12 == 1,
             F.concat(F.lit("ceramic://pre-"), F.col("event_id").cast("string")),
         ).alias("offchain_id"),
     )
+    # Synthetic spk.bridge_id ops: the %6==0 arm names a post that
+    # exists (its own key), the %6==3 arm names a permlink that never
+    # does — the findOne-miss path of the flag-setter.
+    eid = F.col("event_id")
+    bridge_ops = tables.load(spark, sf_dir, "events").filter(
+        (eid % 6 == 0) | (eid % 6 == 3)
+    ).select(
+        F.lit("custom_json").alias("op_type"),
+        F.lit("spk.bridge_id").alias("custom_json_id"),
+        F.concat(
+            F.lit('{"author":"u'),
+            F.col("user_id").cast("string"),
+            F.lit('","permlink":"'),
+            F.when(eid % 6 == 0, F.concat(F.lit("p"), eid.cast("string")))
+            .otherwise(F.concat(F.lit("missing"), eid.cast("string"))),
+            F.lit('"}'),
+        ).alias("custom_json"),
+    )
+    p = apply_bridge_id_flags(p, bridge_ops)
     # The external create: one stream id per flagged key. Deterministic
     # md5 stand-in for the Ceramic-generated id (production swaps this
     # frame for the service's snapshot table).
@@ -4247,4 +4273,100 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return token_budget_allocation(
         weights, 1_000_000, group_col="source", weight_col="mix_weight"
+    )
+
+
+# ===========================================================================
+# Round 8: the community updateProps dispatch arm (hive-stream.ts:311-322)
+# run through the REAL build_communities field-wise merge on synthetic
+# raw ops — account_update2 rows at event_id%3==0 (profile-derived
+# title/about/images), updateProps custom_json at %3==1 (title/about
+# only). Per field the latest op wins (Mongo sequential $set), images
+# only ever come from the account_update2 family, and an
+# updateProps-only account still creates its community row (upsert).
+# ===========================================================================
+@q(
+    "community_updateprops_merge",
+    """
+    WITH au AS (
+      SELECT 'hive-' || CAST(user_id % 7 AS VARCHAR) AS account,
+             'n' || CAST(event_id AS VARCHAR) AS title,
+             'a' || CAST(event_id AS VARCHAR) AS about,
+             'img' || CAST(event_id AS VARCHAR) AS avatar,
+             ts, event_id AS h
+      FROM events WHERE event_id % 3 = 0
+    ),
+    au_latest AS (
+      SELECT * FROM au
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
+    ),
+    up AS (
+      SELECT 'hive-' || CAST(user_id % 7 AS VARCHAR) AS account,
+             't' || CAST(event_id AS VARCHAR) AS title,
+             'b' || CAST(event_id AS VARCHAR) AS about,
+             ts, event_id AS h
+      FROM events WHERE event_id % 3 = 1
+    ),
+    ev AS (
+      SELECT account, title, about, ts, h FROM au_latest
+      UNION ALL
+      SELECT account, title, about, ts, h FROM up
+    ),
+    ta AS (
+      SELECT account, title, about, ts AS updated_at FROM ev
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
+    )
+    SELECT 'hive/' || t.account AS _id, t.account AS name,
+           t.title, t.about,
+           a.avatar, CAST(NULL AS VARCHAR) AS cover,
+           t.updated_at
+    FROM ta t LEFT JOIN au_latest a USING (account)
+    """,
+)
+def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest.profiles import build_communities
+
+    e = tables.load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    acct = F.concat(F.lit("hive-"), (F.col("user_id") % 7).cast("string"))
+    common = [
+        F.col("ts").alias("block_timestamp"),
+        eid.alias("block_height"),
+        F.lit(0).alias("tx_idx"),
+        F.lit(0).alias("op_idx"),
+    ]
+    au = e.filter(eid % 3 == 0).select(
+        F.lit("account_update2").alias("op_type"),
+        acct.alias("account"),
+        F.concat(
+            F.lit('{"profile":{"name":"n'), eid.cast("string"),
+            F.lit('","about":"a'), eid.cast("string"),
+            F.lit('","profile_image":"img'), eid.cast("string"),
+            F.lit('"}}'),
+        ).alias("posting_json_metadata"),
+        F.lit(None).cast("string").alias("custom_json_id"),
+        F.lit(None).cast("string").alias("custom_json"),
+        F.array().cast("array<string>").alias("required_posting_auths"),
+        *common,
+    )
+    up = e.filter(eid % 3 == 1).select(
+        F.lit("custom_json").alias("op_type"),
+        F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("string").alias("posting_json_metadata"),
+        F.lit("community").alias("custom_json_id"),
+        F.concat(
+            F.lit('{"action":"updateProps","title":"t'), eid.cast("string"),
+            F.lit('","about":"b'), eid.cast("string"), F.lit('"}'),
+        ).alias("custom_json"),
+        F.array(acct).alias("required_posting_auths"),
+        *common,
+    )
+    return build_communities(au.unionByName(up)).select(
+        "_id",
+        "name",
+        "title",
+        "about",
+        F.col("images.avatar").alias("avatar"),
+        F.col("images.cover").alias("cover"),
+        "updated_at",
     )

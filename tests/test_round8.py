@@ -92,6 +92,55 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_lm_sampled_oracle_unseen_gram_parity(spark):
+    """ADVICE r7: the sampled-LM oracle must mirror the engine for a
+    gram UNSEEN by the sampled model whose CONTEXT was sampled — the
+    whole-q constant 1000, not 1000000//(cctx+1000). Crafted corpus:
+    one sampled doc supplies context 'ab' via gram 'abc'; one unsampled
+    doc carries gram 'abd' (context seen, gram unseen). sf0.1 can't see
+    this (its half-sample covers every doc trigram)."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from union_indexer_node_spark import queries
+    from union_indexer_node_spark.pipelines.textstats import char_lm_quality
+
+    def draw(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+    sampled = [i for i in range(1, 50) if draw(i) < 0.5]
+    unsampled = [i for i in range(1, 50) if draw(i) >= 0.5]
+    rows = [
+        (sampled[0], "abc", "s"),  # model doc: grams {abc}, ctx {ab}
+        (unsampled[0], "abd", "s"),  # unseen gram 'abd', seen ctx 'ab'
+        (unsampled[1], "xyz", "s"),  # fully unseen gram AND ctx
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+
+    engine = (
+        char_lm_quality(sdf, "text", "doc_id", n=3, model_sample_rate=0.5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(queries.registry()["text_lm_quality_sampled"].oracle)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert engine["score_sum"].tolist() == oracle["score_sum"].tolist()
+    assert engine["avg_q"].tolist() == oracle["avg_q"].tolist()
+    # the unseen-gram doc must score the whole-q constant
+    unseen = engine.set_index("doc_id").loc[unsampled[0]]
+    assert int(unseen["score_sum"]) == 1000
+
+
 def test_apply_bridge_id_flags(spark):
     """hive-stream.ts:264-281: a spk.bridge_id op flags an EXISTING
     post needs_stream_id; ops naming nonexistent posts are no-ops;

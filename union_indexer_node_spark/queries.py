@@ -50,29 +50,18 @@ def q(name: str, oracle: str | None):
 # operator is already covered by an in-window sibling (noted inline);
 # they sort last. They remain fully oracle-tested locally by
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
+#
+# ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
+# with ~109 entries and a 50-slot window, rotating ~16 per round cycles
+# every tail entry's driver signal in ceil(59/16) ≈ 4 rounds — the
+# hygiene bound ("no entry's last driver-green recedes past ~4 rounds")
+# is therefore sustainable iff each round (a) rotates IN the oldest
+# tranche (every entry whose last driver-green is ≥3 rounds old), and
+# (b) rotates OUT only entries that are multiply driver-green with an
+# in-window family sibling noted inline. New entries are born in-window
+# and count against the same 50 slots.
 _DEPRIORITIZED = [
-    "x16_asset_parse",  # X16 asset parse exercised inside j11_chain_state_enrichment
-    "w3_first_event_per_user",  # W3 window family: w1/w2/w4 + o5 in-window
     "a_approx_distinct_users",  # rows-only either way (HLL sketches differ per engine)
-    "skew_salted_distinct_count",  # salting covered by skew_salted_comment_counts
-    "text_language_id",  # stopword langid; char-trigram variant is in-window
-    "x21_search_feed",  # X21 v1 scan; inverted-index variant is in-window
-    "a5_creator_score",  # subsumed by a5_score_zeroing (superset incl. zeroing arm)
-    # -- rotated out in round 4 (all driver-green in r3,
-    #    CORRECTNESS_r03.json) to make room for the 14 round-3 entries
-    #    + 2 round-4 entries that have never seen the driver's hard
-    #    signal. Each rotated-out entry keeps an in-window family
-    #    sibling (noted inline); all stay locally oracle-tested. --
-    "o6_related_feed_sample",  # O6 md5-order sampling ≡ sample_stratified's draw
-    "dedup_minhash_signature",  # subsumed by dedup_lsh_candidates (builds sigs)
-    "sim_pairwise_cosine",  # staged-norm cosine in-window via dedup_embedding_neardup
-    "w4_feed_pagination",  # W window family: w1/w2 + o5 in-window
-    "a6_sign_counts_higher_order",  # HOF aggregate; a5_score_zeroing in-window
-    "dedup_ngram_jaccard",  # verify stage runs inside pipeline_corpus_curation
-    "text_fingerprint",  # rolling-hash scalar; text family langid_ngram/vocab in-window (r6)
-    "sim_ivf_topk_label",  # IVF probe ≡ ann_lsh_topk bucket-pruned top-k shape
-    "j4_follower_feed_did",  # J4 DID-routing arm; j4_follower_feed in-window
-    "ann_lsh_signatures",  # signature stage runs inside ann_lsh_topk
     # -- rotated out in round 5 (all driver-green in r4,
     #    CORRECTNESS_r04.json) to make room for the six training-data
     #    operators added this round. Family siblings stay in-window. --
@@ -152,6 +141,48 @@ _DEPRIORITIZED = [
     "dedup_lsh_candidates",  # green r5+r6; lsh_candidate_pairs() runs
     #    inside BOTH pipeline_corpus_curation and dedup_cc_clusters
     #    (in-window)
+    # -- rotated out in round 8 under the cadence rule above: the
+    #    ENTIRE ≤r3 staleness backlog (seven r2-era + nine r3-era
+    #    entries) re-enters the window, funded by these seventeen
+    #    multiply-green swaps (16 backlog + 1 slot for the new
+    #    community_updateprops_merge entry). Family siblings inline. --
+    "f4_regex_filter",  # F4 green r1-r3+r7; regex-predicate shape stays
+    #    via a9_mention_notifications (regexp_extract_all) + f2_f3_f5
+    "a2_distinct_authors_of_app",  # green r1-r3+r7; count-distinct
+    #    grouping re-enters via skew_salted_distinct_count
+    "x1_json_props_extract",  # green r1-r3+r7; JSON scalar-parse family
+    #    keeps x16_asset_parse (re-entering) + j11's X16 arm in-window
+    "x2_detect_post_type",  # green r1-r3+r7; the app allowlist it feeds
+    #    gates j9_reply_closure's fixpoint roots (in-window)
+    "j2_parent_post_join",  # green r1-r3+r7; parent-join shape stays
+    #    via j4_follower_feed + j9_reply_closure (in-window)
+    "j7_follows_overview",  # green r1-r3+r7; follows-side agg-join
+    #    family keeps j4_follower_feed + j4_follower_feed_did (re-entering)
+    "a5_score_zeroing",  # green r3-r7; superset of a5_creator_score,
+    #    which re-enters; the zeroing arm keeps test_profiles coverage
+    "dedup_embedding_neardup",  # green r1+r3-r7; embedding band-join
+    #    shape stays via dedup_semantic_flags (in-window) +
+    #    sim_pairwise_cosine (re-entering)
+    "text_language_id_ngram",  # green r3-r7; trigram scoring stays via
+    #    text_lm_quality_score/_sampled; stopword arm re-enters
+    "text_vocab_topk_per_source",  # green r4-r7; per-group top-k stays
+    #    via w1_leaderboard_rank; token explode via text_fingerprint
+    "sample_stratified",  # green r4-r7; md5-draw family keeps
+    #    training_hash_split in-window + o6_related_feed_sample re-enters
+    "x21_index_incremental_update",  # green r4-r7; X21 v1 sibling
+    #    x21_search_feed re-enters; v2 index tests stay local
+    "stream_dedup_batch_equivalence",  # green r4-r7; streaming family
+    #    keeps stream_windowed_counts + both ssj entries... of which
+    #    attribution rotates out below — eviction (the strictly harder
+    #    probe) stays in-window
+    "ann_recall_eval",  # green r5-r7; ANN family re-enters via
+    #    ann_lsh_signatures + sim_ivf_topk_label
+    "training_pack_next_fit",  # green r5-r7; training family keeps
+    #    pipeline_training_prep + training_hash_split + token_budget;
+    #    the Arrow packer keeps its property tests
+    "training_epoch_interleave",  # green r5-r7; same training family
+    "stream_stream_join_attribution",  # green r5-r7; subsumed by
+    #    stream_ssj_watermark_eviction (same join plus eviction proof)
 ]
 
 
@@ -3962,14 +3993,23 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn AS (SELECT gram, COUNT(*) AS cn FROM mg GROUP BY gram),
     mc AS (SELECT substring(gram, 1, 2) AS ctx, COUNT(*) AS cctx
            FROM mg GROUP BY ctx),
+    -- per-gram q folded MODEL-side (mn JOIN mc), mirroring the
+    -- engine's model_q: an unseen GRAM always takes the whole-q
+    -- zero-count constant 1000000 // 1000, even when its CONTEXT was
+    -- sampled — independent mn/mc left joins would score such grams
+    -- 1000000 // (cctx + 1000) and diverge from the engine (ADVICE r7;
+    -- masked at sf0.1 where the half-sample covered every doc trigram)
+    q AS (
+      SELECT mn.gram,
+             (1000000 * (mn.cn + 1)) // (mc.cctx + 1000) AS q
+      FROM mn JOIN mc ON substring(mn.gram, 1, 2) = mc.ctx
+    ),
     scored AS (
       SELECT d.doc_id, COUNT(*) AS n_grams,
-             CAST(SUM((1000000 * (COALESCE(mn.cn, 0) + 1))
-                      // (COALESCE(mc.cctx, 0) + 1000))
+             CAST(SUM(COALESCE(q.q, 1000000 // 1000))
                   AS BIGINT) AS score_sum
       FROM g d
-      LEFT JOIN mn ON d.gram = mn.gram
-      LEFT JOIN mc ON substring(d.gram, 1, 2) = mc.ctx
+      LEFT JOIN q ON d.gram = q.gram
       GROUP BY d.doc_id
     )
     SELECT doc.doc_id,

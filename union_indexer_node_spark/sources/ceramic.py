@@ -10,6 +10,16 @@ Here the change feed is just a DataFrame (batch snapshot or a
 readStream over the CDC feed); the mapping is one projection, and the
 merge into posts is unionByName + LWW — the same sink path Hive posts
 use, which is what makes the two sources one table (SURVEY §2.7).
+
+DOCUMENTED DIVERGENCE (permlink mapping): the reference maps
+``permlink: fullDocument.app_metadata?.permlink || null``
+(services/index.ts:81) — an app-supplied, possibly-NULL value. This
+engine maps ``permlink = stream_id`` instead: the stream id is the
+document's stable unique key, so (author, permlink) stays a usable post
+identity for joins/LWW even when the app omitted a permlink (the
+reference's NULL permlinks break that key). Same treatment as the
+first_upload probe-bug divergence in ingest/posts.py — flagged here and
+in COVERAGE.md rather than silently diverging.
 """
 
 from __future__ import annotations

@@ -92,6 +92,29 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_kmeans_update_arms_identical(spark):
+    """The dim-gated centroid-update arms (wide sum-aggregate vs
+    posexplode over the pre-materialized assignment) must produce
+    bit-identical centroids — both sum exact quantized integers; only
+    the physical plan differs."""
+    from union_indexer_node_spark.pipelines.similarity import kmeans_centroids
+
+    dim, n = 130, 60  # above WIDE_DIM_UPDATE_THRESHOLD=128
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.col("id") * 31 + i.cast("long")) % 97).cast(
+                "double"
+            )
+            / 97.0,
+        ).alias("embedding"),
+    )
+    via_explode = kmeans_centroids(emb, k=3, iters=2)  # default gate
+    via_wide = kmeans_centroids(emb, k=3, iters=2, wide_dim_threshold=8192)
+    assert via_explode == via_wide
+
+
 def test_lm_sampled_oracle_unseen_gram_parity(spark):
     """ADVICE r7: the sampled-LM oracle must mirror the engine for a
     gram UNSEEN by the sampled model whose CONTEXT was sampled — the

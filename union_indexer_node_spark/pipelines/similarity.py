@@ -281,6 +281,20 @@ def kmeans_cluster_cols(
     return cluster.cast("int").alias("cluster"), best.alias("dist_sq")
 
 
+# Centroid-update arm gate (measured r8, local[8], 20k rows synthetic):
+# the dim-wide sum aggregate degrades superlinearly with dim (768: 13.9s,
+# 4096: 36.0s on 4x FEWER rows — thousands of aggregate expressions blow
+# past codegen-friendly widths), while posexplode over a PRE-MATERIALIZED
+# (cluster, _q) projection stays flat (768: 3.3s, 4096: 4.7s; the
+# documented 5x posexplode penalty only applies when Generate re-evaluates
+# the interpreted HOF assignment per exploded row — the localCheckpoint
+# removes exactly that). Shuffle volume is identical either way (map-side
+# partial aggregation emits k·dim values per partition in both forms);
+# below the threshold the wide form wins on job count (no checkpoint
+# job), which dominates at bench scale.
+WIDE_DIM_UPDATE_THRESHOLD = 128
+
+
 def kmeans_centroids(
     emb: DataFrame,
     *,
@@ -290,10 +304,16 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     quant: int = 1_000_000,
     dist_round: int = 4,
+    wide_dim_threshold: int | None = None,
 ) -> list[list[float]]:
     """Run the Lloyd iterations and return the final centroids as plain
     Python floats (k·dim bounded model — the collect idiom the module
-    docstring of kmeans_assign justifies)."""
+    docstring of kmeans_assign justifies). The centroid update picks
+    its physical form by dimensionality (WIDE_DIM_UPDATE_THRESHOLD):
+    both arms compute the same exact integer sums, so the result is
+    bit-identical either way (pinned by test_round8)."""
+    if wide_dim_threshold is None:
+        wide_dim_threshold = WIDE_DIM_UPDATE_THRESHOLD
     base = _quantized_base(emb, vec_col, id_col, quant)
 
     from .dedup import md5_hex
@@ -315,38 +335,83 @@ def kmeans_centroids(
 
     for _ in range(iters):
         cluster, _d = kmeans_cluster_cols(cents, quant=quant, dist_round=dist_round)
-        # Update: dim sum-aggregate columns over the assigned frame —
-        # one pass, map-side partial aggregation, k rows out. (A
-        # posexplode-to-(cluster,dim,val) variant was measured 5x
-        # SLOWER here: Generate re-evaluates the interpreted HOF
-        # assignment expression once per EXPLODED row — x dim — and at
-        # real scale the explode also multiplies the shuffled-read rows
-        # by dim. The engine-side ROUND(6) division keeps the collected
-        # centroid literals on the oracle's rounding semantics.)
-        stats = (
-            base.select("_q", cluster)
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(F.element_at(F.col("_q"), i + 1)).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
+        if dim <= wide_dim_threshold:
+            # Narrow-dim arm: dim sum-aggregate columns over the
+            # assigned frame — one pass, map-side partial aggregation,
+            # k rows out, no extra job. (The bare posexplode variant —
+            # WITHOUT pre-materializing the assignment — was measured
+            # 5x slower here: Generate re-evaluates the interpreted HOF
+            # assignment expression once per EXPLODED row, x dim. The
+            # engine-side ROUND(6) division keeps the collected
+            # centroid literals on the oracle's rounding semantics.)
+            stats = (
+                base.select("_q", cluster)
+                .groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(F.element_at(F.col("_q"), i + 1)).alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                )
             )
-        )
-        new_rows = stats.select(
-            "cluster",
-            F.array(
-                *[
-                    F.round(
-                        F.col(f"_s{i}").cast("double")
-                        / (F.col("_n").cast("double") * F.lit(float(quant))),
-                        6,
-                    )
-                    for i in range(dim)
-                ]
-            ).alias("_c"),
-        ).collect()
+            new_rows = stats.select(
+                "cluster",
+                F.array(
+                    *[
+                        F.round(
+                            F.col(f"_s{i}").cast("double")
+                            / (F.col("_n").cast("double") * F.lit(float(quant))),
+                            6,
+                        )
+                        for i in range(dim)
+                    ]
+                ).alias("_c"),
+            ).collect()
+        else:
+            # Wide-dim arm (real embedding dims, 768-4096): thousands
+            # of aggregate expressions degrade superlinearly (see
+            # WIDE_DIM_UPDATE_THRESHOLD), so pre-materialize the
+            # NARROW (cluster, _q) assignment once — the localCheckpoint
+            # is what keeps Generate from re-evaluating the HOF
+            # assignment per exploded row — then posexplode to
+            # (cluster, pos, v) and aggregate with ONE partial-combined
+            # groupBy. Integer sums stay exact and order-independent;
+            # sort_array reassembles the vector by position, so both
+            # arms produce identical centroids.
+            assigned = base.select(cluster, "_q").localCheckpoint()
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("_q").alias("_pos", "_v")
+                )
+                .groupBy("cluster", "_pos")
+                .agg(F.sum("_v").alias("_s"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("_pos", "_s"))),
+                        lambda t: t["_s"],
+                    ).alias("_sums")
+                )
+            )
+            counts = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            new_rows = (
+                sums.join(counts, "cluster")
+                .select(
+                    "cluster",
+                    F.transform(
+                        F.col("_sums"),
+                        lambda s: F.round(
+                            s.cast("double")
+                            / (F.col("_n").cast("double") * F.lit(float(quant))),
+                            6,
+                        ),
+                    ).alias("_c"),
+                )
+                .collect()
+            )
         by_cluster = {r["cluster"]: list(r["_c"]) for r in new_rows}
         cents = [by_cluster.get(i, cents[i]) for i in range(k)]
     return cents

@@ -18,59 +18,50 @@ from conftest import SF_DIR
 # CORRECTNESS_r05.json; round 6 rotated several out in favor of the
 # never-verified entries below — rationale at queries.py:_DEPRIORITIZED.)
 MUST_BE_IN_WINDOW = [
-    # round-7 entries that have never seen the driver (the four
-    # round-6 late additions VERDICT r6 flagged, plus the round-7
-    # sampled-LM arm)
+    # round-8 entries that have never seen the driver
+    "community_updateprops_merge",
+    "ingest_follows_families",
+    # entries whose implementation or oracle changed in round 8 —
+    # their green row must be re-earned (bridge-derived flags / band
+    # cap / unseen-gram oracle arm / mention pre-filter / update gate)
+    "offchain_id_refresh",
+    "dedup_semantic_flags",
+    "text_lm_quality_sampled",
+    "a9_mention_notifications",
+    "sim_kmeans_clusters",
+    # single-green r7 entries: one driver row is not yet "multiply
+    # green", so they hold their slot another round
     "text_lm_quality_score",
     "training_hash_split",
     "sim_truncate_renorm",
     "training_token_budget",
-    "text_lm_quality_sampled",
-    "sim_kmeans_clusters",
-    "dedup_semantic_flags",
-    # round-7 staleness re-rotations (last driver-green r3)
-    "f4_regex_filter",
-    "x1_json_props_extract",
-    "j2_parent_post_join",
-    "j7_follows_overview",
-    "a2_distinct_authors_of_app",
-    "x2_detect_post_type",
-    # single-green r6 entries: one driver row is not yet "multiply
-    # green", so they hold their slot another round
-    "offchain_id_refresh",
-    "stream_ssj_watermark_eviction",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "w5_scd2_history",
-    # operators whose implementation changed this round (token_count /
-    # char-array grams / contains-langid / LM single-join) — their
-    # green row must be re-earned
-    "text_language_id_ngram",
-    "training_pack_next_fit",
-    "pipeline_corpus_curation",
-    "pipeline_training_prep",
-    # de-skew rework (r6) — keep until multiply green
-    "training_epoch_interleave",
-    "sample_stratified",
-    "stream_stream_join_attribution",
-    # distinct operators with no sibling representative — must STAY
+    # round-8 staleness re-rotations (the whole <=r3 backlog)
+    "x16_asset_parse",
+    "w3_first_event_per_user",
+    "skew_salted_distinct_count",
+    "text_language_id",
+    "x21_search_feed",
+    "a5_creator_score",
+    "o6_related_feed_sample",
+    "dedup_minhash_signature",
+    "sim_pairwise_cosine",
+    "w4_feed_pagination",
+    "a6_sign_counts_higher_order",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "sim_ivf_topk_label",
+    "j4_follower_feed_did",
+    "ann_lsh_signatures",
+    # distinct operators with no in-window sibling representative —
+    # must STAY until their family grows one
     "temporal_asof_join",
-    "x21_index_incremental_update",
-    "stream_dedup_batch_equivalence",
     "stream_windowed_counts_batch_equivalence",
-    "pipeline_corpus_curation",
-    "dedup_embedding_neardup",
+    "stream_ssj_watermark_eviction",
     "dedup_cc_clusters",
-    "ann_recall_eval",
     "o2_a8_trending_feed_payout",
-    "training_pack_next_fit",
-    "pipeline_training_prep",
     "j9_reply_closure",
+    "w5_scd2_history",
+    "pipeline_training_prep",
 ]
 
 

@@ -127,6 +127,29 @@ def test_profiles_and_communities(spark):
     assert comms["hive-135485"]._id == "hive/hive-135485"
 
 
+def test_profileless_update_never_wipes(spark):
+    """hive-stream.ts:453-455: an account_update2 with NO profile
+    object is skipped before the upsert — a later profile-less update
+    must not become the LWW winner and wipe displayName/about."""
+    from union_indexer_node_spark.ingest.profiles import build_profiles
+
+    no_profile = _account_update(9, "alice", None)
+    no_profile["posting_json_metadata"] = json.dumps({"did": "did:key:zX"})
+    ops = spark.createDataFrame(
+        [
+            _account_update(1, "alice", {"name": "Alice One", "about": "v1"}),
+            no_profile,  # LATER, but profile-less: skipped entirely
+        ],
+        schema=OPS_SCHEMA,
+    )
+    profs = {r.username: r for r in build_profiles(ops).collect()}
+    assert profs["alice"].displayName == "Alice One"
+    assert profs["alice"].about == "v1"
+    # the skipped op's did is NOT merged either — the reference never
+    # reaches the upsert for it
+    assert profs["alice"].did is None
+
+
 def test_community_updateprops_merge(spark):
     """hive-stream.ts:311-322 — a community's updateProps custom_json
     sets title/about on its community row, composing field-wise with

@@ -19,12 +19,24 @@ from ..operators.windows import lww_latest
 
 
 def _latest_account_updates(ops: DataFrame) -> DataFrame:
-    au = ops.filter(F.col("op_type") == "account_update2")
+    au = (
+        ops.filter(F.col("op_type") == "account_update2")
+        .withColumn("pm", profile_projection(F.col("posting_json_metadata")))
+        # Reference parity (hive-stream.ts:453-455): an account_update2
+        # whose posting_json_metadata carries no profile object is
+        # skipped ENTIRELY (`continue` BEFORE the upsert) — so it must
+        # be dropped BEFORE the LWW window, or it would become the
+        # latest row and wipe a previous profile-carrying update. A
+        # PERMISSIVE parse failure lands here too (pm.profile NULL);
+        # the reference would throw on invalid JSON — dropping is the
+        # batch-safe reading of the same "never reaches the upsert".
+        .filter(F.col("pm.profile").isNotNull())
+    )
     return lww_latest(
         au,
         ["account"],
         [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")],
-    ).withColumn("pm", profile_projection(F.col("posting_json_metadata")))
+    )
 
 
 def build_profiles(ops: DataFrame) -> DataFrame:

@@ -183,6 +183,11 @@ _DEPRIORITIZED = [
     "training_epoch_interleave",  # green r5-r7; same training family
     "stream_stream_join_attribution",  # green r5-r7; subsumed by
     #    stream_ssj_watermark_eviction (same join plus eviction proof)
+    "pipeline_corpus_curation",  # green r3-r7 (five consecutive);
+    #    funds the slot for the new r8 ingest_follows_families entry —
+    #    its constituent ops stay in-window (capped LSH inside
+    #    dedup_cc_clusters, md5 sampling via training_hash_split) and
+    #    the composed pipeline keeps its local oracle test
 ]
 
 
@@ -4410,3 +4415,100 @@ def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("images.cover").alias("cover"),
         "updated_at",
     )
+
+
+# The ENTIRE followsDb dispatch (hive-stream.ts:282-397) through the
+# real build_follows on synthetic ops — all three custom_json families,
+# the legacy spoof guard (fam 2's signer differs from the claimed
+# follower: dropped), spk follow/unfollow DID edges keyed on the
+# SIGNER, community subscribe/unsubscribe, per-edge-key LWW and
+# unfollow tombstones. Until r8 this pipeline had pytest coverage only;
+# the oracle replays the dispatch rules in SQL.
+@q(
+    "ingest_follows_families",
+    """
+    WITH raw AS (
+      SELECT event_id AS h, ts,
+             user_id % 20 AS a, (user_id * 7 + 3) % 20 AS b,
+             user_id % 5 AS c, event_id % 5 AS fam, event_id % 2 AS alt
+      FROM events
+    ),
+    edges AS (
+      SELECT
+        CASE WHEN fam IN (0, 1)
+             THEN 'hive-u' || CAST(a AS VARCHAR) || '-u' || CAST(b AS VARCHAR)
+             WHEN fam = 3
+             THEN 'hive/u' || CAST(a AS VARCHAR)
+                  || '/did:key:zu' || CAST(b AS VARCHAR)
+             ELSE 'hive-u' || CAST(a AS VARCHAR)
+                  || '-hive-' || CAST(c AS VARCHAR)
+        END AS _id,
+        'u' || CAST(a AS VARCHAR) AS follower,
+        CASE WHEN fam = 3 THEN 'did:key:zu' || CAST(b AS VARCHAR)
+             WHEN fam = 4 THEN 'hive-' || CAST(c AS VARCHAR)
+             ELSE 'u' || CAST(b AS VARCHAR) END AS following,
+        CASE WHEN fam = 4 THEN ['community']
+             WHEN fam = 1 THEN CAST([] AS VARCHAR[])
+             ELSE ['blog'] END AS what,
+        (fam = 1 OR (fam = 3 AND alt = 1) OR (fam = 4 AND alt = 1))
+          AS is_unfollow,
+        ts AS followed_at, h
+      FROM raw
+      WHERE fam <> 2  -- the spoof guard: signer != claimed follower
+    )
+    SELECT _id, follower, following, what, followed_at
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY _id ORDER BY h DESC)
+                    AS rn
+          FROM edges)
+    WHERE rn = 1 AND NOT is_unfollow
+    """,
+)
+def ingest_follows_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest.posts import build_follows
+
+    e = tables.load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    a = (uid % 20).cast("string")
+    b = ((uid * 7 + 3) % 20).cast("string")
+    c = (uid % 5).cast("string")
+    fam = eid % 5
+    alt = eid % 2
+    signer = F.concat(F.lit("u"), a)
+    # fam 2: signed by a DIFFERENT account than the claimed follower
+    spoof_signer = F.concat(F.lit("u"), ((uid % 20 + 1) % 20).cast("string"))
+    legacy = F.concat(
+        F.lit('{"follower":"u'), a, F.lit('","following":"u'), b,
+        F.when(fam == 1, F.lit('","what":[]}'))
+        .otherwise(F.lit('","what":["blog"]}')),
+    )
+    spk = F.concat(
+        F.lit('{"did":"did:key:zu'), b, F.lit('","what":["blog"]}')
+    )
+    comm = F.concat(
+        F.lit('{"action":"'),
+        F.when(alt == 0, F.lit("subscribe")).otherwise(F.lit("unsubscribe")),
+        F.lit('","community":"hive-'), c, F.lit('"}'),
+    )
+    ops = e.select(
+        F.lit("custom_json").alias("op_type"),
+        F.when(fam <= 2, F.lit("follow"))
+        .when(
+            fam == 3,
+            F.when(alt == 0, F.lit("spk.follow")).otherwise(
+                F.lit("spk.unfollow")
+            ),
+        )
+        .otherwise(F.lit("community"))
+        .alias("custom_json_id"),
+        F.when(fam <= 2, legacy).when(fam == 3, spk).otherwise(comm).alias(
+            "custom_json"
+        ),
+        F.array(
+            F.when(fam == 2, spoof_signer).otherwise(signer)
+        ).alias("required_posting_auths"),
+        F.col("ts").alias("block_timestamp"),
+        eid.alias("block_height"),
+        F.lit(0).alias("tx_idx"),
+        F.lit(0).alias("op_idx"),
+    )
+    return build_follows(ops)

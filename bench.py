@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     # — the dedup_cc_clusters cost profile, amortized at real scale.
     "sim_kmeans_clusters",
     "dedup_semantic_flags",
+    # round 8: the two ingest dispatch arms run end-to-end on synthetic
+    # raw ops — the full followsDb family fold (spoof guard + LWW +
+    # tombstones, one window shuffle on the edge key) and the
+    # communities field-wise $set merge (one groupBy on account).
+    "ingest_follows_families",
+    "community_updateprops_merge",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

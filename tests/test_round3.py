@@ -21,6 +21,7 @@ MUST_BE_IN_WINDOW = [
     # round-8 entries that have never seen the driver
     "community_updateprops_merge",
     "ingest_follows_families",
+    "dedup_shared_passages",
     # entries whose implementation or oracle changed in round 8 —
     # their green row must be re-earned (bridge-derived flags / band
     # cap / unseen-gram oracle arm / mention pre-filter / update gate)

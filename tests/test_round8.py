@@ -92,6 +92,33 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_shared_passage_stats(spark):
+    """Passage-level dedup: two long docs sharing one exact 8-token
+    passage must both flag (the doc-level-Jaccard blind spot), docs
+    with unique text must not, and sub-window docs carry zeros."""
+    from union_indexer_node_spark.pipelines.dedup import shared_passage_stats
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "alpha beta gamma delta " + passage + " one two three four"),
+        (2, "totally different opening words here " + passage),
+        (3, "no overlap with anything else at all in this document text"),
+        (4, "short doc"),  # under one window: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in shared_passage_stats(
+            df, "text", "doc_id", window_tokens=8, stride=1
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1].has_shared_passage and out[1].n_shared_windows > 0
+    assert out[2].has_shared_passage
+    assert not out[3].has_shared_passage and out[3].n_shared_windows == 0
+    assert out[4].n_windows == 0 and not out[4].has_shared_passage
+
+
 def test_serving_e2e_on_pipeline_tables(spark):
     """VERDICT r7 #8: the HTTP/GraphQL facade must work on tables the
     INGEST PIPELINES produced (build_posts / build_profiles /

@@ -357,6 +357,83 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Shared-passage detection (sliding token-window hash)
+# ---------------------------------------------------------------------------
+def shared_passage_stats(
+    df: DataFrame, text_col: str, id_col: str, *,
+    window_tokens: int = 50, stride: int = 25,
+) -> DataFrame:
+    """Passage-level duplication: hash every ``window_tokens``-token
+    sliding window (step ``stride``) and count, per document, the
+    window instances whose hash occurs in MORE THAN ONE distinct
+    document — the quoted-boilerplate / copied-passage signal that
+    document-level MinHash misses (two long articles sharing one
+    paragraph have near-zero doc Jaccard). The training-data use is the
+    exact-substring-dedup gate (Lee et al.'s dedup at passage
+    granularity) without a suffix array.
+
+    Returns every input row as (id, n_windows, n_shared_windows,
+    has_shared_passage); docs shorter than one window carry zeros.
+
+    Scale shape: windows explode map-side (~tokens/stride rows per
+    doc, each a 32-hex digest — bytes moved ∝ windows, not text); the
+    distinct-doc count per hash is ONE groupBy on the digest and the
+    join back is on the same key, so the second exchange is reused. No
+    pair generation anywhere — a hash shared by a million docs costs
+    one counter row, not 10^12 pairs (the all-pairs hazard class the
+    module docstring caps elsewhere simply never arises for counts).
+    """
+    w, s = window_tokens, stride
+    starts = F.when(
+        F.size(F.col("_toks")) >= w,
+        F.sequence(
+            F.lit(1), F.size(F.col("_toks")) - (w - 1), F.lit(s)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("_s"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_s"), w))
+            ).alias("_h"),
+        )
+    )
+    # "appears in >1 DISTINCT doc" ⟺ min(id) != max(id) — two plain
+    # min/max aggregates with map-side partials instead of a
+    # count_distinct, whose expand+dedup phase costs an extra
+    # (hash, id) exchange before the per-hash shuffle.
+    shared = wins.groupBy("_h").agg(
+        (F.min(F.col(id_col)) != F.max(F.col(id_col))).alias("_shared")
+    )
+    per_doc = (
+        wins.join(shared, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("_shared"), 1).otherwise(0)
+            ).alias("n_shared_windows"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_shared_windows", F.lit(0))
+        .cast("long")
+        .alias("n_shared_windows"),
+        (F.coalesce("n_shared_windows", F.lit(0)) > 0).alias(
+            "has_shared_passage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> DataFrame:

@@ -188,6 +188,11 @@ _DEPRIORITIZED = [
     #    its constituent ops stay in-window (capped LSH inside
     #    dedup_cc_clusters, md5 sampling via training_hash_split) and
     #    the composed pipeline keeps its local oracle test
+    "skew_salted_comment_counts",  # green r1-r7 (seven consecutive);
+    #    funds the slot for the new r8 dedup_shared_passages entry —
+    #    the salting family's rep is now skew_salted_distinct_count
+    #    (re-entering this round), and the agg-join shape stays via
+    #    ingest_follows_families' LWW + j9
 ]
 
 
@@ -4414,6 +4419,52 @@ def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("images.avatar").alias("avatar"),
         F.col("images.cover").alias("cover"),
         "updated_at",
+    )
+
+
+def _passage_oracle(w: int, s: int) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(array_slice(toks, s, s + {w - 1}), ' '))
+               AS h
+      FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 1, len(toks) - {w - 1}, {s})) AS s) g
+      WHERE len(toks) >= {w}
+    ),
+    sh AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS shared
+           FROM w GROUP BY h),
+    per AS (
+      SELECT w.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN sh.shared THEN 1 ELSE 0 END) AS n_shared
+      FROM w JOIN sh USING (h) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared_windows,
+           COALESCE(per.n_shared, 0) > 0 AS has_shared_passage
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+# Passage-level duplication (the quoted-boilerplate signal doc-level
+# MinHash misses): sliding token-window hashes, one digest groupBy, no
+# pair generation — a million-doc shared passage costs one counter row.
+# Small window/stride here so the synthetic corpus actually collides;
+# production defaults are 50/25 (Lee et al. passage granularity).
+@q("dedup_shared_passages", _passage_oracle(8, 4))
+def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import shared_passage_stats
+
+    d = tables.load(spark, sf_dir, "documents")
+    return shared_passage_stats(
+        d, "text", "doc_id", window_tokens=8, stride=4
     )
 
 

@@ -92,6 +92,53 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_community_merge_permutation_invariance(spark):
+    """build_communities is a deterministic function of the op SET —
+    replaying account_update2 + updateProps ops in any row order and
+    partitioning must yield the identical communities table (the same
+    guarantee test_ingest pins for posts/follows)."""
+    import random
+
+    from test_ingest import OPS_SCHEMA
+    from test_sources_streaming import _account_update, _update_props
+
+    from union_indexer_node_spark.ingest.profiles import build_communities
+
+    rows = [
+        _update_props(1, "hive-1", "t1", "a1"),
+        _account_update(2, "hive-1", {"name": "au1", "about": "x",
+                                      "profile_image": "i1"}),
+        _update_props(3, "hive-1", "t3", "a3"),
+        _account_update(4, "hive-2", {"name": "au2", "about": "y"}),
+        _update_props(5, "hive-2", "t5", "a5"),
+        _update_props(6, "hive-3", "t6", "a6"),
+    ]
+
+    def canon(df):
+        return sorted(map(tuple, df.fillna("").collect()))
+
+    base = canon(build_communities(spark.createDataFrame(rows, OPS_SCHEMA)))
+    for seed in (1, 7):
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        odf = spark.createDataFrame(shuffled, OPS_SCHEMA).repartition(
+            3, "block_height"
+        )
+        assert canon(build_communities(odf)) == base, seed
+
+
+def test_bridge_flags_plan_broadcasts(spark):
+    """Scale pin: apply_bridge_id_flags must BROADCAST the (distinct)
+    bridge key set — the posts table is never shuffled for the flag
+    merge."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["offchain_id_refresh"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_shared_passage_stats(spark):
     """Passage-level dedup: two long docs sharing one exact 8-token
     passage must both flag (the doc-level-Jaccard blind spot), docs

@@ -17,7 +17,15 @@ ALLOWED_APPS = ["3speak", "dbuzz"]
 def detect_post_type(app: Column) -> Column:
     """X2 — detectPostType (block_processing/posts.ts:1-24): the app
     string's '/'-prefix matched against known apps; anything else (or
-    unparseable metadata) is 'unknown'."""
+    unparseable metadata) is 'unknown'.
+
+    Documented divergence (lenient arm): the reference matches the
+    dBuzz prefix CASE-SENSITIVELY as 'dBuzz' (posts.ts:10), so a
+    lower-case 'dbuzz/2' app string is 'unknown' there; this engine
+    accepts both spellings — real dBuzz posts have shipped both, and
+    classifying them 'unknown' would drop them from the ALLOWED_APPS
+    gate on a casing accident. Same divergence-ledger treatment as
+    first_upload / O6 / permlink."""
     prefix = F.split(app, "/").getItem(0)
     return (
         F.when(prefix == "3speak", "3speak")

@@ -278,7 +278,12 @@ def apply_bridge_id_flags(posts: DataFrame, ops: DataFrame) -> DataFrame:
     reference sets ``needs_stream_id=true`` on it — the producer
     feeding the offchainIdRefresh scan (sources/ceramic.py
     ``flagged_for_stream_id``). An op naming a nonexistent post is a
-    no-op (the reference's findOne miss).
+    no-op (the reference's findOne miss). The broadcast payload also
+    carries the already-created ``stream_id`` (streamBridge.ts:42-48),
+    which the reference CONSUMER ignores — stream creation is
+    deterministic (createStreamFromGenesis with deterministic:true), so
+    the refresh job re-derives the same id; this engine mirrors the
+    consumer and reads only (author, permlink).
 
     Batch shape (the F12 dirty-flag pattern): project the distinct
     (author, permlink) keys out of the bridge ops and LEFT-join them

@@ -4498,9 +4498,9 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN fam = 3 THEN 'did:key:zu' || CAST(b AS VARCHAR)
              WHEN fam = 4 THEN 'hive-' || CAST(c AS VARCHAR)
              ELSE 'u' || CAST(b AS VARCHAR) END AS following,
-        CASE WHEN fam = 4 THEN ['community']
-             WHEN fam = 1 THEN CAST([] AS VARCHAR[])
-             ELSE ['blog'] END AS what,
+        CASE WHEN fam = 4 THEN 'community'
+             WHEN fam = 1 THEN ''
+             ELSE 'blog' END AS what,
         (fam = 1 OR (fam = 3 AND alt = 1) OR (fam = 4 AND alt = 1))
           AS is_unfollow,
         ts AS followed_at, h
@@ -4562,4 +4562,13 @@ def ingest_follows_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("tx_idx"),
         F.lit(0).alias("op_idx"),
     )
-    return build_follows(ops)
+    # `what` flattens to a comma-join: the driver's canonicalizer sorts
+    # columns with pandas, which cannot hash array cells (the r4
+    # lesson pinned by test_registry_outputs_are_driver_hashable).
+    return build_follows(ops).select(
+        "_id",
+        "follower",
+        "following",
+        F.array_join("what", ",").alias("what"),
+        "followed_at",
+    )

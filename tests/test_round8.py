@@ -92,6 +92,72 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_shared_passages_match_python_oracle(spark):
+    """Hypothesis property: shared_passage_stats equals an independent
+    pure-Python fold (tokenize -> windows at the stride -> per-window
+    share test across distinct docs) over random small corpora drawn
+    from a tiny vocabulary so windows actually collide."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.dedup import shared_passage_stats
+
+    W, S = 3, 2
+    vocab = ["aa", "bb", "cc"]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        docs = data.draw(
+            st.lists(
+                st.lists(st.sampled_from(vocab), min_size=0, max_size=9).map(
+                    " ".join
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_windows, r.n_shared_windows, r.has_shared_passage)
+            for r in shared_passage_stats(
+                df, "text", "doc_id", window_tokens=W, stride=S
+            ).collect()
+        }
+
+        def windows(text):
+            toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+            if len(toks) < W:
+                return []
+            return [
+                " ".join(toks[s : s + W])
+                for s in range(0, len(toks) - W + 1, S)
+            ]
+
+        wins = {i: windows(t) for i, t in rows}
+        owners = {}
+        for i, ws in wins.items():
+            for w in ws:
+                owners.setdefault(w, set()).add(i)
+        expected = {
+            i: (
+                len(ws),
+                sum(1 for w in ws if len(owners[w]) > 1),
+                any(len(owners[w]) > 1 for w in ws),
+            )
+            for i, ws in wins.items()
+        }
+        assert got == expected
+
+    check()
+
+
 def test_community_merge_permutation_invariance(spark):
     """build_communities is a deterministic function of the op SET —
     replaying account_update2 + updateProps ops in any row order and

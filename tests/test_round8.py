@@ -350,6 +350,9 @@ def test_kmeans_update_arms_identical(spark):
     via_explode = kmeans_centroids(emb, k=3, iters=2)  # default gate
     via_wide = kmeans_centroids(emb, k=3, iters=2, wide_dim_threshold=8192)
     assert via_explode == via_wide
+    # the persist_base scale knob must not change the result either
+    via_persisted = kmeans_centroids(emb, k=3, iters=2, persist_base=True)
+    assert via_persisted == via_explode
 
 
 def test_lm_sampled_oracle_unseen_gram_parity(spark):

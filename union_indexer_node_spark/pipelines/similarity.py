@@ -305,16 +305,27 @@ def kmeans_centroids(
     quant: int = 1_000_000,
     dist_round: int = 4,
     wide_dim_threshold: int | None = None,
+    persist_base: bool = False,
 ) -> list[list[float]]:
     """Run the Lloyd iterations and return the final centroids as plain
     Python floats (k·dim bounded model — the collect idiom the module
     docstring of kmeans_assign justifies). The centroid update picks
     its physical form by dimensionality (WIDE_DIM_UPDATE_THRESHOLD):
     both arms compute the same exact integer sums, so the result is
-    bit-identical either way (pinned by test_round8)."""
+    bit-identical either way (pinned by test_round8).
+
+    ``persist_base=True`` localCheckpoints the quantized (id, _q)
+    projection once up front: the seeds job and EVERY iteration then
+    read the materialized frame instead of re-scanning + re-quantizing
+    the corpus per job. At bench scale the extra checkpoint job costs
+    more than it saves (default off); at corpus scale it turns
+    (iters+1) full input passes into one — flip it on when the input
+    is a real table, not a handful of parquet footers."""
     if wide_dim_threshold is None:
         wide_dim_threshold = WIDE_DIM_UPDATE_THRESHOLD
     base = _quantized_base(emb, vec_col, id_col, quant)
+    if persist_base:
+        base = base.localCheckpoint()
 
     from .dedup import md5_hex
 

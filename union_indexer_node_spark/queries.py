@@ -193,6 +193,11 @@ _DEPRIORITIZED = [
     #    the salting family's rep is now skew_salted_distinct_count
     #    (re-entering this round), and the agg-join shape stays via
     #    ingest_follows_families' LWW + j9
+    "tpch_q21_waiting_supplier_shape",  # BORN IN TAIL (r8): the window
+    #    is saturated this round by never-green + changed entries;
+    #    locally oracle-tested like every tail entry, enters the window
+    #    with the r9 tranche (the r4-era staleness backlog). TPC-H
+    #    family has seven in-window reps this round.
 ]
 
 
@@ -4465,6 +4470,94 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     return shared_passage_stats(
         d, "text", "doc_id", window_tokens=8, stride=4
+    )
+
+
+# Q21 SHAPE (the one distinctive TPC-H form still missing): EXISTS +
+# NOT-EXISTS over a self-joined fact — suppliers who were the ONLY
+# late shipper in a multi-supplier finished order. Adapted to the
+# reduced testdata columns: "late" is l_shipdate > o_orderdate + 60
+# days (no receipt/commit dates in this lineitem), nation pinned like
+# the other adapted shapes. Physical plan: the fact self-probes are a
+# left-semi and a left-anti join on the SAME l_orderkey key the late
+# derivation already joined on, so all three hash-partition together;
+# supplier/nation broadcast. (partsupp does not exist in the testdata,
+# so Q2/Q9/Q11/Q16/Q20 are not expressible — this completes the
+# shapes that are.)
+@q(
+    "tpch_q21_waiting_supplier_shape",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    nation_keys = n.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    s_in_nation = s.join(
+        F.broadcast(nation_keys),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    l1 = late.filter(F.col("o_orderstatus") == "F").join(
+        F.broadcast(s_in_nation), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_suppkey") != F.col("_sk")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
     )
 
 

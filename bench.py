@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     # communities field-wise $set merge (one groupBy on account).
     "ingest_follows_families",
     "community_updateprops_merge",
+    # round 8 second batch: passage-level dedup (one digest shuffle)
+    # and the exists/not-exists fact self-probe TPC-H shape.
+    "dedup_shared_passages",
+    "tpch_q21_waiting_supplier_shape",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

@@ -92,6 +92,84 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def _media_frame(spark):
+    rows = [
+        (1, b"\x01\x02\x03payload-one", "image/png"),
+        (2, b"another-blob-entirely", "image/jpeg"),
+        (3, None, "image/gif"),  # NULL blob must not fail the task
+    ]
+    return spark.createDataFrame(rows, "id long, content binary, mime string")
+
+
+def test_resize_media_fake_kernel_plumbing(spark):
+    """resize_media: schema, determinism, NULL pass-through, and the
+    explicit codec boundary (real kernel raises in this Pillow-less
+    container)."""
+    import hashlib
+
+    from union_indexer_node_spark.pipelines.multimodal import resize_media
+
+    df = _media_frame(spark)
+    out = {
+        r.id: r
+        for r in resize_media(
+            df, width=32, height=16, use_fake_kernel=True
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert (r1.width, r1.height, r1.mime) == (32, 16, "image/png")
+    expected = hashlib.md5(b"\x01\x02\x03payload-one").digest() + b"32x16"
+    assert bytes(r1.content) == expected
+    assert bytes(out[3].content) == b""  # NULL blob -> empty output
+    # repeated run is byte-identical (deterministic kernel)
+    again = {
+        r.id: bytes(r.content)
+        for r in resize_media(
+            df, width=32, height=16, use_fake_kernel=True
+        ).collect()
+    }
+    assert again == {i: bytes(r.content) for i, r in out.items()}
+    # the real kernel is a missing-codec configuration error here
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        resize_media(df, width=8, height=8).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_extract_media_features_feeds_similarity(spark):
+    """extract_media_features: deterministic sha-derived embedding,
+    NULL-blob -> NULL embedding, and the output frame plugs straight
+    into the similarity layer (quantize_int8 over it works and excludes
+    the NULL row via its documented contract)."""
+    import hashlib
+
+    from union_indexer_node_spark.pipelines.multimodal import (
+        extract_media_features,
+    )
+    from union_indexer_node_spark.pipelines.similarity import quantize_int8
+
+    df = _media_frame(spark)
+    feats = extract_media_features(df, dim=8, use_fake_kernel=True)
+    rows = {r.id: r.embedding for r in feats.collect()}
+    digest = hashlib.sha256(b"\x01\x02\x03payload-one").digest()
+    expected = [round(x / 255.0, 6) for x in digest[:8]]
+    # schema is array<float> (float32): compare at that precision
+    assert rows[1] == pytest.approx(expected, abs=1e-6)
+    assert rows[3] is None
+    q = quantize_int8(
+        feats.filter(F.col("embedding").isNotNull()),
+        vec_col="embedding",
+        id_col="id",
+    )
+    qr = {r.id: r for r in q.collect()}
+    assert set(qr) == {1, 2}
+    assert all(len(r.q_vec) == 8 for r in qr.values())
+
+
 def test_shared_passages_match_python_oracle(spark):
     """Hypothesis property: shared_passage_stats equals an independent
     pure-Python fold (tokenize -> windows at the stride -> per-window

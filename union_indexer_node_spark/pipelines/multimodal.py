@@ -16,6 +16,14 @@ deterministic fake available for plumbing tests. Also real and tested:
 - partition strategy: media rows are large — repartition by byte
   budget before the Python stage so one Arrow batch fits in worker
   memory.
+
+All four pipeline verbs are present: decode/probe (``probe_media``),
+resize (``resize_media``), feature-extract (``extract_media_features``
+— emits the ``(id, embedding array<float>)`` frame the similarity/
+dedup layer consumes directly), and frame-sample
+(``frame_sample_plan``). Each pixel/model kernel sits behind an
+explicit NotImplementedError boundary with a deterministic fake, so
+the distributed plumbing is real and tested in a codec-less container.
 """
 
 from __future__ import annotations
@@ -276,3 +284,129 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = "id long, mime string, width int, height int, content binary"
+
+
+def resize_media(
+    df: DataFrame, *, width: int, height: int, id_col: str = "id",
+    content_col: str = "content", mime_col: str = "mime",
+    use_fake_kernel: bool = False,
+    target_partition_bytes: int | None = 128 << 20,
+    estimated_bytes: int | None = None,
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage over the same
+    byte-budget partitioning as probe_media (resize reads AND writes
+    whole blobs, so the per-partition byte bound matters twice).
+
+    The pixel kernel itself sits behind the codec-lib boundary: with
+    Pillow installed the real resize runs (imported inside the worker
+    fn); without it, ``use_fake_kernel=True`` substitutes a
+    deterministic stand-in (md5-derived bytes tagged with the target
+    dims) so the Spark-side plumbing — schema, batch shape, partition
+    sizing, NULL handling — is fully testable in this container, and
+    the default raises NotImplementedError (a missing-codec
+    configuration error, not data). NULL/empty blobs pass through as
+    empty output blobs rather than failing the task."""
+    import hashlib
+
+    def _resize_real(c: bytes) -> bytes:
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image resize requires codec libs (e.g. Pillow)"
+            ) from exc
+        with Image.open(io.BytesIO(c)) as im:
+            out = io.BytesIO()
+            im.resize((width, height)).save(out, format=im.format or "PNG")
+            return out.getvalue()
+
+    def _resize_fake(c: bytes) -> bytes:
+        return hashlib.md5(c).digest() + f"{width}x{height}".encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf[content_col]
+            ]
+            out = []
+            for c in contents:
+                if not c:
+                    out.append(b"")
+                elif use_fake_kernel:
+                    out.append(_resize_fake(c))
+                else:
+                    out.append(_resize_real(c))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "mime": pdf[mime_col].to_numpy(),
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                    "content": out,
+                }
+            )
+
+    src = df.select(id_col, content_col, mime_col)
+    if target_partition_bytes is not None:
+        n = _byte_budget_partitions(
+            src, content_col, target_partition_bytes, estimated_bytes
+        )
+        src = src.repartition(n)
+    return src.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def extract_media_features(
+    df: DataFrame, *, dim: int = 16, id_col: str = "id",
+    content_col: str = "content", use_fake_kernel: bool = False,
+    target_partition_bytes: int | None = 128 << 20,
+    estimated_bytes: int | None = None,
+) -> DataFrame:
+    """Media feature extraction (the embed step of an image/audio
+    pipeline) as mapInPandas → ``(id, embedding array<float>)`` —
+    shaped to feed the similarity/dedup operators directly
+    (quantize_int8, semantic_dup_flags, ann_lsh all take this frame).
+
+    A real encoder is a model runtime this container doesn't ship, so
+    the default raises NotImplementedError at the kernel seam;
+    ``use_fake_kernel=True`` derives ``dim`` deterministic floats in
+    [0, 1] from the blob's sha256 — stable across engines and runs, so
+    plumbing and downstream-integration tests have exact expectations.
+    NULL/empty blobs emit a NULL embedding (the similarity layer's
+    documented NULL-exclusion contract picks them up)."""
+    import hashlib
+
+    if dim > 32:
+        raise ValueError("fake kernel derives at most 32 floats (sha256)")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for c in pdf[content_col]:
+                b = bytes(c) if c is not None else b""
+                if not b:
+                    embs.append(None)
+                    continue
+                if not use_fake_kernel:
+                    raise NotImplementedError(
+                        "media feature extraction requires a model "
+                        "runtime; pass use_fake_kernel=True for "
+                        "plumbing tests"
+                    )
+                digest = hashlib.sha256(b).digest()
+                embs.append([round(x / 255.0, 6) for x in digest[:dim]])
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "embedding": embs}
+            )
+
+    src = df.select(id_col, content_col)
+    if target_partition_bytes is not None:
+        n = _byte_budget_partitions(
+            src, content_col, target_partition_bytes, estimated_bytes
+        )
+        src = src.repartition(n)
+    return src.mapInPandas(kernel, schema="id long, embedding array<float>")

@@ -198,6 +198,9 @@ _DEPRIORITIZED = [
     #    locally oracle-tested like every tail entry, enters the window
     #    with the r9 tranche (the r4-era staleness backlog). TPC-H
     #    family has seven in-window reps this round.
+    "multimodal_png_probe",  # BORN IN TAIL (r8), same reason; enters
+    #    with the r9 tranche. The probe kernel keeps its fuzzed header
+    #    unit tests meanwhile.
 ]
 
 
@@ -4470,6 +4473,57 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     return shared_passage_stats(
         d, "text", "doc_id", window_tokens=8, stride=4
+    )
+
+
+# The REAL multimodal dimension probe, oracle-checked: valid PNG
+# headers (signature + IHDR with big-endian dims) are CONSTRUCTED from
+# event arithmetic via unhex, shipped as a binary column through the
+# Arrow mapInPandas stage, and parsed by the actual pure-header kernel
+# (multimodal._header_dims — the same code a production media scan
+# runs). The oracle needs no blobs at all: the expected dimensions are
+# the same arithmetic, so a parser bug, an Arrow binary-threading bug,
+# or a byte-order slip all surface as a hash mismatch. (The probe was
+# previously pytest-only; the binary column comes from events because
+# the driver testdata ships no media blobs.)
+@q(
+    "multimodal_png_probe",
+    """
+    SELECT event_id AS id,
+           CAST(16 + event_id % 512 AS INTEGER) AS width,
+           CAST(16 + event_id % 256 AS INTEGER) AS height,
+           1 AS n_frames,
+           24 AS n_bytes
+    FROM events
+    """,
+)
+def multimodal_png_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.multimodal import probe_media
+
+    e = tables.load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    w = (eid % 512 + 16).cast("long")
+    h = (eid % 256 + 16).cast("long")
+    content = F.unhex(
+        F.concat(
+            # PNG signature + IHDR length(13) + 'IHDR'
+            F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+        )
+    )
+    media = e.select(
+        eid.alias("id"),
+        content.alias("content"),
+        F.lit("image/png").alias("mime"),
+    )
+    out = probe_media(media, target_partition_bytes=64 << 10)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "n_frames",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
     )
 
 

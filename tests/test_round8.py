@@ -92,6 +92,36 @@ def test_semantic_bucket_stats_reports_dropped_mass(spark):
     assert over_cap_pairs == 2 * (12 * 11 // 2)
 
 
+def test_language_consistency_flags_code_switching(spark):
+    """A half-English half-Spanish doc must get consistency 0.5 while
+    pure-language docs get 1.0 and empty docs carry (0, 'und', 0.0) —
+    the mixed-language signal a whole-doc langid misses."""
+    from union_indexer_node_spark.pipelines.textstats import (
+        language_consistency,
+    )
+
+    en = "the and of to a in is the and of"  # exactly one 10-token chunk
+    es = "el la de que y en un el la de"
+    rows = [
+        (1, en + " " + es),  # chunk 1 en, chunk 2 es
+        (2, en),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in language_consistency(
+            df, "text", "doc_id", chunk_tokens=10
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.n_chunks == 2 and r1.consistency == 0.5
+    assert r1.majority_lang == "en"  # tie on count -> smaller lang wins
+    assert out[2].majority_lang == "en" and out[2].consistency == 1.0
+    assert out[3].n_chunks == 0 and out[3].majority_lang == "und"
+    assert out[3].consistency == 0.0
+
+
 def _media_frame(spark):
     rows = [
         (1, b"\x01\x02\x03payload-one", "image/png"),

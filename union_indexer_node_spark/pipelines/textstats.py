@@ -68,15 +68,14 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-profile language ID: score = |tokens ∩ profile| per
-    language, argmax wins (ties broken by profile order; 'und' when no
-    profile matches)."""
-    df = df.select("*", F.array_distinct(tokens(F.col(text_col))).alias("_dtoks"))
-    toks = F.col("_dtoks")
+def _stopword_lang_scores(dtoks: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language overlap scores, argmax prediction) over a DISTINCT
+    token array — ties break by profile order, 'und' on zero overlap.
+    Shared by the per-doc and per-chunk language IDs so their tie rules
+    can never drift apart."""
     scores = {
         lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            F.array_intersect(dtoks, F.array(*[F.lit(w) for w in words]))
         )
         for lang, words in LANG_PROFILES.items()
     }
@@ -84,10 +83,80 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     pred = F.lit("und")
     for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scores, F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language ID: score = |tokens ∩ profile| per
+    language, argmax wins (ties broken by profile order; 'und' when no
+    profile matches)."""
+    df = df.select("*", F.array_distinct(tokens(F.col(text_col))).alias("_dtoks"))
+    scores, pred = _stopword_lang_scores(F.col("_dtoks"))
     cols = [F.col(id_col), pred.alias("lang_pred")]
     cols += [scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES]
     return df.select(*cols)
+
+
+def language_consistency(
+    df: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 10
+) -> DataFrame:
+    """Mixed-language detection: language-ID every non-overlapping
+    ``chunk_tokens``-token window, then report per document the
+    majority language and the fraction of chunks agreeing with it —
+    code-switched or concatenated-corpus documents score low and are a
+    standard pre-training quality gate a whole-doc langid misses (a
+    50/50 en/es doc still gets ONE confident whole-doc label).
+
+    Ties are deterministic end to end: per chunk the earlier profile
+    wins (the shared ``_stopword_lang_scores`` rule), per document the
+    higher chunk count then the lexicographically smaller language
+    wins. Docs with no tokens carry (0, 'und', 0.0).
+
+    Shape: one explode to ~tokens/chunk_tokens rows, map-side langid
+    (the profiles are literals in the plan), a (doc, lang) count with
+    map-side partials, and a per-doc window over at most |languages|+1
+    rows per doc."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(F.col("_toks")) >= 1,
+        F.sequence(F.lit(1), F.size(F.col("_toks")), F.lit(chunk_tokens)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(starts).alias("_s"), F.col("_toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.slice(F.col("_toks"), F.col("_s"), chunk_tokens)
+            ).alias("_ctoks"),
+        )
+    )
+    _scores, pred = _stopword_lang_scores(F.col("_ctoks"))
+    cnt = chunks.select(F.col(id_col), pred.alias("_lang")).groupBy(
+        id_col, "_lang"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_lang"))
+    per_doc = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy(id_col)))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_chunks"),
+            F.col("_lang").alias("majority_lang"),
+            F.round(F.col("_c").cast("double") / F.col("_n"), 6).alias(
+                "consistency"
+            ),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
+        F.coalesce("consistency", F.lit(0.0)).alias("consistency"),
+    )
 
 
 # Char-trigram profiles for the n-gram language-ID heuristic (tiny

@@ -201,6 +201,9 @@ _DEPRIORITIZED = [
     "multimodal_png_probe",  # BORN IN TAIL (r8), same reason; enters
     #    with the r9 tranche. The probe kernel keeps its fuzzed header
     #    unit tests meanwhile.
+    "text_language_consistency",  # BORN IN TAIL (r8), same reason;
+    #    langid family siblings text_language_id (+ ngram variant)
+    #    carry the window meanwhile.
 ]
 
 
@@ -4474,6 +4477,70 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_passage_stats(
         d, "text", "doc_id", window_tokens=8, stride=4
     )
+
+
+# Mixed-language detection: language-ID every non-overlapping 10-token
+# chunk, report the majority language + the fraction of chunks that
+# agree — code-switched documents score low where a whole-doc langid
+# still produces one confident label. Tie rules mirrored exactly:
+# per chunk the earlier profile wins, per doc higher count then
+# lexicographically smaller language.
+@q(
+    "text_language_consistency",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             list_distinct(array_slice(toks, s, s + 9)) AS ctoks
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks), 10))
+                       AS s) g
+      WHERE len(toks) >= 1
+    ),
+    sc AS (
+      SELECT doc_id,
+             len(list_intersect(ctoks,
+                 ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(ctoks,
+                 ['el','la','de','que','y','en','un'])) AS s_es,
+             len(list_intersect(ctoks,
+                 ['le','la','de','et','un','une','dans'])) AS s_fr
+      FROM ch
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN GREATEST(s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en = GREATEST(s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = GREATEST(s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang
+      FROM sc
+    ),
+    cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM lang GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+    maj AS (
+      SELECT doc_id, lang AS majority_lang, c FROM cnt
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, lang ASC) = 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n, 0) AS BIGINT) AS n_chunks,
+           COALESCE(maj.majority_lang, 'und') AS majority_lang,
+           ROUND(COALESCE(maj.c / CAST(tot.n AS DOUBLE), 0), 6)
+             AS consistency
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN maj ON d.doc_id = maj.doc_id
+    """,
+)
+def text_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import language_consistency
+
+    d = tables.load(spark, sf_dir, "documents")
+    return language_consistency(d, "text", "doc_id", chunk_tokens=10)
 
 
 # The REAL multimodal dimension probe, oracle-checked: valid PNG

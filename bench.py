@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     # and the exists/not-exists fact self-probe TPC-H shape.
     "dedup_shared_passages",
     "tpch_q21_waiting_supplier_shape",
+    # round 8 third batch: per-chunk langid rollup and the constructed
+    # PNG header probe through the Arrow mapInPandas stage.
+    "text_language_consistency",
+    "multimodal_png_probe",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

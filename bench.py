@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     # PNG header probe through the Arrow mapInPandas stage.
     "text_language_consistency",
     "multimodal_png_probe",
+    # round 8 fourth batch: tokenizer/IR statistics — vocab-weighted BPE
+    # pair counts and the single-explode TF-IDF head.
+    "text_bpe_pair_counts",
+    "text_tfidf_topk",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

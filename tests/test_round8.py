@@ -561,3 +561,61 @@ def test_apply_bridge_id_flags(spark):
     rows2 = {(r.author, r.permlink): r.needs_stream_id for r in out2.collect()}
     assert rows2[("alice", "p1")] is True
     assert rows2[("carol", "p3")] is False
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Vocab-weighted adjacent char-pair counts on a corpus small
+    enough to count by hand; single-char and empty tokens contribute
+    nothing; ordering is (count desc, a, b)."""
+    from union_indexer_node_spark.pipelines.textstats import bpe_pair_counts
+
+    rows = [
+        (1, "ab ab cd"),  # ab x2, cd x1
+        (2, "ab a !"),    # ab x1 more; 'a' too short; '!' not a token
+        (3, "abc"),       # (a,b) + (b,c)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.a, r.b, r.pair_count)
+        for r in bpe_pair_counts(df, "text", k=10).collect()
+    ]
+    # word freqs: ab=3, cd=1, abc=1 -> (a,b)=3+1=4, (c,d)=1, (b,c)=1
+    assert out == [("a", "b", 4), ("b", "c", 1), ("c", "d", 1)]
+
+
+def test_tfidf_topk_exact_quantized_scores(spark):
+    """tfidf_q = tf * (scale*(N+1) DIV (df+1)), ranked per doc with
+    (score desc, term asc) tie-break; a corpus-ubiquitous term scores
+    below a rarer term at equal tf."""
+    from union_indexer_node_spark.pipelines.textstats import tfidf_topk
+
+    rows = [
+        (1, "common rare rare"),
+        (2, "common other"),
+        (3, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.rank): r
+        for r in tfidf_topk(df, "text", "doc_id", k=2).collect()
+    }
+    idf = lambda dft: (1_000_000 * 4) // (dft + 1)  # N=3
+    r11 = out[(1, 1)]
+    assert (r11.term, r11.tf, r11.df_t) == ("rare", 2, 1)
+    assert r11.tfidf_q == 2 * idf(1)
+    r12 = out[(1, 2)]
+    assert (r12.term, r12.tfidf_q) == ("common", 1 * idf(3))
+    # doc 2: equal tf -> rarer term ('other', df=1) outranks 'common'
+    assert out[(2, 1)].term == "other" and out[(2, 2)].term == "common"
+    assert out[(3, 1)].term == "common" and (3, 2) not in out
+
+
+def test_tfidf_single_corpus_explode(spark):
+    """The plan must explode the corpus exactly once: df_t comes from a
+    window over the compacted tf table, not a second explode subtree
+    (Spark does not dedupe common subexpressions)."""
+    from union_indexer_node_spark.pipelines.textstats import tfidf_topk
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    plan = tfidf_topk(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1

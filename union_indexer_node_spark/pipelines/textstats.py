@@ -395,3 +395,114 @@ def char_lm_quality(
         .cast("long")
         .alias("avg_q"),
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, *, k: int = 50) -> DataFrame:
+    """First BPE merge step: corpus-wide adjacent-character-pair
+    frequencies, weighted by word frequency — the statistic a BPE
+    tokenizer trainer computes each merge iteration (the top pair is
+    the next merge rule).
+
+    Scale: the classic trainer layout — pair counting runs on the
+    DISTINCT-WORD vocabulary weighted by corpus word frequency, never
+    on raw token occurrences. One token-explode + groupBy builds the
+    (word, freq) vocab (bytes shuffled ∝ vocab size, which grows
+    ~Heaps-law sublinearly, not ∝ corpus); the char-pair explode then
+    touches |vocab| rows map-side, and the final (a, b) rollup
+    aggregates a ≤|charset|² key space partially before its (tiny)
+    shuffle. Top-k is ORDER BY + LIMIT → TakeOrderedAndProject.
+
+    Counts are BIGINT end-to-end — no cross-engine float hazard.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] (the char_lm guard), so
+    # single-char words are filtered rather than clamped. Words are
+    # short, so per-position substring's O(i) codepoint scan is fine
+    # here (unlike the document-sized case char_lm hoists around).
+    pairs = vocab.filter(F.char_length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("_p"),
+        "wf",
+    )
+    return (
+        pairs.select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "wf")
+        .groupBy("a", "b")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document TF-IDF head terms (keyword extraction / retrieval
+    weighting / quality-signal input). Integer-quantized raw-ratio idf
+    so every engine is bit-identical (the char_lm_quality no-float
+    contract — no libm log whose last-ULP differences could flip a
+    ROUND or a rank near a boundary):
+
+        idf_q(t)    = (scale * (N + 1)) DIV (df_t + 1)
+        tfidf_q(t,d) = tf(t,d) * idf_q(t)
+
+    Raw-ratio idf is one of the standard idf variants; within one
+    document it ranks term pairs with equal tf identically to log-idf
+    (both are strictly decreasing in df_t), and ties break (tfidf_q
+    desc, term asc) so ordering is total.
+
+    Scale: the corpus is exploded ONCE. tf aggregates on (doc, term)
+    — the fine-grained, skew-free key (never pre-partition exploded
+    tokens by term alone: a stopword would pin a partition). df_t is
+    then a count window OVER the already-compacted tf table partitioned
+    by term (expressing it as a groupBy + self-join would duplicate
+    the whole explode subtree — Spark does not dedupe common
+    subexpressions; per-term load is bounded by n_docs after the
+    (doc, term) collapse, so the term window is skew-safe). N is a
+    one-row broadcast. The per-doc top-k is a row_number window
+    partitioned by the document key — naturally parallel, no global
+    sort; three tf-table-or-smaller shuffles total after the explode.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_t",
+            (
+                F.col("tf")
+                * F.expr(f"CAST({scale} AS BIGINT) * (_n + 1) DIV (df_t + 1)")
+            ).alias("tfidf_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df_t", "tfidf_q")
+    )

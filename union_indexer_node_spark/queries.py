@@ -204,6 +204,12 @@ _DEPRIORITIZED = [
     "text_language_consistency",  # BORN IN TAIL (r8), same reason;
     #    langid family siblings text_language_id (+ ngram variant)
     #    carry the window meanwhile.
+    "text_bpe_pair_counts",  # BORN IN TAIL (r8), same reason; enters
+    #    with the r9 tranche. Vocab-weighted pair counting; the
+    #    explode+groupBy family carries the window via text_fingerprint
+    #    relatives meanwhile.
+    "text_tfidf_topk",  # BORN IN TAIL (r8), same reason; per-group
+    #    top-k window shape in-window via w1_leaderboard_rank.
 ]
 
 
@@ -4786,3 +4792,84 @@ def ingest_follows_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("what", ",").alias("what"),
         "followed_at",
     )
+
+
+# ===========================================================================
+# Round-8 tokenizer/IR statistics: the two corpus-statistics operators a
+# tokenizer-training / retrieval-weighting pipeline runs that were still
+# missing — BPE merge-pair counting and per-document TF-IDF heads. Both
+# integer-exact (the char_lm no-float contract), both shaped for 100 TB
+# (vocab-sized intermediates, single corpus explode each).
+# ===========================================================================
+
+
+# BPE trainer statistic (merge iteration 0): adjacent char-pair counts
+# weighted by word frequency, computed on the DISTINCT-WORD vocab so the
+# quadratic-ish pair explode never touches corpus-sized data.
+@q(
+    "text_bpe_pair_counts",
+    """
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS wf
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+             substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+             wf
+      FROM vocab,
+           LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i) g
+      WHERE len(w) >= 2
+    )
+    SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import bpe_pair_counts
+
+    d = tables.load(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", k=50)
+
+
+# Per-document TF-IDF head terms, integer-quantized raw-ratio idf
+# (scale*(N+1) DIV (df+1)) — bit-identical across engines, no libm log.
+@q(
+    "text_tfidf_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, rank, term, tf, df_t, tfidf_q FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+             tf.tf * ((CAST(1000000 AS BIGINT) * (n.n_docs + 1))
+                      // (dfreq.df_t + 1)) AS tfidf_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((CAST(1000000 AS BIGINT) * (n.n_docs + 1))
+                                 // (dfreq.df_t + 1)) DESC,
+                        tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import tfidf_topk
+
+    d = tables.load(spark, sf_dir, "documents")
+    return tfidf_topk(d, "text", "doc_id", k=5)

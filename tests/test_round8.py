@@ -619,3 +619,113 @@ def test_tfidf_single_corpus_explode(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
     plan = tfidf_topk(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1
+
+
+def test_bpe_pair_counts_matches_python_fold(spark):
+    """Hypothesis property: bpe_pair_counts equals an independent
+    pure-Python fold (re-tokenize, count words, weight every adjacent
+    char pair by word frequency) over random lowercase corpora with
+    punctuation, including the (count desc, a, b) head ordering."""
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.textstats import bpe_pair_counts
+
+    word = st.text(alphabet="abc1", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=8).map(lambda ws: " , ".join(ws))
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        docs = data.draw(st.lists(doc, min_size=1, max_size=6))
+        wf = Counter()
+        for d in docs:
+            for w in re.split(r"[^a-z0-9]+", d.lower()):
+                if w:
+                    wf[w] += 1
+        pairs = Counter()
+        for w, f in wf.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += f
+        expect = sorted(
+            ((a, b, n) for (a, b), n in pairs.items()),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )[:10]
+
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        got = [
+            (r.a, r.b, r.pair_count)
+            for r in bpe_pair_counts(df, "text", k=10).collect()
+        ]
+        assert got == expect
+
+    check()
+
+
+def test_tfidf_topk_matches_python_fold(spark):
+    """Hypothesis property: tfidf_topk equals a pure-Python fold
+    computing tf, df, the quantized idf (scale*(N+1) // (df+1)) and the
+    per-doc (score desc, term asc) head — N counts ALL docs including
+    token-free ones."""
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.textstats import tfidf_topk
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "e"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        docs = data.draw(st.lists(doc, min_size=1, max_size=8))
+        n = len(docs)
+        tf = {}
+        for i, d in enumerate(docs):
+            toks = [w for w in re.split(r"[^a-z0-9]+", d.lower()) if w]
+            if toks:
+                tf[i] = Counter(toks)
+        df_t = Counter()
+        for c in tf.values():
+            for t in c:
+                df_t[t] += 1
+        expect = {}
+        for i, c in tf.items():
+            scored = sorted(
+                (
+                    (-t_f * ((1_000_000 * (n + 1)) // (df_t[t] + 1)), t, t_f)
+                    for t, t_f in c.items()
+                ),
+            )[:3]
+            expect[i] = [
+                (rank + 1, t, t_f, df_t[t], -neg)
+                for rank, (neg, t, t_f) in enumerate(scored)
+            ]
+
+        sdf = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        got = {}
+        for r in tfidf_topk(sdf, "text", "doc_id", k=3).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.rank, r.term, r.tf, r.df_t, r.tfidf_q)
+            )
+        for i in got:
+            got[i].sort()
+        assert got == expect
+
+    check()

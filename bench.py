@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # pair counts and the single-explode TF-IDF head.
     "text_bpe_pair_counts",
     "text_tfidf_topk",
+    # round 8 fifth batch: per-source adaptive gating and the two-level
+    # distributed prefix-sum budget selection.
+    "pipeline_adaptive_quality_gate",
+    "training_budget_select",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

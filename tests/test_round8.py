@@ -729,3 +729,117 @@ def test_tfidf_topk_matches_python_fold(spark):
         assert got == expect
 
     check()
+
+
+def test_adaptive_quality_gate_per_source_thresholds(spark):
+    """The gate cutoff is per-source: a 3-token doc passes in a terse
+    source whose p25 is low but fails in a verbose source, and every
+    input row comes back with its threshold."""
+    from union_indexer_node_spark.pipelines.curation import (
+        adaptive_quality_gate,
+    )
+
+    rows = [
+        (1, "a b c", "terse"),
+        (2, "a b", "terse"),
+        (3, "a", "terse"),
+        (4, "a b c", "verbose"),
+        (5, "a b c d e f g h", "verbose"),
+        (6, "a b c d e f g h i j", "verbose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in adaptive_quality_gate(
+            df, "text", "doc_id", "source", p=0.25
+        ).collect()
+    }
+    assert len(out) == 6
+    # terse p25 of [1,2,3] = 1.5 -> 3-token doc kept, 1-token dropped
+    assert out[1].kept and not out[3].kept
+    # verbose p25 of [3,8,10] = 5.5 -> the same 3-token doc is dropped
+    assert not out[4].kept and out[5].kept and out[6].kept
+    assert out[1].thr != out[4].thr
+
+
+def test_budget_select_matches_naive_window_fold(spark):
+    """Hypothesis property: the two-level value-bucketed prefix sum
+    equals a pure-Python per-source ordered cumsum — including tied
+    token counts (id tiebreak), the all-same-length one-bucket
+    degenerate shape, and budget boundaries hit exactly."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.pipelines.training import budget_select
+
+    word = st.sampled_from(["x", "y"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        docs = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from(["s1", "s2"]), doc),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        budget = data.draw(st.integers(0, 30))
+        rows = [(i, t, s) for i, (s, t) in enumerate(docs)]
+        counts = {
+            i: len([w for w in re.split(r"[^a-z0-9]+", t.lower()) if w])
+            for i, t, _ in rows
+        }
+        expect = {}
+        for src in {s for _, _, s in rows}:
+            cum = 0
+            for i, _, _ in sorted(
+                (r for r in rows if r[2] == src),
+                key=lambda r: (-counts[r[0]], r[0]),
+            ):
+                cum += counts[i]
+                expect[i] = (counts[i], cum, cum <= budget)
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r.doc_id: (r.n_tokens, r.cum_tokens, r.selected)
+            for r in budget_select(
+                df, "text", "doc_id", "source", budget
+            ).collect()
+        }
+        assert got == expect
+
+    check()
+
+
+def test_budget_select_two_level_plan(spark):
+    """Pin the distributed-scan shape: the corpus-sized cumsum window
+    partitions by (source, bucket) — never by source alone — and the
+    bucket-offset table comes back via a broadcast join."""
+    from union_indexer_node_spark.pipelines.training import budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "a", "s")], "doc_id long, text string, source string"
+    )
+    plan = (
+        budget_select(df, "text", "doc_id", "source", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # every corpus-side Window must include _bkt in its partition spec;
+    # the offsets window runs on the tiny aggregated table only.
+    corpus_windows = [
+        w for w in re.findall(r"Window \[sum\(n_tokens#\d+L?\)[^\n]*", plan)
+    ]
+    assert corpus_windows, plan
+    assert all("_bkt" in w for w in corpus_windows), corpus_windows

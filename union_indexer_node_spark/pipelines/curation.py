@@ -160,3 +160,45 @@ def stratified_sample(
         .filter(F.col("draw_rank") <= per_stratum)
         .drop("_md5", "_shard", "_pre_rank")
     )
+
+
+def adaptive_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    p: float = 0.25,
+) -> DataFrame:
+    """Per-source adaptive quality gate (the per-domain-threshold
+    curation rule): a single global cutoff over-prunes terse sources
+    and under-prunes verbose ones, so the cutoff is the p-quantile of
+    token count computed WITHIN each source. Returns EVERY input row
+    with (n_tokens, thr, kept) so callers can filter on ``kept`` or
+    audit how much each source's gate removes.
+
+    Scale: token counting is one map-side regexp scan (no array
+    materialization, dedup.token_count); the per-group percentile is
+    exact-interpolated to stay oracle-checkable — at 100 TB swap
+    approx_percentile, same plan shape (the documented
+    textstats.length_percentiles trade); the threshold table is
+    |sources| rows and BROADCASTS back onto the corpus, so the corpus
+    is scanned twice but shuffled never (the second scan's join key
+    is broadcast-resident).
+    """
+    n_tok = token_count(F.col(text_col))
+    staged = df.select(
+        F.col(id_col), F.col(group_col), n_tok.cast("long").alias("n_tokens")
+    )
+    thr = staged.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("n_tokens").cast("double"), F.lit(p)), 4).alias(
+            "thr"
+        )
+    )
+    return staged.join(F.broadcast(thr), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        "n_tokens",
+        "thr",
+        (F.col("n_tokens").cast("double") >= F.col("thr")).alias("kept"),
+    )

@@ -529,3 +529,101 @@ def token_budget_allocation(
             .alias("alloc_tokens"),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy per-source data selection under a token budget: within
+    each source, take documents in (n_tokens DESC, id ASC) order while
+    the running token total stays within ``budget_tokens`` — the
+    "fill each domain's quota with its longest documents" selection
+    rule. Returns every row with (n_tokens, cum_tokens, selected);
+    cum_tokens is the INCLUSIVE running sum in selection order and
+    ``selected`` is cum_tokens <= budget.
+
+    Scale — a distributed ordered prefix-sum, NOT one sequential task
+    per source: a single cumsum window partitioned by source makes the
+    largest source one multi-TB sorted task (the hazard the two-level
+    stratified_sample rank documents). Two levels instead, bucketed by
+    the ORDER KEY'S VALUE (floor(log2(n_tokens))) rather than an md5
+    shard — a hash shard would interleave rows from all over the
+    order and partial sums could not be composed:
+
+      1. per-(source, bucket) cumsum — bucket concatenation in bucket
+         order IS the global (n_tokens desc, id) order, because the
+         bucket is a monotone function of the order key alone;
+      2. per-(source, bucket) totals (a ~64-row-per-source frame)
+         prefix-summed on the tiny side and broadcast back as each
+         bucket's starting offset.
+
+    Max task = largest single bucket, which value-spread corpora keep
+    bounded; a corpus of identically-sized documents degenerates to
+    one bucket — for that shape, sub-bucket on a secondary monotone
+    key (id ranges). Proven equal to the naive single window by
+    hypothesis (test_round8).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import token_count
+
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            # log2 bucket of the DESC order key, negated so ascending
+            # bucket order == descending n_tokens order (n_tokens >= 0;
+            # the +1 keeps log2 defined at 0).
+            "_bkt",
+            (-F.floor(F.log2(F.col("n_tokens") + 1))).cast("long"),
+        )
+        # Narrow-checkpoint (the semantic_dup_flags pattern): the rows
+        # branch and the bucket-totals branch both consume this frame,
+        # and Spark does not dedupe common subexpressions — without the
+        # materialization each branch re-scans the corpus and re-runs
+        # the token-count regexp over the full text column.
+        .localCheckpoint()
+    )
+    in_bucket = Window.partitionBy(group_col, "_bkt").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    with_local = staged.withColumn(
+        "_local_cum",
+        F.sum("n_tokens").over(
+            in_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bucket_totals = staged.groupBy(group_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_sum")
+    )
+    offsets = bucket_totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_bkt_sum").over(
+                Window.partitionBy(group_col)
+                .orderBy(F.asc("_bkt"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(group_col, "_bkt", "_offset")
+    return (
+        with_local.join(F.broadcast(offsets), [group_col, "_bkt"])
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            "n_tokens",
+            (F.col("_local_cum") + F.col("_offset")).alias("cum_tokens"),
+            (
+                (F.col("_local_cum") + F.col("_offset"))
+                <= F.lit(int(budget_tokens))
+            ).alias("selected"),
+        )
+    )

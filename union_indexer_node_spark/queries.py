@@ -210,6 +210,12 @@ _DEPRIORITIZED = [
     #    relatives meanwhile.
     "text_tfidf_topk",  # BORN IN TAIL (r8), same reason; per-group
     #    top-k window shape in-window via w1_leaderboard_rank.
+    "pipeline_adaptive_quality_gate",  # BORN IN TAIL (r8), same
+    #    reason; percentile-agg + broadcast-back shape, enters with
+    #    the r9 tranche.
+    "training_budget_select",  # BORN IN TAIL (r8), same reason; the
+    #    two-level prefix-sum is additionally hypothesis-proven equal
+    #    to the naive window locally.
 ]
 
 
@@ -4873,3 +4879,60 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return tfidf_topk(d, "text", "doc_id", k=5)
+
+
+# Per-source adaptive quality gate: the FineWeb-style per-domain
+# threshold rule — gate each doc against its OWN source's p25 token
+# count, not a global cutoff.
+@q(
+    "pipeline_adaptive_quality_gate",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    n AS (
+      SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+      SELECT source,
+             ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.25), 4) AS thr
+      FROM n GROUP BY source
+    )
+    SELECT n.doc_id, n.source, n.n_tokens, thr.thr,
+           CAST(n.n_tokens AS DOUBLE) >= thr.thr AS kept
+    FROM n JOIN thr USING (source)
+    """,
+)
+def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import adaptive_quality_gate
+
+    d = tables.load(spark, sf_dir, "documents")
+    return adaptive_quality_gate(d, "text", "doc_id", "source", p=0.25)
+
+
+# Greedy selection under a per-source token budget: ordered cumulative
+# sum gate, computed as a DISTRIBUTED two-level prefix-sum (value-
+# bucketed by the order key) — the oracle states the naive single
+# window, so the hash gate proves the two-level decomposition exact.
+@q(
+    "training_budget_select",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    n AS (
+      SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 20000 AS selected
+    FROM n
+    """,
+)
+def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import budget_select
+
+    d = tables.load(spark, sf_dir, "documents")
+    return budget_select(d, "text", "doc_id", "source", 20000)

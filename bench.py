@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     # distributed prefix-sum budget selection.
     "pipeline_adaptive_quality_gate",
     "training_budget_select",
+    # round 8 sixth batch: funnel recurrence and trigram substring
+    # search (index build + candidate intersection + verify).
+    "temporal_funnel_stages",
+    "search_substring_trigram",
+    # round 8 seventh batch: retention triangle and native pivot.
+    "temporal_cohort_retention",
+    "events_pivot_type_counts",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

@@ -218,3 +218,110 @@ def time_rollup(
             F.grouping_id().alias("grouping_level"),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Funnel analysis: for each user, how far through the ordered
+    ``steps`` sequence they progressed. Stage 1 anchors at the MIN
+    timestamp of steps[0]; stage i+1 is reached iff an event of
+    steps[i] exists with ts STRICTLY greater than the timestamp that
+    reached stage i (and the anchor advances to the MIN such ts).
+    Strict-ts comparison makes the result well-defined under timestamp
+    ties with no event-order tiebreak at all — a simultaneous
+    view+click counts the click only if another click follows.
+    Returns every user present in the step-filtered events with
+    (user, stage) where stage ∈ [0, len(steps)].
+
+    Scale: the step-filtered (user, ts, type) projection is
+    narrow-localCheckpointed once because len(steps)+1 aggregation
+    passes consume it (the budget_select branch-re-scan guard); each
+    pass is a min-aggregate + equi-join keyed on the user — state is
+    ONE timestamp per user per stage, never a per-user collect_list a
+    bot account could blow up, and every shuffle shares the user key
+    so AQE coalesces the chain. The greedy earliest-advance recurrence
+    is provably the maximal progression: advancing on the minimum
+    qualifying timestamp only ever widens what qualifies next.
+    """
+    if not steps:
+        raise ValueError("funnel_stages requires at least one step")
+    staged = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(type_col).alias("_tp"),
+        )
+        .localCheckpoint()
+    )
+    out = staged.select("_u").distinct()
+    for i, s in enumerate(steps):
+        ev = staged.filter(F.col("_tp") == s)
+        if i == 0:
+            t = ev.groupBy("_u").agg(F.min("_ts").alias("_t0"))
+        else:
+            t = (
+                ev.join(
+                    out.filter(F.col(f"_t{i - 1}").isNotNull()).select(
+                        "_u", f"_t{i - 1}"
+                    ),
+                    "_u",
+                )
+                .filter(F.col("_ts") > F.col(f"_t{i - 1}"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias(f"_t{i}"))
+            )
+        out = out.join(t, "_u", "left")
+    stage = sum(
+        (F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0))
+        for i in range(len(steps))
+    )
+    return out.select(
+        F.col("_u").alias(user_col), stage.cast("int").alias("stage")
+    )
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly cohort-retention triangle: cohort every user by the week
+    of their FIRST activity, then count, per (cohort_week,
+    week_offset), how many of that cohort's users were active — the
+    standard retention report.
+
+    Scale: the corpus collapses FIRST to distinct (user, week) rows
+    (map-side partial distinct before one user-keyed shuffle — bounded
+    at users × weeks regardless of event volume); the first-activity
+    anchor is a min over that compacted frame reusing the same key,
+    and the final rollup groups a two-small-column frame. Both weeks
+    are Monday-aligned (date_trunc), so the day-difference is exactly
+    divisible by 7 and the offset arithmetic is integer-exact.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    # Narrow-checkpoint: the anchor aggregate and the retention join
+    # BOTH consume the distinct frame, and Spark does not dedupe
+    # common subexpressions — without the materialization each branch
+    # re-scans the corpus and re-runs the distinct (the budget_select
+    # guard; the checkpointed frame is two small columns bounded at
+    # users × weeks).
+    acts = (
+        df.select(F.col(user_col).alias("_u"), week.alias("_w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    first = acts.groupBy("_u").agg(F.min("_w").alias("cohort_week"))
+    return (
+        acts.join(first, "_u")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("_w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

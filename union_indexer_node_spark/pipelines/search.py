@@ -86,3 +86,63 @@ def search_by_index(
         ]
         matched = reduce(lambda a, b: a.join(b, key_cols, "inner"), postings)
     return corpus.join(matched.distinct(), key_cols, "left_semi")
+
+
+def build_trigram_index(
+    df: DataFrame, text_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Character-trigram posting table for SUBSTRING search (the
+    pg_trgm strategy): a `LIKE '%pat%'` / contains() predicate cannot
+    use the token index above — the pattern may start or end mid-word
+    or span a word boundary — but every occurrence of a >=3-char
+    pattern implies every one of the pattern's character trigrams
+    occurs, so an AND-intersection over a trigram posting table prunes
+    the corpus to verifiable candidates. Grams slide over the RAW
+    lowercased text (spaces included — cross-word patterns stay
+    indexable). distinct() collapses repeats within a doc map-side
+    before the shuffle; the table is written partitioned/bucketed by
+    gram like the token index.
+
+    The char-array + element-concat build avoids the documented
+    O(len²) substring(_lt, i, 3) dead end (SCALE.md / char_lm)."""
+    grams = F.expr(
+        "CASE WHEN char_length(_lt) >= 3 "
+        "THEN transform(sequence(1, char_length(_lt) - 2), "
+        "i -> concat(_ch[i - 1], _ch[i], _ch[i + 1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        df.select(*key_cols, F.lower(F.col(text_col)).alias("_lt"))
+        .withColumn("_ch", F.split(F.col("_lt"), ""))
+        .select(*key_cols, F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def search_substring(
+    index: DataFrame,
+    corpus: DataFrame,
+    pattern: str,
+    text_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Substring search through the trigram posting table: AND-join the
+    pattern's trigrams (each an equality filter on the bucketed gram
+    column — only those posting partitions are read), then VERIFY with
+    contains() on the candidate rows only, so trigram co-occurrence
+    false positives ('ab ra' matching 'abra') never escape. Patterns
+    shorter than 3 chars have no trigram and fall back to the verify
+    scan alone. Case-insensitive, matching the index build."""
+    pat = pattern.lower()
+    grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    verified = F.contains(F.lower(F.col(text_col)), F.lit(pat))
+    if not grams:
+        return corpus.filter(verified)
+    cand = (
+        index.filter(F.col("gram").isin(grams))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") == len(grams))
+        .select(*key_cols)
+    )
+    return corpus.join(cand, key_cols, "left_semi").filter(verified)

@@ -216,6 +216,16 @@ _DEPRIORITIZED = [
     "training_budget_select",  # BORN IN TAIL (r8), same reason; the
     #    two-level prefix-sum is additionally hypothesis-proven equal
     #    to the naive window locally.
+    "temporal_funnel_stages",  # BORN IN TAIL (r8), same reason;
+    #    temporal family rep temporal_asof_join carries the window.
+    "search_substring_trigram",  # BORN IN TAIL (r8), same reason;
+    #    posting-table family rep x21_search_feed (re-entered r8)
+    #    carries the window.
+    "temporal_cohort_retention",  # BORN IN TAIL (r8), same reason;
+    #    two-level distinct+agg shape; temporal family carries the
+    #    window via temporal_asof_join.
+    "events_pivot_type_counts",  # BORN IN TAIL (r8), same reason;
+    #    conditional-agg shape in-window via j7_follows_overview.
 ]
 
 
@@ -4936,3 +4946,119 @@ def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return budget_select(d, "text", "doc_id", "source", 20000)
+
+
+# Funnel analysis (view -> click -> purchase) on the events stream:
+# per-user max stage under the strict-ts greedy recurrence. The oracle
+# states the same recurrence as a chain of min-aggregate CTEs.
+@q(
+    "temporal_funnel_stages",
+    """
+    WITH stepped AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    t0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM stepped
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT s.user_id, MIN(s.ts) AS t1 FROM stepped s
+      JOIN t0 ON s.user_id = t0.user_id AND s.ts > t0.t0
+      WHERE s.event_type = 'click' GROUP BY s.user_id
+    ),
+    t2 AS (
+      SELECT s.user_id, MIN(s.ts) AS t2 FROM stepped s
+      JOIN t1 ON s.user_id = t1.user_id AND s.ts > t1.t1
+      WHERE s.event_type = 'purchase' GROUP BY s.user_id
+    )
+    SELECT u.user_id,
+           (CASE WHEN t0.t0 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+    FROM (SELECT DISTINCT user_id FROM stepped) u
+    LEFT JOIN t0 ON u.user_id = t0.user_id
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    """,
+)
+def temporal_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import funnel_stages
+
+    e = tables.load(spark, sf_dir, "events")
+    return funnel_stages(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+# Substring (pg_trgm-style) search: trigram posting-table candidate
+# intersection + contains() verify. The oracle is the ground-truth
+# full-scan contains(), so a candidate-pruning bug that drops a real
+# match (the dangerous direction) is a row-count mismatch.
+@q(
+    "search_substring_trigram",
+    """
+    SELECT doc_id FROM documents WHERE contains(lower(text), 'alue s')
+    """,
+)
+def search_substring_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.search import build_trigram_index, search_substring
+
+    d = tables.load(spark, sf_dir, "documents")
+    idx = build_trigram_index(d, "text", ["doc_id"])
+    return search_substring(idx, d, "alue s", "text", ["doc_id"]).select(
+        "doc_id"
+    )
+
+
+# Weekly cohort-retention triangle over events (first-activity cohort,
+# distinct-user activity per week offset).
+@q(
+    "temporal_cohort_retention",
+    """
+    WITH acts AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM acts GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM acts a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def temporal_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import cohort_retention
+
+    e = tables.load(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts")
+
+
+# Spark-native pivot (groupBy().pivot().count() with an EXPLICIT value
+# list so no extra distinct-discovery job runs) — per-user event-type
+# count matrix; the oracle states the equivalent conditional counts.
+@q(
+    "events_pivot_type_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )

@@ -947,3 +947,50 @@ def test_cohort_retention_hand_computed(spark):
         (d0, 2): 1,  # u2 returns
         (d1, 0): 1,  # u3's cohort
     }
+
+
+def test_authless_spk_community_ops_dropped(spark):
+    """Empty required_posting_auths (active-auth custom_json): the
+    signer-keyed families must DROP the row instead of emitting a
+    NULL-follower edge whose concat_ws key collapses onto other
+    signers' edges (documented divergence: the reference interpolates
+    the JS string 'undefined'). Same for updateProps communities."""
+    import datetime as dt
+
+    from union_indexer_node_spark.ingest.posts import build_follows
+    from union_indexer_node_spark.ingest.profiles import (
+        community_updateprops,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    schema = (
+        "op_type string, custom_json_id string, custom_json string, "
+        "required_posting_auths array<string>, block_timestamp timestamp, "
+        "block_height long, tx_idx int, op_idx int"
+    )
+    rows = [
+        # authless spk.follow / community subscribe: dropped
+        ("custom_json", "spk.follow", '{"did":"did:key:z1","what":["blog"]}',
+         [], t, 1, 0, 0),
+        ("custom_json", "community",
+         '{"action":"subscribe","community":"hive-1"}', [], t, 2, 0, 0),
+        # signed siblings: kept (and must NOT collide with the above)
+        ("custom_json", "spk.follow", '{"did":"did:key:z1","what":["blog"]}',
+         ["alice"], t, 3, 0, 0),
+        ("custom_json", "community",
+         '{"action":"subscribe","community":"hive-1"}', ["bob"], t, 4, 0, 0),
+        # authless updateProps: dropped from the communities feed
+        ("custom_json", "community",
+         '{"action":"updateProps","title":"T","about":"A"}', [], t, 5, 0, 0),
+        ("custom_json", "community",
+         '{"action":"updateProps","title":"T2","about":"A2"}',
+         ["comm"], t, 6, 0, 0),
+    ]
+    ops = spark.createDataFrame(rows, schema)
+    edges = build_follows(ops).collect()
+    assert {(r.follower, r._id) for r in edges} == {
+        ("alice", "hive/alice/did:key:z1"),
+        ("bob", "hive-bob-hive-1"),
+    }
+    props = community_updateprops(ops).collect()
+    assert [(r.account, r.title) for r in props] == [("comm", "T2")]

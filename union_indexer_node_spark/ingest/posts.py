@@ -366,8 +366,9 @@ def build_follows(ops: DataFrame) -> DataFrame:
         ),
     )
     # F.get, not getItem: NULL (not an ANSI error) on an empty auths
-    # array — the same undefined JS gives the reference; such rows then
-    # fail the guards/keys below instead of aborting the job.
+    # array — the same undefined JS gives the reference. Legacy 'follow'
+    # rows then fail the spoof guard below; the spk/community families
+    # get an explicit NULL-signer drop (see the divergence note there).
     auth = F.get(F.col("required_posting_auths"), 0)
     # Spoof guard (hive-stream.ts:366-368): a legacy 'follow' op only
     # applies when the signing account EQUALS the claimed follower. A
@@ -391,6 +392,15 @@ def build_follows(ops: DataFrame) -> DataFrame:
         ~is_comm | F.col("cj.action").isin("subscribe", "unsubscribe")
     )
     is_spk = F.col("custom_json_id").startswith("spk.")
+    # NULL-signer drop for the signer-keyed families. DOCUMENTED
+    # DIVERGENCE: with empty posting auths (an active-auth custom_json)
+    # the reference interpolates the JS string 'undefined' into both
+    # the _id and the follower (hive-stream.ts:285,325-343 read
+    # required_posting_auths[0] unguarded), manufacturing one shared
+    # junk identity that every authless op collides on; we drop the
+    # row instead of modeling that bug (concat_ws would otherwise SKIP
+    # the NULL segment and collide per-community/per-did keys).
+    fo = fo.filter(~(is_comm | is_spk) | auth.isNotNull())
     # spk/community families: follower is the signing account
     # UNCONDITIONALLY (the reference never reads a payload follower for
     # these ids — a spoofed field must not touch another user's edge);

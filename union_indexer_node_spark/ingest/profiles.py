@@ -88,7 +88,11 @@ def community_updateprops(ops: DataFrame) -> DataFrame:
                 "struct<action:string,title:string,about:string>",
             ),
         )
-        .filter(F.col("cj.action") == "updateProps")
+        # NULL-signer drop, same divergence note as build_follows: the
+        # reference keys `hive/undefined` when posting auths are empty
+        # (hive-stream.ts:285 reads [0] unguarded); we drop the row
+        # rather than merge every authless op into one junk community.
+        .filter((F.col("cj.action") == "updateProps") & auth.isNotNull())
         .select(
             auth.alias("account"),
             F.col("cj.title").alias("title"),

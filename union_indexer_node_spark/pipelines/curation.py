@@ -173,9 +173,14 @@ def adaptive_quality_gate(
     """Per-source adaptive quality gate (the per-domain-threshold
     curation rule): a single global cutoff over-prunes terse sources
     and under-prunes verbose ones, so the cutoff is the p-quantile of
-    token count computed WITHIN each source. Returns EVERY input row
-    with (n_tokens, thr, kept) so callers can filter on ``kept`` or
-    audit how much each source's gate removes.
+    token count computed WITHIN each source. Returns every input row
+    WITH A NON-NULL GROUP — rows whose ``group_col`` is NULL have no
+    source to be thresholded against and are excluded (equi-join
+    semantics; the semantic_dup_flags contract), callers re-attach
+    them via a left join if needed. NULL ``text_col`` counts as 0
+    tokens, so ``kept`` is always a real boolean. Output columns
+    (n_tokens, thr, kept) let callers filter on ``kept`` or audit how
+    much each source's gate removes.
 
     Scale: token counting is one map-side regexp scan (no array
     materialization, dedup.token_count); the per-group percentile is
@@ -186,7 +191,7 @@ def adaptive_quality_gate(
     is scanned twice but shuffled never (the second scan's join key
     is broadcast-resident).
     """
-    n_tok = token_count(F.col(text_col))
+    n_tok = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     staged = df.select(
         F.col(id_col), F.col(group_col), n_tok.cast("long").alias("n_tokens")
     )

@@ -377,11 +377,15 @@ def shared_passage_stats(
 
     Scale shape: windows explode map-side (~tokens/stride rows per
     doc, each a 32-hex digest — bytes moved ∝ windows, not text); the
-    distinct-doc count per hash is ONE groupBy on the digest and the
-    join back is on the same key, so the second exchange is reused. No
-    pair generation anywhere — a hash shared by a million docs costs
-    one counter row, not 10^12 pairs (the all-pairs hazard class the
-    module docstring caps elsewhere simply never arises for counts).
+    window frame is narrow-localCheckpointed because BOTH the per-hash
+    aggregate and the probe side of the join consume it (Spark does
+    not dedupe common subexpressions — without the materialization the
+    tokenize+slice+md5 explode over the full corpus runs once per
+    branch), and the per-hash groupBy and the join back share the
+    digest key. No pair generation anywhere — a hash shared by a
+    million docs costs one counter row, not 10^12 pairs (the all-pairs
+    hazard class the module docstring caps elsewhere simply never
+    arises for counts).
     """
     w, s = window_tokens, stride
     starts = F.when(
@@ -403,6 +407,7 @@ def shared_passage_stats(
                 F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_s"), w))
             ).alias("_h"),
         )
+        .localCheckpoint()
     )
     # "appears in >1 DISTINCT doc" ⟺ min(id) != max(id) — two plain
     # min/max aggregates with map-side partials instead of a

@@ -226,6 +226,23 @@ def _quantized(vec_col: str, quant: int) -> Column:
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a consumed localCheckpoint's storage blocks NOW.
+    ``Dataset.unpersist`` does not cover checkpoint storage, and the
+    async ContextCleaner only reclaims it once the JVM-side RDD becomes
+    weakly reachable — in an iterative loop that lag accumulates one
+    corpus-scale copy per iteration. The checkpointed frame's analyzed
+    plan is a LogicalRDD whose ``rdd`` is exactly the persisted one;
+    unpersisting it is targeted (never touches other caches). The frame
+    MUST NOT be read again afterwards — its data is gone, not
+    recomputable. Best-effort: internal accessors, so failures degrade
+    to the ContextCleaner path rather than raising."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _quantized_base(
     emb: DataFrame, vec_col: str, id_col: str, quant: int
 ) -> DataFrame:
@@ -423,8 +440,17 @@ def kmeans_centroids(
                 )
                 .collect()
             )
+            # the collect above was this checkpoint's last reader —
+            # free its corpus-scale blocks before the next iteration
+            # materializes a fresh assignment.
+            _free_local_checkpoint(assigned)
         by_cluster = {r["cluster"]: list(r["_c"]) for r in new_rows}
         cents = [by_cluster.get(i, cents[i]) for i in range(k)]
+    if persist_base:
+        # the loop was the persisted base's last reader; the returned
+        # centroids are plain Python floats, so nothing downstream can
+        # re-read the checkpoint.
+        _free_local_checkpoint(base)
     return cents
 
 

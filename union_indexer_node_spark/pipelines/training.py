@@ -575,7 +575,12 @@ def budget_select(
         df.select(
             F.col(id_col),
             F.col(group_col),
-            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            # NULL text counts 0 tokens (the adaptive_quality_gate
+            # contract) so buckets, sums and the selected flag stay
+            # non-NULL for every row.
+            F.coalesce(token_count(F.col(text_col)), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
         )
         .withColumn(
             # log2 bucket of the DESC order key, negated so ascending

@@ -4899,7 +4899,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_TOKS_CTE.strip()},
     n AS (
-      SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      SELECT t.doc_id, d.source,
+             CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens
       FROM toks t JOIN documents d USING (doc_id)
     ),
     thr AS (
@@ -4928,7 +4929,8 @@ def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
     f"""
     WITH {_TOKS_CTE.strip()},
     n AS (
-      SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      SELECT t.doc_id, d.source,
+             CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens
       FROM toks t JOIN documents d USING (doc_id)
     )
     SELECT doc_id, source, n_tokens,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     # round 8 seventh batch: retention triangle and native pivot.
     "temporal_cohort_retention",
     "events_pivot_type_counts",
+    "temporal_moving_window_agg",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

@@ -994,3 +994,37 @@ def test_authless_spk_community_ops_dropped(spark):
     }
     props = community_updateprops(ops).collect()
     assert [(r.account, r.title) for r in props] == [("comm", "T2")]
+
+
+def test_moving_window_agg_range_frame(spark):
+    """RANGE-frame corners: the trailing window is an interval (a
+    burst of 3 events within a week all see each other; an event 8
+    days later sees only itself plus in-range peers), boundary ts
+    exactly 7 days back IS included, and equal-ts peers are all
+    included for both rows."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators.temporal import (
+        moving_window_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + d(days=3), 2.0),
+        (1, t0 + d(days=7), 4.0),          # exactly 7d after t0: includes it
+        (1, t0 + d(days=11), 8.0),         # sees days 7, 11 only
+        (2, t0, 1.5), (2, t0, 2.5),        # equal-ts peers see each other
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.ts, r.value_cents): (r.n_trailing, r.sum_trailing_cents)
+        for r in moving_window_agg(df, "user_id", "ts", "value", days=7).collect()
+    }
+    assert got[(1, t0, 100)] == (1, 100)
+    assert got[(1, t0 + d(days=3), 200)] == (2, 300)
+    assert got[(1, t0 + d(days=7), 400)] == (3, 700)
+    assert got[(1, t0 + d(days=11), 800)] == (2, 1200)
+    assert got[(2, t0, 150)] == (2, 400)
+    assert got[(2, t0, 250)] == (2, 400)

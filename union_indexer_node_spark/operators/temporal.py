@@ -325,3 +325,50 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def moving_window_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+) -> DataFrame:
+    """Per-key trailing-window aggregate (the time-series RANGE frame):
+    for every event, the count and cent-exact value sum of the key's
+    events in [ts - days, ts] — a TRUE range frame (all events in the
+    interval), not a row frame (last N rows), so bursts and gaps are
+    handled correctly.
+
+    Determinism: the frame is ordered by microsecond epoch, so both
+    engines bound it identically (equal-ts peers are all included —
+    RANGE semantics — making the result well-defined under ties);
+    the value is quantized to integer cents BEFORE the frame sum, so
+    no float accumulation order can diverge.
+
+    Scale: ONE shuffle on the key; within a partition Spark evaluates
+    the range frame with a sliding two-pointer over the sorted rows —
+    O(rows) per key, state bounded by the widest window. A hot key is
+    the same hazard class as any per-key window; the two-level
+    decompositions (stratified_sample / budget_select) do not apply to
+    a per-ROW output, so the mitigation is key-salting upstream if a
+    key's event count exceeds a task.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-days * 86_400_000_000, 0)
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        cents.alias("value_cents"),
+    ).select(
+        key_col,
+        ts_col,
+        "value_cents",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("value_cents").over(w).alias("sum_trailing_cents"),
+    )

@@ -226,6 +226,9 @@ _DEPRIORITIZED = [
     #    window via temporal_asof_join.
     "events_pivot_type_counts",  # BORN IN TAIL (r8), same reason;
     #    conditional-agg shape in-window via j7_follows_overview.
+    "temporal_moving_window_agg",  # BORN IN TAIL (r8), same reason;
+    #    RANGE-frame shape, microsecond-exact; temporal family rep
+    #    temporal_asof_join carries the window.
 ]
 
 
@@ -5064,3 +5067,29 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+# Trailing 7-day RANGE-frame aggregate per user (true interval frame,
+# microsecond-exact bounds, integer-cent sums).
+@q(
+    "temporal_moving_window_agg",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+             epoch_us(ts) AS eus
+      FROM events
+    )
+    SELECT user_id, ts, value_cents,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS sum_trailing_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY eus
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def temporal_moving_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import moving_window_agg
+
+    e = tables.load(spark, sf_dir, "events")
+    return moving_window_agg(e, "user_id", "ts", "value", days=7)

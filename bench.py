@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "temporal_cohort_retention",
     "events_pivot_type_counts",
     "temporal_moving_window_agg",
+    "pipeline_column_profile",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

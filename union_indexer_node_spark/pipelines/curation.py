@@ -207,3 +207,42 @@ def adaptive_quality_gate(
         "thr",
         (F.col("n_tokens").cast("double") >= F.col("thr")).alias("kept"),
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile (the Deequ/expectations shape): one row per
+    column with row count, NULL count, and exact distinct count — the
+    completeness/cardinality report a pipeline gates ingest on.
+
+    Type-agnostic on purpose: min/max/mean summaries are type- and
+    format-dependent (timestamp→string casts differ per engine), while
+    (n_rows, n_null, n_distinct) are exact integers for ANY column
+    type, so the profile stays oracle-checkable and schema-stable.
+
+    Scale: ONE aggregate pass. Multiple exact count(distinct)s in one
+    aggregate make Catalyst plan a single Expand (one row per counted
+    column per input row, all map-side partial-aggregated) — corpus
+    scanned once, shuffled once at |cols| x partial-state width; the
+    final unpivot (stack) is metadata over a one-row frame. For
+    approximate profiles at extreme cardinality swap
+    approx_count_distinct — same plan minus the Expand.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_rows_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"_null_{c}"
+            ),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _rows_{c}, _null_{c}, _dist_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_rows, n_null, n_distinct)"
+        )
+    )

@@ -229,6 +229,9 @@ _DEPRIORITIZED = [
     "temporal_moving_window_agg",  # BORN IN TAIL (r8), same reason;
     #    RANGE-frame shape, microsecond-exact; temporal family rep
     #    temporal_asof_join carries the window.
+    "pipeline_column_profile",  # BORN IN TAIL (r8), same reason;
+    #    Expand-based multi-distinct + stack unpivot; small-agg shape
+    #    in-window via j7_follows_overview.
 ]
 
 
@@ -5093,3 +5096,36 @@ def temporal_moving_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "events")
     return moving_window_agg(e, "user_id", "ts", "value", days=7)
+
+
+# Deequ-style column profile: one aggregate pass + stack unpivot.
+@q(
+    "pipeline_column_profile",
+    """
+    SELECT 'event_type' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           COUNT(DISTINCT event_type) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT user_id)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT value)
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT props)
+    FROM events
+    """,
+)
+def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import column_profile
+
+    e = tables.load(spark, sf_dir, "events")
+    return column_profile(e, ["event_type", "user_id", "value", "props"])

@@ -1028,3 +1028,86 @@ def test_moving_window_agg_range_frame(spark):
     assert got[(1, t0 + d(days=11), 800)] == (2, 1200)
     assert got[(2, t0, 150)] == (2, 400)
     assert got[(2, t0, 250)] == (2, 400)
+
+
+def test_column_profile_awkward_names_and_nulls(spark):
+    """Profile contract corners: names with spaces/quotes profile fine
+    (positional aliases + escaped literals), NULLs and distincts are
+    exact, empty column list raises."""
+    import pytest
+
+    from union_indexer_node_spark.pipelines.curation import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "a")],
+        "`my col` long, `it's` string",
+    )
+    got = {
+        r.column_name: (r.n_rows, r.n_null, r.n_distinct)
+        for r in column_profile(df, ["my col", "it's"]).collect()
+    }
+    assert got == {"my col": (3, 0, 2), "it's": (3, 1, 1)}
+    with pytest.raises(ValueError):
+        column_profile(df, [])
+
+
+def test_funnel_stages_matches_python_recurrence(spark):
+    """Hypothesis property: funnel_stages equals the pure-Python
+    strict-ts greedy recurrence (t_i = min ts of step i strictly after
+    t_{i-1}) over random event sets with a tiny timestamp pool so ties
+    and out-of-order progressions are common."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.operators.temporal import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ["a", "b", "c"]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        evs = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 2),           # user
+                    st.integers(0, 5),           # ts minute (ties likely)
+                    st.sampled_from(steps + ["x"]),  # non-step noise
+                ),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        expect = {}
+        for u in {e[0] for e in evs if e[2] in steps}:
+            anchor, stage = None, 0
+            for s in steps:
+                cand = [
+                    m for (uu, m, tp) in evs
+                    if uu == u and tp == s
+                    and (anchor is None if stage == 0 else m > anchor)
+                ]
+                if not cand:
+                    break
+                anchor = min(cand)
+                stage += 1
+            expect[u] = stage
+
+        df = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(minutes=m), tp) for u, m, tp in evs],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r.user_id: r.stage
+            for r in funnel_stages(
+                df, "user_id", "ts", "event_type", steps
+            ).collect()
+        }
+        assert got == expect
+
+    check()

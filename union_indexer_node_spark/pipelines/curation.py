@@ -227,18 +227,25 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     approximate profiles at extreme cardinality swap
     approx_count_distinct — same plan minus the Expand.
     """
+    if not cols:
+        raise ValueError("column_profile requires at least one column")
+    # POSITIONAL internal aliases + escaped name literals: the column
+    # name only ever appears as a quoted string constant, so names with
+    # spaces/dots/quotes (legal in DataFrame schemas) profile fine.
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"_rows_{c}"),
+            F.count(F.lit(1)).alias(f"_rows_{i}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
-                f"_null_{c}"
+                f"_null_{i}"
             ),
-            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{i}"),
         ]
     wide = df.agg(*aggs)
+    lit = lambda c: "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     stack = ", ".join(
-        f"'{c}', _rows_{c}, _null_{c}, _dist_{c}" for c in cols
+        f"{lit(c)}, _rows_{i}, _null_{i}, _dist_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

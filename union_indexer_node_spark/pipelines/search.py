@@ -100,8 +100,10 @@ def build_trigram_index(
     the corpus to verifiable candidates. Grams slide over the RAW
     lowercased text (spaces included — cross-word patterns stay
     indexable). distinct() collapses repeats within a doc map-side
-    before the shuffle; the table is written partitioned/bucketed by
-    gram like the token index.
+    before the shuffle. This BUILDS the posting frame; to amortize
+    across queries, persist it partitioned/bucketed by gram (the same
+    deployment note as the token index above) — the callers in this
+    repo rebuild it inline, paying the one-time cost per run.
 
     The char-array + element-concat build avoids the documented
     O(len²) substring(_lt, i, 3) dead end (SCALE.md / char_lm)."""
@@ -127,12 +129,14 @@ def search_substring(
     key_cols: list[str],
 ) -> DataFrame:
     """Substring search through the trigram posting table: AND-join the
-    pattern's trigrams (each an equality filter on the bucketed gram
-    column — only those posting partitions are read), then VERIFY with
-    contains() on the candidate rows only, so trigram co-occurrence
-    false positives ('ab ra' matching 'abra') never escape. Patterns
-    shorter than 3 chars have no trigram and fall back to the verify
-    scan alone. Case-insensitive, matching the index build."""
+    pattern's trigrams (each an equality/IN filter on the gram column —
+    partition-pruned to those grams WHEN the posting table is persisted
+    partitioned/bucketed by gram; a plain filter over the in-memory
+    frame otherwise), then VERIFY with contains() on the candidate rows
+    only, so trigram co-occurrence false positives ('ab ra' matching
+    'abra') never escape. Patterns shorter than 3 chars have no trigram
+    and fall back to the verify scan alone. Case-insensitive, matching
+    the index build."""
     pat = pattern.lower()
     grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
     verified = F.contains(F.lower(F.col(text_col)), F.lit(pat))

@@ -357,6 +357,8 @@ def kmeans_centroids(
     )
     cents: list[list[float]] = [list(r["_c"]) for r in seed_rows]
     if not cents:
+        if persist_base:
+            _free_local_checkpoint(base)  # empty corpus still checkpointed
         return cents
     k = len(cents)  # fewer rows than k: every row is its own seed
     dim = len(cents[0])

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "events_pivot_type_counts",
     "temporal_moving_window_agg",
     "pipeline_column_profile",
+    "dedup_lsh_incremental",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

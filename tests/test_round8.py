@@ -1111,3 +1111,40 @@ def test_funnel_stages_matches_python_recurrence(spark):
         assert got == expect
 
     check()
+
+
+def test_update_minhash_index_incremental_semantics(spark):
+    """Incremental signature maintenance: an edited doc gets a NEW
+    signature, a deleted doc (empty text) leaves the index, an
+    untouched doc keeps its exact old row — and the merged result
+    equals a full rebuild over the new corpus."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        minhash_signature,
+        update_minhash_index,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five"),
+            (3, "to be deleted soon enough"),
+        ],
+        "doc_id long, text string",
+    )
+    changed = spark.createDataFrame(
+        [(2, "one two three four five six seven"), (3, "")],
+        "doc_id long, text string",
+    )
+    index = minhash_signature(old, "text", "doc_id")
+    out = update_minhash_index(index, changed, "text", "doc_id")
+    new_corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rebuild = minhash_signature(new_corpus, "text", "doc_id")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, rebuild.collect()))
+    assert got == want and {r[0] for r in got} == {1, 2}

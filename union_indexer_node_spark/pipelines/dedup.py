@@ -210,6 +210,38 @@ def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFram
     ).select(id_col, "bk.band_idx", "bk.band_key")
 
 
+def update_minhash_index(
+    index: DataFrame,
+    changed_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash signature maintenance — F12/T6 applied to
+    the dedup index, the exact twin of search.update_inverted_index:
+    drop every signature of a changed/deleted id (anti-join on the key)
+    and append freshly computed signatures — O(changed docs) work per
+    ingest cycle, never an O(corpus) re-signature. Pass changed docs
+    with their NEW text; a deleted doc is the key with empty text (no
+    shingles -> no signature row -> the id leaves the index). Band
+    tables derive from the signature table, so maintaining signatures
+    incrementally maintains candidate generation too.
+
+    Scale: `fresh` explodes only the changed docs; the anti-join is
+    id-keyed — with the signature table stored bucketed by id it
+    prunes to the touched buckets and the append preserves layout
+    (the same deployment note as the token posting table)."""
+    fresh = minhash_signature(
+        changed_docs, text_col, id_col, k=k, shingle_n=shingle_n
+    )
+    kept = index.join(
+        changed_docs.select(id_col).distinct(), [id_col], "left_anti"
+    )
+    return kept.unionByName(fresh)
+
+
 def _digest_canonicals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One representative (min id) per distinct content digest —
     identical texts share every MinHash band, so banding them all would

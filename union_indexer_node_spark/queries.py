@@ -232,6 +232,9 @@ _DEPRIORITIZED = [
     "pipeline_column_profile",  # BORN IN TAIL (r8), same reason;
     #    Expand-based multi-distinct + stack unpivot; small-agg shape
     #    in-window via j7_follows_overview.
+    "dedup_lsh_incremental",  # BORN IN TAIL (r8), same reason; the
+    #    incremental-equals-rebuild shape is in-window via
+    #    x21_index_incremental_update's family history.
 ]
 
 
@@ -5129,3 +5132,60 @@ def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "events")
     return column_profile(e, ["event_type", "user_id", "value", "props"])
+
+
+# Incremental MinHash index maintenance == full rebuild (the X21-v2
+# incremental-equivalence hard signal applied to the dedup layer):
+# edits get fresh signatures, deletions (empty text) leave the index,
+# untouched docs keep their old rows — and the whole result must
+# hash-match a from-scratch signature build over the merged corpus.
+@q(
+    "dedup_lsh_incremental",
+    """
+    WITH newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN ''
+                  WHEN doc_id % 7 = 0
+                  THEN text || ' incremental update marker tokens'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM newdocs
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      )) AS s
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
+    )
+    SELECT doc_id,
+      min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
+      min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
+      min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
+      min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import minhash_signature, update_minhash_index
+
+    d = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    index = minhash_signature(d, "text", "doc_id")
+    changed = d.filter((did % 7 == 0) | (did % 13 == 0)).select(
+        "doc_id",
+        F.when(did % 13 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" incremental update marker tokens"))
+        )
+        .alias("text"),
+    )
+    return update_minhash_index(index, changed, "text", "doc_id")

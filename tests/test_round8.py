@@ -1148,3 +1148,55 @@ def test_update_minhash_index_incremental_semantics(spark):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, rebuild.collect()))
     assert got == want and {r[0] for r in got} == {1, 2}
+
+
+def test_cohort_retention_matches_python_fold(spark):
+    """Hypothesis property: cohort_retention equals a pure-Python fold
+    (truncate to Monday weeks, anchor each user at their min week,
+    count distinct users per (cohort, offset)) over random event sets
+    spanning week boundaries."""
+    import datetime as dt
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from union_indexer_node_spark.operators.temporal import cohort_retention
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        evs = data.draw(
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(0, 35)),  # (user, day)
+                min_size=1,
+                max_size=25,
+            )
+        )
+        def week(day):
+            return day - (day % 7)
+
+        weeks = {(u, week(d)) for u, d in evs}
+        first = {}
+        for u, w in weeks:
+            first[u] = min(first.get(u, w), w)
+        expect = Counter()
+        for u, w in weeks:
+            expect[(first[u], (w - first[u]) // 7)] += 1
+
+        df = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(days=d)) for u, d in evs],
+            "user_id long, ts timestamp",
+        )
+        got = {
+            ((r.cohort_week - t0).days, r.week_offset): r.n_active
+            for r in cohort_retention(df, "user_id", "ts").collect()
+        }
+        assert got == dict(expect)
+
+    check()

@@ -235,6 +235,18 @@ _DEPRIORITIZED = [
     "dedup_lsh_incremental",  # BORN IN TAIL (r8), same reason; the
     #    incremental-equals-rebuild shape is in-window via
     #    x21_index_incremental_update's family history.
+    # -- r9 ROTATION PLAN (written r8 so the next round can execute it
+    #    mechanically): the never-driver-green backlog is now the 13
+    #    born-in-tail r8 entries above plus the r4-era staleness
+    #    tranche (14 entries, last green r4 — see the CORRECTNESS
+    #    history). That is ~27 candidates for ~16-17 sustainable swaps:
+    #    prioritize (a) ALL 13 born-in-tail entries (never any driver
+    #    signal — the strictly more valuable hard signal), then (b) as
+    #    many r4-era re-entries as remaining slots allow, oldest first;
+    #    the rest of the r4 tranche rolls to r10. Swap-outs: the r8
+    #    window's never-green entries will be freshly multiply-green
+    #    (r8) with family siblings annotated inline — rotate out the
+    #    ones whose operator also ran in earlier rounds first. --
 ]
 
 

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "temporal_moving_window_agg",
     "pipeline_column_profile",
     "dedup_lsh_incremental",
+    "setop_intersect_except",
+    "lineitem_unpivot_measures",
 ]
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over

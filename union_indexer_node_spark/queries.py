@@ -235,12 +235,16 @@ _DEPRIORITIZED = [
     "dedup_lsh_incremental",  # BORN IN TAIL (r8), same reason; the
     #    incremental-equals-rebuild shape is in-window via
     #    x21_index_incremental_update's family history.
+    "setop_intersect_except",  # BORN IN TAIL (r8), same reason;
+    #    completes §2.7 alongside setop_union_sources (in-window).
+    "lineitem_unpivot_measures",  # BORN IN TAIL (r8), same reason;
+    #    the pivot inverse; stack shape also in pipeline_column_profile.
     # -- r9 ROTATION PLAN (written r8 so the next round can execute it
-    #    mechanically): the never-driver-green backlog is now the 13
+    #    mechanically): the never-driver-green backlog is now the 15
     #    born-in-tail r8 entries above plus the r4-era staleness
     #    tranche (14 entries, last green r4 — see the CORRECTNESS
-    #    history). That is ~27 candidates for ~16-17 sustainable swaps:
-    #    prioritize (a) ALL 13 born-in-tail entries (never any driver
+    #    history). That is ~29 candidates for ~16-17 sustainable swaps:
+    #    prioritize (a) the born-in-tail entries (never any driver
     #    signal — the strictly more valuable hard signal), then (b) as
     #    many r4-era re-entries as remaining slots allow, oldest first;
     #    the rest of the r4 tranche rolls to r10. Swap-outs: the r8
@@ -5201,3 +5205,79 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return update_minhash_index(index, changed, "text", "doc_id")
+
+
+# §2.7 set-operation completion: INTERSECT / EXCEPT over two curation
+# gates (U covered union; these are the other two members). doc_id is
+# unique, so INTERSECT == INTERSECT ALL and the result is a partition
+# of the union into both/only_a/only_b.
+@q(
+    "setop_intersect_except",
+    """
+    WITH a AS (
+      SELECT doc_id FROM documents
+      WHERE len(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) >= 50
+    ),
+    b AS (SELECT doc_id FROM documents WHERE lang = 'en')
+    SELECT doc_id, 'both' AS membership FROM (
+      SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+    UNION ALL
+    SELECT doc_id, 'only_a' FROM (
+      SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+    UNION ALL
+    SELECT doc_id, 'only_b' FROM (
+      SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a)
+    """,
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import token_count
+
+    d = tables.load(spark, sf_dir, "documents")
+    a = d.filter(token_count(F.col("text")) >= 50).select("doc_id")
+    b = d.filter(F.col("lang") == "en").select("doc_id")
+    return (
+        a.intersect(b).withColumn("membership", F.lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("membership", F.lit("only_a")))
+        .unionByName(b.exceptAll(a).withColumn("membership", F.lit("only_b")))
+    )
+
+
+# DataFrame unpivot/melt (wide -> long measures), the inverse of the
+# pivot entry; a modulo sample keeps the long output driver-sized.
+@q(
+    "lineitem_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 2) AS val
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            F.round("l_discount", 2).alias("l_discount"),
+            F.round("l_tax", 2).alias("l_tax"),
+        )
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

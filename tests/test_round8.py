@@ -1200,3 +1200,35 @@ def test_cohort_retention_matches_python_fold(spark):
         assert got == dict(expect)
 
     check()
+
+
+def test_funnel_and_trigram_plans_stay_hash_joined(spark):
+    """Plan guards: the funnel's per-stage joins and the trigram
+    candidate intersection must stay equi/hash joins — a future edit
+    adding a non-equi condition would silently fall back to a
+    nested-loop plan."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators.temporal import funnel_stages
+    from union_indexer_node_spark.pipelines.search import (
+        build_trigram_index,
+        search_substring,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    fplan = (
+        funnel_stages(ev, "user_id", "ts", "event_type", ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    docs = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    idx = build_trigram_index(docs, "text", ["doc_id"])
+    splan = (
+        search_substring(idx, docs, "abc", "text", ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for name, plan in [("funnel", fplan), ("trigram", splan)]:
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -146,7 +146,11 @@ def _ops_rows():
         # (e) follow then unfollow; follow that stays
         follow_op(60, "follow", "zoe", "alice", ["blog"]),
         follow_op(61, "follow", "zoe", "alice", []),  # empty what = unfollow
-        follow_op(62, "spk.follow", "yan", "alice", ["blog"]),
+        # spk.follow carries its target as json.did ONLY
+        # (hive-stream.ts:334-336); a did-less {follower, following}
+        # payload (72) is the junk-key case -> dropped
+        spk_did_follow(62, "yan", "alice"),
+        follow_op(72, "spk.follow", "yan", "bob", ["blog"]),
         # spoofed follow: signed by mallory but claiming zoe -> dropped
         # (hive-stream.ts:366-368)
         spoofed_follow(63, signer="mallory", claimed="zoe", following="henry"),
@@ -259,6 +263,9 @@ def test_follows_tombstone(spark, ops):
     assert ("walt", "hive-999") not in edges
     # spk edges keep the reference's slash keyspace
     assert rows[("yan", "alice")]._id == "hive/yan/alice"
+    # did-less spk.follow payload: NULL target dropped (reference
+    # would key hive/yan/undefined — the documented junk-key family)
+    assert ("yan", "bob") not in edges
     # follower-less legacy follow dropped (reference guard: account !==
     # undefined -> continue)
     assert ("quinn", "alice") not in edges

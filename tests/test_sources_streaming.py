@@ -123,7 +123,10 @@ def test_profiles_and_communities(spark):
 
     comms = {r.name: r for r in build_communities(ops).collect()}
     assert set(comms) == {"hive-135485"}
-    assert comms["hive-135485"].title == "My Community"
+    # account_update2 sets images only — NEVER title/about (those are
+    # updateProps-exclusive, hive-stream.ts:458-468 vs :311-322)
+    assert comms["hive-135485"].title is None
+    assert comms["hive-135485"].images.avatar == "av.png"
     assert comms["hive-135485"]._id == "hive/hive-135485"
 
 
@@ -152,38 +155,50 @@ def test_profileless_update_never_wipes(spark):
 
 def test_community_updateprops_merge(spark):
     """hive-stream.ts:311-322 — a community's updateProps custom_json
-    sets title/about on its community row, composing field-wise with
-    the account_update2 family the way sequential Mongo $sets do."""
+    is the EXCLUSIVE writer of title/about; the account_update2 hive-*
+    branch (:458-468) $sets only username/TYPE/images/topics. A later
+    account_update2 must therefore never clobber updateProps-set
+    title/about (r8 ADVICE item, profiles.py:130)."""
     from union_indexer_node_spark.ingest.profiles import build_communities
 
     ops = spark.createDataFrame(
         [
-            # props BEFORE the au, then props AFTER it: the later op
-            # wins title/about, the au keeps the images
+            # props BEFORE the au: the au updates images but must NOT
+            # touch the props-set title/about
             _update_props(1, "hive-135485", "Early Title", "early"),
             _account_update(2, "hive-135485", {"name": "AU Title",
                                                "about": "au about",
                                                "profile_image": "av.png",
                                                "cover_image": "cov.png"}),
             _update_props(10, "hive-135485", "Props Title", "props about"),
-            # au LATER than the props: au's profile-derived title wins
+            # au LATER than the props: title/about still come from the
+            # props family (reference parity — au never writes them)
             _update_props(3, "hive-77", "Old Props", "old"),
-            _account_update(8, "hive-77", {"name": "AU Wins", "about": "x"}),
+            _account_update(8, "hive-77", {"name": "AU Loses", "about": "x"}),
             # updateProps-only community: the upsert creates the row
             _update_props(4, "hive-new", "Fresh", "created by props"),
+            # au-only community: row exists, title/about NULL
+            _account_update(5, "hive-solo", {"name": "ignored",
+                                             "profile_image": "solo.png"}),
         ],
         schema=OPS_SCHEMA,
     )
     comms = {r.name: r for r in build_communities(ops).collect()}
-    assert set(comms) == {"hive-135485", "hive-77", "hive-new"}
+    assert set(comms) == {"hive-135485", "hive-77", "hive-new", "hive-solo"}
     c = comms["hive-135485"]
     assert c.title == "Props Title" and c.about == "props about"
     assert c.images.avatar == "av.png" and c.images.cover == "cov.png"
     assert c.updated_at == T0 + dt.timedelta(minutes=10)
-    assert comms["hive-77"].title == "AU Wins"
+    assert c.topics == []  # au present, no topcs key -> [] (:464)
+    w = comms["hive-77"]
+    assert w.title == "Old Props" and w.about == "old"
     n = comms["hive-new"]
     assert n.title == "Fresh" and n._id == "hive/hive-new"
     assert n.images.avatar is None and n.images.cover is None
+    assert n.topics is None  # no au ever ran -> field absent (NULL)
+    s = comms["hive-solo"]
+    assert s.title is None and s.about is None
+    assert s.images.avatar == "solo.png"
 
 
 # --- X5/X6: intra-transaction adjacency -------------------------------------

@@ -72,6 +72,10 @@ PROFILE_SCHEMA = T.StructType(
                     T.StructField("pinned", T.StringType()),
                     T.StructField("profile_image", T.StringType()),
                     T.StructField("cover_image", T.StringType()),
+                    # sic: the reference reads `profile?.topcs` —
+                    # hive-stream.ts:464 — so the typo'd key is the one
+                    # that exists on chain for community topic lists
+                    T.StructField("topcs", T.ArrayType(T.StringType())),
                 ]
             ),
         ),

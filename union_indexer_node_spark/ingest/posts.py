@@ -341,9 +341,10 @@ def build_follows(ops: DataFrame) -> DataFrame:
       ``required_posting_auths[0]`` for both the ``_id`` and the
       ``follower`` column, so a spoofed field must not create or
       tombstone another user's edge); the followed DID is the payload's
-      ``did`` field (:347), keyed ``hive/{account}/{did}`` (FIXTURES.md
-      legacy rows carry it as ``following``, so both spellings are
-      accepted, ``did`` winning);
+      ``did`` field ONLY (:334-336 — a payload carrying just
+      ``following`` produces a ``hive/{acct}/undefined`` junk key in
+      the reference; here the NULL did is dropped, see the inline
+      divergence note), keyed ``hive/{account}/{did}``;
     - ``community`` subscribe/unsubscribe: follower is the signing
       account, following the community name, keyed
       ``hive-{account}-{community}`` (:289-309).
@@ -406,7 +407,13 @@ def build_follows(ops: DataFrame) -> DataFrame:
     # these ids — a spoofed field must not touch another user's edge);
     # the legacy family survives the guard above only when the payload
     # follower equals the signer, so auth is correct for all three.
-    spk_following = F.coalesce(F.col("cj.did"), F.col("cj.following"))
+    # spk.follow/unfollow read ONLY json.did (hive-stream.ts:334-336,
+    # 353-356) — a payload carrying just 'following' yields a
+    # 'hive/{acct}/undefined' junk key in the reference; here the NULL
+    # did flows into `following`, and the following-isNotNull filter
+    # below drops the row (the same junk-identity NULL-drop divergence
+    # documented for authless ops above).
+    spk_following = F.col("cj.did")
     edges = fo.select(
         F.when(is_comm | is_spk, auth)
         .otherwise(F.col("cj.follower"))

@@ -107,30 +107,39 @@ def community_updateprops(ops: DataFrame) -> DataFrame:
 
 def build_communities(ops: DataFrame) -> DataFrame:
     """Community rows from BOTH write families, merged field-wise the
-    way sequential Mongo ``$set``s compose (hive-stream.ts):
+    way sequential Mongo ``$set``s compose (hive-stream.ts), with each
+    field restricted to the family that actually writes it:
 
-    - ``account_update2`` on a 'hive-*' account (:456-473) sets the
-      profile-derived fields (title/about from the posting metadata —
-      this engine's X22 projection — plus the images struct);
-    - ``community`` custom_json ``updateProps`` (:311-322) sets
-      title/about only.
+    - ``account_update2`` on a 'hive-*' account (:456-473) sets ONLY
+      ``username/TYPE/images/topics`` — the reference's ``$set`` there
+      never touches title/about (profile name/about route to the
+      PROFILES branch, not this one);
+    - ``community`` custom_json ``updateProps`` (:311-322) is the
+      exclusive writer of ``title``/``about``.
 
-    Per field, the LATEST op that sets it wins (Mongo applies each
-    ``$set`` in arrival order; batch replays that as max_by over the
-    event-order struct, restricted per field to the family that writes
-    it). An updateProps for an account with no account_update2 still
-    creates the community row (the reference upserts), with NULL
-    images. One groupBy on account — the au side is pre-collapsed by
-    the LWW window, so the union carries at most one au row plus the
+    Per field, the LATEST op of its owning family wins (Mongo applies
+    each ``$set`` in arrival order; batch replays that as max_by over
+    the event-order struct gated by a sets_* flag). An updateProps for
+    an account with no account_update2 still creates the community row
+    (the reference upserts), with NULL images; an account_update2-only
+    community row has NULL title/about until an updateProps arrives —
+    exactly the reference's document shape. ``topics`` mirrors
+    :464's ``profile?.topcs || []`` (empty array, not NULL, per au
+    row). One groupBy on account — the au side is pre-collapsed by the
+    LWW window, so the union carries at most one au row plus the
     updateProps rows per account."""
     au = _latest_account_updates(ops).filter(
         F.col("account").startswith("hive-")
     ).select(
         F.col("account"),
-        F.col("pm.profile.name").alias("title"),
-        F.col("pm.profile.about").alias("about"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("about"),
         F.col("pm.profile.profile_image").alias("avatar"),
         F.col("pm.profile.cover_image").alias("cover"),
+        F.coalesce(
+            F.col("pm.profile.topcs"), F.array().cast("array<string>")
+        ).alias("topics"),
+        F.lit(False).alias("sets_ta"),
         F.lit(True).alias("sets_images"),
         F.col("block_timestamp"),
         F.col("block_height"),
@@ -143,6 +152,8 @@ def build_communities(ops: DataFrame) -> DataFrame:
         "about",
         F.lit(None).cast("string").alias("avatar"),
         F.lit(None).cast("string").alias("cover"),
+        F.lit(None).cast("array<string>").alias("topics"),
+        F.lit(True).alias("sets_ta"),
         F.lit(False).alias("sets_images"),
         "block_timestamp",
         "block_height",
@@ -151,11 +162,14 @@ def build_communities(ops: DataFrame) -> DataFrame:
     )
     o = F.struct("block_height", "tx_idx", "op_idx")
     merged = au.unionByName(up).groupBy("account").agg(
-        F.max_by(F.struct("title", "about"), o).alias("_ta"),
-        # image-setting events only: max over a NULL-when-unset order
-        # ignores updateProps rows, so images keep the latest au value
+        # family-gated maxes: a NULL-when-not-owner order key makes
+        # max_by ignore the other family's rows entirely
         F.max_by(
-            F.struct("avatar", "cover"), F.when(F.col("sets_images"), o)
+            F.struct("title", "about"), F.when(F.col("sets_ta"), o)
+        ).alias("_ta"),
+        F.max_by(
+            F.struct("avatar", "cover", "topics"),
+            F.when(F.col("sets_images"), o),
         ).alias("_img"),
         F.max_by("block_timestamp", o).alias("updated_at"),
     )
@@ -168,6 +182,7 @@ def build_communities(ops: DataFrame) -> DataFrame:
             F.col("_img.avatar").alias("avatar"),
             F.col("_img.cover").alias("cover"),
         ).alias("images"),
+        F.col("_img.topics").alias("topics"),
         F.col("updated_at"),
     )
 

@@ -17,6 +17,8 @@ cross-engine deterministic.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -235,12 +237,30 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     plan is a LogicalRDD whose ``rdd`` is exactly the persisted one;
     unpersisting it is targeted (never touches other caches). The frame
     MUST NOT be read again afterwards — its data is gone, not
-    recomputable. Best-effort: internal accessors, so failures degrade
-    to the ContextCleaner path rather than raising."""
+    recomputable. Best-effort: internal accessors (absent under Spark
+    Connect, brittle across internal-API changes), so failures degrade
+    to the ContextCleaner path rather than raising — but LOUDLY: a
+    silent no-op here reinstates exactly the per-iteration
+    corpus-scale storage accumulation this function exists to prevent,
+    so the fallback logs a warning the first time it happens (once per
+    process, not per iteration — iterative callers would spam)."""
+    global _FREE_CKPT_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _FREE_CKPT_WARNED:
+            _FREE_CKPT_WARNED = True
+            logging.getLogger(__name__).warning(
+                "_free_local_checkpoint: eager checkpoint-storage release "
+                "unavailable (%s: %s); falling back to ContextCleaner-paced "
+                "reclamation — iterative loops may accumulate one "
+                "corpus-scale storage copy per iteration until GC",
+                type(exc).__name__,
+                exc,
+            )
+
+
+_FREE_CKPT_WARNED = False
 
 
 def _quantized_base(
@@ -468,7 +488,7 @@ def semantic_dup_flags(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 1_000_000,
-    bucket_cap: int | None = 200,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup flags: a vector is a duplicate iff
     a LOWER-id vector in the SAME kmeans cluster shares a hyperplane
@@ -495,10 +515,15 @@ def semantic_dup_flags(
     dropped from candidate generation — a documented recall trade, not
     silent: audit the dropped mass with ``semantic_bucket_stats``
     before choosing the cap (an over-cap bucket is a near-certain
-    duplicate cluster; route it to exact/LSH dedup instead). ``None``
-    disables the cap. The count window shuffles on the same
-    (cluster, band, bv) key the self-join needs, so both join sides
-    read the windowed exchange rather than adding one each.
+    duplicate cluster; route it to exact/LSH dedup instead). The
+    default is ``None`` (no cap): capping flips is_semantic_dup to
+    False for vectors whose only verifying candidates sit in an
+    over-cap bucket, so it must be an explicit opt-in at the call site
+    (dedup_semantic_flags, the 100 TB-shaped entry, passes 200) —
+    never a silent library-default behavior change. The count window
+    shuffles on the same (cluster, band, bv) key the self-join needs,
+    so both join sides read the windowed exchange rather than adding
+    one each.
     """
     from pyspark.sql import Window
     staged = _semantic_band_keys(

@@ -4387,19 +4387,18 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Round 8: the community updateProps dispatch arm (hive-stream.ts:311-322)
 # run through the REAL build_communities field-wise merge on synthetic
-# raw ops — account_update2 rows at event_id%3==0 (profile-derived
-# title/about/images), updateProps custom_json at %3==1 (title/about
-# only). Per field the latest op wins (Mongo sequential $set), images
-# only ever come from the account_update2 family, and an
-# updateProps-only account still creates its community row (upsert).
+# raw ops — account_update2 rows at event_id%3==0 (images/topics ONLY:
+# the reference's hive-* $set — hive-stream.ts:458-468 — never writes
+# title/about from this family), updateProps custom_json at %3==1
+# (title/about, the EXCLUSIVE writer — :311-322). Per field the latest
+# op OF ITS OWNING FAMILY wins, and either family alone still creates
+# the community row (upsert), leaving the other family's fields NULL.
 # ===========================================================================
 @q(
     "community_updateprops_merge",
     """
     WITH au AS (
       SELECT 'hive-' || CAST(user_id % 7 AS VARCHAR) AS account,
-             'n' || CAST(event_id AS VARCHAR) AS title,
-             'a' || CAST(event_id AS VARCHAR) AS about,
              'img' || CAST(event_id AS VARCHAR) AS avatar,
              ts, event_id AS h
       FROM events WHERE event_id % 3 = 0
@@ -4415,20 +4414,26 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts, event_id AS h
       FROM events WHERE event_id % 3 = 1
     ),
-    ev AS (
-      SELECT account, title, about, ts, h FROM au_latest
-      UNION ALL
-      SELECT account, title, about, ts, h FROM up
+    up_latest AS (
+      SELECT * FROM up
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
     ),
-    ta AS (
-      SELECT account, title, about, ts AS updated_at FROM ev
+    ev AS (
+      SELECT account, ts, h FROM au
+      UNION ALL
+      SELECT account, ts, h FROM up
+    ),
+    latest AS (
+      SELECT account, ts AS updated_at FROM ev
       QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
     )
-    SELECT 'hive/' || t.account AS _id, t.account AS name,
-           t.title, t.about,
+    SELECT 'hive/' || l.account AS _id, l.account AS name,
+           u.title, u.about,
            a.avatar, CAST(NULL AS VARCHAR) AS cover,
-           t.updated_at
-    FROM ta t LEFT JOIN au_latest a USING (account)
+           l.updated_at
+    FROM latest l
+    LEFT JOIN up_latest u USING (account)
+    LEFT JOIN au_latest a USING (account)
     """,
 )
 def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

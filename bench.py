@@ -107,9 +107,14 @@ BENCH_QUERIES = [
     "pipeline_adaptive_quality_gate",
     "training_budget_select",
     # round 8 sixth batch: funnel recurrence and trigram substring
-    # search (index build + candidate intersection + verify).
+    # search. Round 9 split the trigram entry into its two real cost
+    # centers (the r8 composed number conflated them): the one-time
+    # posting-table build, amortized across queries in deployment, and
+    # the query alone against a pre-built persisted index (prepared
+    # un-timed during warmup).
     "temporal_funnel_stages",
-    "search_substring_trigram",
+    "trigram_index_build",
+    "search_substring_query",
     # round 8 seventh batch: retention triangle and native pivot.
     "temporal_cohort_retention",
     "events_pivot_type_counts",
@@ -119,6 +124,57 @@ BENCH_QUERIES = [
     "setop_intersect_except",
     "lineitem_unpivot_measures",
 ]
+
+# --- split-phase bench entries ---------------------------------------------
+# The correctness registry's search_substring_trigram composes posting
+# -table build + query into one plan (right for the oracle gate, wrong
+# as a benchmark: the build is a once-per-batch-cycle cost amortized
+# over every query against it — search.py build docstring). The bench
+# times the two phases separately. BENCH-ONLY entries: they reuse the
+# registry entry's exact table/pattern so the correctness gate still
+# covers the composed plan.
+
+_TRIGRAM_STATE: dict = {}
+
+
+def _trigram_prebuilt(spark, sf_dir):
+    """Build + persist + materialize the posting table ONCE per sf_dir,
+    outside any timed region (called from the warmup pass)."""
+    if sf_dir not in _TRIGRAM_STATE:
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.pipelines.search import (
+            build_trigram_index,
+        )
+
+        d = tables.load(spark, sf_dir, "documents")
+        idx = build_trigram_index(d, "text", ["doc_id"]).persist()
+        idx.count()
+        _TRIGRAM_STATE[sf_dir] = (d, idx)
+    return _TRIGRAM_STATE[sf_dir]
+
+
+def _bench_trigram_build(spark, sf_dir):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.search import build_trigram_index
+
+    d = tables.load(spark, sf_dir, "documents")
+    return build_trigram_index(d, "text", ["doc_id"])
+
+
+def _bench_search_query(spark, sf_dir):
+    from union_indexer_node_spark.pipelines.search import search_substring
+
+    d, idx = _trigram_prebuilt(spark, sf_dir)
+    return search_substring(idx, d, "alue s", "text", ["doc_id"]).select(
+        "doc_id"
+    )
+
+
+EXTRA_BENCH = {
+    "trigram_index_build": _bench_trigram_build,
+    "search_substring_query": _bench_search_query,
+}
+
 
 # Pinned calibration workload: pure JVM/CPU hash-aggregate over
 # spark.range — touches no engine code and no testdata, so its runtime
@@ -161,11 +217,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     reg = q.registry()
-    names = [n for n in BENCH_QUERIES if n in reg]
+    names = [n for n in BENCH_QUERIES if n in reg or n in EXTRA_BENCH]
 
-    # warmup: schema reads + JVM code paths
+    def query_fn(n):
+        return EXTRA_BENCH[n] if n in EXTRA_BENCH else reg[n].fn
+
+    # warmup: schema reads + JVM code paths (and the un-timed persist
+    # of the pre-built trigram index, via _bench_search_query)
     for n in names:
-        reg[n].fn(spark, sf_dir).limit(1).collect()
+        query_fn(n)(spark, sf_dir).limit(1).collect()
 
     def run_to_completion(df):
         # noop sink executes the full plan (no column pruning shortcut
@@ -177,7 +237,7 @@ def main() -> None:
         samples = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            run_to_completion(reg[n].fn(spark, sf_dir))
+            run_to_completion(query_fn(n)(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[n] = round(statistics.median(samples), 4)
 

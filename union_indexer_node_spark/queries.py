@@ -52,205 +52,153 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with ~109 entries and a 50-slot window, rotating ~16 per round cycles
-# every tail entry's driver signal in ceil(59/16) ≈ 4 rounds — the
-# hygiene bound ("no entry's last driver-green recedes past ~4 rounds")
-# is therefore sustainable iff each round (a) rotates IN the oldest
-# tranche (every entry whose last driver-green is ≥3 rounds old), and
-# (b) rotates OUT only entries that are multiply driver-green with an
+# with 127 entries and a 50-slot window, the hygiene bound is "no
+# entry's last driver-green recedes past ~4 rounds", sustained by each
+# round (a) rotating IN the oldest tranche (every entry whose last
+# driver-green is ≥3 rounds old) plus anything never driver-seen, and
+# (b) rotating OUT only entries that are multiply driver-green with an
 # in-window family sibling noted inline. New entries are born in-window
-# and count against the same 50 slots.
+# and count against the same 50 slots. Round 9 executed the full plan
+# written in r8: all 16 born-in-tail r8 entries + the entire 14-entry
+# r4-era tranche entered at once (30 swaps — the backlog was two
+# tranches deep, so the round drains both rather than amortizing).
 _DEPRIORITIZED = [
-    "a_approx_distinct_users",  # rows-only either way (HLL sketches differ per engine)
-    # -- rotated out in round 5 (all driver-green in r4,
-    #    CORRECTNESS_r04.json) to make room for the six training-data
-    #    operators added this round. Family siblings stay in-window. --
-    "tpch_q4_order_priority",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window (r6)
-    "temporal_time_rollup",  # temporal family: asof/range in-window (r6)
-    "o2_trending_feed_comments",  # O2 COMMENTS arm; PAYOUT arm (o2_a8) in-window
-    "f9_missing_field",  # F-family null semantics; f1/f2_f3_f5 + feeds in-window
-    "text_bpe_token_count",  # text family: quality/langid/vocab in-window
-    "dedup_simhash",  # sketch family: minhash-LSH + embedding bands in-window
-    "j1_children_join",  # J1 self-join; o5 per-parent top-k + j3 agg-join in-window
-    "sim_cosine_topk",  # exact cosine top-k; ann batch entries + neardup in-window
-    "ann_lsh_topk",  # single-query LSH top-k; subsumed by ann_recall_eval (batched)
-    # -- rotated out late in round 5 (all double driver-green r3+r4) to
-    #    hand the four newest never-driver-verified entries (Q18/Q10
-    #    shapes, streamed-window equivalence, training-prep capstone)
-    #    their first hard signal. Family siblings stay in-window. --
-    "tpch_q1_pricing_summary",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window (r6)
-    "dedup_exact",  # dedup family: lsh/embedding/cc + curation pipeline in-window (r6)
-    "text_quality_features",  # text family: langid_ngram/vocab/percentiles in-window (r6)
-    "x21_inverted_index_search",  # sibling x21_index_incremental_update in-window
-    "f1_tag_membership",  # F1 membership double-verified r3+r4; F-family
-    #    siblings f2_f3_f5 + social_feed_by_app stay in-window (swapped
-    #    for the stream-stream join hard signal)
-    # -- rotated out in round 6 (all driver-green in r5,
-    #    CORRECTNESS_r05.json) to hand the window to: the six round-5
-    #    TPC-H shapes (Q6/Q7/Q8/Q14/Q15/Q19) that had never seen the
-    #    driver, the two round-6 entries (offchain_id_refresh,
-    #    stream_ssj_watermark_eviction), and four r1/r2-era re-rotations
-    #    (f10/x18/a7/a3, per ADVICE r5: bound driver-signal staleness).
-    #    Family siblings stay in-window, noted inline. --
-    "tpch_q3_shipping_priority",  # TPC-H family: q6/q7/q8/q10/q14/q15/q18/q19 in-window
-    "tpch_q5_local_supplier_volume",  # TPC-H family (same siblings)
-    "tpch_q13_custdist",  # TPC-H family (same siblings)
-    "tpch_q17_small_quantity",  # TPC-H family (same siblings)
-    "temporal_sessionize",  # temporal family: asof + range in-window
-    "text_repetition_stats",  # text family: langid_ngram/vocab/percentiles in-window
-    "text_pii_scrub",  # text family (same siblings); map-side regexp shape
-    "text_hashtag_url_extract",  # regexp-extract shape ≡ pii scrub; a9 mention extract in-window
-    "sim_label_centroids",  # sim family: quantize_int8 + ann_recall_eval in-window
-    "dedup_apply_keep_canonical",  # dedup family: lsh/cc/embedding + curation pipeline in-window
-    "pipeline_domain_mix",  # weights feed sample_weighted_bernoulli (in-window); small-agg shape
-    "training_chunk_sliding",  # chunking runs inside pipeline_training_prep (in-window)
-    "text_length_percentiles",  # text family: langid_ngram/vocab in-window; swapped for w5_scd2_history
-    "sim_quantize_int8",  # sim family: ann_recall_eval in-window; swapped for tpch_q22
-    # -- rotated out in round 7 (all multiply driver-green — f10/x18/
-    #    a7/a3 re-verified r6 after r1-r3 greens; q10/q18/range-join
-    #    green r5+r6) to hand the window to the four round-6 late
-    #    additions that had never seen the driver, plus three r3-era
-    #    re-rotations (f4/x1/j2, per the staleness-bounding hygiene:
-    #    no entry's last driver-green should recede past ~4 rounds).
-    #    Family siblings stay in-window, noted inline. --
-    "x18_hex_to_long",  # X18 double-green r1/r2+r6; explode path via setop_union_sources
-    "a3_distinct_authors",  # A3 green r3+r6; count-distinct shape ≡ a5_score_zeroing grouping
-    "a7_total_active_creators",  # A7 green r1/r2+r6; scalar-agg shape ≡ tpch_q6/q14
-    "f10_point_lookup",  # F10 green r1/r2+r6; equality pushdown via social_feed_by_app
-    "tpch_q10_returned_items",  # TPC-H family: q6/q7/q8/q14/q15/q18→q19/q22 in-window
-    "tpch_q18_large_volume",  # TPC-H family (same siblings; semi-join shape ≡ q22 anti)
-    "temporal_range_join",  # temporal family: asof stays in-window; IEJoin plan pytest-pinned
-    "j3_num_comments_per_post",  # J3 green r5+r6; agg-join shape stays via
-    #    skew_salted_comment_counts — swapped for the round-7
-    #    text_lm_quality_sampled arm so it gets its driver signal now
-    "w2_lww_latest_event",  # W2 green r5+r6; w1/w5 stay in-window and the
-    #    LWW merge keeps its permutation-invariance property test —
-    #    swapped for the round-7 sim_kmeans_clusters driver signal
-    "sample_weighted_bernoulli",  # green r5+r6; the md5-draw family keeps
-    #    two in-window reps (training_hash_split permille buckets,
-    #    sample_stratified md5-rank) — swapped for the round-7
-    #    dedup_semantic_flags driver signal
-    # -- second round-7 staleness tranche: three r3-era entries
-    #    (j7/a2/x2, last driver-green r3) re-enter; these three rotate
-    #    out multiply-green (r5+r6) with their operator still running
-    #    inside an in-window composite --
-    "o5_children_topk_per_parent",  # O5 green r5+r6; per-group top-k rank
-    #    shape stays via text_vocab_topk_per_source + w1_leaderboard_rank
-    "training_decontaminate",  # green r5+r6; decontaminate() runs inside
-    #    pipeline_training_prep (in-window capstone)
-    "dedup_lsh_candidates",  # green r5+r6; lsh_candidate_pairs() runs
-    #    inside BOTH pipeline_corpus_curation and dedup_cc_clusters
-    #    (in-window)
-    # -- rotated out in round 8 under the cadence rule above: the
-    #    ENTIRE ≤r3 staleness backlog (seven r2-era + nine r3-era
-    #    entries) re-enters the window, funded by these seventeen
-    #    multiply-green swaps (16 backlog + 1 slot for the new
-    #    community_updateprops_merge entry). Family siblings inline. --
-    "f4_regex_filter",  # F4 green r1-r3+r7; regex-predicate shape stays
-    #    via a9_mention_notifications (regexp_extract_all) + f2_f3_f5
-    "a2_distinct_authors_of_app",  # green r1-r3+r7; count-distinct
-    #    grouping re-enters via skew_salted_distinct_count
-    "x1_json_props_extract",  # green r1-r3+r7; JSON scalar-parse family
-    #    keeps x16_asset_parse (re-entering) + j11's X16 arm in-window
-    "x2_detect_post_type",  # green r1-r3+r7; the app allowlist it feeds
-    #    gates j9_reply_closure's fixpoint roots (in-window)
-    "j2_parent_post_join",  # green r1-r3+r7; parent-join shape stays
-    #    via j4_follower_feed + j9_reply_closure (in-window)
-    "j7_follows_overview",  # green r1-r3+r7; follows-side agg-join
-    #    family keeps j4_follower_feed + j4_follower_feed_did (re-entering)
-    "a5_score_zeroing",  # green r3-r7; superset of a5_creator_score,
-    #    which re-enters; the zeroing arm keeps test_profiles coverage
-    "dedup_embedding_neardup",  # green r1+r3-r7; embedding band-join
-    #    shape stays via dedup_semantic_flags (in-window) +
-    #    sim_pairwise_cosine (re-entering)
-    "text_language_id_ngram",  # green r3-r7; trigram scoring stays via
-    #    text_lm_quality_score/_sampled; stopword arm re-enters
-    "text_vocab_topk_per_source",  # green r4-r7; per-group top-k stays
-    #    via w1_leaderboard_rank; token explode via text_fingerprint
-    "sample_stratified",  # green r4-r7; md5-draw family keeps
-    #    training_hash_split in-window + o6_related_feed_sample re-enters
-    "x21_index_incremental_update",  # green r4-r7; X21 v1 sibling
-    #    x21_search_feed re-enters; v2 index tests stay local
-    "stream_dedup_batch_equivalence",  # green r4-r7; streaming family
-    #    keeps stream_windowed_counts + both ssj entries... of which
-    #    attribution rotates out below — eviction (the strictly harder
-    #    probe) stays in-window
-    "ann_recall_eval",  # green r5-r7; ANN family re-enters via
-    #    ann_lsh_signatures + sim_ivf_topk_label
-    "training_pack_next_fit",  # green r5-r7; training family keeps
-    #    pipeline_training_prep + training_hash_split + token_budget;
-    #    the Arrow packer keeps its property tests
-    "training_epoch_interleave",  # green r5-r7; same training family
-    "stream_stream_join_attribution",  # green r5-r7; subsumed by
-    #    stream_ssj_watermark_eviction (same join plus eviction proof)
-    "pipeline_corpus_curation",  # green r3-r7 (five consecutive);
-    #    funds the slot for the new r8 ingest_follows_families entry —
-    #    its constituent ops stay in-window (capped LSH inside
-    #    dedup_cc_clusters, md5 sampling via training_hash_split) and
-    #    the composed pipeline keeps its local oracle test
-    "skew_salted_comment_counts",  # green r1-r7 (seven consecutive);
-    #    funds the slot for the new r8 dedup_shared_passages entry —
-    #    the salting family's rep is now skew_salted_distinct_count
-    #    (re-entering this round), and the agg-join shape stays via
-    #    ingest_follows_families' LWW + j9
-    "tpch_q21_waiting_supplier_shape",  # BORN IN TAIL (r8): the window
-    #    is saturated this round by never-green + changed entries;
-    #    locally oracle-tested like every tail entry, enters the window
-    #    with the r9 tranche (the r4-era staleness backlog). TPC-H
-    #    family has seven in-window reps this round.
-    "multimodal_png_probe",  # BORN IN TAIL (r8), same reason; enters
-    #    with the r9 tranche. The probe kernel keeps its fuzzed header
-    #    unit tests meanwhile.
-    "text_language_consistency",  # BORN IN TAIL (r8), same reason;
-    #    langid family siblings text_language_id (+ ngram variant)
-    #    carry the window meanwhile.
-    "text_bpe_pair_counts",  # BORN IN TAIL (r8), same reason; enters
-    #    with the r9 tranche. Vocab-weighted pair counting; the
-    #    explode+groupBy family carries the window via text_fingerprint
-    #    relatives meanwhile.
-    "text_tfidf_topk",  # BORN IN TAIL (r8), same reason; per-group
-    #    top-k window shape in-window via w1_leaderboard_rank.
-    "pipeline_adaptive_quality_gate",  # BORN IN TAIL (r8), same
-    #    reason; percentile-agg + broadcast-back shape, enters with
-    #    the r9 tranche.
-    "training_budget_select",  # BORN IN TAIL (r8), same reason; the
-    #    two-level prefix-sum is additionally hypothesis-proven equal
-    #    to the naive window locally.
-    "temporal_funnel_stages",  # BORN IN TAIL (r8), same reason;
-    #    temporal family rep temporal_asof_join carries the window.
-    "search_substring_trigram",  # BORN IN TAIL (r8), same reason;
-    #    posting-table family rep x21_search_feed (re-entered r8)
-    #    carries the window.
-    "temporal_cohort_retention",  # BORN IN TAIL (r8), same reason;
-    #    two-level distinct+agg shape; temporal family carries the
-    #    window via temporal_asof_join.
-    "events_pivot_type_counts",  # BORN IN TAIL (r8), same reason;
-    #    conditional-agg shape in-window via j7_follows_overview.
-    "temporal_moving_window_agg",  # BORN IN TAIL (r8), same reason;
-    #    RANGE-frame shape, microsecond-exact; temporal family rep
-    #    temporal_asof_join carries the window.
-    "pipeline_column_profile",  # BORN IN TAIL (r8), same reason;
-    #    Expand-based multi-distinct + stack unpivot; small-agg shape
-    #    in-window via j7_follows_overview.
-    "dedup_lsh_incremental",  # BORN IN TAIL (r8), same reason; the
-    #    incremental-equals-rebuild shape is in-window via
-    #    x21_index_incremental_update's family history.
-    "setop_intersect_except",  # BORN IN TAIL (r8), same reason;
-    #    completes §2.7 alongside setop_union_sources (in-window).
-    "lineitem_unpivot_measures",  # BORN IN TAIL (r8), same reason;
-    #    the pivot inverse; stack shape also in pipeline_column_profile.
-    # -- r9 ROTATION PLAN (written r8 so the next round can execute it
-    #    mechanically): the never-driver-green backlog is now the 15
-    #    born-in-tail r8 entries above plus the r4-era staleness
-    #    tranche (14 entries, last green r4 — see the CORRECTNESS
-    #    history). That is ~29 candidates for ~16-17 sustainable swaps:
-    #    prioritize (a) the born-in-tail entries (never any driver
-    #    signal — the strictly more valuable hard signal), then (b) as
-    #    many r4-era re-entries as remaining slots allow, oldest first;
-    #    the rest of the r4 tranche rolls to r10. Swap-outs: the r8
-    #    window's never-green entries will be freshly multiply-green
-    #    (r8) with family siblings annotated inline — rotate out the
-    #    ones whose operator also ran in earlier rounds first. --
+    "a_approx_distinct_users",  # permanent tail: rows-only either way
+    #    (HLL sketches differ per engine), so a window slot buys no
+    #    hash signal
+    # ------------------------------------------------------------------
+    # r10 ROTATION TRANCHE (scheduled; VERDICT r8 item 4): the 14
+    # entries below are the r5-era staleness backlog — last driver-green
+    # r5, i.e. they hit the ~4-round bound at r10 exactly. Rotate ALL of
+    # them in next round, funded by r9-window entries that will then be
+    # multiply-green (the 14 r4-era re-entries below are the natural
+    # swap-outs: each re-enters r9 on top of r≤4 greens). Listing them
+    # here BY NAME is the backlog's overflow ledger — it cannot silently
+    # grow past the bound.
+    # ------------------------------------------------------------------
+    "tpch_q3_shipping_priority",  # r10 tranche; TPC-H reps q1/q4/q21 in-window
+    "tpch_q5_local_supplier_volume",  # r10 tranche; same family
+    "tpch_q13_custdist",  # r10 tranche; same family
+    "tpch_q17_small_quantity",  # r10 tranche; same family
+    "temporal_sessionize",  # r10 tranche; temporal reps funnel/cohort/
+    #    moving/rollup in-window r9
+    "text_repetition_stats",  # r10 tranche; text reps quality/bpe/tfidf
+    "text_pii_scrub",  # r10 tranche; map-side regexp shape
+    "text_hashtag_url_extract",  # r10 tranche; regexp-extract shape
+    "sim_label_centroids",  # r10 tranche; sim reps cosine_topk/kmeans
+    "dedup_apply_keep_canonical",  # r10 tranche; dedup reps exact/simhash
+    "pipeline_domain_mix",  # r10 tranche; small-agg shape
+    "training_chunk_sliding",  # r10 tranche; training reps budget_select/
+    #    hash_split/token_budget
+    "text_length_percentiles",  # r10 tranche; percentile shape also in
+    #    pipeline_adaptive_quality_gate (in-window r9)
+    "sim_quantize_int8",  # r10 tranche; sim family as above
+    # ------------------------------------------------------------------
+    # Multiply-green backlog, last green r6/r7 — candidates for r11
+    # after the r10 tranche drains; each carries its in-window sibling
+    # note from the round it rotated out.
+    # ------------------------------------------------------------------
+    "x18_hex_to_long",  # green r1/r2+r6; explode path via setops
+    "a3_distinct_authors",  # green r3+r6; distinct shape via
+    #    skew_salted_distinct_count (in-window)
+    "a7_total_active_creators",  # green r1/r2+r6; scalar-agg via tpch_q1
+    "f10_point_lookup",  # green r1/r2+r6; equality pushdown via
+    #    f1_tag_membership (in-window)
+    "tpch_q10_returned_items",  # green r5+r6; TPC-H family
+    "tpch_q18_large_volume",  # green r5+r6; semi-join shape
+    "temporal_range_join",  # green r5+r6; IEJoin plan pytest-pinned
+    "j3_num_comments_per_post",  # green r5+r6; agg-join via j1 (in-window)
+    "w2_lww_latest_event",  # green r5+r6; LWW permutation property test
+    "sample_weighted_bernoulli",  # green r5+r6; md5-draw family via
+    #    training_hash_split (in-window)
+    "o5_children_topk_per_parent",  # green r5+r6; per-parent top-k via
+    #    text_tfidf_topk (in-window); r9 re-measure closed as noise
+    "training_decontaminate",  # green r5+r6; runs inside training prep
+    "dedup_lsh_candidates",  # green r5+r6; runs inside curation + cc
+    "f4_regex_filter",  # green r1-r3+r7; rlike predicate shape
+    "a2_distinct_authors_of_app",  # green r1-r3+r7
+    "x1_json_props_extract",  # green r1-r3+r7; JSON parse via x16 (in-window)
+    "x2_detect_post_type",  # green r1-r3+r7; allowlist feeds j9 closure
+    "j2_parent_post_join",  # green r1-r3+r7; parent join via j1 (in-window)
+    "j7_follows_overview",  # green r1-r3+r7; follows aggs via j4_did
+    "a5_score_zeroing",  # green r3-r7; superset arm of a5 (in-window)
+    "dedup_embedding_neardup",  # green r1+r3-r7; band join via
+    #    dedup_semantic_flags (in-window)
+    "text_language_id_ngram",  # green r3-r7; trigram scoring via lm_quality
+    "text_vocab_topk_per_source",  # green r4-r7; per-group top-k via tfidf
+    "sample_stratified",  # green r4-r7; md5-rank via training_hash_split
+    "x21_index_incremental_update",  # green r4-r7; v1 sibling
+    #    x21_search_feed in-window; incremental shape via dedup_lsh_incremental
+    "stream_dedup_batch_equivalence",  # green r4-r7; streaming rep
+    #    stream_ssj_watermark_eviction stays in-window
+    "ann_recall_eval",  # green r5-r7; ANN reps lsh_signatures + lsh_topk
+    "training_pack_next_fit",  # green r5-r7; Arrow packer property tests
+    "training_epoch_interleave",  # green r5-r7; training family
+    "stream_stream_join_attribution",  # green r5-r7; subsumed by eviction
+    "pipeline_corpus_curation",  # green r3-r7; constituents in-window
+    "skew_salted_comment_counts",  # green r1-r7; salting rep
+    #    skew_salted_distinct_count stays in-window
+    # ------------------------------------------------------------------
+    # Rotated out in round 9 under the cadence rule: the window slots
+    # fund (a) all 16 born-in-tail r8 entries (zero driver signal until
+    # now) and (b) the ENTIRE r4-era staleness tranche (14 entries) —
+    # draining both backlogs in one round. Every rotate-out below is
+    # multiply-green through r8 with its operator family still
+    # represented in-window, noted inline.
+    # ------------------------------------------------------------------
+    "social_feed_by_app",  # green r2-r8 (seven consecutive); F-defaults
+    #    via f1_tag_membership + f9_missing_field, O1 sort+limit via
+    #    o2_trending_feed_comments (all re-entering)
+    "f2_f3_f5_filter_combo",  # green r2-r8; same F-family reps
+    "a1_trending_tags",  # green r2-r8; explode+count top-k via
+    #    text_tfidf_topk (in-window)
+    "w1_leaderboard_rank",  # green r2-r8; rank window via text_tfidf_topk
+    #    + w3_first_event_per_user (kept)
+    "w4_feed_pagination",  # green r2-r8; sort+offset+limit via
+    #    o2_trending_feed_comments
+    "j4_follower_feed",  # green r2-r8; DID arm j4_follower_feed_did kept
+    "j9_reply_closure",  # green r2-r8; bounded-iteration family rep
+    #    dedup_lsh_incremental in-window; recursive-CTE oracle stays local
+    "a9_mention_notifications",  # green r2-r8; regexp_extract_all family
+    #    via text_quality_features; the NFA keeps its unit fuzz tests
+    "dedup_minhash_signature",  # green r1-r3+r8; dedup reps exact/
+    #    simhash/lsh_incremental re-entering
+    "dedup_ngram_jaccard",  # green r1-r3+r8; same family
+    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_cosine_topk +
+    #    ann_lsh_topk re-entering
+    "sim_pairwise_cosine",  # green r1-r3+r8; same family
+    "text_language_id",  # green r1/r2+r8; langid rep
+    #    text_language_consistency (in-window, strictly wider: runs BOTH
+    #    detectors and compares)
+    "text_fingerprint",  # green r1-r3+r8; token-explode family via
+    #    text_bpe_token_count + text_bpe_pair_counts
+    "o2_a8_trending_feed_payout",  # green r2-r8; COMMENTS arm
+    #    o2_trending_feed_comments re-enters (same max-anchor + sort)
+    "a6_sign_counts_higher_order",  # green r1-r3+r8; HOF no-shuffle
+    #    shape via lineitem_unpivot_measures' stack + unit tests
+    "j11_chain_state_enrichment",  # green r2-r8; snapshot equi-join via
+    #    j1_children_join (re-entering)
+    "setop_union_sources",  # green r2-r8; §2.7 rep setop_intersect_except
+    #    in-window
+    "temporal_asof_join",  # green r4-r8 (five consecutive); temporal
+    #    reps funnel/cohort/moving/rollup all in-window
+    "dedup_cc_clusters",  # green r5-r8; iterative family via
+    #    dedup_lsh_incremental; convergence tests stay local
+    "stream_windowed_counts_batch_equivalence",  # green r5-r8;
+    #    streaming rep stream_ssj_watermark_eviction kept (the stricter
+    #    probe: join + watermark eviction)
+    "pipeline_training_prep",  # green r5-r8; constituents in-window
+    #    (hash_split, token_budget, budget_select)
+    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q1/q4/q21
+    "tpch_q7_volume_shipping",  # green r6-r8; same family
+    "tpch_q8_market_share",  # green r6-r8; same family
+    "tpch_q14_promo_effect",  # green r6-r8; same family
+    "tpch_q15_top_supplier",  # green r6-r8; same family
+    "tpch_q19_disjunctive_revenue",  # green r6-r8; same family
+    "tpch_q22_global_sales_opportunity",  # green r6-r8; anti-join +
+    #    scalar-subquery shape also in q21 (in-window)
+    "w5_scd2_history",  # green r6-r8; windowed-history family via
+    #    temporal_moving_window_agg + w3 (kept)
 ]
 
 

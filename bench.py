@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "dedup_lsh_incremental",
     "setop_intersect_except",
     "lineitem_unpivot_measures",
+    # round 9: passage-removal transform + cross-source overlap audit.
+    "dedup_remove_repeated_passages",
+    "dedup_cross_source_overlap",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

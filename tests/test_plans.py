@@ -324,3 +324,53 @@ def test_q15_single_fact_pass(spark):
     assert n_ex <= 1, plan
     n_scan = plan.count("lineitem.parquet")
     assert n_scan == 2, plan  # sparkPlan + executedPlan, one scan each
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan hygiene (round 9)
+# ---------------------------------------------------------------------------
+
+# Every BroadcastNestedLoopJoin the registry is ALLOWED to contain,
+# with the max occurrence count observed in (sparkPlan + executedPlan)
+# — i.e. 2 per physical join. Each is a join against a broadcast
+# SCALAR (1-row aggregate) or a documented intentional arm, where BNLJ
+# is the correct physical choice (hashing a 1-row side buys nothing):
+#   - o2_* / a1 / text_tfidf_topk: max/total anchor scalar joined back
+#   - o6: corpus-count scalar for the hash-sample threshold
+#   - j7: follower/following totals joined as scalars
+#   - training_token_budget: running-total + budget scalars (3 joins)
+#   - tpch_q22: avg-acctbal scalar subquery (reference shape)
+#   - temporal_range_join: the pinned intentional long arm (see
+#     test_round5.py::test_range_join_long_arm)
+#   - ann_recall_eval: brute-force baseline comparison (documented)
+_BNLJ_ALLOWED = {
+    "o2_trending_feed_comments": 2,
+    "o6_related_feed_sample": 2,
+    "training_token_budget": 6,
+    "text_tfidf_topk": 2,
+    "temporal_range_join": 2,
+    "j7_follows_overview": 2,
+    "ann_recall_eval": 4,
+    "a1_trending_tags": 2,
+    "o2_a8_trending_feed_payout": 2,
+    "tpch_q22_global_sales_opportunity": 2,
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """No entry in the whole registry may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin may appear only in the scalar-join
+    allowlist above, never more often than recorded. This is the guard
+    the per-entry plan tests can't give: a dependency edit that flips
+    ANY of the 100+ other entries to a nested-loop fallback fails here
+    by name, at sf0.001 cost."""
+    from union_indexer_node_spark import queries as q
+
+    offenders = {}
+    for name, qd in q.registry().items():
+        plan = _plan(qd.fn(spark, SF_DIR))
+        cp = plan.count("CartesianProduct")
+        bn = plan.count("BroadcastNestedLoopJoin")
+        if cp or bn > _BNLJ_ALLOWED.get(name, 0):
+            offenders[name] = (cp, bn)
+    assert not offenders, offenders

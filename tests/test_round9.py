@@ -285,3 +285,106 @@ def test_serving_soak_all_root_fields_sf01(spark, soak_service):
     assert len(lb) > 1000  # the genuinely unbounded collect returned
     assert lb[0]["rank"] == 1
     assert d["syncState"]["items"][0]["table_name"] == "posts"
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_passages / cross_source_passage_overlap (round-9 ops)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_remove_repeated_passages_semantics(spark):
+    """Passages over the threshold vanish from EVERY doc (no
+    keep-first), under-threshold passages survive everywhere, empty
+    and fully-boilerplate docs keep their rows."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_repeated_passages,
+    )
+
+    # words_per_passage=2 → passages are word bigram-chunks.
+    # "aa bb" appears in docs 1,2,3 (3 > max_occurrences=2) → removed;
+    # "cc dd" appears in docs 1,2 (2 ≤ 2) → kept.
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "s", "aa bb cc dd"),
+            (2, "s", "aa bb cc dd"),
+            (3, "s", "aa bb"),  # fully boilerplate after removal
+            (4, "s", ""),  # zero tokens
+            (5, "s", "ee ff gg"),  # unique passages, odd tail segment
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(
+            docs, "text", "doc_id", words_per_passage=2, max_occurrences=2
+        ).collect()
+    }
+    assert len(out) == 5  # no silent row loss
+    assert out[1]["cleaned_text"] == "cc dd"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["cleaned_text"] == "cc dd"
+    assert out[3]["cleaned_text"] == ""
+    assert (out[3]["n_segments"], out[3]["n_removed"]) == (1, 1)
+    assert (out[4]["cleaned_text"], out[4]["n_segments"]) == ("", 0)
+    # odd-length doc: final short segment preserved in order
+    assert out[5]["cleaned_text"] == "ee ff gg"
+    assert (out[5]["n_segments"], out[5]["n_removed"]) == (2, 0)
+
+
+def test_remove_repeated_passages_identity_below_threshold(spark):
+    """With an unreachable threshold the op is tokenize+rejoin identity:
+    reassembly order must reproduce every document exactly."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_repeated_passages,
+    )
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n)) for n in (1, 7, 8, 9, 40)
+    ]
+    docs = _mk_docs(
+        spark, [(i, "s", t) for i, t in enumerate(texts)]
+    )
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_repeated_passages(
+            docs, "text", "doc_id", words_per_passage=8,
+            max_occurrences=10**9,
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == t, (i, out[i])
+
+
+def test_cross_source_passage_overlap_counts(spark):
+    """Distinct-passage semantics: within-source repetition counts
+    once; a passage shared by 3 sources contributes to all 3 pairs."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        cross_source_passage_overlap,
+    )
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "a", "xx yy"),
+            (2, "a", "xx yy"),  # same passage twice in source a
+            (3, "b", "xx yy zz qq"),
+            (4, "c", "xx yy"),
+            (5, "c", "zz qq"),
+            (6, "d", "solo passage here"),
+        ],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_passages"]
+        for r in cross_source_passage_overlap(
+            docs, "text", "source", words_per_passage=2
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): 1,  # "xx yy"
+        ("a", "c"): 1,
+        ("b", "c"): 2,  # "xx yy" and "zz qq"
+    }

@@ -509,3 +509,155 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> Dat
         .join(fingerprints, id_col, "left")
         .withColumn("simhash", F.coalesce("simhash", F.lit(0).cast("long")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage REMOVAL (boilerplate scrub with document reassembly)
+# ---------------------------------------------------------------------------
+def remove_repeated_passages(
+    df: DataFrame, text_col: str, id_col: str, *,
+    words_per_passage: int = 8, max_occurrences: int = 2,
+) -> DataFrame:
+    """Scrub corpus-frequent passages OUT of every document and
+    reassemble what remains in original order — the transform
+    counterpart of shared_passage_stats (which only counts). This is
+    the MassiveText/CCNet "remove lines repeated across the corpus"
+    curation gate with the unit generalized to fixed
+    ``words_per_passage`` token windows (line-boundary corpora use
+    newline units; the engine op is identical either way): any passage
+    occurring MORE THAN ``max_occurrences`` times corpus-wide is
+    dropped from every document that contains it.
+
+    Returns one row per input row: (id, cleaned_text, n_segments,
+    n_removed). A fully-boilerplate document comes back with
+    cleaned_text='' (it stays in the corpus for the caller to gate on
+    n_removed/n_segments — silent row loss is how dedup bugs hide).
+
+    Scale shape:
+    - Segmentation is pure narrow HOFs (sequence→transform→slice→
+      posexplode): zero shuffle, bytes ∝ text size.
+    - The frequency count is a groupBy(passage) with map-side partial
+      aggregation — the hot key (a boilerplate passage in millions of
+      docs) partially collapses per task BEFORE the exchange. A window
+      count over partitionBy(passage) would need one shuffle fewer but
+      materializes every instance of the hot passage in one partition:
+      exactly the skew this operator exists to handle, so groupBy+join
+      is the right trade at scale.
+    - The join back is passage-string keyed and co-partitioned with
+      the count (same key, same shuffle layout — AQE reuses the
+      exchange). For narrower shuffles swap the key for
+      xxhash64(passage) on BOTH sides; kept as the string here so the
+      result is bit-comparable against a SQL oracle.
+    - Reassembly is one groupBy(id) with array_sort over (seg_idx,
+      passage) structs — deterministic order, no window.
+    - The segment frame feeds both the count and the probe side;
+      localCheckpoint stops Spark re-running tokenize+explode per
+      branch (same reasoning as shared_passage_stats).
+    """
+    ws = words_per_passage
+    nseg = F.ceil(F.size(F.col("_toks")) / F.lit(float(ws))).cast("int")
+    segs_arr = F.when(
+        F.size(F.col("_toks")) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * ws + 1, ws)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), nseg.alias("_nseg"), segs_arr.alias("_segs"))
+    segs = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("_segs")).alias("seg_idx", "passage"),
+    ).localCheckpoint()
+    counts = segs.groupBy("passage").agg(F.count(F.lit(1)).alias("_cnt"))
+    kept = segs.join(counts, "passage").filter(
+        F.col("_cnt") <= max_occurrences
+    )
+    re = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "passage"))
+                ),
+                lambda x: x["passage"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    return (
+        base.select(id_col, "_nseg")
+        .join(re, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.col("_nseg").cast("long").alias("n_segments"),
+            (F.col("_nseg") - F.coalesce("_nkept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source passage-overlap matrix (contamination / provenance audit)
+# ---------------------------------------------------------------------------
+def cross_source_passage_overlap(
+    df: DataFrame, text_col: str, source_col: str, *,
+    words_per_passage: int = 8,
+) -> DataFrame:
+    """How much does each pair of sources share verbatim? For every
+    unordered source pair (a < b), count the DISTINCT
+    ``words_per_passage``-token passages that occur in both — the
+    inter-source n-gram-overlap matrix dataset papers publish to
+    expose crawl overlap / mirror contamination before mixing weights
+    are chosen. Exact-text dup matrices miss this entirely (mirrors
+    rewrap lines and inject boilerplate; passages survive).
+
+    Returns (source_a, source_b, n_shared_passages), source_a <
+    source_b, only pairs with at least one shared passage.
+
+    Scale shape: distinct (passage, source) collapses per-source
+    repetition map-side; one groupBy(passage) builds the per-passage
+    source set (bounded by the number of sources — tens, not docs);
+    the pair explode is |sources|² per passage worst-case, bounded and
+    narrow; the final pair aggregate is tiny. No doc×doc pair is ever
+    generated, so a passage shared by millions of docs costs one
+    source-set row — same hazard-avoidance as shared_passage_stats.
+    """
+    ws = words_per_passage
+    nseg = F.ceil(F.size(F.col("_toks")) / F.lit(float(ws))).cast("int")
+    segs_arr = F.when(
+        F.size(F.col("_toks")) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * ws + 1, ws)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ps = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(F.col("_src"), F.explode(segs_arr).alias("passage"))
+        .distinct()
+    )
+    sets = ps.groupBy("passage").agg(
+        F.collect_set("_src").alias("_srcs")
+    )
+    pairs = (
+        sets.select(F.explode("_srcs").alias("source_a"), "_srcs")
+        .select(
+            "source_a", F.explode("_srcs").alias("source_b")
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+    )

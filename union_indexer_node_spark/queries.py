@@ -67,6 +67,16 @@ _DEPRIORITIZED = [
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
     # ------------------------------------------------------------------
+    # BORN IN TAIL (r9): the two new passage-dedup operators added this
+    # round enter the window WITH the r10 tranche below (16 swaps next
+    # round — 14 scheduled + these 2). Locally oracle-tested like every
+    # tail entry; unit tests pin the edge cases meanwhile.
+    # ------------------------------------------------------------------
+    "dedup_remove_repeated_passages",  # BORN IN TAIL (r9); the stats
+    #    sibling dedup_shared_passages is in-window r9
+    "dedup_cross_source_overlap",  # BORN IN TAIL (r9); passage-digest
+    #    family as above
+    # ------------------------------------------------------------------
     # r10 ROTATION TRANCHE (scheduled; VERDICT r8 item 4): the 14
     # entries below are the r5-era staleness backlog — last driver-green
     # r5, i.e. they hit the ~4-round bound at r10 exactly. Rotate ALL of
@@ -4476,6 +4486,100 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     return shared_passage_stats(
         d, "text", "doc_id", window_tokens=8, stride=4
+    )
+
+
+# Repeated-passage REMOVAL (round 9): the transform counterpart of the
+# stats entry above — passages occurring >2 times corpus-wide are
+# scrubbed from every document and the remainder reassembled in order.
+# Narrow segmentation, one map-side-combining count shuffle, a
+# co-partitioned join back, one groupBy(id) reassembly; the hot-key
+# (corpus boilerplate) analysis is in the operator docstring.
+@q(
+    "dedup_remove_repeated_passages",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, g.i AS seg_idx,
+             array_to_string(
+               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
+      FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
+      WHERE len(toks) > 0
+    ),
+    c AS (SELECT passage, COUNT(*) AS cnt FROM segs GROUP BY passage),
+    kept AS (SELECT segs.* FROM segs JOIN c USING (passage)
+             WHERE c.cnt <= 2),
+    re AS (SELECT doc_id,
+                  string_agg(passage, ' ' ORDER BY seg_idx) AS cleaned_text,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CASE WHEN len(toks) = 0 THEN 0
+                         ELSE CAST(ceil(len(toks) / 8.0) AS BIGINT)
+                    END AS n_segments
+             FROM t)
+    SELECT b.doc_id,
+           COALESCE(re.cleaned_text, '') AS cleaned_text,
+           CAST(b.n_segments AS BIGINT) AS n_segments,
+           CAST(b.n_segments - COALESCE(re.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM base b LEFT JOIN re USING (doc_id)
+    """,
+)
+def dedup_remove_repeated_passages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.dedup import remove_repeated_passages
+
+    d = tables.load(spark, sf_dir, "documents")
+    return remove_repeated_passages(
+        d, "text", "doc_id", words_per_passage=8, max_occurrences=2
+    )
+
+
+# Cross-source passage-overlap matrix (round 9): for every source pair,
+# the count of distinct 8-token passages both contain — the
+# contamination/provenance audit run before choosing mixing weights.
+# No doc-pair generation: per-passage source SETS (bounded by source
+# count), then a bounded pair explode.
+@q(
+    "dedup_cross_source_overlap",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT DISTINCT source,
+             array_to_string(
+               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
+      FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
+      WHERE len(toks) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_passages
+    FROM segs a JOIN segs b
+      ON a.passage = b.passage AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.dedup import cross_source_passage_overlap
+
+    d = tables.load(spark, sf_dir, "documents")
+    return cross_source_passage_overlap(
+        d, "text", "source", words_per_passage=8
     )
 
 

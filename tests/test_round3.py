@@ -12,57 +12,68 @@ from union_indexer_node_spark import queries as q
 from conftest import SF_DIR
 
 # Window-curation policy pin, updated per round: entries that have
-# never seen the driver's oracle MUST be inside the 50-entry window,
-# plus distinct operators with no in-window sibling representative.
-# (Round-5 targets this list previously held are driver-green in
-# CORRECTNESS_r05.json; round 6 rotated several out in favor of the
-# never-verified entries below — rationale at queries.py:_DEPRIORITIZED.)
+# never seen the driver's oracle MUST be inside the 50-entry window
+# (unless the round's rotation plan explicitly births them in the tail
+# with a named entry date — queries.py:_DEPRIORITIZED), plus entries
+# whose green row must be re-earned, plus the policy keeps. Rationale
+# for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
+# this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # round-8 entries that have never seen the driver
+    # the 16 round-8 born-in-tail entries: ZERO driver signal until
+    # now — the r9 rotation's first-priority tranche (VERDICT r8 #1)
+    "tpch_q21_waiting_supplier_shape",
+    "multimodal_png_probe",
+    "text_language_consistency",
+    "text_bpe_pair_counts",
+    "text_tfidf_topk",
+    "pipeline_adaptive_quality_gate",
+    "training_budget_select",
+    "temporal_funnel_stages",
+    "search_substring_trigram",
+    "temporal_cohort_retention",
+    "events_pivot_type_counts",
+    "temporal_moving_window_agg",
+    "pipeline_column_profile",
+    "dedup_lsh_incremental",
+    "setop_intersect_except",
+    "lineitem_unpivot_measures",
+    # single-green r8 entries: one driver row is not yet "multiply
+    # green", so they hold their slot another round (the two ingest
+    # entries ALSO re-earn: their families changed in r9 — community
+    # title/about restricted to updateProps, spk follow target from
+    # did only)
     "community_updateprops_merge",
     "ingest_follows_families",
     "dedup_shared_passages",
-    # entries whose implementation or oracle changed in round 8 —
-    # their green row must be re-earned (bridge-derived flags / band
-    # cap / unseen-gram oracle arm / mention pre-filter / update gate)
+    # changed-in-r8 re-earners holding for a second green
     "offchain_id_refresh",
     "dedup_semantic_flags",
     "text_lm_quality_sampled",
-    "a9_mention_notifications",
     "sim_kmeans_clusters",
-    # single-green r7 entries: one driver row is not yet "multiply
-    # green", so they hold their slot another round
+    # single-green r7/r8 entries
     "text_lm_quality_score",
     "training_hash_split",
     "sim_truncate_renorm",
     "training_token_budget",
-    # round-8 staleness re-rotations (the whole <=r3 backlog)
-    "x16_asset_parse",
-    "w3_first_event_per_user",
-    "skew_salted_distinct_count",
-    "text_language_id",
-    "x21_search_feed",
-    "a5_creator_score",
+    # r4-era staleness tranche re-entering at the ~4-round bound
+    "f1_tag_membership",
+    "j1_children_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality_features",
+    "tpch_q1_pricing_summary",
+    "o2_trending_feed_comments",
     "o6_related_feed_sample",
-    "dedup_minhash_signature",
-    "sim_pairwise_cosine",
-    "w4_feed_pagination",
-    "a6_sign_counts_higher_order",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    "sim_ivf_topk_label",
-    "j4_follower_feed_did",
-    "ann_lsh_signatures",
-    # distinct operators with no in-window sibling representative —
-    # must STAY until their family grows one
-    "temporal_asof_join",
-    "stream_windowed_counts_batch_equivalence",
+    "f9_missing_field",
+    "x21_inverted_index_search",
+    "tpch_q4_order_priority",
+    "text_bpe_token_count",
+    "ann_lsh_topk",
+    "temporal_time_rollup",
+    # streaming has exactly one in-window rep left after the r9
+    # swap-outs — the strictly hardest probe stays
     "stream_ssj_watermark_eviction",
-    "dedup_cc_clusters",
-    "o2_a8_trending_feed_payout",
-    "j9_reply_closure",
-    "w5_scd2_history",
-    "pipeline_training_prep",
 ]
 
 

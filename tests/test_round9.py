@@ -388,3 +388,67 @@ def test_cross_source_passage_overlap_counts(spark):
         ("a", "c"): 1,
         ("b", "c"): 2,  # "xx yy" and "zz qq"
     }
+
+
+def test_remove_repeated_passages_external_counts(spark):
+    """counts= applies a prebuilt frequency index: batch-local counts
+    reproduce the self-counting path exactly, and corpus-lifetime
+    counts from a SUPERSET corpus scrub passages the batch alone would
+    have kept (the deployment reason the parameter exists)."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        passage_counts,
+        remove_repeated_passages,
+    )
+
+    batch = _mk_docs(
+        spark,
+        [(1, "s", "aa bb cc dd"), (2, "s", "aa bb"), (3, "s", "ee ff")],
+    )
+    kw = dict(words_per_passage=2, max_occurrences=2)
+    self_counted = remove_repeated_passages(batch, "text", "doc_id", **kw)
+    ext = remove_repeated_passages(
+        batch, "text", "doc_id",
+        counts=passage_counts(batch, "text", words_per_passage=2), **kw,
+    )
+    assert sorted(map(tuple, self_counted.collect())) == sorted(
+        map(tuple, ext.collect())
+    )
+    # superset corpus: "aa bb" now occurs 3x corpus-wide -> scrubbed
+    # from the batch even though the batch only has 2 instances.
+    corpus = batch.union(
+        _mk_docs(spark, [(9, "s", "aa bb zz")])
+    )
+    lifetime = remove_repeated_passages(
+        batch, "text", "doc_id",
+        counts=passage_counts(corpus, "text", words_per_passage=2), **kw,
+    )
+    out = {r["doc_id"]: r["cleaned_text"] for r in lifetime.collect()}
+    assert out == {1: "cc dd", 2: "", 3: "ee ff"}
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """JSONL export: same deterministic sharding + manifest as parquet,
+    part files readable back as JSON with identical rows."""
+    from union_indexer_node_spark.pipelines.training import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", i % 7 + 1) for i in range(40)],
+        "doc_id long, text string, n_tokens long",
+    )
+    path = str(tmp_path / "shards_json")
+    manifest = write_training_shards(
+        df, path, n_shards=4, id_col="doc_id", token_col="n_tokens",
+        output_format="json",
+    ).collect()
+    assert sum(r["n_docs"] for r in manifest) == 40
+    back = spark.read.format("json").load(path)
+    assert back.count() == 40
+    assert {r["doc_id"] for r in back.collect()} == set(range(40))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_training_shards(
+            df, path, n_shards=4, id_col="doc_id", output_format="csvx"
+        )

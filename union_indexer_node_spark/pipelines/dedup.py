@@ -514,9 +514,47 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> Dat
 # ---------------------------------------------------------------------------
 # Repeated-passage REMOVAL (boilerplate scrub with document reassembly)
 # ---------------------------------------------------------------------------
+def _segment_array(toks_col: Column, ws: int) -> Column:
+    """Non-overlapping ``ws``-token passages of a token array, in
+    order, as one narrow expression (sequence→transform→slice — no
+    explode, no shuffle). Empty token arrays yield an empty passage
+    array (Spark's sequence(0, -1) would count DOWN, hence the guard)."""
+    nseg = F.ceil(F.size(toks_col) / F.lit(float(ws))).cast("int")
+    return F.when(
+        F.size(toks_col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i * ws + 1, ws)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def passage_counts(
+    df: DataFrame, text_col: str, *, words_per_passage: int = 8
+) -> DataFrame:
+    """Corpus passage-frequency table (passage, _cnt) — the index that
+    ``remove_repeated_passages(counts=...)`` applies. Maintained across
+    ingest cycles the same way as the token posting table: store it
+    per-(id, passage) if deletions must be supported (anti-join +
+    append, the update_minhash_index pattern), or merge batch counts
+    into a passage-bucketed table for append-only corpora."""
+    return (
+        df.select(
+            F.explode(
+                _segment_array(
+                    tokens(F.col(text_col)), words_per_passage
+                )
+            ).alias("passage")
+        )
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
 def remove_repeated_passages(
     df: DataFrame, text_col: str, id_col: str, *,
     words_per_passage: int = 8, max_occurrences: int = 2,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Scrub corpus-frequent passages OUT of every document and
     reassemble what remains in original order — the transform
@@ -553,26 +591,35 @@ def remove_repeated_passages(
     - The segment frame feeds both the count and the probe side;
       localCheckpoint stops Spark re-running tokenize+explode per
       branch (same reasoning as shared_passage_stats).
+
+    ``counts``: optionally pass a prebuilt (passage, _cnt) frequency
+    table instead of counting this corpus — the deployment shape where
+    the frequency index is maintained across ingest cycles (same
+    anti-join-and-append pattern as update_minhash_index, stored
+    bucketed by passage) and each batch is scrubbed against
+    corpus-lifetime counts rather than batch-local ones. When given,
+    the segment frame is consumed once and the localCheckpoint is
+    skipped.
     """
     ws = words_per_passage
-    nseg = F.ceil(F.size(F.col("_toks")) / F.lit(float(ws))).cast("int")
-    segs_arr = F.when(
-        F.size(F.col("_toks")) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(F.col("_toks"), i * ws + 1, ws)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(F.col(id_col), nseg.alias("_nseg"), segs_arr.alias("_segs"))
+    ).select(
+        F.col(id_col),
+        F.ceil(F.size(F.col("_toks")) / F.lit(float(ws)))
+        .cast("int")
+        .alias("_nseg"),
+        _segment_array(F.col("_toks"), ws).alias("_segs"),
+    )
     segs = base.select(
         F.col(id_col),
         F.posexplode(F.col("_segs")).alias("seg_idx", "passage"),
-    ).localCheckpoint()
-    counts = segs.groupBy("passage").agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    if counts is None:
+        segs = segs.localCheckpoint()
+        counts = segs.groupBy("passage").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
     kept = segs.join(counts, "passage").filter(
         F.col("_cnt") <= max_occurrences
     )
@@ -629,22 +676,15 @@ def cross_source_passage_overlap(
     source-set row — same hazard-avoidance as shared_passage_stats.
     """
     ws = words_per_passage
-    nseg = F.ceil(F.size(F.col("_toks")) / F.lit(float(ws))).cast("int")
-    segs_arr = F.when(
-        F.size(F.col("_toks")) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(F.col("_toks"), i * ws + 1, ws)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     ps = (
         df.select(
             F.col(source_col).alias("_src"),
             tokens(F.col(text_col)).alias("_toks"),
         )
-        .select(F.col("_src"), F.explode(segs_arr).alias("passage"))
+        .select(
+            F.col("_src"),
+            F.explode(_segment_array(F.col("_toks"), ws)).alias("passage"),
+        )
         .distinct()
     )
     sets = ps.groupBy("passage").agg(

@@ -422,10 +422,16 @@ def write_training_shards(
     n_shards: int,
     id_col: str,
     token_col: str | None = None,
+    output_format: str = "parquet",
 ) -> DataFrame:
     """Last-mile export: write the prepared corpus as ``n_shards``
-    deterministic shards (``shard=NNNN`` parquet partitions) and return
+    deterministic shards (``shard=NNNN`` partitions) and return
     the shard manifest (shard, n_docs, total_tokens).
+
+    ``output_format``: "parquet" (default) or "json" — the latter
+    writes JSON-Lines part files (one object per row), the interchange
+    format most training dataloaders consume directly; everything else
+    (deterministic md5 sharding, single-pass manifest) is identical.
 
     Shard assignment is the shared md5 bucket of the id — stable across
     reruns/engines (a resumed export rewrites identical shards, and a
@@ -440,8 +446,15 @@ def write_training_shards(
     corpus."""
     from .dedup import md5_bucket
 
+    if output_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported output_format: {output_format!r}")
     sharded = df.withColumn("shard", md5_bucket(F.col(id_col), n_shards))
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    (
+        sharded.write.mode("overwrite")
+        .partitionBy("shard")
+        .format(output_format)
+        .save(path)
+    )
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("total_tokens"))

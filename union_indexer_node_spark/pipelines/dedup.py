@@ -551,6 +551,24 @@ def passage_counts(
     )
 
 
+def merge_passage_counts(
+    existing: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Fold one batch's passage counts into the lifetime frequency
+    table (append-only corpora): union + per-passage sum. The batch
+    side is tiny relative to the table; at scale the table lives
+    bucketed by passage so the merge co-locates without reshuffling
+    the big side, and the hot boilerplate passage stays ONE row on
+    each side — the merge cost tracks distinct passages touched, not
+    instances. Corpora with deletions keep the index per-(id, passage)
+    and use the update_minhash_index anti-join pattern instead."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("passage")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+
+
 def remove_repeated_passages(
     df: DataFrame, text_col: str, id_col: str, *,
     words_per_passage: int = 8, max_occurrences: int = 2,

@@ -67,15 +67,17 @@ _DEPRIORITIZED = [
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r9): the two new passage-dedup operators added this
-    # round enter the window WITH the r10 tranche below (16 swaps next
-    # round — 14 scheduled + these 2). Locally oracle-tested like every
-    # tail entry; unit tests pin the edge cases meanwhile.
+    # BORN IN TAIL (r9): the three new passage-dedup operators added
+    # this round enter the window WITH the r10 tranche below (17 swaps
+    # next round — 14 scheduled + these 3). Locally oracle-tested like
+    # every tail entry; unit tests pin the edge cases meanwhile.
     # ------------------------------------------------------------------
     "dedup_remove_repeated_passages",  # BORN IN TAIL (r9); the stats
     #    sibling dedup_shared_passages is in-window r9
     "dedup_cross_source_overlap",  # BORN IN TAIL (r9); passage-digest
     #    family as above
+    "stream_passage_counts_incremental",  # BORN IN TAIL (r9);
+    #    streaming rep stream_ssj_watermark_eviction is in-window r9
     # ------------------------------------------------------------------
     # r10 ROTATION TRANCHE (scheduled; VERDICT r8 item 4): the 14
     # entries below are the r5-era staleness backlog — last driver-green
@@ -2595,6 +2597,83 @@ def x21_index_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updated = update_inverted_index(index0, changed, "text", ["doc_id"])
     return updated.select("token", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T-layer incremental passage-frequency maintenance: the corpus arrives
+# as micro-batches (file source, 1 file per trigger); each batch's
+# passage counts fold into the lifetime table via merge_passage_counts
+# inside foreachBatch (localCheckpoint per fold bounds lineage — the
+# same discipline as the iterative algorithms). The oracle is the
+# one-shot batch count over the whole corpus: any double-count across
+# a batch boundary, lost fold, or non-deterministic batch split
+# hash-mismatches. This is the index remove_repeated_passages(counts=)
+# applies — built HERE the way a deployment actually builds it.
+# ---------------------------------------------------------------------------
+@q(
+    "stream_passage_counts_incremental",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, g.i AS seg_idx,
+             array_to_string(
+               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
+      FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
+      WHERE len(toks) > 0
+    )
+    SELECT passage, COUNT(*) AS cnt FROM segs GROUP BY passage
+    """,
+)
+def stream_passage_counts_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from .pipelines.dedup import merge_passage_counts, passage_counts
+
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="stream_passage_counts_src_")
+    try:
+        # 4 part files -> 4 micro-batches at maxFilesPerTrigger=1
+        d.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = {
+            "counts": spark.createDataFrame(
+                [], "passage string, _cnt long"
+            )
+        }
+
+        def fold(batch_df, batch_id):
+            state["counts"] = merge_passage_counts(
+                state["counts"],
+                passage_counts(batch_df, "text", words_per_passage=8),
+            ).localCheckpoint()
+
+        qname = f"stream_passage_counts_{uuid.uuid4().hex[:8]}"
+        query = (
+            stream.writeStream.foreachBatch(fold)
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return state["counts"].select(
+            "passage", F.col("_cnt").alias("cnt")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -569,6 +569,46 @@ def merge_passage_counts(
     )
 
 
+# Sentinel for the byte-preserving tokenizer. \x01 cannot appear in
+# well-formed text corpora (it is a C0 control byte every extractor
+# strips); callers with adversarial bytes should pre-scrub it.
+_PIECE_SENTINEL = "\x01"
+
+
+def token_pieces(text_col: Column) -> Column:
+    """ORIGINAL-BYTE token segmentation: split the raw text into
+    ``[sep0, tok0, sep1, tok1, ..., tokN-1, sepN]`` (always
+    ``2*n_tokens + 1`` elements; a token-less text is one separator
+    piece). Token pieces sit at 0-based odd indices and are the
+    maximal ``[a-zA-Z0-9]+`` runs — positionally identical to
+    ``tokens(text)`` after lowering (ASCII: lower() maps the run set
+    bijectively), so passage keys derived from either side agree.
+    ``concat_ws('', pieces)`` reproduces the input byte-for-byte,
+    which is what makes removal operators able to KEEP original
+    casing/punctuation/whitespace while matching on normalized
+    tokens. Pure narrow expression: one regexp pass + one split."""
+    return F.split(
+        F.regexp_replace(
+            text_col,
+            "([a-zA-Z0-9]+)",
+            _PIECE_SENTINEL + "$1" + _PIECE_SENTINEL,
+        ),
+        _PIECE_SENTINEL,
+    )
+
+
+def pieces_tokens(pieces_col: Column) -> Column:
+    """Normalized (lowercased) token array derived from
+    ``token_pieces`` — the odd-index pieces. Guarantees positional
+    alignment between the token used for hashing and the piece used
+    for byte reassembly (deriving the two independently could misalign
+    on exotic Unicode case-folds)."""
+    return F.transform(
+        F.filter(pieces_col, lambda x, i: i % 2 == 1),
+        lambda x: F.lower(x),
+    )
+
+
 def remove_repeated_passages(
     df: DataFrame, text_col: str, id_col: str, *,
     words_per_passage: int = 8, max_occurrences: int = 2,
@@ -585,9 +625,20 @@ def remove_repeated_passages(
     dropped from every document that contains it.
 
     Returns one row per input row: (id, cleaned_text, n_segments,
-    n_removed). A fully-boilerplate document comes back with
-    cleaned_text='' (it stays in the corpus for the caller to gate on
-    n_removed/n_segments — silent row loss is how dedup bugs hide).
+    n_removed). A fully-boilerplate document comes back with only its
+    leading separator bytes (usually '') — it stays in the corpus for
+    the caller to gate on n_removed/n_segments; silent row loss is how
+    dedup bugs hide.
+
+    cleaned_text preserves the ORIGINAL bytes of every kept segment
+    (casing, punctuation, whitespace — MassiveText-style removal keeps
+    the source bytes of surviving spans): matching happens on
+    normalized token windows, but reassembly slices the raw text via
+    ``token_pieces``. A removed segment takes its trailing separator
+    with it and leaves the leading one, so a document with nothing
+    removed round-trips byte-identically (pinned by the identity
+    test), and a token-less document (n_segments=0) is returned
+    unchanged rather than blanked.
 
     Scale shape:
     - Segmentation is pure narrow HOFs (sequence→transform→slice→
@@ -617,54 +668,238 @@ def remove_repeated_passages(
     bucketed by passage) and each batch is scrubbed against
     corpus-lifetime counts rather than batch-local ones. When given,
     the segment frame is consumed once and the localCheckpoint is
-    skipped.
+    skipped. The probe is a LEFT join with a coalesce-to-0 filter: a
+    passage ABSENT from the counts table is frequency-0 and KEPT —
+    scrubbing a batch against a lifetime index that has not yet folded
+    that batch must not silently blank novel documents (the stale-
+    index hazard; the prior INNER join dropped them).
     """
     ws = words_per_passage
     base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), token_pieces(F.col(text_col)).alias("_pc")
     ).select(
         F.col(id_col),
-        F.ceil(F.size(F.col("_toks")) / F.lit(float(ws)))
-        .cast("int")
-        .alias("_nseg"),
-        _segment_array(F.col("_toks"), ws).alias("_segs"),
+        F.col("_pc"),
+        pieces_tokens(F.col("_pc")).alias("_toks"),
+    )
+    ntok = F.size(F.col("_toks"))
+    nseg = F.ceil(ntok / F.lit(float(ws))).cast("int")
+    # Per segment s: the normalized match key (space-joined lowered
+    # tokens s*ws..e) AND the original bytes — pieces from the first
+    # token (odd index 2*s*ws+1, 1-based 2*s*ws+2) through the
+    # separator AFTER the last token e (1-based 2*e+3). The leading
+    # separator (pieces[1]) belongs to no segment and is always kept.
+    def _seg(s: Column) -> Column:
+        e = F.least((s + 1) * ws, ntok) - 1
+        return F.struct(
+            F.concat_ws(" ", F.slice(F.col("_toks"), s * ws + 1, ws))
+            .alias("passage"),
+            F.concat_ws(
+                "",
+                F.slice(F.col("_pc"), 2 * s * ws + 2, 2 * (e - s * ws) + 2),
+            ).alias("seg_bytes"),
+        )
+
+    base = base.select(
+        F.col(id_col),
+        F.element_at(F.col("_pc"), 1).alias("_lead"),
+        nseg.alias("_nseg"),
+        F.when(
+            ntok > 0, F.transform(F.sequence(F.lit(0), nseg - 1), _seg)
+        )
+        .otherwise(
+            F.array().cast("array<struct<passage:string,seg_bytes:string>>")
+        )
+        .alias("_segs"),
     )
     segs = base.select(
         F.col(id_col),
-        F.posexplode(F.col("_segs")).alias("seg_idx", "passage"),
+        F.posexplode(F.col("_segs")).alias("seg_idx", "_seg"),
+    ).select(
+        F.col(id_col),
+        "seg_idx",
+        F.col("_seg.passage").alias("passage"),
+        F.col("_seg.seg_bytes").alias("seg_bytes"),
     )
     if counts is None:
         segs = segs.localCheckpoint()
         counts = segs.groupBy("passage").agg(
             F.count(F.lit(1)).alias("_cnt")
         )
-    kept = segs.join(counts, "passage").filter(
-        F.col("_cnt") <= max_occurrences
+    kept = segs.join(counts, "passage", "left").filter(
+        F.coalesce(F.col("_cnt"), F.lit(0)) <= max_occurrences
     )
     re = kept.groupBy(id_col).agg(
         F.concat_ws(
-            " ",
+            "",
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("seg_idx", "passage"))
+                    F.collect_list(F.struct("seg_idx", "seg_bytes"))
                 ),
-                lambda x: x["passage"],
+                lambda x: x["seg_bytes"],
             ),
-        ).alias("cleaned_text"),
+        ).alias("_kept_bytes"),
         F.count(F.lit(1)).alias("_nkept"),
     )
     return (
-        base.select(id_col, "_nseg")
+        base.select(id_col, "_lead", "_nseg")
         .join(re, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.concat(
+                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
+            ).alias("cleaned_text"),
             F.col("_nseg").cast("long").alias("n_segments"),
             (F.col("_nseg") - F.coalesce("_nkept", F.lit(0)))
             .cast("long")
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Alignment-robust duplicate-SPAN removal (sliding windows, span merge)
+# ---------------------------------------------------------------------------
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, *,
+    window_tokens: int = 8, stride: int = 1, max_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span removal in the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    shape: every ``window_tokens``-token SLIDING window (stride 1 by
+    default) is counted corpus-wide; windows occurring more than
+    ``max_occurrences`` times are scrubbed from EVERY document, and
+    overlapping flagged windows coalesce into one removed span because
+    removal is by covered-token set, not by window.
+
+    This is the alignment-robust sibling of remove_repeated_passages:
+    fixed non-overlapping segmentation misses boilerplate that is
+    OFFSET by a few tokens between documents (the shared text lands in
+    differently-aligned segments, so no segment string repeats);
+    sliding windows flag any ``window_tokens``-token run that repeats
+    regardless of where it starts. Production systems build a suffix
+    array for this (arbitrary-length spans, one pass); the
+    Spark-native equivalent fixes the span granularity at
+    ``window_tokens`` and gets the same offset-invariance from
+    stride-1 enumeration — span length generalizes by merging
+    overlapping flagged windows, which this operator does by
+    construction.
+
+    Returns (id, cleaned_text, n_tokens, n_removed_tokens), one row
+    per input row. cleaned_text preserves ORIGINAL bytes of kept
+    tokens: a kept token contributes its raw piece plus its trailing
+    separator, a removed token contributes nothing, and the document's
+    leading separator is always kept — so a document with no flagged
+    window round-trips byte-identically (and skips the rebuild
+    entirely, see below).
+
+    Scale shape:
+    - Window enumeration is a narrow transform+posexplode: O(tokens)
+      rows at stride 1 — the same order as the inverted-index build,
+      and the unavoidable cost of offset-invariance without a suffix
+      array. The count is one groupBy(window) with map-side partial
+      aggregation (hot boilerplate windows collapse per task before
+      the exchange — the remove_repeated_passages skew argument).
+    - Flagged keys are the >max_occurrences residue — boilerplate,
+      typically a tiny fraction of distinct windows. The probe is an
+      INNER join against that flagged subset, so a window absent from
+      it is kept by construction (no stale-index blanking hazard).
+    - Only documents that contain at least one flagged window are
+      rebuilt; untouched documents short-circuit to cleaned_text =
+      original text with an anti-join — at corpus scale the expensive
+      per-token reassembly runs on the affected slice only.
+    - The reassembly itself is one explode + left_anti + groupBy(id)
+      over affected documents; everything is built-in expressions —
+      no UDF, no driver collect.
+    """
+    w = window_tokens
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        token_pieces(F.col(text_col)).alias("_pc"),
+    ).select(
+        "*", pieces_tokens(F.col("_pc")).alias("_toks")
+    )
+    ntok = F.size(F.col("_toks"))
+    base = base.withColumn("_ntok", ntok).localCheckpoint()
+    wins = base.filter(F.col("_ntok") >= w).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - w, F.lit(stride)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("_toks"), s + 1, w)
+                    ).alias("k"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(F.col(id_col), F.col("_w.s").alias("s"), F.col("_w.k").alias("k"))
+    # consumed twice: corpus count + probe join
+    wins = wins.localCheckpoint()
+    flagged_keys = (
+        wins.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > max_occurrences)
+        .select("k")
+    )
+    fl = wins.join(flagged_keys, "k").select(F.col(id_col), "s")
+    fl = fl.localCheckpoint()  # feeds covered-set AND affected-ids
+    covered = fl.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("t"),
+    ).distinct()
+    affected = fl.select(id_col).distinct()
+    aff = base.join(affected, id_col)
+    tokb = aff.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - 1),
+                lambda t: F.concat(
+                    F.element_at(F.col("_pc"), 2 * t + 2),
+                    F.element_at(F.col("_pc"), 2 * t + 3),
+                ),
+            )
+        ).alias("t", "tok_bytes"),
+    )
+    keptt = tokb.join(covered, [id_col, "t"], "left_anti")
+    re = keptt.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok_bytes"))),
+                lambda x: x["tok_bytes"],
+            ),
+        ).alias("_kept_bytes"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    aff_out = (
+        aff.select(
+            F.col(id_col),
+            F.element_at(F.col("_pc"), 1).alias("_lead"),
+            "_ntok",
+        )
+        .join(re, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
+            ).alias("cleaned_text"),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            (F.col("_ntok") - F.coalesce("_nkept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+    un_out = base.join(affected, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col("_text").alias("cleaned_text"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed_tokens"),
+    )
+    return un_out.unionByName(aff_out)
 
 
 # ---------------------------------------------------------------------------

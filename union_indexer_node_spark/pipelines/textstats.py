@@ -441,6 +441,194 @@ def bpe_pair_counts(df: DataFrame, text_col: str, *, k: int = 50) -> DataFrame:
     )
 
 
+def hashed_ngram_weights(
+    spark, *, n_buckets: int = 4096, seed: str = "qc1"
+) -> DataFrame:
+    """Deterministic stand-in for a TRAINED linear quality model's
+    weight vector (fastText-style hashed-feature classifier): one row
+    per hash bucket with an integer weight in [-1000, 1000] derived
+    from md5(seed:bucket). In deployment this table is the exported
+    model (bucket → int-quantized logit weight) loaded from the
+    training job's output; the md5 derivation keeps the fixture
+    cross-engine exact so the WHOLE scoring path is oracle-checkable.
+    n_buckets rows — always broadcastable."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed + ":"), F.col("id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("weight"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    *,
+    n_buckets: int = 4096,
+    bias: int = 0,
+) -> DataFrame:
+    """Learned quality-gate scoring — the fastText-style linear
+    classifier every large pipeline runs over its corpus (CCNet /
+    GPT-3 quality filtering shape): hash token unigrams + bigrams into
+    ``n_buckets`` feature buckets, sum the model's integer-quantized
+    bucket weights, threshold at 0. Integer logits end-to-end (the
+    char_lm no-float contract) so rank and keep/drop decisions are
+    bit-identical in any engine.
+
+    Scale shape: features explode map-side (one narrow pass per doc —
+    unigrams and bigrams from one token array); the model join is a
+    BROADCAST hash join against the n_buckets-row weight table (a
+    model is ~KBs–MBs — never shuffle the corpus for it); the score is
+    one groupBy(id) with map-side partial aggregation. Docs with zero
+    features (empty text) score exactly ``bias`` via the left join
+    back — no silent row loss on the gate's own input.
+
+    Returns (id, score, keep)."""
+    toks = tokens(F.col(text_col))
+    # sequence(1, 0) is DESCENDING (the bpe_pair_counts guard), so
+    # sub-2-token docs get an explicit empty bigram array.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda j: F.concat(
+                F.element_at(toks, j), F.lit("_"), F.element_at(toks, j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    exploded = df.select(
+        F.col(id_col), F.explode(feats).alias("g")
+    ).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    scored = (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg((F.sum("weight") + bias).alias("score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("score", F.lit(bias)).cast("long").alias("score"),
+            (F.coalesce("score", F.lit(bias)) > 0).alias("keep"),
+        )
+    )
+
+
+def bpe_train_merges(df: DataFrame, text_col: str, *, n_merges: int = 3) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING: run ``n_merges`` merge
+    iterations and return the learned merge table — the k-step loop
+    around the single-iteration statistic ``bpe_pair_counts`` computes
+    (same unrolled-recurrence oracle pattern as sim_kmeans_clusters).
+
+    Per iteration: count adjacent symbol pairs over the vocabulary
+    weighted by word frequency, pick the top pair (count DESC, then
+    (left, right) ASC — a total, engine-independent tiebreak), and
+    merge that pair greedily left-to-right in every vocabulary word.
+    The merge is one word-boundary-anchored regexp_replace over the
+    space-joined symbol string: ``\\ba b\\b`` → ``ab``. ``\\b`` is
+    zero-width, so adjacent occurrences ("a b a b") all merge in one
+    pass, while symbol-interior text ("ba b") never matches — symbols
+    are [a-z0-9]+ so no escaping is needed, and greedy left-to-right
+    scanning reproduces the classic trainer's non-overlapping merge
+    ("a a a" → "aa a").
+
+    Scale shape (the classic trainer layout): pair counting and
+    merging run on the DISTINCT-WORD vocabulary weighted by corpus
+    frequency — per-iteration data is vocab-sized (~Heaps-law
+    sublinear), never corpus-sized. Each iteration is one explode +
+    map-side-combining groupBy over pairs, one TakeOrderedAndProject
+    for the top pair, and a narrow regexp map for the merge; the only
+    driver transfer is the 1-row top pair (the bounded-collect
+    discipline of the k-means loop). localCheckpoint per iteration
+    bounds lineage growth.
+
+    Returns (merge_idx, pair_left, pair_right, merged, pair_count).
+    Distinct words have distinct symbol strings and merging preserves
+    content, so no re-aggregation between iterations is needed.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.concat_ws(
+                " ", F.regexp_extract_all("w", F.lit("."), 0)
+            ).alias("ws"),
+            "wf",
+        )
+    )
+    from .similarity import _free_local_checkpoint
+
+    state = vocab.localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(n_merges):
+        syms = F.split("ws", " ")
+        pairs = state.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda j: F.struct(
+                        F.element_at(syms, j).alias("a"),
+                        F.element_at(syms, j + 1).alias("b"),
+                    ),
+                )
+            ).alias("_p"),
+            "wf",
+        )
+        top = (
+            pairs.groupBy(
+                F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+            )
+            .agg(F.sum("wf").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((i, a, b, a + b, int(c)))
+        nxt = state.select(
+            F.regexp_replace(
+                "ws", f"\\b{a} {b}\\b", a + b
+            ).alias("ws"),
+            "wf",
+        ).localCheckpoint()
+        _free_local_checkpoint(state)
+        state = nxt
+    _free_local_checkpoint(state)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, pair_left string, pair_right string, "
+        "merged string, pair_count long",
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str,

@@ -52,98 +52,85 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 127 entries and a 50-slot window, the hygiene bound is "no
-# entry's last driver-green recedes past ~4 rounds", sustained by each
-# round (a) rotating IN the oldest tranche (every entry whose last
-# driver-green is ≥3 rounds old) plus anything never driver-seen, and
-# (b) rotating OUT only entries that are multiply driver-green with an
-# in-window family sibling noted inline. New entries are born in-window
-# and count against the same 50 slots. Round 9 executed the full plan
-# written in r8: all 16 born-in-tail r8 entries + the entire 14-entry
-# r4-era tranche entered at once (30 swaps — the backlog was two
-# tranches deep, so the round drains both rather than amortizing).
+# with 133 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations) and a 50-slot window, the
+# hygiene bound is "no entry's last driver-green recedes past ~4
+# rounds", sustained by each round (a) rotating IN the oldest tranche
+# (every entry whose last driver-green is ≥3 rounds old) plus anything
+# never driver-seen, and (b) rotating OUT only entries that are
+# multiply driver-green with an in-window family sibling noted inline.
+# New entries are born in-window and count against the same 50 slots.
+# Round 9 executed the full plan written in r8 (30 swaps draining two
+# tranches). Round 10 executed the full plan written in r9: the 3
+# born-in-tail r9 passage entries + the entire named 14-entry r5-era
+# tranche entered, plus 3 entries born in-window
+# (dedup_remove_duplicate_spans, text_bpe_train_merges,
+# text_quality_classifier) — 20 swaps, rotate-outs noted at the list's
+# end. The r11 tranche is pre-named at the top of the list below.
 _DEPRIORITIZED = [
     "a_approx_distinct_users",  # permanent tail: rows-only either way
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r9): the three new passage-dedup operators added
-    # this round enter the window WITH the r10 tranche below (17 swaps
-    # next round — 14 scheduled + these 3). Locally oracle-tested like
-    # every tail entry; unit tests pin the edge cases meanwhile.
+    # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
+    # entries below are the r6-era staleness backlog — last driver-
+    # green r6, i.e. they hit the ~4-round bound at r11 exactly (the
+    # same overflow-ledger mechanism that executed on schedule in r9
+    # and r10). Rotate ALL of them in next round, funded by r10-window
+    # entries that will then be multiply-green (the 17 r10 re-entries
+    # are the natural swap-outs). Listing them BY NAME keeps the
+    # backlog mechanically bounded.
     # ------------------------------------------------------------------
-    "dedup_remove_repeated_passages",  # BORN IN TAIL (r9); the stats
-    #    sibling dedup_shared_passages is in-window r9
-    "dedup_cross_source_overlap",  # BORN IN TAIL (r9); passage-digest
-    #    family as above
-    "stream_passage_counts_incremental",  # BORN IN TAIL (r9);
-    #    streaming rep stream_ssj_watermark_eviction is in-window r9
-    # ------------------------------------------------------------------
-    # r10 ROTATION TRANCHE (scheduled; VERDICT r8 item 4): the 14
-    # entries below are the r5-era staleness backlog — last driver-green
-    # r5, i.e. they hit the ~4-round bound at r10 exactly. Rotate ALL of
-    # them in next round, funded by r9-window entries that will then be
-    # multiply-green (the 14 r4-era re-entries below are the natural
-    # swap-outs: each re-enters r9 on top of r≤4 greens). Listing them
-    # here BY NAME is the backlog's overflow ledger — it cannot silently
-    # grow past the bound.
-    # ------------------------------------------------------------------
-    "tpch_q3_shipping_priority",  # r10 tranche; TPC-H reps q1/q4/q21 in-window
-    "tpch_q5_local_supplier_volume",  # r10 tranche; same family
-    "tpch_q13_custdist",  # r10 tranche; same family
-    "tpch_q17_small_quantity",  # r10 tranche; same family
-    "temporal_sessionize",  # r10 tranche; temporal reps funnel/cohort/
-    #    moving/rollup in-window r9
-    "text_repetition_stats",  # r10 tranche; text reps quality/bpe/tfidf
-    "text_pii_scrub",  # r10 tranche; map-side regexp shape
-    "text_hashtag_url_extract",  # r10 tranche; regexp-extract shape
-    "sim_label_centroids",  # r10 tranche; sim reps cosine_topk/kmeans
-    "dedup_apply_keep_canonical",  # r10 tranche; dedup reps exact/simhash
-    "pipeline_domain_mix",  # r10 tranche; small-agg shape
-    "training_chunk_sliding",  # r10 tranche; training reps budget_select/
-    #    hash_split/token_budget
-    "text_length_percentiles",  # r10 tranche; percentile shape also in
-    #    pipeline_adaptive_quality_gate (in-window r9)
-    "sim_quantize_int8",  # r10 tranche; sim family as above
-    # ------------------------------------------------------------------
-    # Multiply-green backlog, last green r6/r7 — candidates for r11
-    # after the r10 tranche drains; each carries its in-window sibling
-    # note from the round it rotated out.
-    # ------------------------------------------------------------------
-    "x18_hex_to_long",  # green r1/r2+r6; explode path via setops
-    "a3_distinct_authors",  # green r3+r6; distinct shape via
+    "x18_hex_to_long",  # r11 tranche; green r1/r2+r6; explode path via setops
+    "a3_distinct_authors",  # r11 tranche; green r3+r6; distinct shape via
     #    skew_salted_distinct_count (in-window)
-    "a7_total_active_creators",  # green r1/r2+r6; scalar-agg via tpch_q1
-    "f10_point_lookup",  # green r1/r2+r6; equality pushdown via
-    #    f1_tag_membership (in-window)
-    "tpch_q10_returned_items",  # green r5+r6; TPC-H family
-    "tpch_q18_large_volume",  # green r5+r6; semi-join shape
-    "temporal_range_join",  # green r5+r6; IEJoin plan pytest-pinned
-    "j3_num_comments_per_post",  # green r5+r6; agg-join via j1 (in-window)
-    "w2_lww_latest_event",  # green r5+r6; LWW permutation property test
-    "sample_weighted_bernoulli",  # green r5+r6; md5-draw family via
-    #    training_hash_split (in-window)
-    "o5_children_topk_per_parent",  # green r5+r6; per-parent top-k via
-    #    text_tfidf_topk (in-window); r9 re-measure closed as noise
-    "training_decontaminate",  # green r5+r6; runs inside training prep
-    "dedup_lsh_candidates",  # green r5+r6; runs inside curation + cc
+    "a7_total_active_creators",  # r11 tranche; green r1/r2+r6; scalar-agg
+    #    shape via tpch_q17 (in-window r10)
+    "f10_point_lookup",  # r11 tranche; green r1/r2+r6; equality pushdown
+    #    via f9_missing_field + tpch_q3 filters (in-window r10)
+    "tpch_q10_returned_items",  # r11 tranche; green r5+r6; TPC-H reps
+    #    q3/q5/q13/q17 (in-window r10)
+    "tpch_q18_large_volume",  # r11 tranche; green r5+r6; semi-join shape
+    "temporal_range_join",  # r11 tranche; green r5+r6; IEJoin plan
+    #    pytest-pinned
+    "j3_num_comments_per_post",  # r11 tranche; green r5+r6; agg-join
+    #    shape via tpch_q13 (in-window r10)
+    "w2_lww_latest_event",  # r11 tranche; green r5+r6; LWW permutation
+    #    property test + community_updateprops_merge (in-window)
+    "sample_weighted_bernoulli",  # r11 tranche; green r5+r6; md5-draw
+    #    family via training_hash_split (in-window)
+    "o5_children_topk_per_parent",  # r11 tranche; green r5+r6;
+    #    per-parent top-k via text_tfidf_topk (in-window); r9 re-measure
+    #    closed as noise
+    "training_decontaminate",  # r11 tranche; green r5+r6; runs inside
+    #    training prep
+    "dedup_lsh_candidates",  # r11 tranche; green r5+r6; runs inside
+    #    curation + cc
+    # ------------------------------------------------------------------
+    # Multiply-green backlog, last green r7 — r12 tranche candidates
+    # after the r11 tranche drains.
+    # ------------------------------------------------------------------
     "f4_regex_filter",  # green r1-r3+r7; rlike predicate shape
     "a2_distinct_authors_of_app",  # green r1-r3+r7
     "x1_json_props_extract",  # green r1-r3+r7; JSON parse via x16 (in-window)
     "x2_detect_post_type",  # green r1-r3+r7; allowlist feeds j9 closure
-    "j2_parent_post_join",  # green r1-r3+r7; parent join via j1 (in-window)
-    "j7_follows_overview",  # green r1-r3+r7; follows aggs via j4_did
+    "j2_parent_post_join",  # green r1-r3+r7; parent-join (left outer)
+    #    shape via tpch_q13 (in-window r10)
+    "j7_follows_overview",  # green r1-r3+r7; follows family via
+    #    ingest_follows_families (in-window)
     "a5_score_zeroing",  # green r3-r7; superset arm of a5 (in-window)
     "dedup_embedding_neardup",  # green r1+r3-r7; band join via
     #    dedup_semantic_flags (in-window)
     "text_language_id_ngram",  # green r3-r7; trigram scoring via lm_quality
     "text_vocab_topk_per_source",  # green r4-r7; per-group top-k via tfidf
     "sample_stratified",  # green r4-r7; md5-rank via training_hash_split
-    "x21_index_incremental_update",  # green r4-r7; v1 sibling
-    #    x21_search_feed in-window; incremental shape via dedup_lsh_incremental
-    "stream_dedup_batch_equivalence",  # green r4-r7; streaming rep
-    #    stream_ssj_watermark_eviction stays in-window
-    "ann_recall_eval",  # green r5-r7; ANN reps lsh_signatures + lsh_topk
+    "x21_index_incremental_update",  # green r4-r7; search family via
+    #    search_substring_trigram (in-window); incremental shape via
+    #    dedup_lsh_incremental
+    "stream_dedup_batch_equivalence",  # green r4-r7; streaming reps
+    #    stream_ssj_watermark_eviction + stream_passage_counts_incremental
+    #    (in-window r10)
+    "ann_recall_eval",  # green r5-r7; ANN rep ann_lsh_signatures (in-window)
     "training_pack_next_fit",  # green r5-r7; Arrow packer property tests
     "training_epoch_interleave",  # green r5-r7; training family
     "stream_stream_join_attribution",  # green r5-r7; subsumed by eviction
@@ -151,57 +138,57 @@ _DEPRIORITIZED = [
     "skew_salted_comment_counts",  # green r1-r7; salting rep
     #    skew_salted_distinct_count stays in-window
     # ------------------------------------------------------------------
-    # Rotated out in round 9 under the cadence rule: the window slots
-    # fund (a) all 16 born-in-tail r8 entries (zero driver signal until
-    # now) and (b) the ENTIRE r4-era staleness tranche (14 entries) —
-    # draining both backlogs in one round. Every rotate-out below is
-    # multiply-green through r8 with its operator family still
-    # represented in-window, noted inline.
+    # Rotated out in round 9 under the cadence rule; multiply-green
+    # through r8 with the operator family still in-window, noted inline.
     # ------------------------------------------------------------------
     "social_feed_by_app",  # green r2-r8 (seven consecutive); F-defaults
-    #    via f1_tag_membership + f9_missing_field, O1 sort+limit via
-    #    o2_trending_feed_comments (all re-entering)
+    #    via f9_missing_field, O1 sort+limit via
+    #    o2_trending_feed_comments (in-window)
     "f2_f3_f5_filter_combo",  # green r2-r8; same F-family reps
     "a1_trending_tags",  # green r2-r8; explode+count top-k via
     #    text_tfidf_topk (in-window)
     "w1_leaderboard_rank",  # green r2-r8; rank window via text_tfidf_topk
-    #    + w3_first_event_per_user (kept)
+    #    (in-window)
     "w4_feed_pagination",  # green r2-r8; sort+offset+limit via
     #    o2_trending_feed_comments
-    "j4_follower_feed",  # green r2-r8; DID arm j4_follower_feed_did kept
+    "j4_follower_feed",  # green r2-r8; follows family via
+    #    ingest_follows_families (in-window r10)
     "j9_reply_closure",  # green r2-r8; bounded-iteration family rep
     #    dedup_lsh_incremental in-window; recursive-CTE oracle stays local
-    "a9_mention_notifications",  # green r2-r8; regexp_extract_all family
-    #    via text_quality_features; the NFA keeps its unit fuzz tests
-    "dedup_minhash_signature",  # green r1-r3+r8; dedup reps exact/
-    #    simhash/lsh_incremental re-entering
+    "a9_mention_notifications",  # green r2-r8; regexp-extract family via
+    #    text_hashtag_url_extract (in-window r10); the NFA keeps its
+    #    unit fuzz tests
+    "dedup_minhash_signature",  # green r1-r3+r8; dedup reps
+    #    dedup_lsh_incremental + dedup_remove_duplicate_spans (in-window r10)
     "dedup_ngram_jaccard",  # green r1-r3+r8; same family
-    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_cosine_topk +
-    #    ann_lsh_topk re-entering
+    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_label_centroids
+    #    + sim_quantize_int8 (in-window r10)
     "sim_pairwise_cosine",  # green r1-r3+r8; same family
     "text_language_id",  # green r1/r2+r8; langid rep
     #    text_language_consistency (in-window, strictly wider: runs BOTH
     #    detectors and compares)
     "text_fingerprint",  # green r1-r3+r8; token-explode family via
-    #    text_bpe_token_count + text_bpe_pair_counts
+    #    text_bpe_pair_counts + text_bpe_train_merges (in-window r10)
     "o2_a8_trending_feed_payout",  # green r2-r8; COMMENTS arm
-    #    o2_trending_feed_comments re-enters (same max-anchor + sort)
+    #    o2_trending_feed_comments in-window (same max-anchor + sort)
     "a6_sign_counts_higher_order",  # green r1-r3+r8; HOF no-shuffle
     #    shape via lineitem_unpivot_measures' stack + unit tests
-    "j11_chain_state_enrichment",  # green r2-r8; snapshot equi-join via
-    #    j1_children_join (re-entering)
+    "j11_chain_state_enrichment",  # green r2-r8; snapshot equi-join
+    #    shape via tpch_q3/q5 (in-window r10)
     "setop_union_sources",  # green r2-r8; §2.7 rep setop_intersect_except
     #    in-window
     "temporal_asof_join",  # green r4-r8 (five consecutive); temporal
-    #    reps funnel/cohort/moving/rollup all in-window
+    #    reps sessionize/funnel/cohort/moving (in-window r10)
     "dedup_cc_clusters",  # green r5-r8; iterative family via
-    #    dedup_lsh_incremental; convergence tests stay local
+    #    dedup_lsh_incremental + text_bpe_train_merges; convergence
+    #    tests stay local
     "stream_windowed_counts_batch_equivalence",  # green r5-r8;
     #    streaming rep stream_ssj_watermark_eviction kept (the stricter
     #    probe: join + watermark eviction)
     "pipeline_training_prep",  # green r5-r8; constituents in-window
-    #    (hash_split, token_budget, budget_select)
-    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q1/q4/q21
+    #    (hash_split, budget_select)
+    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q3/q5/q13/q17
+    #    (in-window r10)
     "tpch_q7_volume_shipping",  # green r6-r8; same family
     "tpch_q8_market_share",  # green r6-r8; same family
     "tpch_q14_promo_effect",  # green r6-r8; same family
@@ -210,7 +197,55 @@ _DEPRIORITIZED = [
     "tpch_q22_global_sales_opportunity",  # green r6-r8; anti-join +
     #    scalar-subquery shape also in q21 (in-window)
     "w5_scd2_history",  # green r6-r8; windowed-history family via
-    #    temporal_moving_window_agg + w3 (kept)
+    #    temporal_moving_window_agg (in-window)
+    # ------------------------------------------------------------------
+    # Rotated out in round 10 under the cadence rule: the window slots
+    # fund (a) the 3 born-in-tail r9 passage-dedup entries, (b) the
+    # ENTIRE scheduled 14-entry r5-era tranche, and (c) 3 entries born
+    # in-window this round (dedup_remove_duplicate_spans,
+    # text_bpe_train_merges, text_quality_classifier) — 20 swaps.
+    # Every rotate-out below is multiply driver-green (r9 plus earlier
+    # rounds) with its operator family still in-window, noted inline.
+    # ------------------------------------------------------------------
+    "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps
+    #    q3/q5/q13/q17 (in-window r10); scalar-agg via q17
+    "tpch_q4_order_priority",  # green r4+r9; same family
+    "dedup_exact",  # green r1-r4+r9; dedup reps dedup_lsh_incremental +
+    #    dedup_apply_keep_canonical + dedup_remove_duplicate_spans
+    #    (in-window r10)
+    "dedup_simhash",  # green r1-r4+r9; same family
+    "f1_tag_membership",  # green r1-r4+r9; F-family rep f9_missing_field
+    #    (in-window); array membership unit-tested in wherefield
+    "j1_children_join",  # green r1-r4+r9; children/agg-join shape via
+    #    tpch_q3 + tpch_q13 (in-window r10)
+    "sim_cosine_topk",  # green r1-r4+r9; sim reps sim_label_centroids +
+    #    sim_quantize_int8 (in-window r10)
+    "text_quality_features",  # green r1-r4+r9; text reps
+    #    text_repetition_stats + text_length_percentiles +
+    #    text_quality_classifier (in-window r10)
+    "x21_inverted_index_search",  # green r1-r4+r9; search rep
+    #    search_substring_trigram (in-window)
+    "x21_search_feed",  # green r1/r2+r8/r9; same search family
+    "o6_related_feed_sample",  # green r1-r3+r8/r9; O-family rep
+    #    o2_trending_feed_comments (in-window)
+    "w3_first_event_per_user",  # green r1/r2+r8/r9; window family via
+    #    temporal_moving_window_agg + events_pivot_type_counts (in-window)
+    "text_bpe_token_count",  # green r3/r4+r9; BPE family
+    #    text_bpe_pair_counts + text_bpe_train_merges (in-window r10)
+    "ann_lsh_topk",  # green r3/r4+r9; ANN rep ann_lsh_signatures
+    #    (in-window)
+    "training_token_budget",  # green r7-r9; training reps
+    #    training_budget_select + training_chunk_sliding (in-window r10)
+    "sim_truncate_renorm",  # green r7-r9; sim family as above
+    "text_lm_quality_sampled",  # green r7-r9; superset arm
+    #    text_lm_quality_score stays in-window
+    "sim_kmeans_clusters",  # green r7-r9; centroid family via
+    #    sim_label_centroids (in-window r10); iterative-loop family via
+    #    dedup_lsh_incremental + text_bpe_train_merges
+    "j4_follower_feed_did",  # green r2/r3+r8/r9; follows family via
+    #    ingest_follows_families (in-window)
+    "temporal_time_rollup",  # green r4+r9; temporal reps
+    #    temporal_sessionize/funnel/cohort/moving (in-window r10)
 ]
 
 
@@ -2656,10 +2691,24 @@ def stream_passage_counts_incremental(
         }
 
         def fold(batch_df, batch_id):
+            # Release the superseded fold's checkpoint storage once the
+            # new checkpoint has materialized (localCheckpoint is
+            # eager) — without this the fold accumulates one
+            # checkpointed counts copy PER MICRO-BATCH, the exact
+            # storage-accumulation pattern _free_local_checkpoint was
+            # built to prevent (ADVICE r9). Only checkpointed
+            # predecessors are freed: the seed frame is a plain
+            # LocalRelation.
+            from .pipelines.similarity import _free_local_checkpoint
+
+            superseded = state.get("_ckpted")
             state["counts"] = merge_passage_counts(
                 state["counts"],
                 passage_counts(batch_df, "text", words_per_passage=8),
             ).localCheckpoint()
+            state["_ckpted"] = state["counts"]
+            if superseded is not None:
+                _free_local_checkpoint(superseded)
 
         qname = f"stream_passage_counts_{uuid.uuid4().hex[:8]}"
         query = (
@@ -4568,47 +4617,60 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Repeated-passage REMOVAL (round 9): the transform counterpart of the
-# stats entry above — passages occurring >2 times corpus-wide are
-# scrubbed from every document and the remainder reassembled in order.
-# Narrow segmentation, one map-side-combining count shuffle, a
-# co-partitioned join back, one groupBy(id) reassembly; the hot-key
-# (corpus boilerplate) analysis is in the operator docstring.
+# Repeated-passage REMOVAL (round 9; round 10: byte-preserving): the
+# transform counterpart of the stats entry above — passages occurring
+# >2 times corpus-wide are scrubbed from every document and the
+# remainder reassembled in order FROM THE ORIGINAL BYTES (the oracle's
+# chr(1)-sentinel split mirrors token_pieces: kept segments slice the
+# raw text, a removed segment takes its trailing separator, and the
+# leading separator always survives — an untouched document
+# round-trips byte-identically). Narrow segmentation, one
+# map-side-combining count shuffle, a co-partitioned LEFT join back
+# (absent-from-counts = frequency 0 = kept), one groupBy(id)
+# reassembly; the hot-key analysis is in the operator docstring.
 @q(
     "dedup_remove_repeated_passages",
-    """
-    WITH t AS (
+    r"""
+    WITH b AS (
       SELECT doc_id,
+             string_split(regexp_replace(text, '([a-zA-Z0-9]+)',
+                          chr(1) || '\1' || chr(1), 'g'), chr(1)) AS pc,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
+    base AS (
+      SELECT doc_id, pc, toks,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE CAST(ceil(len(toks) / 8.0) AS BIGINT)
+             END AS nseg
+      FROM b
+    ),
     segs AS (
       SELECT doc_id, g.i AS seg_idx,
              array_to_string(
-               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
-      FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
-      WHERE len(toks) > 0
+               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage,
+             array_to_string(
+               array_slice(pc, 2 * (g.i * 8) + 2,
+                 2 * (LEAST((g.i + 1) * 8, len(toks)) - 1) + 3),
+               '') AS seg_bytes
+      FROM base, LATERAL (SELECT UNNEST(generate_series(
+                 0, nseg - 1)) AS i) g
+      WHERE nseg > 0
     ),
     c AS (SELECT passage, COUNT(*) AS cnt FROM segs GROUP BY passage),
-    kept AS (SELECT segs.* FROM segs JOIN c USING (passage)
-             WHERE c.cnt <= 2),
+    kept AS (SELECT segs.* FROM segs LEFT JOIN c USING (passage)
+             WHERE COALESCE(c.cnt, 0) <= 2),
     re AS (SELECT doc_id,
-                  string_agg(passage, ' ' ORDER BY seg_idx) AS cleaned_text,
+                  string_agg(seg_bytes, '' ORDER BY seg_idx) AS kept_bytes,
                   COUNT(*) AS n_kept
-           FROM kept GROUP BY doc_id),
-    base AS (SELECT doc_id,
-                    CASE WHEN len(toks) = 0 THEN 0
-                         ELSE CAST(ceil(len(toks) / 8.0) AS BIGINT)
-                    END AS n_segments
-             FROM t)
-    SELECT b.doc_id,
-           COALESCE(re.cleaned_text, '') AS cleaned_text,
-           CAST(b.n_segments AS BIGINT) AS n_segments,
-           CAST(b.n_segments - COALESCE(re.n_kept, 0) AS BIGINT)
+           FROM kept GROUP BY doc_id)
+    SELECT base.doc_id,
+           base.pc[1] || COALESCE(re.kept_bytes, '') AS cleaned_text,
+           CAST(base.nseg AS BIGINT) AS n_segments,
+           CAST(base.nseg - COALESCE(re.n_kept, 0) AS BIGINT)
              AS n_removed
-    FROM base b LEFT JOIN re USING (doc_id)
+    FROM base LEFT JOIN re USING (doc_id)
     """,
 )
 def dedup_remove_repeated_passages(
@@ -4619,6 +4681,110 @@ def dedup_remove_repeated_passages(
     d = tables.load(spark, sf_dir, "documents")
     return remove_repeated_passages(
         d, "text", "doc_id", words_per_passage=8, max_occurrences=2
+    )
+
+
+# Alignment-robust duplicate-SPAN removal (round 10): the corpus is
+# augmented with a 12-token disclaimer whose token OFFSET varies per
+# document (doc_id%3 pad tokens in front) — boilerplate that fixed
+# 8-token segmentation provably misses (the shifted copies land in
+# differently-aligned segments, so no segment string repeats; the
+# unit test pins that remove_repeated_passages removes 0 tokens here)
+# while stride-1 sliding windows flag every interior 8-token run of
+# it regardless of offset. Overlapping flagged windows coalesce via
+# the covered-token set, kept text is sliced from ORIGINAL bytes, and
+# only affected documents are rebuilt (anti-join fast path).
+_DISC = (
+    "this content is provided as is without warranty of any kind"
+    " whatsoever"
+)
+
+
+@q(
+    "dedup_remove_duplicate_spans",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' ' || repeat('pad ', CAST(doc_id % 3 AS INT)) ||
+               'this content is provided as is without warranty of any"""
+    r""" kind whatsoever'
+             ELSE text END AS text
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(text, '([a-zA-Z0-9]+)',
+                          chr(1) || '\1' || chr(1), 'g'), chr(1)) AS pc,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM aug
+    ),
+    w AS (
+      SELECT doc_id, g.s AS s,
+             array_to_string(array_slice(toks, g.s + 1, g.s + 8), ' ') AS k
+      FROM p, LATERAL (SELECT UNNEST(generate_series(0, len(toks) - 8))
+                       AS s) g
+      WHERE len(toks) >= 8
+    ),
+    c AS (SELECT k, COUNT(*) AS cnt FROM w GROUP BY k),
+    fl AS (SELECT w.doc_id, w.s FROM w JOIN c USING (k) WHERE c.cnt > 2),
+    cov AS (SELECT DISTINCT fl.doc_id, g.t
+            FROM fl, LATERAL (SELECT UNNEST(generate_series(s, s + 7))
+                              AS t) g),
+    affected AS (SELECT DISTINCT doc_id FROM fl),
+    tok AS (
+      SELECT p.doc_id, g.t,
+             pc[2 * g.t + 2] || pc[2 * g.t + 3] AS tok_bytes
+      FROM p JOIN affected USING (doc_id),
+           LATERAL (SELECT UNNEST(generate_series(0, len(toks) - 1))
+                    AS t) g
+      WHERE len(toks) > 0
+    ),
+    re AS (
+      SELECT tok.doc_id,
+             string_agg(tok.tok_bytes, '' ORDER BY tok.t) AS kept_bytes,
+             COUNT(*) AS n_kept
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t
+      WHERE cov.t IS NULL
+      GROUP BY tok.doc_id
+    )
+    SELECT p.doc_id,
+           CASE WHEN a.doc_id IS NULL THEN p.text
+                ELSE p.pc[1] || COALESCE(re.kept_bytes, '') END
+             AS cleaned_text,
+           CAST(len(p.toks) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN a.doc_id IS NULL THEN 0
+                     ELSE len(p.toks) - COALESCE(re.n_kept, 0) END
+                AS BIGINT) AS n_removed_tokens
+    FROM p LEFT JOIN affected a USING (doc_id)
+    LEFT JOIN re USING (doc_id)
+    """,
+)
+def dedup_remove_duplicate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.dedup import remove_duplicate_spans
+
+    d = tables.load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.repeat(
+                    F.lit("pad "), (F.col("doc_id") % 3).cast("int")
+                ),
+                F.lit(_DISC),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicate_spans(
+        aug, "text", "doc_id", window_tokens=8, stride=1, max_occurrences=2
     )
 
 
@@ -5014,6 +5180,123 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return bpe_pair_counts(d, "text", k=50)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled k-iteration BPE-training recurrence (the
+    sim_kmeans_clusters oracle pattern): v_{i+1} applies the top pair
+    of v_i via the same word-boundary-anchored regexp merge the engine
+    uses; the result is the merge table itself, so a wrong count, a
+    broken tiebreak, or a divergent merge in ANY iteration mismatches."""
+    parts = [
+        """
+    WITH v0 AS (
+      SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS ws, wf
+      FROM (SELECT w, COUNT(*) AS wf
+            FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS w
+                  FROM documents)
+            GROUP BY w)
+    )"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT s[j] AS a, s[j + 1] AS b, SUM(wf) AS c
+      FROM (SELECT string_split(ws, ' ') AS s, wf FROM v{i}),
+           LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS j) g
+      WHERE len(s) >= 2
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f""",
+    v{i + 1} AS (
+      SELECT regexp_replace(ws, '\\b' || t.a || ' ' || t.b || '\\b',
+                            t.a || t.b, 'g') AS ws, wf
+      FROM v{i}, t{i} t
+    )"""
+            )
+    selects = [
+        f"""SELECT {i} AS merge_idx, a AS pair_left, b AS pair_right,
+           a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM t{i}"""
+        for i in range(k)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+# Iterative BPE TRAINING (round 10): the k-merge loop around the
+# pair-count statistic above — top pair per iteration (count DESC,
+# pair ASC), merged into the vocabulary via a \\b-anchored
+# regexp_replace, recounted. Per-iteration data is vocab-sized; the
+# only driver transfer is the 1-row top pair (k-means discipline).
+@q("text_bpe_train_merges", _bpe_train_oracle(3))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import bpe_train_merges
+
+    d = tables.load(spark, sf_dir, "documents")
+    return bpe_train_merges(d, "text", n_merges=3)
+
+
+# Learned quality gate (round 10): fastText-style hashed-ngram linear
+# classifier applied as a BROADCAST model join — unigram+bigram
+# features hash into 4096 buckets, integer-quantized bucket weights
+# sum to an integer logit, keep = logit > 0. The weight fixture is
+# md5-derived (standing in for an exported trained model) so the whole
+# scoring path is bit-exact in both engines; the oracle inlines the
+# same weight formula instead of joining.
+@q(
+    "text_quality_classifier",
+    """
+    WITH feats AS (
+      SELECT doc_id, unnest(toks) AS g
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents)
+      UNION ALL
+      SELECT doc_id, toks[j] || '_' || toks[j + 1] AS g
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents),
+           LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 1))
+                    AS j) g2
+      WHERE len(toks) >= 2
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM feats
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST(('0x' || substr(md5('qc1:' || CAST(bucket AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 2001 - 1000) AS score
+      FROM bucketed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           COALESCE(s.score, 0) > 0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import (
+        hashed_ngram_weights,
+        quality_classifier_score,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    w = hashed_ngram_weights(spark, n_buckets=4096, seed="qc1")
+    return quality_classifier_score(
+        d, "text", "doc_id", w, n_buckets=4096, bias=0
+    )
 
 
 # Per-document TF-IDF head terms, integer-quantized raw-ratio idf

@@ -124,8 +124,20 @@ BENCH_QUERIES = [
     "setop_intersect_except",
     "lineitem_unpivot_measures",
     # round 9: passage-removal transform + cross-source overlap audit.
+    # Round 10 made removal byte-preserving AND 3.4x faster (2.30 ->
+    # ~0.7 s): the base (pieces, tokens) frame is now materialized
+    # before the per-segment expressions, blocking Catalyst's
+    # projection collapse from re-running the tokenizer regexp once
+    # per segment reference.
     "dedup_remove_repeated_passages",
     "dedup_cross_source_overlap",
+    # round 10: alignment-robust sliding-window span removal (stride-1
+    # enumeration + covered-token coalescing + affected-docs-only
+    # rebuild), the k-iteration BPE merge trainer (vocab-sized
+    # iterations), and the broadcast-model hashed-ngram quality gate.
+    "dedup_remove_duplicate_spans",
+    "text_bpe_train_merges",
+    "text_quality_classifier",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

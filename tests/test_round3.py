@@ -19,8 +19,35 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # the 16 round-8 born-in-tail entries: ZERO driver signal until
-    # now — the r9 rotation's first-priority tranche (VERDICT r8 #1)
+    # the 3 round-9 born-in-tail passage entries: ZERO driver signal
+    # until now — the r10 rotation's first-priority tranche
+    # (VERDICT r9 #1)
+    "dedup_remove_repeated_passages",
+    "dedup_cross_source_overlap",
+    "stream_passage_counts_incremental",
+    # entries born in-window in r10 (no driver signal yet)
+    "dedup_remove_duplicate_spans",
+    "text_bpe_train_merges",
+    "text_quality_classifier",
+    # the named r5-era staleness tranche re-entering at the ~4-round
+    # bound (VERDICT r9 item 1 / the r10 tranche pre-named in r9's
+    # _DEPRIORITIZED ledger)
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_custdist",
+    "tpch_q17_small_quantity",
+    "temporal_sessionize",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_hashtag_url_extract",
+    "sim_label_centroids",
+    "dedup_apply_keep_canonical",
+    "pipeline_domain_mix",
+    "training_chunk_sliding",
+    "text_length_percentiles",
+    "sim_quantize_int8",
+    # single-green r9 entries (born-in-tail r8, first signal r9): one
+    # driver row is not yet "multiply green", so they hold their slot
     "tpch_q21_waiting_supplier_shape",
     "multimodal_png_probe",
     "text_language_consistency",
@@ -37,42 +64,8 @@ MUST_BE_IN_WINDOW = [
     "dedup_lsh_incremental",
     "setop_intersect_except",
     "lineitem_unpivot_measures",
-    # single-green r8 entries: one driver row is not yet "multiply
-    # green", so they hold their slot another round (the two ingest
-    # entries ALSO re-earn: their families changed in r9 — community
-    # title/about restricted to updateProps, spk follow target from
-    # did only)
-    "community_updateprops_merge",
-    "ingest_follows_families",
-    "dedup_shared_passages",
-    # changed-in-r8 re-earners holding for a second green
-    "offchain_id_refresh",
-    "dedup_semantic_flags",
-    "text_lm_quality_sampled",
-    "sim_kmeans_clusters",
-    # single-green r7/r8 entries
-    "text_lm_quality_score",
-    "training_hash_split",
-    "sim_truncate_renorm",
-    "training_token_budget",
-    # r4-era staleness tranche re-entering at the ~4-round bound
-    "f1_tag_membership",
-    "j1_children_join",
-    "dedup_exact",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "text_quality_features",
-    "tpch_q1_pricing_summary",
-    "o2_trending_feed_comments",
-    "o6_related_feed_sample",
-    "f9_missing_field",
-    "x21_inverted_index_search",
-    "tpch_q4_order_priority",
-    "text_bpe_token_count",
-    "ann_lsh_topk",
-    "temporal_time_rollup",
-    # streaming has exactly one in-window rep left after the r9
-    # swap-outs — the strictly hardest probe stays
+    # streaming reps: the hardest probe plus the newly-entering
+    # incremental fold
     "stream_ssj_watermark_eviction",
 ]
 

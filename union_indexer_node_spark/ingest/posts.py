@@ -96,6 +96,28 @@ def _intra_tx_enrichments(ops: DataFrame) -> tuple[DataFrame, DataFrame]:
     return benef, auth
 
 
+def apply_first_upload(posts: DataFrame) -> DataFrame:
+    """W3 — first_upload: flag the author's earliest 3SPEAK post (one
+    per-author window; order = (created_at, block_height, permlink), a
+    total tiebreak). Shared by the batch build AND the streaming
+    merge's dirty-author recompute (the flag is a PER-AUTHOR global,
+    so an incremental ingest must re-derive it over the author's full
+    history, never inherit a batch-local value — T6's dirty-flag
+    recompute with the author as the dirty key).
+
+    Caller contract: ``posts`` must contain EVERY post of every author
+    present in it (a partial author slice recomputes a wrong flag)."""
+    is_3speak = F.col("post_type") == "3speak"
+    order_struct = F.struct("created_at", "block_height", "permlink")
+    first_3speak = F.min(F.when(is_3speak, order_struct)).over(
+        Window.partitionBy("author")
+    )
+    return posts.withColumn(
+        "first_upload",
+        F.coalesce(is_3speak & (order_struct == first_3speak), F.lit(False)),
+    )
+
+
 def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     """ops: FIXTURES.md raw_ops schema (comment + vote rows used)."""
     benef, auth = _intra_tx_enrichments(ops)
@@ -183,15 +205,7 @@ def build_posts(ops: DataFrame, *, max_reply_depth: int = 16) -> DataFrame:
     # as a first upload. This engine implements the evident intent
     # (one flag per author, earliest post); replicating the bug would
     # make the F8 firstUpload filter a no-op.
-    is_3speak = F.col("post_type") == "3speak"
-    order_struct = F.struct("created_at", "block_height", "permlink")
-    first_3speak = F.min(F.when(is_3speak, order_struct)).over(
-        Window.partitionBy("author")
-    )
-    posts = posts.withColumn(
-        "first_upload",
-        F.coalesce(is_3speak & (order_struct == first_3speak), F.lit(False)),
-    )
+    posts = apply_first_upload(posts)
 
     # J9 — parent allowlist fixpoint (hive-stream.ts:513-527).
     allowed_by_type = F.col("post_type").isin(ALLOWED_APPS)
@@ -324,7 +338,9 @@ def apply_bridge_id_flags(posts: DataFrame, ops: DataFrame) -> DataFrame:
     )
 
 
-def build_follows(ops: DataFrame) -> DataFrame:
+def build_follows(
+    ops: DataFrame, *, keep_tombstones: bool = False
+) -> DataFrame:
     """follows pipeline (hive-stream.ts:282-397): the THREE custom_json
     families the reference routes into followsDb —
 
@@ -352,7 +368,16 @@ def build_follows(ops: DataFrame) -> DataFrame:
     Last op per EDGE KEY wins (LWW on the op order); unfollow is a
     tombstone (S8). Keys keep the reference's per-family namespaces, so
     a hive follow and a spk follow of the same pair stay two edges —
-    exactly as two Mongo docs."""
+    exactly as two Mongo docs.
+
+    ``keep_tombstones=True`` returns the per-key LWW winner INCLUDING
+    unfollow tombstones and the (block_height, tx_idx, op_idx) order
+    columns — the incremental-state shape: a cross-batch merge
+    (streaming/stream.py::start_follows_stream) must retain the
+    tombstone so an edge deleted in batch N is not resurrected by its
+    own older follow re-arriving in batch N+1. The default (False) is
+    the serving view: tombstone winners dropped, order columns
+    projected away."""
     fo = ops.filter(
         F.col("op_type").isin("custom_json")
         & F.col("custom_json_id").isin(
@@ -460,8 +485,11 @@ def build_follows(ops: DataFrame) -> DataFrame:
         F.col("following").isNotNull()
     )
     w = Window.partitionBy("_id").orderBy(*[c.desc() for c in _order()])
-    return (
-        edges.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & ~F.col("is_unfollow"))
-        .select("_id", "follower", "following", "what", "followed_at")
+    latest = edges.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    if keep_tombstones:
+        return latest.drop("_rn")
+    return latest.filter(~F.col("is_unfollow")).select(
+        "_id", "follower", "following", "what", "followed_at"
     )

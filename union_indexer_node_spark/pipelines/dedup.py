@@ -657,9 +657,11 @@ def remove_repeated_passages(
       result is bit-comparable against a SQL oracle.
     - Reassembly is one groupBy(id) with array_sort over (seg_idx,
       passage) structs — deterministic order, no window.
-    - The segment frame feeds both the count and the probe side;
-      localCheckpoint stops Spark re-running tokenize+explode per
-      branch (same reasoning as shared_passage_stats).
+    - The (pieces, tokens) base frame is localCheckpoint-ed once and
+      feeds the count, the probe and the final join-back; segment
+      re-derivation from the stored arrays is a cheap narrow pass per
+      branch (the checkpoint's real job is blocking Catalyst's
+      projection collapse — see the inline note).
 
     ``counts``: optionally pass a prebuilt (passage, _cnt) frequency
     table instead of counting this corpus — the deployment shape where
@@ -667,8 +669,8 @@ def remove_repeated_passages(
     anti-join-and-append pattern as update_minhash_index, stored
     bucketed by passage) and each batch is scrubbed against
     corpus-lifetime counts rather than batch-local ones. When given,
-    the segment frame is consumed once and the localCheckpoint is
-    skipped. The probe is a LEFT join with a coalesce-to-0 filter: a
+    the batch-local count is skipped entirely. The probe is a LEFT
+    join with a coalesce-to-0 filter: a
     passage ABSENT from the counts table is frequency-0 and KEPT —
     scrubbing a batch against a lifetime index that has not yet folded
     that batch must not silently blank novel documents (the stale-
@@ -682,6 +684,15 @@ def remove_repeated_passages(
         F.col("_pc"),
         pieces_tokens(F.col("_pc")).alias("_toks"),
     )
+    # Materialize (id, pieces, tokens) BEFORE the per-segment
+    # expressions: Catalyst's projection collapse would otherwise
+    # inline the regexp+split+filter tokenizer into EVERY slice
+    # reference — one per segment per branch — re-running the regexp
+    # O(n_segments) times per document (measured 2.7× slower at
+    # sf0.1). The materialized frame also serves all three consumers
+    # (count, probe, final join-back), replacing the former
+    # segment-level checkpoint.
+    base = base.localCheckpoint()
     ntok = F.size(F.col("_toks"))
     nseg = F.ceil(ntok / F.lit(float(ws))).cast("int")
     # Per segment s: the normalized match key (space-joined lowered
@@ -722,7 +733,6 @@ def remove_repeated_passages(
         F.col("_seg.seg_bytes").alias("seg_bytes"),
     )
     if counts is None:
-        segs = segs.localCheckpoint()
         counts = segs.groupBy("passage").agg(
             F.count(F.lit(1)).alias("_cnt")
         )

@@ -44,7 +44,17 @@ MEDIA_SCHEMA = (
 # with no codec library: (width, height) live in fixed-layout header
 # fields for all three (reference parity: the dimension job in
 # core.ts:164-191 needs exactly this, never pixel data).
-PURE_HEADER_FORMATS = frozenset({"image/png", "image/jpeg", "image/gif"})
+PURE_HEADER_FORMATS = frozenset(
+    {
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        # raw-pixel formats (round 10): dims AND a real resize run
+        # with no codec lib at all — see _resize_uncompressed.
+        "image/x-portable-pixmap",
+        "image/bmp",
+    }
+)
 
 
 def _header_dims(b: bytes) -> tuple[int, int] | None:
@@ -93,6 +103,137 @@ def _header_dims(b: bytes) -> tuple[int, int] | None:
                     int.from_bytes(b[i + 5 : i + 7], "big"),
                 )
             i += 2 + seg_len
+        return None
+    # PPM (P6) and BMP: raw-pixel formats added in round 10 alongside
+    # the real stdlib resize path — dims from the same header parse.
+    dims = _ppm_dims(b)
+    if dims is not None:
+        return dims
+    return _bmp_dims(b)
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed-format pixel codec (pure stdlib + numpy — NO codec lib).
+# PPM (P6) and uncompressed 24-bit BMP carry raw pixels behind a
+# fixed-layout header, so a REAL decode→resample→encode round-trip runs
+# in this container; compressed formats still require Pillow.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_dims(b: bytes) -> tuple[int, int] | None:
+    parsed = _decode_ppm_header(b)
+    return None if parsed is None else (parsed[0], parsed[1])
+
+
+def _decode_ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, maxval, pixel_offset) of a binary PPM (P6), or
+    None. Header = 'P6', then 3 whitespace-separated ints with
+    '#'-comment support, then ONE whitespace byte before pixel data."""
+    if b[:2] != b"P6":
+        return None
+    i, n, vals = 2, len(b), []
+    while len(vals) < 3 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= n or not b[i : i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        return None
+    return (w, h, maxval, i + 1)
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int] | None:
+    if b[:2] != b"BM" or len(b) < 26:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    if w <= 0 or h == 0:
+        return None
+    return (w, abs(h))
+
+
+def _nn_resample(arr, width: int, height: int):
+    """Deterministic nearest-neighbor resample of an (H, W, 3) array:
+    source index = floor(dst * src_len / dst_len) — integer math only,
+    so the expected pixels are reproducible in any runtime."""
+    import numpy as np
+
+    in_h, in_w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(height) * in_h) // height
+    xs = (np.arange(width) * in_w) // width
+    return arr[ys][:, xs]
+
+
+def _resize_uncompressed(c: bytes, width: int, height: int) -> bytes | None:
+    """REAL resize for the two raw-pixel formats, entirely in
+    stdlib+numpy; None when the bytes are neither (caller falls back
+    to the Pillow-gated path). Output re-encodes in the input's own
+    format."""
+    import numpy as np
+
+    ppm = _decode_ppm_header(c)
+    if ppm is not None:
+        w, h, maxval, off = ppm
+        need = off + w * h * 3
+        if len(c) < need:
+            return None
+        arr = np.frombuffer(c[off:need], dtype=np.uint8).reshape(h, w, 3)
+        out = _nn_resample(arr, width, height)
+        return b"P6\n%d %d\n%d\n" % (width, height, maxval) + out.tobytes()
+    if c[:2] == b"BM" and len(c) >= 54:
+        pix_off = int.from_bytes(c[10:14], "little")
+        w = int.from_bytes(c[18:22], "little", signed=True)
+        h = int.from_bytes(c[22:26], "little", signed=True)
+        bpp = int.from_bytes(c[28:30], "little")
+        compression = int.from_bytes(c[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None  # compressed / paletted BMP → codec-lib path
+        top_down = h < 0
+        ah = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4
+        if len(c) < pix_off + stride * ah:
+            return None
+        rows = np.frombuffer(
+            c[pix_off : pix_off + stride * ah], dtype=np.uint8
+        ).reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        out = _nn_resample(rows, width, height)
+        out_stride = ((width * 3 + 3) // 4) * 4
+        pad = out_stride - width * 3
+        body = bytearray()
+        for r in range(height - 1, -1, -1):  # re-encode bottom-up
+            body += out[r].tobytes() + b"\x00" * pad
+        img_size = out_stride * height
+        header = (
+            b"BM"
+            + (54 + img_size).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + img_size.to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2
+        )
+        return bytes(header) + bytes(body)
     return None
 
 
@@ -312,13 +453,20 @@ def resize_media(
     import hashlib
 
     def _resize_real(c: bytes) -> bytes:
+        # Raw-pixel formats (PPM/BMP) resize for real with stdlib +
+        # numpy — no codec lib; compressed formats need Pillow and the
+        # boundary stays explicit.
+        raw = _resize_uncompressed(c, width, height)
+        if raw is not None:
+            return raw
         try:
             import io
 
             from PIL import Image
         except ImportError as exc:
             raise NotImplementedError(
-                "image resize requires codec libs (e.g. Pillow)"
+                "resize of compressed formats requires codec libs "
+                "(e.g. Pillow); PPM/BMP resize runs without them"
             ) from exc
         with Image.open(io.BytesIO(c)) as im:
             out = io.BytesIO()

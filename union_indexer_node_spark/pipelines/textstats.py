@@ -500,19 +500,35 @@ def quality_classifier_score(
     back — no silent row loss on the gate's own input.
 
     Returns (id, score, keep)."""
-    toks = tokens(F.col(text_col))
+    # The tokenizer must be evaluated ONCE per row. Naively writing
+    # `concat(toks, transform(..., element_at(toks, j)...))` re-inlines
+    # the regexp+split+filter expression at EVERY reference — including
+    # once per bigram element via the lambda — an O(n_tokens) tokenizer
+    # blowup inside the Generate (measured 9–11 s vs ~1 s at sf0.1,
+    # the same projection-collapse hazard remove_repeated_passages
+    # documents). Binding the array through a 1-element transform makes
+    # every inner reference a lambda-variable lookup instead.
     # sequence(1, 0) is DESCENDING (the bpe_pair_counts guard), so
     # sub-2-token docs get an explicit empty bigram array.
-    bigrams = F.when(
-        F.size(toks) >= 2,
+    feats = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda j: F.concat(
-                F.element_at(toks, j), F.lit("_"), F.element_at(toks, j + 1)
+            F.array(tokens(F.col(text_col))),
+            lambda t: F.concat(
+                t,
+                F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda j: F.concat(
+                            F.element_at(t, j),
+                            F.lit("_"),
+                            F.element_at(t, j + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+        )
+    )
     exploded = df.select(
         F.col(id_col), F.explode(feats).alias("g")
     ).select(

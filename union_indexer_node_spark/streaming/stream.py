@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ingest.posts import build_posts
+from ..ingest.posts import apply_first_upload, build_posts
 from ..sources.sinks import upsert, write_snapshot
 
 
@@ -85,9 +85,16 @@ def start_posts_stream(
     """
 
     def _touched_dates(current: DataFrame, new_posts: DataFrame) -> list:
-        keys = new_posts.select("author", "permlink").distinct()
+        # AUTHOR-scoped (round 10): first_upload (W3) is a per-author
+        # window, so the merge must read every existing row of every
+        # author the batch touches — key-scoped reads would freeze a
+        # batch-local flag into the snapshot and the streamed silver
+        # would drift from the batch rebuild. The rewrite stays
+        # partition-bounded; the bound is now "partitions holding
+        # touched authors' posts" instead of "touched keys' posts".
+        authors = new_posts.select("author").distinct()
         old_dates = (
-            current.join(F.broadcast(keys), ["author", "permlink"], "left_semi")
+            current.join(F.broadcast(authors), ["author"], "left_semi")
             .select("created_date")
             .distinct()
         )
@@ -165,6 +172,18 @@ def start_posts_stream(
         merged = _merge_with_timestamps(
             current.filter(F.col("created_date").isin(touched)), new_posts
         )
+        # Dirty-author first_upload recompute (T6): rows of authors in
+        # this batch re-derive W3 over their FULL history (the
+        # author-scoped read above guarantees it is all present);
+        # bystander rows that merely share a touched partition keep
+        # their stored flag — their history may span partitions this
+        # batch did not read.
+        batch_authors = new_posts.select("author").distinct()
+        dirty = merged.join(F.broadcast(batch_authors), "author", "left_semi")
+        bystanders = merged.join(
+            F.broadcast(batch_authors), "author", "left_anti"
+        )
+        merged = apply_first_upload(dirty).unionByName(bystanders)
         # localCheckpoint materializes the (touched-partitions-only)
         # merge result so the write plan no longer reads state_dir —
         # Spark refuses to overwrite a path it is also reading from.
@@ -190,4 +209,83 @@ def start_posts_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def start_follows_stream(
+    spark: SparkSession,
+    ops_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_buckets: int = 64,
+):
+    """Incremental follows silver (S8 dispatch, streamed): each
+    micro-batch runs the full build_follows dispatch on its own ops
+    and LWW-merges the per-edge-key winners into the snapshot WITH
+    unfollow tombstones retained — a tombstone must outlive the batch
+    that produced it, or an edge's own older follow re-arriving in a
+    later batch would resurrect it. Read the serving table via
+    ``follows_view``.
+
+    The snapshot is hash-bucketed on the edge key and a micro-batch
+    rewrites ONLY the buckets it touches (dynamic partition overwrite)
+    — the follows analog of the posts stream's date-bounded rewrite:
+    write cost tracks touched buckets, not table size. The bucket
+    count is a state-layout constant (changing it means a one-off
+    snapshot rewrite), sized so one bucket ≈ one comfortable task."""
+    from ..ingest.posts import build_follows
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        new_edges = build_follows(
+            batch_df, keep_tombstones=True
+        ).withColumn(
+            "_bucket",
+            F.pmod(F.crc32(F.col("_id")), F.lit(n_buckets)).cast("int"),
+        )
+        current = None
+        if os.path.exists(state_dir):
+            try:
+                current = sp.read.parquet(state_dir)
+            except Exception:
+                current = None
+        if current is None:
+            write_snapshot(new_edges, state_dir, partition_by=["_bucket"])
+            return
+        touched = [
+            r[0] for r in new_edges.select("_bucket").distinct().collect()
+        ]
+        merged = upsert(
+            current.filter(F.col("_bucket").isin(touched)),
+            new_edges,
+            ["_id"],
+            [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")],
+        )
+        # Materialize before overwrite: the write plan must not read
+        # state_dir while replacing it (same reasoning as the posts
+        # stream's localCheckpoint).
+        merged = merged.localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(state_dir)
+        )
+
+    return (
+        ops_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def follows_view(snapshot: DataFrame) -> DataFrame:
+    """Serving projection of the streamed follows state: live edges
+    only (tombstone winners dropped), batch-`build_follows` columns."""
+    return snapshot.filter(~F.col("is_unfollow")).select(
+        "_id", "follower", "following", "what", "followed_at"
     )

@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "dedup_remove_duplicate_spans",
     "text_bpe_train_merges",
     "text_quality_classifier",
+    # round 10 second batch: the BPE encode arm (train 3 merges, then
+    # price the corpus in post-merge symbols via the vocab join).
+    "text_bpe_encode",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -806,3 +806,183 @@ def test_serving_root_fields_over_streamed_output_sf01(
     assert d["trendingFeed"]["items"]
     assert d["socialPost"]["author"] == anchor.author
     assert d["follows"]["followers_count"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode: the apply half of the tokenizer loop
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_prices_documents_in_merged_symbols(spark):
+    """Train on 'low'x5 + 'lower'x2 (merges l+o, lo+w, e+r), then
+    encode: 'low' costs 1 symbol ('low' fully merged after 2 merges),
+    'lower' costs 3 ('low','e','r' -> 'low','er' after merge 3 = 2).
+    Hand-check: low -> [low] = 1; lower -> [low, er] = 2."""
+    from union_indexer_node_spark.pipelines.textstats import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)), (2, "low"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_train_merges(docs, "text", n_merges=3)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "r")]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, "text", "doc_id", merges).collect()
+    }
+    assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (7, 5 * 1 + 2 * 2)
+    assert (out[2]["n_words"], out[2]["n_bpe_tokens"]) == (1, 1)
+    assert (out[3]["n_words"], out[3]["n_bpe_tokens"]) == (0, 0)  # no row loss
+
+
+# ---------------------------------------------------------------------------
+# Property: byte-exact identity under an unreachable threshold, for
+# BOTH passage removers, over adversarial text (unicode, punctuation
+# runs, control chars except the \x01 sentinel, emptiness).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_characters="\x01", max_codepoint=0x2FF
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_texts)
+def test_passage_removers_identity_property(spark, texts):
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_duplicate_spans,
+        remove_repeated_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    kw = dict(max_occurrences=10**9)
+    fixed = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_repeated_passages(
+            docs, "text", "doc_id", words_per_passage=3, **kw
+        ).collect()
+    }
+    sliding = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window_tokens=3, stride=1, **kw
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert fixed[i] == t, ("fixed", i, repr(fixed[i]), repr(t))
+        assert sliding[i] == t, ("sliding", i, repr(sliding[i]), repr(t))
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch: mergeability + estimator sanity
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) row-for-row
+    — the property that lets per-slice sketches fold without rescans."""
+    from union_indexer_node_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        merge_kmv,
+    )
+
+    rows = [("g", i) for i in range(500)] + [("h", i % 21) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    half_a = df.filter(F.col("key") % 2 == 0)
+    half_b = df.filter(F.col("key") % 2 == 1)
+    k = 32
+    merged = merge_kmv(
+        kmv_sketch(half_a, ["grp"], "key", k=k),
+        kmv_sketch(half_b, ["grp"], "key", k=k),
+        ["grp"],
+        k=k,
+    )
+    direct = kmv_sketch(df, ["grp"], "key", k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = {
+        r["grp"]: r for r in kmv_estimate(merged, ["grp"], k=k).collect()
+    }
+    # group h has 21 < k=32 distinct keys -> sketch IS the exact count
+    assert est["h"]["n_distinct_est"] == 21
+    # group g has 500 distinct -> estimator within ~4 std errors
+    # (1/sqrt(k-2) ~ 18%)
+    assert 250 <= est["g"]["n_distinct_est"] <= 1000
+
+
+def test_kmv_estimate_accuracy_at_sf001(spark, sf_dir):
+    """Against the true distinct count on real tables the estimator
+    must land within the theoretical band (loose 4-sigma gate)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.sketches import kmv_distinct
+
+    e = tables.load(spark, sf_dir, "events")
+    true = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in kmv_distinct(e, ["event_type"], "user_id", k=64).collect()
+    }
+    assert set(est) == set(true)
+    for t, n in true.items():
+        if n < 64:
+            assert est[t] == n, (t, est[t], n)  # under-full = exact
+        else:
+            assert 0.5 * n <= est[t] <= 2.0 * n, (t, est[t], n)
+
+
+# ---------------------------------------------------------------------------
+# hash-ring negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sample_ring_invariants(spark):
+    """Every doc gets 1..k negatives, never itself, never a duplicate;
+    a ring smaller than k yields exactly the other members."""
+    from collections import defaultdict
+
+    from union_indexer_node_spark.pipelines.training import (
+        negative_sample_ring,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    per = defaultdict(list)
+    for r in negative_sample_ring(df, "doc_id", k=3, n_buckets=4).collect():
+        per[r["doc_id"]].append(r["neg_id"])
+    assert len(per) == 50  # no silent doc loss
+    for d, ids in per.items():
+        assert d not in ids, (d, ids)
+        assert len(set(ids)) == len(ids), (d, ids)
+        assert 1 <= len(ids) <= 3
+    tiny = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    per2 = defaultdict(set)
+    for r in negative_sample_ring(tiny, "doc_id", k=5, n_buckets=1).collect():
+        per2[r["doc_id"]].add(r["neg_id"])
+    for d in per2:
+        assert per2[d] == {x for x in range(3) if x != d}, per2

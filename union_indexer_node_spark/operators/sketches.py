@@ -1,0 +1,114 @@
+"""Cross-engine-exact cardinality sketching: K-Minimum-Values (KMV).
+
+The reference serves a handful of distinct-count surfaces (tag and
+author distincts under A2/A3) and Spark's own approx_count_distinct
+covers the HLL++ use case — but an HLL sketch can never be
+oracle-checked (engine sketch encodings differ), which is why the
+registry's `a_approx_distinct_users` entry is a permanent rows-only
+check. KMV is the classic alternative from the same family (Bar-Yossef
+et al., "Counting distinct elements in a data stream"): keep the k
+smallest values of a uniform hash of the keys; estimate cardinality as
+(k-1)/u_k where u_k is the k-th smallest hash normalized to (0, 1].
+With an md5-derived hash and integer arithmetic, every engine computes
+the IDENTICAL sketch and estimate — an approximate-distinct operator
+with an exact oracle.
+
+Scale shape:
+- The input collapses to DISTINCT (group, hash) first — map-side
+  partial distinct, shuffle bytes ∝ distinct keys, never rows.
+- k-smallest selection is a per-group rank truncated at k: at most k
+  rows survive per group, so sketch state is k longs per group —
+  bounded regardless of group cardinality.
+- Sketches are MERGEABLE: union two groups' surviving hash sets and
+  re-rank (merge_kmv) — per-slice/per-day sketches combine without
+  rescanning, the property that makes sketching worth it at 100 TB.
+- Accuracy ~ 1/sqrt(k-2): k=256 ≈ 6% standard error.
+
+Hash: the first 12 hex chars of md5 → uniform on [0, 2^48). 48 bits
+keeps (k-1)·2^48 inside BIGINT for the integer-division estimator
+(bit-identical in Spark's `div` and DuckDB's `//`); collision odds at
+a billion distinct keys are ~2^60/2^49 ≈ negligible for an estimator
+whose own error is percents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_BITS = 48
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform 48-bit hash of any key column, identical in any engine
+    that has md5 (DuckDB oracle: CAST(('0x' || substr(md5(x), 1, 12))
+    AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key_col: str, *, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketch rows: the (at most k) smallest key hashes,
+    ranked. This IS the sketch state — persist it per slice and fold
+    with merge_kmv."""
+    hashes = (
+        df.select(*group_cols, kmv_hash(F.col(key_col)).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+    )
+
+
+def merge_kmv(a: DataFrame, b: DataFrame, group_cols: list[str], *, k: int = 256) -> DataFrame:
+    """Fold two sketch-state frames: union the surviving hashes,
+    re-dedup, re-rank, truncate at k. Associative and commutative —
+    per-slice sketches combine in any order to the sketch of the
+    union (pinned by the unit test)."""
+    u = (
+        a.select(*group_cols, "_h")
+        .unionByName(b.select(*group_cols, "_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        u.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], *, k: int = 256
+) -> DataFrame:
+    """(group, n_distinct_est, kth_hash, sketch_size) from sketch
+    state. Under-full sketches (fewer than k distinct keys) ARE the
+    exact distinct count; full sketches estimate (k-1)·2^48 div u_k —
+    integer division end-to-end so the oracle matches bit-for-bit."""
+    per = sketch.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("kth_hash"),
+        F.count(F.lit(1)).alias("sketch_size"),
+    )
+    numer = (k - 1) * _HASH_SPACE
+    return per.select(
+        *group_cols,
+        F.when(F.col("sketch_size") < k, F.col("sketch_size"))
+        .otherwise(F.expr(f"{numer}L div kth_hash"))
+        .cast("long")
+        .alias("n_distinct_est"),
+        F.coalesce("kth_hash", F.lit(0)).cast("long").alias("kth_hash"),
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, *, k: int = 256
+) -> DataFrame:
+    """One-shot sketch + estimate (the common call)."""
+    return kmv_estimate(
+        kmv_sketch(df, group_cols, key_col, k=k), group_cols, k=k
+    )

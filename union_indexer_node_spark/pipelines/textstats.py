@@ -645,6 +645,70 @@ def bpe_train_merges(df: DataFrame, text_col: str, *, n_merges: int = 3) -> Data
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned BPE merge table — the ENCODE half of the
+    tokenizer loop ``bpe_train_merges`` trains. Each merge (a, b) is
+    one word-boundary-anchored regexp pass over the DISTINCT-WORD
+    vocabulary's symbol strings (identical greedy left-to-right
+    semantics as training); per-document token counts then come from a
+    (word → symbol-count) join, never by re-encoding every word
+    occurrence.
+
+    Returns (id, n_words, n_bpe_tokens): whitespace-word count and the
+    post-merge BPE symbol count per document (the length a tokenizer
+    with this merge table would produce — the budget/packing input for
+    training prep when the real tokenizer is BPE rather than the
+    regex approximation of token_count).
+
+    Scale shape: ONE corpus token explode compacted immediately to
+    per-(doc, word) counts (map-side partial agg); the k merge passes
+    run over |vocab| rows (~Heaps-law sublinear); the encode join is
+    word-keyed — broadcastable when the trained vocab is model-sized,
+    shuffle-on-word otherwise (skew-free: no word dominates a distinct
+    vocab). ``merges`` is the k-row trained table — driver-side by
+    construction (the trainer's bounded collect)."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    occ = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_c"))
+    ws = F.concat_ws(" ", F.regexp_extract_all("w", F.lit("."), 0))
+    enc = words.select("w").distinct().select(F.col("w"), ws.alias("_ws"))
+    for a, b in merges:
+        enc = enc.select(
+            "w",
+            F.regexp_replace(
+                "_ws", f"\\b{a} {b}\\b", a + b
+            ).alias("_ws"),
+        )
+    enc = enc.select(
+        "w", F.size(F.split("_ws", " ")).alias("_n_syms")
+    )
+    per_doc = (
+        occ.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_n_syms")).alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str,

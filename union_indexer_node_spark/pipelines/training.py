@@ -645,3 +645,104 @@ def budget_select(
             ).alias("selected"),
         )
     )
+
+
+def negative_sample_ring(
+    df: DataFrame, id_col: str, *, k: int = 4, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: every row gets ``k`` pseudo-random negatives drawn from
+    the corpus itself, reproducibly, with no cross join and no
+    corpus-sized driver state.
+
+    Construction: rows are hashed onto ``n_buckets`` rings (md5 bucket
+    — balanced by construction, so no ring is skewed); within a ring,
+    rows are ordered by a second md5 draw and each row's negatives are
+    the next ``k`` ring members, wrapping around at the end. Hash
+    placement means ring neighbors are an unbiased pseudo-random draw
+    (the md5-draw family contract: identical rows fall out of any
+    engine, any run), while LEAD over the ring keeps the whole thing
+    O(n) — the naive "k random others per row" is a cross join.
+
+    Scale shape: one shuffle onto the ring key (bucket), per-bucket
+    window sort (buckets are corpus/n_buckets sized — tune n_buckets
+    so one ring sorts in memory), k LEADs, and a groupBy(bucket)
+    collecting only the k ring-head rows (bounded) to close the
+    wrap-around. Rings with m <= k rows emit each other member exactly
+    once (m-1 negatives, no self-pairs, no duplicates).
+
+    Returns (id, neg_id, neg_rank) with neg_rank in [1, min(k, m-1)].
+    """
+    from pyspark.sql import Window
+
+    pos_key = md5_hex(F.col(id_col))
+    ringed = df.select(
+        F.col(id_col),
+        md5_bucket(F.col(id_col), n_buckets).alias("_ring"),
+        pos_key.alias("_pos"),
+    )
+    w = Window.partitionBy("_ring").orderBy("_pos")
+    with_leads = ringed.select(
+        F.col(id_col),
+        "_ring",
+        "_pos",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("_ring")
+        ).alias("_m"),
+        *[
+            F.lead(F.col(id_col), j).over(w).alias(f"_lead{j}")
+            for j in range(1, k + 1)
+        ],
+    )
+    # ring heads: the first k rows per ring, as an ordered array —
+    # bounded at k rows per ring before the collect.
+    heads = (
+        ringed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("_ring")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", F.col(id_col).alias("_i")))
+                ),
+                lambda x: x["_i"],
+            ).alias("_heads")
+        )
+    )
+    joined = with_leads.join(heads, "_ring")
+    negs = joined.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k)),
+                    lambda j: F.struct(
+                        j.alias("neg_rank"),
+                        F.when(j <= F.col("_m") - 1,
+                            F.coalesce(
+                                F.element_at(
+                                    F.array(
+                                        *[F.col(f"_lead{i}") for i in range(1, k + 1)]
+                                    ),
+                                    j,
+                                ),
+                                F.element_at(
+                                    F.col("_heads"),
+                                    (
+                                        F.col("_rn") + j - F.col("_m")
+                                    ).cast("int"),
+                                ),
+                            )
+                        ).alias("neg_id"),
+                    ),
+                ),
+                lambda s: s["neg_id"].isNotNull(),
+            )
+        ).alias("_n"),
+    )
+    return negs.select(
+        F.col(id_col),
+        F.col("_n.neg_id").alias("neg_id"),
+        F.col("_n.neg_rank").cast("int").alias("neg_rank"),
+    )

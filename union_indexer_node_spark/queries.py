@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 133 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 136 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -72,14 +72,26 @@ _DEPRIORITIZED = [
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
     # ------------------------------------------------------------------
+    # BORN IN TAIL (r10): the BPE encode arm, added after the r10
+    # window was finalized at 50. Enters with the r11 tranche below.
+    # Locally oracle-tested like every tail entry; the trainer arm
+    # text_bpe_train_merges is in-window r10.
+    # ------------------------------------------------------------------
+    "text_bpe_encode",  # BORN IN TAIL (r10); r11 tranche
+    "a_approx_distinct_kmv",  # BORN IN TAIL (r10); r11 tranche — the
+    #    oracle-exact KMV sibling of the permanent-tail HLL entry
+    "training_negative_sample",  # BORN IN TAIL (r10); r11 tranche —
+    #    hash-ring contrastive negatives
+    # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
     # green r6, i.e. they hit the ~4-round bound at r11 exactly (the
     # same overflow-ledger mechanism that executed on schedule in r9
-    # and r10). Rotate ALL of them in next round, funded by r10-window
-    # entries that will then be multiply-green (the 17 r10 re-entries
-    # are the natural swap-outs). Listing them BY NAME keeps the
-    # backlog mechanically bounded.
+    # and r10). Rotate ALL of them in next round — plus the r10
+    # born-in-tail entry above — funded by r10-window entries that
+    # will then be multiply-green (the 17 r10 re-entries are the
+    # natural swap-outs). Listing them BY NAME keeps the backlog
+    # mechanically bounded.
     # ------------------------------------------------------------------
     "x18_hex_to_long",  # r11 tranche; green r1/r2+r6; explode path via setops
     "a3_distinct_authors",  # r11 tranche; green r3+r6; distinct shape via
@@ -1621,6 +1633,98 @@ def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# Hash-ring negative sampling (round 10): k deterministic pseudo-
+# random negatives per document for contrastive training — md5 bucket
+# rings + per-ring LEAD with wrap-around via the bounded ring-head
+# array. O(n), no cross join, reproducible in any engine.
+@q(
+    "training_negative_sample",
+    """
+    WITH ringed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS ring,
+             md5(CAST(doc_id AS VARCHAR)) AS pos
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, ring, pos,
+             ROW_NUMBER() OVER (PARTITION BY ring ORDER BY pos) AS rn,
+             COUNT(*) OVER (PARTITION BY ring) AS m,
+             LEAD(doc_id, 1) OVER (PARTITION BY ring ORDER BY pos) AS l1,
+             LEAD(doc_id, 2) OVER (PARTITION BY ring ORDER BY pos) AS l2,
+             LEAD(doc_id, 3) OVER (PARTITION BY ring ORDER BY pos) AS l3
+      FROM ringed
+    ),
+    heads AS (
+      SELECT ring, list(doc_id ORDER BY pos) AS hs
+      FROM (SELECT ring, doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY ring ORDER BY pos)
+                     AS rn
+            FROM ringed QUALIFY rn <= 3)
+      GROUP BY ring
+    ),
+    negs AS (
+      SELECT w.doc_id, g.j AS neg_rank,
+             CASE WHEN g.j <= w.m - 1 THEN
+               COALESCE([w.l1, w.l2, w.l3][CAST(g.j AS INT)],
+                        h.hs[CAST(w.rn + g.j - w.m AS INT)])
+             END AS neg_id
+      FROM w JOIN heads h USING (ring),
+           LATERAL (SELECT UNNEST(generate_series(1, 3)) AS j) g
+    )
+    SELECT doc_id, neg_id, CAST(neg_rank AS INT) AS neg_rank
+    FROM negs WHERE neg_id IS NOT NULL
+    """,
+)
+def training_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import negative_sample_ring
+
+    d = tables.load(spark, sf_dir, "documents")
+    return negative_sample_ring(d, "doc_id", k=3, n_buckets=16)
+
+
+# KMV cardinality sketch (round 10): the oracle-EXACT sibling of the
+# HLL entry above — k-minimum-values over an md5 hash, per-group
+# bounded state (k longs), mergeable across slices, integer-division
+# estimator identical in both engines. This upgrades the sketch family
+# from a permanent rows-only check to a hash-matched one.
+@q(
+    "a_approx_distinct_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS _h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, _h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY _h) AS _r
+      FROM h QUALIFY _r <= 64
+    ),
+    per AS (
+      SELECT event_type,
+             MAX(CASE WHEN _r = 64 THEN _h END) AS kth_hash,
+             COUNT(*) AS sketch_size
+      FROM rk GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN sketch_size < 64 THEN sketch_size
+                     ELSE 63 * 281474976710656 // kth_hash
+                END AS BIGINT) AS n_distinct_est,
+           CAST(COALESCE(kth_hash, 0) AS BIGINT) AS kth_hash,
+           CAST(sketch_size AS BIGINT) AS sketch_size
+    FROM per
+    """,
+)
+def a_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_distinct
+
+    e = tables.load(spark, sf_dir, "events")
+    return kmv_distinct(e, ["event_type"], "user_id", k=64)
 
 
 # Salted two-phase aggregation: same answer as the direct groupBy (the
@@ -5240,6 +5344,80 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return bpe_train_merges(d, "text", n_merges=3)
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Train-then-ENCODE recurrence: the same unrolled k-iteration
+    trainer as _bpe_train_oracle but with the word carried through
+    every vocab CTE, finishing with the (word → post-merge symbol
+    count) join that prices each document in learned-BPE tokens."""
+    parts = [
+        """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    wordocc AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ),
+    v0 AS (
+      SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS ws, wf
+      FROM (SELECT w, COUNT(*) AS wf FROM wordocc GROUP BY w)
+    )"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT s[j] AS a, s[j + 1] AS b, SUM(wf) AS c
+      FROM (SELECT string_split(ws, ' ') AS s, wf FROM v{i}),
+           LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS j) g
+      WHERE len(s) >= 2
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    v{i + 1} AS (
+      SELECT w, regexp_replace(ws, '\\b' || tt.a || ' ' || tt.b || '\\b',
+                               tt.a || tt.b, 'g') AS ws, wf
+      FROM v{i}, t{i} tt
+    )"""
+        )
+    parts.append(
+        f""",
+    enc AS (SELECT w, len(string_split(ws, ' ')) AS n_syms FROM v{k}),
+    occ AS (SELECT doc_id, w, COUNT(*) AS c FROM wordocc GROUP BY 1, 2),
+    per AS (
+      SELECT occ.doc_id, SUM(occ.c) AS n_words,
+             SUM(occ.c * enc.n_syms) AS n_bpe
+      FROM occ JOIN enc USING (w) GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(per.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+# BPE ENCODE (round 10, born in tail — enters with the r11 tranche):
+# the apply half of the tokenizer loop — train 3 merges on the corpus,
+# then price every document in post-merge BPE symbols via the
+# (word → symbol count) vocab join. Composes the trainer's bounded
+# k-row collect with one corpus explode + one word-keyed join.
+@q("text_bpe_encode", _bpe_encode_oracle(3))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import bpe_encode, bpe_train_merges
+
+    d = tables.load(spark, sf_dir, "documents")
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_train_merges(d, "text", n_merges=3)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    return bpe_encode(d, "text", "doc_id", merges)
 
 
 # Learned quality gate (round 10): fastText-style hashed-ngram linear

@@ -374,3 +374,62 @@ def test_registry_wide_plan_hygiene(spark):
         if cp or bn > _BNLJ_ALLOWED.get(name, 0):
             offenders[name] = (cp, bn)
     assert not offenders, offenders
+
+
+def test_duplicate_spans_rebuild_is_affected_only(spark):
+    """remove_duplicate_spans must rebuild ONLY documents that contain
+    a flagged window: the plan carries the anti-join fast path (clean
+    docs pass through) and the covered-token left_anti, and never a
+    CartesianProduct."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["dedup_remove_duplicate_spans"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("LeftAnti") >= 2  # fast path + kept-token filter
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_plans_no_cross_join(spark):
+    """The hash-ring construction exists to avoid the naive cross join
+    — the plan must contain window LEADs and a bounded ring-head
+    aggregate, never a cartesian/BNLJ pair generator."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["training_negative_sample"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_kmv_sketch_state_is_rank_truncated(spark):
+    """KMV's per-group state must be the rank-<=k truncation (a Filter
+    over a Window), not a per-group collect of all hashes."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["a_approx_distinct_kmv"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "row_number" in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_bpe_encode_join_not_reencode(spark):
+    """bpe_encode prices occurrences through a (word -> n_syms) join —
+    the merge regexps must run on the DISTINCT vocab side (HashAggregate
+    before the regexp projection), never per word occurrence."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.textstats import bpe_encode
+
+    d = tables.load(spark, SF_DIR, "documents")
+    df = bpe_encode(d, "text", "doc_id", [("l", "o"), ("lo", "w")])
+    # physical plans elide aggregate result expressions, so pin the
+    # OPTIMIZED logical plan: every regexp merge must be evaluated
+    # inside the Aggregate over the distinct word key — a plan running
+    # it before the dedup would re-encode every occurrence.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    regexp_lines = [
+        l for l in plan.splitlines() if "regexp_replace" in l
+    ]
+    assert regexp_lines, plan
+    for l in regexp_lines:
+        assert "Aggregate [w" in l, l

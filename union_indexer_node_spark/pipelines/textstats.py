@@ -665,13 +665,19 @@ def bpe_encode(
     training prep when the real tokenizer is BPE rather than the
     regex approximation of token_count).
 
-    Scale shape: ONE corpus token explode compacted immediately to
-    per-(doc, word) counts (map-side partial agg); the k merge passes
-    run over |vocab| rows (~Heaps-law sublinear); the encode join is
-    word-keyed — broadcastable when the trained vocab is model-sized,
-    shuffle-on-word otherwise (skew-free: no word dominates a distinct
-    vocab). ``merges`` is the k-row trained table — driver-side by
-    construction (the trainer's bounded collect)."""
+    Scale shape: the corpus token explode is compacted immediately to
+    per-(doc, word) counts (map-side partial agg) on the occurrence
+    branch; the vocab branch re-runs the same narrow explode (Spark
+    recomputes shared lazy subtrees per branch — localCheckpoint the
+    exploded words first when scan cost dominates at full scale, the
+    passage-family discipline). The k merge passes are evaluated
+    inside the Aggregate over the DISTINCT word key (plan-pinned:
+    |vocab| regexp evaluations, ~Heaps-law sublinear — never per
+    occurrence); the encode join is word-keyed — broadcastable when
+    the trained vocab is model-sized, shuffle-on-word otherwise
+    (skew-free: no word dominates a distinct vocab). ``merges`` is the
+    k-row trained table — driver-side by construction (the trainer's
+    bounded collect)."""
     words = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )

@@ -141,6 +141,16 @@ BENCH_QUERIES = [
     # round 10 second batch: the BPE encode arm (train 3 merges, then
     # price the corpus in post-merge symbols via the vocab join).
     "text_bpe_encode",
+    # round 10 third batch: bit-bounded Bloom decontamination (the
+    # broadcast-safe sibling of the exact gram join), content-defined
+    # chunking (map-side rolling-hash boundaries), and n^alpha domain
+    # temperature resampling (two tiny aggregates + broadcast rates).
+    "training_bloom_decontaminate",
+    "training_cdc_chunks",
+    "training_temperature_resample",
+    # round 10 fourth batch: integer-quantized Okapi BM25 over the tf
+    # posting table (term-pruned probe, broadcast df + corpus stats).
+    "search_bm25_topk",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

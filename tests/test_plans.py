@@ -343,7 +343,13 @@ def test_q15_single_fact_pass(spark):
 #   - temporal_range_join: the pinned intentional long arm (see
 #     test_round5.py::test_range_join_long_arm)
 #   - ann_recall_eval: brute-force baseline comparison (documented)
+#   - training_temperature_resample: the (wsum, total) 1-row aggregate
+#     joined back onto the per-domain counts (scalar pattern)
+#   - search_bm25_topk: the (n, total_dl) 1-row corpus-stats aggregate
+#     attached to the term-pruned postings (same scalar pattern)
 _BNLJ_ALLOWED = {
+    "training_temperature_resample": 2,
+    "search_bm25_topk": 2,
     "o2_trending_feed_comments": 2,
     "o6_related_feed_sample": 2,
     "training_token_budget": 6,

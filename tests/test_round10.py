@@ -986,3 +986,247 @@ def test_negative_sample_ring_invariants(spark):
         per2[r["doc_id"]].add(r["neg_id"])
     for d in per2:
         assert per2[d] == {x for x in range(3) if x != d}, per2
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate: soundness (no false negatives) vs the exact join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_never_misses_exact_hits(spark):
+    """The Bloom gate may over-flag (false positives) but can never
+    under-flag: every doc the exact n-gram join marks contaminated must
+    be marked by the Bloom variant, and with m=2^18 against a handful
+    of grams the clean doc stays clean."""
+    from union_indexer_node_spark.pipelines.training import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench = _mk_docs(
+        spark,
+        [(100, "bench", "the quick brown fox jumps over the lazy dog")],
+    )
+    train = _mk_docs(
+        spark,
+        [
+            # shares the 5-gram "quick brown fox jumps over"
+            (1, "web", "she said quick brown fox jumps over it again"),
+            # fully disjoint vocabulary
+            (2, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+            # too short for any 5-gram
+            (3, "web", "tiny doc"),
+        ],
+    )
+    bl = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            train, bench, "text", "doc_id", n=5, k=3, m=1 << 18
+        ).collect()
+    }
+    ex = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "text", "doc_id", n=5).collect()
+    }
+    assert set(bl) == {1, 2, 3}  # no silent doc loss
+    for d, row in ex.items():
+        if row["n_hit"] > 0:
+            assert bl[d]["contaminated"], d
+        assert bl[d]["n_maybe_hit"] >= row["n_hit"], d
+    assert bl[1]["contaminated"]
+    assert not bl[2]["contaminated"]  # FP odds ~ (k*grams/m)^k ~ 1e-10
+    assert bl[3]["n_grams"] == 0 and not bl[3]["contaminated"]
+
+
+def test_bloom_decontaminate_probe_is_joinless_single_shuffle(spark):
+    """The filter rides the plan as ONE array literal (m/64 longs,
+    bounded by the filter geometry however large the benchmark corpus
+    is), so the probe side has NO join of any kind and exactly one
+    exchange — the final doc-keyed aggregate."""
+    from union_indexer_node_spark.pipelines.training import bloom_decontaminate
+
+    bench = _mk_docs(
+        spark,
+        [(i, "b", f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} tok{i+5}")
+         for i in range(40)],
+    )
+    train = _mk_docs(spark, [(1000, "t", "tok1 tok2 tok3 tok4 tok5 tok6")])
+    out = bloom_decontaminate(train, bench, "text", "doc_id", n=5, k=3, m=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for join_node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert join_node not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    row = out.collect()[0]
+    # every gram of the train doc is genuinely in bench -> all flagged
+    assert row["n_maybe_hit"] == row["n_grams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks: coverage + edit re-synchronization
+# ---------------------------------------------------------------------------
+
+
+def _cdc_texts(spark, text, gram=3, divisor=4):
+    from union_indexer_node_spark.pipelines.training import cdc_chunks
+
+    df = _mk_docs(spark, [(1, "s", text)])
+    rows = sorted(
+        cdc_chunks(df, "text", "doc_id", gram=gram, divisor=divisor).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    return rows
+
+
+def test_cdc_chunks_cover_every_token_contiguously(spark):
+    text = " ".join(f"w{i % 37}" for i in range(200))
+    rows = _cdc_texts(spark, text)
+    pos = 1
+    for r in rows:
+        assert r["chunk_start"] == pos
+        assert r["chunk_len"] >= 1
+        pos += r["chunk_len"]
+    assert pos == 201
+    assert " ".join(r["chunk_text"] for r in rows) == text.lower()
+
+
+def test_cdc_chunks_resync_after_prefix_edit(spark):
+    """Prepending one token shifts every fixed window, but content-
+    defined boundaries re-sync: all chunks of the original except the
+    first reappear verbatim in the edited doc's chunk list."""
+    base = " ".join(f"w{(i * 7) % 53}" for i in range(300))
+    a = _cdc_texts(spark, base)
+    b = _cdc_texts(spark, "zzz " + base)
+    assert len(a) >= 3  # divisor=4 over 300 tokens: boundaries exist
+    a_texts = [r["chunk_text"] for r in a]
+    b_texts = [r["chunk_text"] for r in b]
+    # a[1:] is a suffix of b (b may gain one extra early boundary)
+    assert b_texts[-(len(a_texts) - 1):] == a_texts[1:]
+
+
+def test_cdc_chunks_short_and_empty_docs(spark):
+    from union_indexer_node_spark.pipelines.training import cdc_chunks
+
+    df = _mk_docs(spark, [(1, "s", "only three tokens"), (2, "s", "")])
+    rows = cdc_chunks(df, "text", "doc_id", gram=3, divisor=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk_text"] for r in by_id[1]] == ["only three tokens"]
+    assert 2 not in by_id  # empty doc -> no chunks, not a crash
+
+
+# ---------------------------------------------------------------------------
+# temperature_resample: head-flatten / tail-boost + determinism
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_resample_flattens_head_and_boosts_tail(spark):
+    from union_indexer_node_spark.pipelines.training import temperature_resample
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_resample(
+        df, "doc_id", "dom", alpha=0.5, target_frac=0.5
+    ).collect()
+    rates = {r["dom"]: r["rate"] for r in out}
+    # n=900/100, w=30/10, wsum=40, T=500:
+    # r_head = 500*30/(900*40) = 0.416667 ; r_tail = 1.25 -> capped 1.0
+    assert rates["tail"] == 1.0
+    assert abs(rates["head"] - 0.416667) < 1e-5
+    kept = {"head": 0, "tail": 0}
+    for r in out:
+        kept[r["dom"]] += 1
+    assert kept["tail"] == 100  # rate 1.0 keeps every tail row
+    assert abs(kept["head"] / 900 - rates["head"]) < 0.06  # binomial tol
+    # determinism: identical second run
+    again = temperature_resample(
+        df, "doc_id", "dom", alpha=0.5, target_frac=0.5
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_temperature_resample_alpha_one_is_uniform_rate(spark):
+    """alpha=1 degenerates to a single global rate = target_frac for
+    every domain (w_s = n_s)."""
+    from union_indexer_node_spark.pipelines.training import temperature_resample
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_resample(df, "doc_id", "dom", alpha=1.0, target_frac=0.4)
+    for r in out.select("rate").distinct().collect():
+        assert abs(r["rate"] - 0.4) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# BM25: hand-computed score, quantized-vs-double rank parity, plan shape
+# ---------------------------------------------------------------------------
+
+
+def _bm25_corpus(spark):
+    return _mk_docs(
+        spark,
+        [
+            (1, "s", "spark spark spark engine"),        # tf(spark)=3, dl=4
+            (2, "s", "spark engine for big data jobs"),  # tf(spark)=1, dl=6
+            (3, "s", "vector search with spark"),        # both terms, dl=4
+            (4, "s", "nothing relevant here at all"),    # no hit, dl=5
+        ],
+    )
+
+
+def test_bm25_double_arm_matches_hand_computation(spark):
+    import math
+
+    from union_indexer_node_spark.pipelines.search import bm25_index, bm25_topk
+
+    postings, doclens = bm25_index(_bm25_corpus(spark), "text", "doc_id")
+    out = bm25_topk(
+        postings, doclens, "doc_id", ["spark"], k=10, quantized=False
+    ).collect()
+    # N=4, df(spark)=3, avgdl=19/4; idf = ln(1 + 1.5/3.5)
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (19 / 4)))
+
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == {1, 2, 3}  # doc 4 never scores
+    for d, tf, dl in [(1, 3, 4), (2, 1, 6), (3, 1, 4)]:
+        assert abs(got[d] - s(tf, dl)) < 1e-6, d
+
+
+def test_bm25_quantized_rank_matches_double_rank_single_term(spark):
+    """Per-term doc ordering under the quantized odds-ratio idf is
+    identical to the ln-idf double arm (monotone transform)."""
+    from union_indexer_node_spark.pipelines.search import bm25_index, bm25_topk
+
+    postings, doclens = bm25_index(_bm25_corpus(spark), "text", "doc_id")
+    qd = [
+        r["doc_id"]
+        for r in bm25_topk(
+            postings, doclens, "doc_id", ["spark"], k=10, quantized=True
+        ).collect()
+    ]
+    dd = [
+        r["doc_id"]
+        for r in bm25_topk(
+            postings, doclens, "doc_id", ["spark"], k=10, quantized=False
+        ).collect()
+    ]
+    assert qd == dd
+
+
+def test_bm25_plan_broadcasts_stats_and_term_df(spark):
+    """Postings are term-pruned BEFORE any join; tdf and corpus stats
+    ride broadcasts; the top-k is TakeOrderedAndProject."""
+    from union_indexer_node_spark.pipelines.search import bm25_index, bm25_topk
+
+    postings, doclens = bm25_index(_bm25_corpus(spark), "text", "doc_id")
+    out = bm25_topk(postings, doclens, "doc_id", ["spark", "vector"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan

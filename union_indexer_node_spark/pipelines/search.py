@@ -150,3 +150,130 @@ def search_substring(
         .select(*key_cols)
     )
     return corpus.join(cand, key_cols, "left_semi").filter(verified)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_index(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Term-frequency posting table + doc lengths, one tokenize pass.
+
+    The boolean token index above answers WHICH docs match; ranked
+    retrieval needs per-(doc, term) frequencies and per-doc lengths.
+    Returns (postings = (id, token, tf), doclens = (id, dl)); docs with
+    zero tokens appear in neither (they can never score). Deployment:
+    persist postings partitioned/bucketed by token (same note as
+    build_inverted_index) so a query touches only its terms'
+    partitions; doclens is corpus-row-sized metadata.
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    doclens = base.select(F.col(id_col), F.size("_toks").alias("dl"))
+    postings = (
+        base.select(F.col(id_col), F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    id_col: str,
+    terms: list[str],
+    *,
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    quantized: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k over a term-frequency posting table.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    with k1 = k1_pct/100, b = b_pct/100.
+
+    Two arms:
+    - ``quantized=True`` (default, the oracle-checkable arm): every
+      quantity is exact integer arithmetic. The tf-normalization is an
+      exact rational — multiplying numerator and denominator by
+      10000 * total_dl clears avgdl = total_dl/N and both percent
+      fractions:
+        num_q = 100 * total_dl * tf * (100 + k1_pct)
+        den_q = 10000*total_dl*tf + k1_pct*(100-b_pct)*total_dl
+                + k1_pct*b_pct*dl*N
+      and idf is the rational BM25 odds ratio quantized to 1e4:
+        idf_q = (10000 * (2*(N-df) + 1)) div (2*df + 1)
+      (= floor(1e4 * (N-df+0.5)/(df+0.5)); the standard ln(1 + .) idf
+      is a monotone transform of this ratio, so PER-TERM doc ordering
+      is identical; multi-term totals can order differently — the
+      documented trade for a bit-exact cross-engine score). The
+      idf*num product runs in decimal(38,0) (HUGEINT in DuckDB): the
+      BIGINT envelope would only hold to ~sf1.
+    - ``quantized=False``: the standard ln idf in doubles — the
+      production scoring arm; last-ulp engine-dependent, so not the
+      oracle path.
+
+    Plan shape: postings pruned to the query terms (pushable IN
+    filter), per-term df as a <= len(terms)-row broadcast, corpus
+    stats as a 1-row broadcast scalar, one equi-join to doclens on the
+    doc key, then one doc-keyed sum and TakeOrderedAndProject for the
+    top-k. Nothing shuffles at corpus size except the doclens join,
+    whose probe side is already term-pruned.
+    """
+    qterms = sorted({t for t in terms})
+    hits = postings.filter(F.col("token").isin(qterms))
+    tdf = hits.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_total_dl")
+    )
+    per = (
+        hits.join(doclens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(tdf), "token")
+    )
+    if quantized:
+        scored = per.select(
+            F.col(id_col),
+            F.expr(
+                f"CAST((CAST((10000 * (2*(_n - _df) + 1)) div (2*_df + 1)"
+                f"       AS DECIMAL(38,0))"
+                f"      * (100 * _total_dl * tf * (100 + {k1_pct})))"
+                f" div (10000 * _total_dl * tf"
+                f"      + {k1_pct} * (100 - {b_pct}) * _total_dl"
+                f"      + {k1_pct} * {b_pct} * dl * _n) AS BIGINT)"
+            ).alias("_ts"),
+        )
+        out = (
+            scored.groupBy(id_col)
+            .agg(F.sum("_ts").cast("long").alias("score_q"))
+            .orderBy(F.col("score_q").desc(), F.col(id_col))
+            .limit(k)
+        )
+        return out
+    k1 = k1_pct / 100.0
+    b = b_pct / 100.0
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.col("_n") / F.col("_total_dl")
+    )
+    scored = per.select(
+        F.col(id_col),
+        (idf * F.col("tf") * F.lit(k1 + 1.0) / den).alias("_ts"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_ts"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

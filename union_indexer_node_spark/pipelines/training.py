@@ -80,14 +80,26 @@ def decontaminate(
     rows above their threshold; returning stats instead of filtering
     keeps one scan reusable for both reporting and gating.
     """
+    # localCheckpoint = Catalyst collapse barrier: without it the
+    # optimizer inlines the split/lower/filter tokenizer into every
+    # element_at of the shingle lambda — O(grams*n) regexp runs per
+    # doc (measured 2.1x at sf0.1); it also stops the double compute
+    # of `grams`, which feeds both the probe and the n_grams join-back.
+    bench_toks = bench.select(
+        tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()
     bench_grams = (
-        bench.select(F.explode(_safe_shingles(tokens(F.col(text_col)), n)).alias("_g"))
+        bench_toks.select(
+            F.explode(_safe_shingles(F.col("_toks"), n)).alias("_g")
+        )
         .select(F.md5("_g").alias("_gh"))
         .distinct()
     )
-    grams = train.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(F.col(id_col), _safe_shingles(F.col("_toks"), n).alias("_grams"))
+    grams = (
+        train.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .localCheckpoint()
+        .select(F.col(id_col), _safe_shingles(F.col("_toks"), n).alias("_grams"))
+    )
     exploded = grams.select(
         F.col(id_col),
         F.size("_grams").alias("n_grams"),
@@ -108,6 +120,138 @@ def decontaminate(
                 6,
             ).alias("contamination"),
         )
+    )
+
+
+def _bloom_pos(gram: Column, seed: int, m: int) -> Column:
+    """Bloom bit position for one hash function: the first 8 hex chars
+    of md5(gram || '#' || seed) reduced mod m. Keep in lockstep with
+    the '0x'-cast form in the DuckDB oracles."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 8), 16, 10
+        ).cast("long")
+        % F.lit(m)
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    k: int = 3,
+    m: int = 1 << 18,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: every training n-gram is
+    membership-tested against a k-hash, m-bit filter built from the
+    benchmark corpus, instead of joined against the exact gram set.
+
+    Why this exists next to ``decontaminate``: the exact form broadcasts
+    the benchmark's DISTINCT gram digests, which stops being
+    broadcastable when the "benchmark" is itself large (held-out
+    corpora, contamination against an earlier training epoch). The
+    Bloom filter caps the broadcast at the SET-BIT table — at most m
+    rows of one long each, a bound chosen up front and independent of
+    benchmark size. False positives (rate ~ (1 - e^{-kn/m})^k) only
+    ever OVER-count contamination, the safe direction for a drop gate;
+    false negatives are impossible, so a clean verdict is exact.
+
+    Plan shape — the filter is a REAL bitset, not a join. Bench side:
+    explode distinct grams -> k positions -> distinct -> pack into
+    64-bit words (groupBy word index, bit_or of the set bits) and
+    collect — AT MOST m/64 rows (4096 longs = 32 KB at the default m),
+    a bound fixed by the filter geometry, independent of benchmark
+    size; this is the same bounded-collect pattern as the k-row
+    k-means state. The words become ONE literal array in the probe
+    plan, so the probe is entirely map-side: explode_outer the
+    per-doc-distinct grams (array_distinct in the shingler; outer
+    keeps zero-gram docs), test k bits with get()+bitwise AND, then a
+    single partially-aggregable groupBy(id) counting grams and hits.
+    Zero joins, one shuffle, nothing keyed by a gram string anywhere.
+    (The first cut exploded k position rows per gram, broadcast-joined
+    the set-bit table, and re-grouped on (doc, gram) to AND the bits —
+    a corpus×k string-keyed shuffle, plus it tripped Catalyst's
+    projection collapse, which inlined the split/lower/filter
+    tokenizer into every element_at of the shingle lambda: 46 s at
+    sf0.1 vs 0.6 s for this form. The localCheckpoint below is that
+    collapse barrier — same fix, same rationale as
+    dedup.remove_repeated_passages.)
+
+    Returns (id, n_grams, n_maybe_hit, contaminated).
+    """
+    # Collapse barrier: materialize (id, tokens) so Catalyst cannot
+    # inline the tokenizer into every element_at of the shingle
+    # transform (O(grams*n) regexp runs per doc otherwise — measured
+    # 30x on this operator at sf0.1).
+    bench_toks = bench.select(
+        tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()
+    # No distinct() anywhere on the build side: bit_or is idempotent,
+    # so duplicate grams/positions cost nothing — the groupBy(word)
+    # partial-aggregates each task down to <= m/64 rows map-side and
+    # ships exactly one shuffle of <= m/64 rows per task at any scale.
+    positions = bench_toks.select(
+        F.explode(_safe_shingles(F.col("_toks"), n)).alias("_g")
+    ).select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("_g"), i, m) for i in range(k)])
+        ).alias("_pos")
+    )
+    n_words = (m + 63) // 64
+    packed = (
+        positions.groupBy(
+            (F.col("_pos") / F.lit(64)).cast("int").alias("_w")
+        )
+        .agg(
+            F.bit_or(
+                # call_function: shiftleft's Python wrapper only takes a
+                # literal bit count; the SQL function takes a column.
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("_pos") % 64).cast("int"),
+                )
+            ).alias("_bits")
+        )
+        .collect()  # bounded: <= m/64 rows by construction
+    )
+    words = [0] * n_words
+    for r in packed:
+        words[r["_w"]] = r["_bits"]
+    # One SQL-parsed array literal, NOT F.lit(list): lit on a Python
+    # list builds n_words individual literal Columns through py4j
+    # (~3 s for 4096 elements, measured); the expr string parses
+    # JVM-side in milliseconds and folds to a single array constant.
+    bits_lit = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    )
+
+    base = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()  # collapse barrier (see docstring)
+    ex = base.select(
+        F.col(id_col),
+        F.explode_outer(_safe_shingles(F.col("_toks"), n)).alias("_g"),
+    )
+
+    def _bit_set(i: int) -> Column:
+        pos = _bloom_pos(F.col("_g"), i, m)
+        word = F.get(bits_lit, (pos / F.lit(64)).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != F.lit(0).cast("long")
+
+    all_set = F.col("_g").isNotNull()
+    for i in range(k):
+        all_set = all_set & _bit_set(i)
+    return ex.groupBy(id_col).agg(
+        F.count("_g").cast("long").alias("n_grams"),
+        F.sum(F.when(all_set, 1).otherwise(0)).cast("long").alias("n_maybe_hit"),
+        (F.sum(F.when(all_set, 1).otherwise(0)) > 0).alias("contaminated"),
     )
 
 
@@ -148,6 +292,110 @@ def chunk_sliding(
         F.concat_ws(" ", F.slice(F.col("_toks"), F.col("chunk_start"), chunk)).alias(
             "chunk_text"
         ),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    gram: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER token i
+    whenever the rolling ``gram``-token hash at i is ≡ 0 mod
+    ``divisor`` (Rabin/rsync-style; mean chunk length ~= divisor).
+
+    Why next to ``chunk_sliding``: fixed windows shift when a single
+    token is inserted upstream, so every downstream chunk of an edited
+    document re-hashes to a new identity. Content-defined boundaries
+    re-synchronize within ~divisor tokens of an edit, so chunk-level
+    dedup and incremental re-processing only touch the chunks an edit
+    actually changed — the property that makes chunk caches work at
+    100 TB re-crawl scale.
+
+    Entirely map-side (array HOFs over the token array; the only
+    per-element references bind through transform lambda variables, so
+    no projection-collapse re-tokenization — see SCALE.md r10). Docs
+    with < gram+1 tokens emit one whole-doc chunk; empty docs emit
+    none. Output: (id, chunk_idx, chunk_start, chunk_len, chunk_text),
+    1-based positions.
+    """
+    toks = F.col("_toks")
+    n = F.size(toks)
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+    )
+    # Boundary positions: i in [gram, n-1] with hash ≡ 0 (never the
+    # final token — a boundary there would create an empty chunk).
+    # sequence(gram, n-1) is DESCENDING when n <= gram (the Spark
+    # descending-sequence edge, see _safe_shingles) — guard to [].
+    with_bounds = base.withColumn(
+        "_bounds",
+        F.when(
+            n >= gram + 1,
+            F.filter(
+                F.sequence(F.lit(gram), n - 1),
+                lambda i: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    *[
+                                        F.element_at(toks, i - j)
+                                        for j in range(gram - 1, -1, -1)
+                                    ],
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % divisor
+                    == 0
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("_bounds"), lambda b: b + 1)
+    )
+    # (start, end) spans: end = next start - 1, last span ends at n.
+    # F.get is 0-based and null-safe out of range (element_at aborts
+    # under ANSI) — the coalesce closes the final span at n.
+    spans = with_bounds.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s, j: F.struct(
+                    s.alias("s"),
+                    F.coalesce(
+                        F.get(starts, j + 1) - 1, F.size(toks)
+                    ).alias("e"),
+                ),
+            )
+        ).alias("_pos", "_span"),
+    )
+    return spans.select(
+        F.col(id_col),
+        (F.col("_pos") + 1).cast("long").alias("chunk_idx"),
+        F.col("_span.s").cast("long").alias("chunk_start"),
+        (F.col("_span.e") - F.col("_span.s") + 1).cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_toks"),
+                F.col("_span.s"),
+                F.col("_span.e") - F.col("_span.s") + 1,
+            ),
+        ).alias("chunk_text"),
     )
 
 
@@ -324,6 +572,72 @@ def weighted_sample(
         .filter(F.col("_draw_exact") < F.col(weight_col))
         .withColumn("draw", F.round(F.col("_draw_exact"), 6))
         .drop("_draw_exact")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Domain temperature resampling (multilingual-LM style): the kept
+    corpus's domain mixture follows n_s^alpha instead of the raw counts
+    n_s, flattening head domains and boosting the tail, at an overall
+    size of ``target_frac`` x the input.
+
+    Per-domain keep rate r_s = min(1, T * w_s / (n_s * sum_t w_t)) with
+    w_s = n_s^alpha and T = target_frac * N; each row keeps iff its
+    md5 draw < r_s. The rate is quantized to 1/2^20 BEFORE the
+    comparison: the sum-of-doubles in sum_t w_t is the one
+    order-dependent float in the pipeline, and quantizing makes the
+    keep/drop boundary insensitive to its last-ulp wobble across
+    engines and partitionings — the same determinism discipline as
+    md5_draw itself.
+
+    Plan shape: one tiny domain-count aggregate, its scalar total
+    attached via a broadcast single-row cross join (the established
+    scalar pattern), the per-domain rates broadcast-joined back, then a
+    map-side filter. No corpus-sized shuffle anywhere.
+
+    Returns the kept rows as (id, domain, rate) with rate rounded for
+    display.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").alias("_n")
+    )
+    w = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    weighted = counts.select("_dom", "_n", w.alias("_w"))
+    totals = weighted.agg(
+        F.sum("_w").alias("_wsum"), F.sum("_n").alias("_total")
+    )
+    q = F.lit(float(1 << 20))
+    rate_exact = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.col("_total")
+        * F.col("_w")
+        / (F.col("_n") * F.col("_wsum")),
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "_dom",
+            (F.floor(rate_exact * q) / q).alias("_rate"),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(rates), df[domain_col] == F.col("_dom"), "inner"
+        )
+        .filter(md5_draw(F.col(id_col)) < F.col("_rate"))
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.round("_rate", 6).alias("rate"),
+        )
     )
 
 

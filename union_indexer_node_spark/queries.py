@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 136 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 140 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -63,10 +63,15 @@ def q(name: str, oracle: str | None):
 # Round 9 executed the full plan written in r8 (30 swaps draining two
 # tranches). Round 10 executed the full plan written in r9: the 3
 # born-in-tail r9 passage entries + the entire named 14-entry r5-era
-# tranche entered, plus 3 entries born in-window
+# tranche entered, plus 5 entries born in-window
 # (dedup_remove_duplicate_spans, text_bpe_train_merges,
-# text_quality_classifier) — 20 swaps, rotate-outs noted at the list's
-# end. The r11 tranche is pre-named at the top of the list below.
+# text_quality_classifier, training_bloom_decontaminate,
+# training_cdc_chunks) — 22 swaps, rotate-outs noted at the list's
+# end; the last two slots are funded by dedup_shared_passages and
+# training_hash_split (both multiply-green, see the r10 rotate-out
+# section) rather than by evicting once-green r9 entries
+# (setop_intersect_except / lineitem_unpivot_measures stay in-window).
+# The r11 tranche is pre-named at the top of the list below.
 _DEPRIORITIZED = [
     "a_approx_distinct_users",  # permanent tail: rows-only either way
     #    (HLL sketches differ per engine), so a window slot buys no
@@ -82,13 +87,21 @@ _DEPRIORITIZED = [
     #    oracle-exact KMV sibling of the permanent-tail HLL entry
     "training_negative_sample",  # BORN IN TAIL (r10); r11 tranche —
     #    hash-ring contrastive negatives
+    "training_temperature_resample",  # BORN IN TAIL (r10); r11 tranche —
+    #    n^alpha domain-mix flattening; md5-draw family rep
+    #    training_hash_split rejoins the window with it in r11
+    "search_bm25_topk",  # BORN IN TAIL (r10); r11 tranche — integer-
+    #    quantized Okapi BM25 over the tf posting table
     # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
     # green r6, i.e. they hit the ~4-round bound at r11 exactly (the
     # same overflow-ledger mechanism that executed on schedule in r9
     # and r10). Rotate ALL of them in next round — plus the r10
-    # born-in-tail entry above — funded by r10-window entries that
+    # born-in-tail entries above (text_bpe_encode, a_approx_distinct_kmv,
+    # training_negative_sample, training_temperature_resample) and the
+    # two r10 rotate-outs dedup_shared_passages / training_hash_split
+    # if slots allow — funded by r10-window entries that
     # will then be multiply-green (the 17 r10 re-entries are the
     # natural swap-outs). Listing them BY NAME keeps the backlog
     # mechanically bounded.
@@ -213,12 +226,21 @@ _DEPRIORITIZED = [
     # ------------------------------------------------------------------
     # Rotated out in round 10 under the cadence rule: the window slots
     # fund (a) the 3 born-in-tail r9 passage-dedup entries, (b) the
-    # ENTIRE scheduled 14-entry r5-era tranche, and (c) 3 entries born
+    # ENTIRE scheduled 14-entry r5-era tranche, and (c) 5 entries born
     # in-window this round (dedup_remove_duplicate_spans,
-    # text_bpe_train_merges, text_quality_classifier) — 20 swaps.
+    # text_bpe_train_merges, text_quality_classifier,
+    # training_bloom_decontaminate, training_cdc_chunks) — 22 swaps.
     # Every rotate-out below is multiply driver-green (r9 plus earlier
     # rounds) with its operator family still in-window, noted inline.
     # ------------------------------------------------------------------
+    "dedup_shared_passages",  # green r8+r9; strictly generalized by
+    #    dedup_remove_duplicate_spans (sliding-window counting arm) and
+    #    flanked in-window by dedup_remove_repeated_passages +
+    #    dedup_cross_source_overlap + stream_passage_counts_incremental
+    "training_hash_split",  # green r7-r9 (three consecutive); md5-mod
+    #    bucketing shape via training_budget_select (in-window) and the
+    #    md5-hash family throughout bloom/cdc (in-window r10); rejoins
+    #    with the r11 tranche alongside training_temperature_resample
     "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps
     #    q3/q5/q13/q17 (in-window r10); scalar-agg via q17
     "tpch_q4_order_priority",  # green r4+r9; same family
@@ -2935,6 +2957,63 @@ def training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "text", "doc_id", n=3)
 
 
+# Bloom-filter decontamination (round 10): the broadcast-boundable
+# sibling of the exact join above — benchmark 5-grams folded into a
+# k=3-hash, m=2^18-bit filter (materialized as its set-bit table);
+# training grams probe all k positions against the broadcast bits.
+# False positives only ever OVER-count contamination; the oracle
+# replays the identical hash family so the counts (FPs included) match
+# bit-for-bit. Benchmark = source 'src0', train = the rest.
+@q(
+    "training_bloom_decontaminate",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    g AS (
+      SELECT t.doc_id, d.source, list_distinct(
+        list_transform(generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4])) AS gs
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    bset AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(bg || '#' || s), 1, 8)) AS BIGINT)
+          % 262144 AS pos
+      FROM (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE source = 'src0'),
+           (SELECT unnest([0, 1, 2]) AS s)
+    ),
+    probe AS (
+      SELECT doc_id, tg, MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS all_set
+      FROM (SELECT doc_id, tg,
+              CAST(('0x' || substr(md5(tg || '#' || s), 1, 8)) AS BIGINT)
+                % 262144 AS pos
+            FROM (SELECT doc_id, unnest(gs) AS tg FROM g
+                  WHERE source <> 'src0'),
+                 (SELECT unnest([0, 1, 2]) AS s)) p
+      LEFT JOIN bset b USING (pos)
+      GROUP BY doc_id, tg
+    ),
+    hits AS (SELECT doc_id, SUM(all_set) AS n_maybe_hit FROM probe
+             GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_maybe_hit, 0) AS BIGINT) AS n_maybe_hit,
+           COALESCE(h.n_maybe_hit, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits h USING (doc_id)
+    WHERE g.source <> 'src0'
+    """,
+)
+def training_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import bloom_decontaminate
+
+    d = tables.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return bloom_decontaminate(
+        train, bench, "text", "doc_id", n=5, k=3, m=1 << 18
+    )
+
+
 # Sliding-window token chunking (chunk=24, stride=12; final window
 # re-anchored to cover the doc tail). Map-side only.
 @q(
@@ -2962,6 +3041,50 @@ def training_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return chunk_sliding(d, "text", "doc_id", chunk=24, stride=12)
+
+
+# Content-defined chunking (round 10): boundaries where the rolling
+# 3-token md5 ≡ 0 mod 16 (mean chunk ~16 tokens) — chunk identities
+# re-synchronize after edits, unlike the shift-everything fixed
+# windows above. Spark side is pure array HOFs (zero shuffle); the
+# oracle rebuilds the same spans with a window LEAD over unnested
+# boundary positions — structurally independent constructions.
+@q(
+    "training_cdc_chunks",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM toks
+           WHERE len(toks) >= 1),
+    b AS (
+      SELECT doc_id, i
+      FROM nn, LATERAL (SELECT unnest(generate_series(3, n - 1)) AS i) s
+      WHERE CAST(('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1] || ' '
+                                     || toks[i]), 1, 8)) AS BIGINT)
+              % 16 = 0
+    ),
+    starts AS (
+      SELECT doc_id, 1 AS s FROM nn
+      UNION ALL
+      SELECT doc_id, i + 1 FROM b
+    ),
+    w AS (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS cidx,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+      FROM starts
+    )
+    SELECT w.doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(COALESCE(nxt - 1, n) - s + 1 AS BIGINT) AS chunk_len,
+           array_to_string(toks[s:COALESCE(nxt - 1, n)], ' ') AS chunk_text
+    FROM w JOIN nn USING (doc_id)
+    """,
+)
+def training_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import cdc_chunks
+
+    d = tables.load(spark, sf_dir, "documents")
+    return cdc_chunks(d, "text", "doc_id", gram=3, divisor=16)
 
 
 # Near-dup cluster resolution: LSH candidate pairs -> connected
@@ -4310,6 +4433,43 @@ def training_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, "doc_id", val_permille=10, test_permille=10)
 
 
+# Domain temperature resampling (round 10): kept mixture follows
+# n_s^alpha instead of raw counts — the multilingual-LM head-flatten /
+# tail-boost. The per-domain keep rate is quantized to 1/2^20 BEFORE
+# the md5-draw comparison in BOTH engines, so the one order-dependent
+# float (sum of n^0.5 doubles) cannot flip a keep/drop at the
+# boundary. Association order of the rate product mirrors the Spark
+# expression exactly (left-assoc numerator / (n * wsum)).
+@q(
+    "training_temperature_resample",
+    """
+    WITH c AS (
+      SELECT source AS dom, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(pow(n, 0.5)) AS wsum, SUM(n) AS total FROM c),
+    r AS (
+      SELECT dom,
+             FLOOR(LEAST(1.0, 0.5 * t.total * pow(c.n, 0.5)
+                              / (c.n * t.wsum)) * 1048576.0)
+               / 1048576.0 AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.source = r.dom
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def training_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import temperature_resample
+
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(
+        d, "doc_id", "source", alpha=0.5, target_frac=0.5
+    )
+
+
 # Matryoshka-style embedding truncation + L2 renormalize (MRL prefix
 # retrieval). The registry row projects SCALARS (first component +
 # sequential-fold checksum) because the driver hasher cannot take
@@ -5632,6 +5792,53 @@ def search_substring_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_trigram_index(d, "text", ["doc_id"])
     return search_substring(idx, d, "alue s", "text", ["doc_id"]).select(
         "doc_id"
+    )
+
+
+# BM25 ranked retrieval (round 10): Okapi scoring over the tf posting
+# table, quantized arm — every quantity exact integer arithmetic (the
+# tf-normalization cleared to a rational by scaling num/den with
+# 10000*total_dl; idf = the BM25 odds ratio floored at 1e4; the
+# idf*num product in decimal128/HUGEINT). Both engines floor-divide
+# positives, so score_q is bit-identical. See pipelines/search.py
+# bm25_topk for the ln-idf production arm and the trade.
+@q(
+    "search_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    nn AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 1),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM nn),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM nn),
+    p AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM u
+      WHERE token IN ('dup', 'spark', 'vector')
+      GROUP BY doc_id, token
+    ),
+    s AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
+    tdf AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
+    sc AS (
+      SELECT p.doc_id,
+             (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
+                   AS HUGEINT)
+              * (100 * s.total_dl * p.tf * (100 + 120)))
+             // (10000 * s.total_dl * p.tf
+                 + 120 * (100 - 75) * s.total_dl
+                 + 120 * 75 * dl.dl * s.n) AS ts
+      FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
+    )
+    SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT 15
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.search import bm25_index, bm25_topk
+
+    d = tables.load(spark, sf_dir, "documents")
+    postings, doclens = bm25_index(d, "text", "doc_id")
+    return bm25_topk(
+        postings, doclens, "doc_id", ["dup", "spark", "vector"], k=15
     )
 
 

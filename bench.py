@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     # round 10 fourth batch: integer-quantized Okapi BM25 over the tf
     # posting table (term-pruned probe, broadcast df + corpus stats).
     "search_bm25_topk",
+    # round 10 fifth batch: hybrid retrieval — reciprocal-rank fusion
+    # of the BM25 and cosine rankings (integer contributions), and
+    # greedy MMR diversity re-rank over a bounded candidate frame.
+    "search_rrf_fusion",
+    "sim_mmr_rerank",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

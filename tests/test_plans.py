@@ -350,6 +350,7 @@ def test_q15_single_fact_pass(spark):
 _BNLJ_ALLOWED = {
     "training_temperature_resample": 2,
     "search_bm25_topk": 2,
+    "search_rrf_fusion": 2,  # the BM25 arm's corpus-stats scalar
     "o2_trending_feed_comments": 2,
     "o6_related_feed_sample": 2,
     "training_token_budget": 6,

@@ -1230,3 +1230,81 @@ def test_bm25_plan_broadcasts_stats_and_term_df(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse / with_rank: fusion semantics
+# ---------------------------------------------------------------------------
+
+
+def test_with_rank_breaks_score_ties_by_id(spark):
+    from union_indexer_node_spark.pipelines.search import with_rank
+
+    df = spark.createDataFrame(
+        [(3, 10), (1, 10), (2, 20)], "doc_id long, s long"
+    )
+    got = {r["doc_id"]: r["rank"] for r in with_rank(df, "s", "doc_id").collect()}
+    assert got == {2: 1, 1: 2, 3: 3}
+
+
+def test_rrf_agreement_beats_single_system_top_rank(spark):
+    """A doc ranked mid-list by BOTH systems outscores a doc ranked 1
+    by only one: 2/(60+5) > 1/(60+1) — the whole point of RRF."""
+    from union_indexer_node_spark.pipelines.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(100, 1), (7, 5)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame([(7, 5), (200, 1)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], "doc_id", k0=60, k=3).collect()
+    assert rows[0]["doc_id"] == 7 and rows[0]["n_systems"] == 2
+    # integer contributions: exact expected values
+    assert rows[0]["rrf_q"] == 2 * (10**9 // 65)
+    assert {r["doc_id"] for r in rows[1:]} == {100, 200}
+    assert all(r["rrf_q"] == 10**9 // 61 for r in rows[1:])
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank: diversity semantics
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_skips_the_duplicate_a_plain_topk_would_take(spark):
+    """vec 1 duplicates vec 0 (the top hit); MMR's second pick must be
+    the diverse vec 2 even though the duplicate has higher raw
+    relevance — the exact behavior that distinguishes MMR from top-k."""
+    from union_indexer_node_spark.pipelines.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    # NOTE the top hit must NOT be the query direction itself: if the
+    # first pick is collinear with the query, the redundancy penalty
+    # is proportional to relevance and MMR degenerates to top-k order.
+    rows = [
+        (0, [0.905, 0.4254, 0.0]),   # top relevance
+        (1, [0.901, 0.4338, 0.0]),   # near-duplicate of 0, rel #2
+        (2, [0.9, -0.4359, 0.0]),    # equally relevant, diverse
+        (3, [0.0, 0.0, 1.0]),        # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = [r["vec_id"] for r in brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()]
+    assert topk[:2] == [0, 1]  # plain top-k takes the duplicate
+    picks = mmr_rerank(
+        emb, [1.0, 0.0, 0.0], n_candidates=4, k=3, lam=0.7
+    ).collect()
+    order = [r["vec_id"] for r in sorted(picks, key=lambda r: r["pick_idx"])]
+    assert order == [0, 2, 1], order  # diversity beats the near-duplicate
+    first = [r for r in picks if r["pick_idx"] == 1][0]
+    assert first["mmr"] > 0.9  # first pick reports raw relevance
+
+
+def test_mmr_handles_fewer_candidates_than_k(spark):
+    from union_indexer_node_spark.pipelines.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    picks = mmr_rerank(emb, [1.0, 0.0], n_candidates=5, k=4, lam=0.7)
+    assert picks.count() == 2

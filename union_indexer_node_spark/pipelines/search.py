@@ -277,3 +277,70 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def with_rank(
+    df: DataFrame, score_col: str, id_col: str, *, n: int | None = None
+) -> DataFrame:
+    """1-based dense ordering rank by (score desc, id asc).
+
+    A global row_number window — legitimate ONLY because callers pass
+    an already top-k-limited frame (a ranking list is <= a few hundred
+    rows by construction); never apply this to a corpus-sized frame.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    out = df.select(
+        F.col(id_col), F.row_number().over(w).alias("rank")
+    )
+    return out.filter(F.col("rank") <= n) if n is not None else out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranking lists (Cormack et al.):
+    score(d) = sum over systems of 1 / (k0 + rank_system(d)).
+
+    The standard hybrid-retrieval combiner (BM25 lexical + embedding
+    semantic): rank-based, so the systems' incomparable score scales
+    never touch each other. Each contribution is quantized to
+    floor(1e9 / (k0 + rank)) and summed in integers, so the fused
+    ordering is bit-identical across engines and partitionings for ANY
+    number of systems (double summation order never enters).
+
+    Inputs are (id, rank) frames from ``with_rank``. All inputs are
+    top-k bounded, so every stage here is a few hundred rows — the
+    distributed work is producing the rankings, not fusing them.
+    Returns (id, rrf_q, n_systems) top-k by (rrf_q desc, id).
+    """
+    contribs = [
+        # `div`, not `/` + cast: float division can land a hair under
+        # the exact quotient and truncate to a different integer than
+        # true integer division.
+        r.select(
+            F.col(id_col),
+            F.expr(f"1000000000L div ({k0}L + rank)").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("rrf_q"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+        .orderBy(F.col("rrf_q").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -721,3 +721,88 @@ def truncate_renorm(
         F.round(F.col("_norm"), 6).alias("prefix_norm"),
         renormed.alias("vec_trunc"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 12,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein): pick
+    k results greedily, each step maximizing
+    lam * rel(c) - (1 - lam) * max over picked p of cos(c, p) —
+    relevance traded against redundancy with what is already picked.
+
+    Scale shape: the DISTRIBUTED stage is candidate generation (the
+    brute-force / IVF / LSH top-n arms in this module); MMR itself is
+    inherently sequential in k, so it runs as k tiny jobs over ONE
+    localCheckpointed n_candidates-row frame — the same bounded
+    driver-state pattern as the k-means loop (k rows of state, never
+    corpus data). Every pairwise cosine uses the module's fold
+    expression and is rounded to 6 before comparison, and the
+    lam/(1-lam) weights are built as the same double expressions in
+    the DuckDB oracle, so selections are bit-deterministic
+    cross-engine (ties break on id).
+
+    Returns (id, pick_idx, mmr) with pick_idx 1-based selection order;
+    mmr for the first pick is its raw relevance.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine_sim(F.col(vec_col), qv), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+        .localCheckpoint()
+    )
+    spark = cand.sparkSession
+    picked: list[tuple] = []  # (id, vector, mmr_at_pick)
+    for _ in range(k):
+        if picked:
+            sims = [
+                F.round(
+                    cosine_sim(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in p[1]]),
+                    ),
+                    6,
+                )
+                for p in picked
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            # (1 - lam) as an expression, not a pre-folded Python
+            # float: the oracle builds the same 1-0.7 double, so the
+            # last-ulp of the weight matches bit-for-bit.
+            score = F.round(
+                F.lit(float(lam)) * F.col("rel")
+                - (F.lit(1.0) - F.lit(float(lam))) * maxsim,
+                6,
+            )
+            rem = cand.filter(
+                ~F.col(id_col).isin([p[0] for p in picked])
+            )
+        else:
+            score = F.col("rel")
+            rem = cand
+        top = (
+            rem.select(F.col(id_col), F.col(vec_col), score.alias("mmr"))
+            .orderBy(F.col("mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((r[0], list(r[1]), float(r[2])))
+    return spark.createDataFrame(
+        [(int(p[0]), i + 1, p[2]) for i, p in enumerate(picked)],
+        schema=f"{id_col} long, pick_idx long, mmr double",
+    )

@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 140 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 142 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -92,6 +92,11 @@ _DEPRIORITIZED = [
     #    training_hash_split rejoins the window with it in r11
     "search_bm25_topk",  # BORN IN TAIL (r10); r11 tranche — integer-
     #    quantized Okapi BM25 over the tf posting table
+    "search_rrf_fusion",  # BORN IN TAIL (r10); r11 tranche —
+    #    reciprocal-rank fusion of the BM25 and cosine rankings
+    #    (integer 1e9//(60+rank) contributions)
+    "sim_mmr_rerank",  # BORN IN TAIL (r10); r11 tranche — greedy MMR
+    #    diversity re-rank, unrolled-recurrence oracle like kmeans
     # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
@@ -5839,6 +5844,158 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, doclens = bm25_index(d, "text", "doc_id")
     return bm25_topk(
         postings, doclens, "doc_id", ["dup", "spark", "vector"], k=15
+    )
+
+
+# Hybrid retrieval via reciprocal-rank fusion (round 10): the BM25
+# lexical top-50 and the embedding-cosine top-50 (query = vec 0,
+# doc_id==vec_id by fixture construction) fused as
+# sum(floor(1e9 // (60 + rank))) — integer contributions, so the
+# fused ordering is bit-exact cross-engine for any system count.
+@q(
+    "search_rrf_fusion",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    nn AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 1),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM nn),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM nn),
+    p AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM u
+      WHERE token IN ('dup', 'spark', 'vector')
+      GROUP BY doc_id, token
+    ),
+    s AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
+    tdf AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
+    sc AS (
+      SELECT p.doc_id,
+             (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
+                   AS HUGEINT)
+              * (100 * s.total_dl * p.tf * (100 + 120)))
+             // (10000 * s.total_dl * p.tf
+                 + 120 * (100 - 75) * s.total_dl
+                 + 120 * 75 * dl.dl * s.n) AS ts
+      FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
+    ),
+    b50 AS (
+      SELECT doc_id, SUM(ts) AS score_q FROM sc GROUP BY doc_id
+      ORDER BY score_q DESC, doc_id LIMIT 50
+    ),
+    br AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank
+      FROM b50
+    ),
+    c50 AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])),
+                   6) AS sim
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY sim DESC, doc_id LIMIT 50
+    ),
+    cr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM c50
+    ),
+    contrib AS (
+      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM br
+      UNION ALL
+      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM cr
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q,
+           CAST(COUNT(*) AS BIGINT) AS n_systems
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_q DESC, doc_id
+    LIMIT 15
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.search import bm25_index, bm25_topk, rrf_fuse, with_rank
+    from .pipelines.similarity import brute_force_topk
+
+    d = tables.load(spark, sf_dir, "documents")
+    postings, doclens = bm25_index(d, "text", "doc_id")
+    lex = bm25_topk(
+        postings, doclens, "doc_id", ["dup", "spark", "vector"], k=50
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    sem = brute_force_topk(emb, list(qv), k=50).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        [
+            with_rank(lex, "score_q", "doc_id"),
+            with_rank(sem, "sim", "doc_id"),
+        ],
+        "doc_id",
+        k0=60,
+        k=15,
+    )
+
+
+# MMR diversity re-rank (round 10): greedy maximal marginal relevance
+# over the cosine top-12 candidates (query = vec 0), lam=0.7, k=3
+# picks. The oracle unrolls the 3 greedy steps as chained CTEs — the
+# same unrolled-recurrence pattern as the k-means oracle. All weights
+# are built as identical double expressions in both engines.
+@q(
+    "sim_mmr_rerank",
+    """
+    WITH c AS (
+      SELECT e.vec_id, e.embedding,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])),
+                   6) AS rel
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY rel DESC, e.vec_id LIMIT 12
+    ),
+    p1 AS (SELECT vec_id, embedding, rel AS mmr FROM c
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    m2 AS (
+      SELECT c.vec_id, c.embedding,
+             ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                     * ROUND(list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(p1.embedding AS DOUBLE[])), 6),
+                   6) AS mmr
+      FROM c, p1 WHERE c.vec_id <> p1.vec_id
+    ),
+    p2 AS (SELECT vec_id, embedding, mmr FROM m2
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    m3 AS (
+      SELECT c.vec_id,
+             ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                     * GREATEST(
+                         ROUND(list_cosine_similarity(
+                             CAST(c.embedding AS DOUBLE[]),
+                             CAST(p1.embedding AS DOUBLE[])), 6),
+                         ROUND(list_cosine_similarity(
+                             CAST(c.embedding AS DOUBLE[]),
+                             CAST(p2.embedding AS DOUBLE[])), 6)),
+                   6) AS mmr
+      FROM c, p1, p2 WHERE c.vec_id NOT IN (p1.vec_id, p2.vec_id)
+    ),
+    p3 AS (SELECT vec_id, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT vec_id, CAST(1 AS BIGINT) AS pick_idx, mmr FROM p1
+    UNION ALL
+    SELECT vec_id, CAST(2 AS BIGINT), mmr FROM p2
+    UNION ALL
+    SELECT vec_id, CAST(3 AS BIGINT), mmr FROM p3
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import mmr_rerank
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return mmr_rerank(
+        emb, list(qv), n_candidates=12, k=3, lam=0.7
     )
 
 

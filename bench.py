@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     # greedy MMR diversity re-rank over a bounded candidate frame.
     "search_rrf_fusion",
     "sim_mmr_rerank",
+    # DSIR-shape importance resampling: two broadcast bucket models
+    # over one shared (id, tokens) checkpoint, exact-quantile gate.
+    "training_dsir_resample",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -351,6 +351,9 @@ _BNLJ_ALLOWED = {
     "training_temperature_resample": 2,
     "search_bm25_topk": 2,
     "search_rrf_fusion": 2,  # the BM25 arm's corpus-stats scalar
+    "training_dsir_resample": 2,  # the 1-row quantile threshold
+    #    (model totals are collected literals, bounded-collect
+    #    pattern; AQE shows the scalar join twice in the final plan)
     "o2_trending_feed_comments": 2,
     "o6_related_feed_sample": 2,
     "training_token_budget": 6,

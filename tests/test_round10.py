@@ -1308,3 +1308,43 @@ def test_mmr_handles_fewer_candidates_than_k(spark):
     )
     picks = mmr_rerank(emb, [1.0, 0.0], n_candidates=5, k=4, lam=0.7)
     assert picks.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample: importance-weighting semantics
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """Docs written in the target corpus's vocabulary must outscore
+    docs from the dominant off-target vocabulary, and the quantile gate
+    must keep roughly keep_frac of scored docs."""
+    from union_indexer_node_spark.pipelines.training import dsir_resample
+
+    target = _mk_docs(
+        spark,
+        [(100 + i, "tgt", "physics energy quantum field theory lattice")
+         for i in range(3)],
+    )
+    # spam docs must be structurally DISTINCT (varying repetition, so
+    # their bucket-count mixes differ): identical or same-shaped docs
+    # score identically, tie at the quantile threshold, and ties are
+    # kept (>= thr) — which would make the kept-count assertion
+    # vacuous.
+    train = _mk_docs(
+        spark,
+        [(0, "web", "physics energy quantum field theory works")]
+        + [(i, "web", " ".join(f"spam{i} junk{i}" for _ in range(i + 1)))
+           for i in range(1, 8)]
+        + [(99, "web", "solo")],  # 1 token -> zero bigrams
+    )
+    out = {r["doc_id"]: r for r in dsir_resample(
+        train, target, "text", "doc_id", buckets=4096, keep_frac=0.25
+    ).collect()}
+    assert len(out) == 9  # zero-gram doc still returned
+    assert out[99]["n_grams"] == 0 and not out[99]["kept"]
+    spam_scores = [out[i]["score_q"] for i in range(1, 8)]
+    assert out[0]["score_q"] > max(spam_scores)
+    assert out[0]["kept"]
+    # 8 scored docs, thr = interpolated p75 -> the top 2 pass the gate
+    assert sum(1 for r in out.values() if r["kept"]) == 2

@@ -1060,3 +1060,138 @@ def negative_sample_ring(
         F.col("_n.neg_id").alias("neg_id"),
         F.col("_n.neg_rank").cast("int").alias("neg_rank"),
     )
+
+
+def dsir_resample(
+    train: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+    keep_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.):
+    score every training document by how much more likely its hashed
+    word-bigram bag is under a TARGET-corpus model than under the
+    training corpus's own model, then keep the top ``keep_frac`` by an
+    exact corpus quantile threshold.
+
+    Both models are hashed-bigram bucket counts (the DSIR feature
+    space: md5(bigram) mod ``buckets``). The per-gram importance score
+    is the add-1-smoothed probability ratio quantized to integers — the
+    char_lm no-float contract, so libm log differences and float
+    summation order can never split engines:
+
+        q(b) = (scale * (Ct(b)+1) * (Ns+B)) DIV ((Cs(b)+1) * (Nt+B))
+
+    (Ct/Cs = target/source bucket counts, Nt/Ns their totals, B =
+    buckets.) The product runs in decimal(38,0): BIGINT would overflow
+    once corpus gram totals pass ~1e6 at this scale factor. Doc score
+    = per-gram mean (SUM DIV n_grams); DSIR's Gumbel top-k draw is
+    replaced by the deterministic exact-quantile gate at
+    1 - keep_frac (the adaptive_quality_gate percentile pattern —
+    swap approx_percentile at 100 TB, same plan).
+
+    Plan shape: ONE (id, tokens) localCheckpoint serves the source
+    model pass and the probe pass (the shingle collapse barrier, and
+    it halves the tokenize cost since the corpus feeds two consumers).
+    Both bucket-count models are <= ``buckets`` rows and BROADCAST to
+    the probe; the only corpus-keyed shuffle is the final groupBy(id).
+
+    Returns (id, n_grams, score_q, thr, kept); zero-gram docs carry
+    score_q = 0 and are never kept.
+    """
+    def _bigrams(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _bucketed(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(
+            *cols, F.explode(_bigrams(F.col("_toks"))).alias("_g")
+        ).select(*cols, md5_bucket(F.col("_g"), buckets).alias("_b"))
+
+    base = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()  # collapse barrier + shared by model & probe
+    tgt_toks = target.select(
+        tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()
+
+    # The models are <= buckets rows by construction: checkpoint them
+    # (each feeds its total AND the probe join) and collect the two
+    # scalar totals as literals — the bounded-collect pattern; inlining
+    # the totals keeps the probe free of scalar nested-loop joins.
+    tgt_model = (
+        _bucketed(tgt_toks, False)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint()
+    )
+    src_model = (
+        _bucketed(base, False)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cs"))
+        .localCheckpoint()
+    )
+    nt = tgt_model.agg(F.sum("_ct")).collect()[0][0] or 0
+    ns = src_model.agg(F.sum("_cs")).collect()[0][0] or 0
+
+    probe = (
+        _bucketed(base, True)
+        .join(F.broadcast(tgt_model), "_b", "left")
+        .join(F.broadcast(src_model), "_b", "left")
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CAST(CAST({scale} AS DECIMAL(38,0))"
+                f"     * (coalesce(_ct, 0L) + 1L)"
+                f"     * ({ns}L + {buckets}L)"
+                f" div (CAST(coalesce(_cs, 0L) + 1L AS DECIMAL(38,0))"
+                f"      * ({nt}L + {buckets}L)) AS BIGINT)"
+            ).alias("_q"),
+        )
+    )
+    scored = probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        # integer div, not `/`+cast: float quotients can truncate to a
+        # different integer than true integer division
+        F.expr("sum(_q) div count(1)").cast("long").alias("score_q"),
+    )
+    # re-attach zero-gram docs (explode dropped them) with score 0
+    all_ids = base.select(F.col(id_col))
+    scored = (
+        all_ids.join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("score_q", F.lit(0)).cast("long").alias("score_q"),
+        )
+    )
+    thr = scored.filter(F.col("n_grams") > 0).agg(
+        F.round(
+            F.percentile(
+                F.col("score_q").cast("double"), F.lit(1.0 - keep_frac)
+            ),
+            4,
+        ).alias("thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        "n_grams",
+        "score_q",
+        "thr",
+        (
+            (F.col("n_grams") > 0)
+            & (F.col("score_q").cast("double") >= F.col("thr"))
+        ).alias("kept"),
+    )

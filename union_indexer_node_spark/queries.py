@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 142 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 143 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -97,6 +97,9 @@ _DEPRIORITIZED = [
     #    (integer 1e9//(60+rank) contributions)
     "sim_mmr_rerank",  # BORN IN TAIL (r10); r11 tranche — greedy MMR
     #    diversity re-rank, unrolled-recurrence oracle like kmeans
+    "training_dsir_resample",  # BORN IN TAIL (r10); r11 tranche —
+    #    hashed-bigram importance resampling (DSIR shape), char_lm
+    #    no-float quantized ratio + exact-quantile gate
     # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
@@ -3016,6 +3019,83 @@ def training_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("source") != "src0")
     return bloom_decontaminate(
         train, bench, "text", "doc_id", n=5, k=3, m=1 << 18
+    )
+
+
+# DSIR-style importance resampling (round 10): hashed-bigram bucket
+# models for target (src0) and train (rest); per-gram importance =
+# add-1-smoothed probability ratio quantized via the char_lm no-float
+# contract (HUGEINT product, integer div); keep = top-25% by exact
+# quantile. Zero-gram docs score 0 and are never kept.
+@q(
+    "training_dsir_resample",
+    f"""
+    WITH {_TOKS_CTE.strip()},
+    lab AS (
+      SELECT t.doc_id, t.toks, d.source FROM toks t
+      JOIN documents d USING (doc_id)
+    ),
+    trg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+      FROM (SELECT doc_id, toks FROM lab WHERE source <> 'src0') tr,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+    ),
+    tgg AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS g
+      FROM (SELECT toks FROM lab WHERE source = 'src0') tg,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+    ),
+    trb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM trg
+    ),
+    tgb AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM tgg
+    ),
+    ctm AS (SELECT b, COUNT(*) AS ct FROM tgb GROUP BY b),
+    csm AS (SELECT b, COUNT(*) AS cs FROM trb GROUP BY b),
+    tot AS (SELECT (SELECT SUM(ct) FROM ctm) AS nt,
+                   (SELECT SUM(cs) FROM csm) AS ns),
+    qv AS (
+      SELECT p.doc_id,
+             CAST(CAST(1000000 AS HUGEINT)
+                  * (COALESCE(ctm.ct, 0) + 1) * (tot.ns + 4096)
+                  // (CAST(COALESCE(csm.cs, 0) + 1 AS HUGEINT)
+                      * (tot.nt + 4096)) AS BIGINT) AS q
+      FROM trb p LEFT JOIN ctm USING (b) LEFT JOIN csm USING (b), tot
+    ),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS score_q
+      FROM qv GROUP BY doc_id
+    ),
+    allsc AS (
+      SELECT l.doc_id,
+             COALESCE(sc.n_grams, 0) AS n_grams,
+             COALESCE(sc.score_q, 0) AS score_q
+      FROM (SELECT doc_id FROM lab WHERE source <> 'src0') l
+      LEFT JOIN sc USING (doc_id)
+    ),
+    thr AS (
+      SELECT ROUND(quantile_cont(CAST(score_q AS DOUBLE), 0.75), 4) AS thr
+      FROM allsc WHERE n_grams > 0
+    )
+    SELECT a.doc_id, a.n_grams, a.score_q, thr.thr,
+           (a.n_grams > 0 AND CAST(a.score_q AS DOUBLE) >= thr.thr) AS kept
+    FROM allsc a, thr
+    """,
+)
+def training_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import dsir_resample
+
+    d = tables.load(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return dsir_resample(
+        train, target, "text", "doc_id",
+        buckets=4096, scale=1_000_000, keep_frac=0.25,
     )
 
 

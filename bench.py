@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     # DSIR-shape importance resampling: two broadcast bucket models
     # over one shared (id, tokens) checkpoint, exact-quantile gate.
     "training_dsir_resample",
+    # Morton interleave key: pure map-side long arithmetic over the
+    # widest table in the set (lineitem) — a codegen throughput probe.
+    "layout_zorder_key",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

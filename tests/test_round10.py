@@ -1348,3 +1348,75 @@ def test_dsir_prefers_target_like_documents(spark):
     assert out[0]["kept"]
     # 8 scored docs, thr = interpolated p75 -> the top 2 pass the gate
     assert sum(1 for r in out.values() if r["kept"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# zorder_key / zorder_layout: interleave correctness + placement plan
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(vals, bits=16):
+    z = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from union_indexer_node_spark.pipelines.layout import zorder_key
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+            (70000, 3)]  # 70000 wraps to its 16 low bits
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y",
+            zorder_key([F.col("x"), F.col("y")], bits=16).alias("z"),
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton([x, y]), (x, y)
+
+
+def test_zorder_key_interleaves_locality(spark):
+    """The defining property: neighbors in EITHER dimension land near
+    each other in z — concretely, the z of (x, y) and (x+1, y) differ
+    only in bits of x's lanes, so sorting by z clusters both columns."""
+    from union_indexer_node_spark.pipelines.layout import zorder_key
+
+    # 4x4 grid, bits=2: canonical Morton order is the classic N-curve
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()}
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert got[(2, 2)] == 12 and got[(3, 3)] == 15
+    assert sorted(got.values()) == list(range(16))  # bijective on grid
+
+
+def test_zorder_layout_plans_one_range_exchange(spark):
+    from union_indexer_node_spark.pipelines.layout import zorder_layout
+    from union_indexer_node_spark import tables
+
+    li = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    out = zorder_layout(li, ["l_partkey", "l_suppkey"], n_files=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan
+    assert "Sort" in plan
+
+
+def test_zorder_key_rejects_overflowing_lanes(spark):
+    import pytest as _pytest
+    from union_indexer_node_spark.pipelines.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2)], bits=32)
+    with _pytest.raises(ValueError):
+        zorder_key([], bits=4)

@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 143 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 144 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -100,6 +100,8 @@ _DEPRIORITIZED = [
     "training_dsir_resample",  # BORN IN TAIL (r10); r11 tranche —
     #    hashed-bigram importance resampling (DSIR shape), char_lm
     #    no-float quantized ratio + exact-quantile gate
+    "layout_zorder_key",  # BORN IN TAIL (r10); r11 tranche — Morton
+    #    interleave data-skipping key; placement pass plan-pinned
     # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
@@ -3019,6 +3021,36 @@ def training_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("source") != "src0")
     return bloom_decontaminate(
         train, bench, "text", "doc_id", n=5, k=3, m=1 << 18
+    )
+
+
+# Z-order (Morton) clustering key (round 10): the multi-dimensional
+# data-skipping layout key — 16 low bits of l_partkey and l_suppkey
+# interleaved, pure long arithmetic (the placement pass
+# zorder_layout() is plan-pinned separately; placement is not a
+# row-visible value). Oracle rebuilds the interleave bit-for-bit with
+# a generate_series bit sum.
+@q(
+    "layout_zorder_key",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST((SELECT SUM(
+                    (((l_partkey & 65535) >> i) & 1) * (1::BIGINT << (2*i))
+                  + (((l_suppkey & 65535) >> i) & 1) * (1::BIGINT << (2*i+1))
+                 ) FROM generate_series(0, 15) AS t(i)) AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.layout import zorder_key
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=16).alias(
+            "zval"
+        ),
     )
 
 

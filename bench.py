@@ -231,6 +231,23 @@ CALIBRATION_REFERENCE_SEC = 0.6
 def _calibrate(spark) -> float:
     from pyspark.sql import functions as F
 
+    # Release the session state the query loop accumulated before
+    # measuring the host: the eager entries (bloom/DSIR/MMR, the
+    # trigram prebuilt) leave localCheckpoint/persist RDD blocks in the
+    # block manager, and the resulting memory pressure showed up as
+    # 1.7-2.3x calibration factors on an IDLE host (r10, measured) —
+    # exactly the host-speed signal this probe must not conflate with.
+    # Nothing after this point reads any persisted frame.
+    try:
+        # py4j exposes the java Map as a dict-like view
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist(True)
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # cleanup is best-effort; calibration proceeds regardless
+
     def one_rep() -> float:
         t0 = time.perf_counter()
         (

@@ -1420,3 +1420,30 @@ def test_zorder_key_rejects_overflowing_lanes(spark):
         zorder_key([F.lit(1), F.lit(2)], bits=32)
     with _pytest.raises(ValueError):
         zorder_key([], bits=4)
+
+
+# ---------------------------------------------------------------------------
+# keep_best_per_cluster: quality-aware canonical policy
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_per_cluster_prefers_score_then_id(spark):
+    from union_indexer_node_spark.pipelines.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 0), (5, 7), (6, 7)],
+        "doc_id long, score long",
+    )
+    out = {r["doc_id"]: r for r in keep_best_per_cluster(
+        clusters, scores, "doc_id", score_col="score"
+    ).collect()}
+    assert len(out) == 6  # every row returned with its verdict
+    # cluster 10: docs 2 and 3 tie at 9 -> lowest id 2 wins, not doc 1
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert out[4]["keep"]  # singleton cluster keeps its only member
+    # cluster 50: tie -> id 5
+    assert out[5]["keep"] and not out[6]["keep"]

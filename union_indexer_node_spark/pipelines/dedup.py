@@ -964,3 +964,44 @@ def cross_source_passage_overlap(
         pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_passages"))
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    *,
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    row with the HIGHEST score (ties break on lowest id) instead of the
+    lowest id — the policy real curation runs (keep the longest / most
+    complete / highest-classifier version of a duplicated page, not an
+    arbitrary one).
+
+    One broadcast-or-shuffle equi-join of the cluster map to the score
+    table, then one window keyed on the cluster. Near-dup clusters are
+    shallow and small (dupes of one canonical), so the per-cluster
+    window state is a handful of rows — no skew hazard; a pathological
+    giant cluster is the upstream LSH bucket_cap's job to prevent.
+
+    Returns (id, cluster, score, keep) for every input row —
+    auditability over in-place filtering, the adaptive_quality_gate
+    contract.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.join(scores, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col(score_col),
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )

@@ -52,7 +52,7 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 144 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 145 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -102,19 +102,25 @@ _DEPRIORITIZED = [
     #    no-float quantized ratio + exact-quantile gate
     "layout_zorder_key",  # BORN IN TAIL (r10); r11 tranche — Morton
     #    interleave data-skipping key; placement pass plan-pinned
+    "dedup_keep_best_quality",  # BORN IN TAIL (r10); r11 tranche —
+    #    per-cluster keep-the-longest canonical policy (window over
+    #    the cc cluster map)
     # ------------------------------------------------------------------
     # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
     # entries below are the r6-era staleness backlog — last driver-
     # green r6, i.e. they hit the ~4-round bound at r11 exactly (the
     # same overflow-ledger mechanism that executed on schedule in r9
-    # and r10). Rotate ALL of them in next round — plus the r10
+    # and r10). Rotate ALL of them in next round — plus the TEN r10
     # born-in-tail entries above (text_bpe_encode, a_approx_distinct_kmv,
-    # training_negative_sample, training_temperature_resample) and the
-    # two r10 rotate-outs dedup_shared_passages / training_hash_split
-    # if slots allow — funded by r10-window entries that
-    # will then be multiply-green (the 17 r10 re-entries are the
-    # natural swap-outs). Listing them BY NAME keeps the backlog
-    # mechanically bounded.
+    # training_negative_sample, training_temperature_resample,
+    # search_bm25_topk, search_rrf_fusion, sim_mmr_rerank,
+    # training_dsir_resample, layout_zorder_key,
+    # dedup_keep_best_quality) and the two r10 rotate-outs
+    # dedup_shared_passages / training_hash_split if slots allow —
+    # 13 + 10 = 23 mandatory swaps (25 with the rejoins), funded by
+    # r10-window entries that will then be multiply-green (the 17 r10
+    # re-entries are the natural swap-outs). Listing them BY NAME
+    # keeps the backlog mechanically bounded.
     # ------------------------------------------------------------------
     "x18_hex_to_long",  # r11 tranche; green r1/r2+r6; explode path via setops
     "a3_distinct_authors",  # r11 tranche; green r3+r6; distinct shape via
@@ -3246,6 +3252,80 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmap.join(cc, cmap.canonical_id == cc.node, "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("canonical_id")).alias("cluster_id"),
+    )
+
+
+# Quality-aware canonical selection (round 10): per near-dup cluster
+# keep the LONGEST doc (token_count proxy; ties -> lowest id) instead
+# of the lowest id — the keep-the-best-version curation policy. Same
+# cluster construction and recursive-CTE oracle as dedup_cc_clusters,
+# plus one cluster-keyed window.
+@q(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SIG_CTE.strip()},
+    und AS (
+      SELECT a AS s, b AS d FROM cand UNION SELECT b, a FROM cand
+    ),
+    reach(s, d) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d
+    ),
+    lab AS (SELECT s AS node, MIN(d) AS cluster_id FROM reach GROUP BY s),
+    cmap AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ),
+    cl AS (
+      SELECT c.doc_id, COALESCE(l.cluster_id, c.canonical_id) AS cluster_id
+      FROM cmap c LEFT JOIN lab l ON l.node = c.canonical_id
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT cl.doc_id, cl.cluster_id, sc.n_tokens,
+           ROW_NUMBER() OVER (
+             PARTITION BY cl.cluster_id
+             ORDER BY sc.n_tokens DESC, cl.doc_id
+           ) = 1 AS keep
+    FROM cl JOIN sc USING (doc_id)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import (
+        keep_best_per_cluster,
+        lsh_candidate_pairs,
+        token_count,
+    )
+    from .pipelines.training import connected_components
+
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=3
+    ).localCheckpoint()
+    cc = connected_components(pairs, "a", "b")
+    canon = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    cmap = d.select("doc_id", F.md5("text").alias("_h")).join(canon, "_h")
+    clusters = cmap.join(cc, cmap.canonical_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("canonical_id")).alias("cluster_id"),
+    )
+    scores = d.select(
+        "doc_id",
+        F.coalesce(token_count(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return keep_best_per_cluster(
+        clusters, scores, "doc_id",
+        cluster_col="cluster_id", score_col="n_tokens",
     )
 
 

@@ -169,10 +169,17 @@ def bm25_index(
     persist postings partitioned/bucketed by token (same note as
     build_inverted_index) so a query touches only its terms'
     partitions; doclens is corpus-row-sized metadata.
+
+    The (id, tokens) base is localCheckpointed so "one tokenize pass"
+    is literally true in the plan: postings, doclens, and any
+    corpus-stats aggregate a scorer derives all read the materialized
+    frame instead of re-running the tokenizer per consumer.
     """
-    base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).filter(F.size("_toks") >= 1)
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .localCheckpoint()
+    )
     doclens = base.select(F.col(id_col), F.size("_toks").alias("dl"))
     postings = (
         base.select(F.col(id_col), F.explode("_toks").alias("token"))

@@ -1,0 +1,154 @@
+"""Round-11 regression tests for the ADVICE r10 items:
+
+- keep_best_per_cluster LEFT-joins scores: an unscored clustered id is
+  emitted (NULL score) and ranks last, never silently dropped
+- bm25_topk quantized arm survives total_dl*tf beyond the BIGINT
+  envelope (the DECIMAL(38,0) pre-widening)
+- remove_duplicate_spans / remove_repeated_passages normalize NULL
+  text to '' at entry (n_tokens 0, cleaned_text '', never NULL/-1)
+- mmr_rerank preserves a non-integral id column's type
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# keep_best_per_cluster: auditability under missing scores
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_per_cluster_left_join_keeps_unscored(spark):
+    from union_indexer_node_spark.pipelines.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)],
+        "doc_id long, cluster_id long",
+    )
+    # doc 3 (cluster 10) and doc 4 (cluster 20, its ONLY member) have
+    # no score row at all.
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in keep_best_per_cluster(
+            clusters, scores, "doc_id"
+        ).collect()
+    }
+    # EVERY input row comes back — the docstring's auditability contract.
+    assert sorted(out) == [1, 2, 3, 4]
+    # unscored rows carry NULL score and rank last within the cluster
+    assert out[3]["score"] is None and out[3]["keep"] is False
+    assert out[2]["keep"] is True and out[1]["keep"] is False
+    # a cluster whose only member is unscored still elects a canonical
+    assert out[4]["score"] is None and out[4]["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk quantized: BIGINT-envelope overflow (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_quantized_survives_bigint_overflow_envelope(spark):
+    """total_dl ~3e15 with tf up to 40: 10000*total_dl*tf ~1.2e21 —
+    far past BIGINT (9.2e18). Pre-fix this nulled num/den (score NULL
+    or rows dropped); post-fix every doc scores and the per-term
+    ordering (higher tf, shorter dl → higher score) holds."""
+    from union_indexer_node_spark.pipelines.search import bm25_topk
+
+    postings = spark.createDataFrame(
+        [(1, "spark", 40), (2, "spark", 40), (3, "spark", 2)],
+        "doc_id long, token string, tf long",
+    )
+    doclens = spark.createDataFrame(
+        [(1, 1_000_000_000_000_000), (2, 2_000_000_000_000_000), (3, 100)],
+        "doc_id long, dl long",
+    )
+    rows = bm25_topk(
+        postings, doclens, "doc_id", ["spark"], k=3, quantized=True
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["score_q"] is not None for r in rows)
+    # same tf, shorter doc wins; the short doc with tiny tf still ranks
+    # by the BM25 saturation (tf=2 vs 40 at dl=100 vs 1e15)
+    by_id = {r["doc_id"]: r["score_q"] for r in rows}
+    assert by_id[1] > by_id[2]  # dl 1e15 < 2e15, same tf
+
+
+# ---------------------------------------------------------------------------
+# NULL-text entry contract (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_null_text_contract(spark):
+    from union_indexer_node_spark.pipelines.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h"), (3, "a b c d e f g h"),
+         (4, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window_tokens=8, max_occurrences=2
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == ""
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["n_removed_tokens"] == 0
+    # the triplicated 8-token window is still scrubbed from docs 2-4
+    assert out[2]["cleaned_text"] == ""
+    assert out[2]["n_removed_tokens"] == 8
+
+
+def test_remove_repeated_passages_null_text_contract(spark):
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_repeated_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "keep these words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(
+            docs, "text", "doc_id", words_per_passage=2, max_occurrences=2
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == ""
+    assert out[1]["n_segments"] == 0
+    assert out[2]["cleaned_text"] == "keep these words"
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank: id type preservation (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_string_ids_round_trip(spark):
+    from union_indexer_node_spark.pipelines.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0]),
+            ("doc-b", [0.9, 0.1]),
+            ("doc-c", [0.0, 1.0]),
+        ],
+        "doc_key string, embedding array<double>",
+    )
+    # lam=0.3 weights diversity over relevance so the second pick must
+    # skip the near-duplicate of the first.
+    out = mmr_rerank(
+        emb, [1.0, 0.0], id_col="doc_key", vec_col="embedding",
+        n_candidates=3, k=2, lam=0.3,
+    )
+    assert dict(out.dtypes)["doc_key"] == "string"
+    rows = out.orderBy("pick_idx").collect()
+    assert rows[0]["doc_key"] == "doc-a"
+    # MMR's second pick trades redundancy: doc-c (orthogonal) over
+    # doc-b (near-duplicate of the first pick)
+    assert rows[1]["doc_key"] == "doc-c"

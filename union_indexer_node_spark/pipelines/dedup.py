@@ -675,10 +675,25 @@ def remove_repeated_passages(
     scrubbing a batch against a lifetime index that has not yet folded
     that batch must not silently blank novel documents (the stale-
     index hazard; the prior INNER join dropped them).
+
+    Tokenization caveat at the ``counts`` boundary (ADVICE r10): this
+    operator keys passages via ``token_pieces`` (raw ``[a-zA-Z0-9]+``
+    runs, THEN lowered), while ``passage_counts``/``tokens()`` lowers
+    FIRST and then splits. The two agree on all ASCII text, but
+    diverge on the handful of non-ASCII codepoints whose lowercase
+    maps INTO ``[a-z]`` (U+212A KELVIN SIGN → 'k', U+017F LONG S →
+    's'): a counts table built from ``tokens()`` then keys such
+    passages differently than this probe. Corpora feeding a prebuilt
+    ``counts`` index should pre-scrub those codepoints (the same
+    pre-scrub contract as the \\x01 sentinel below) or build the index
+    with ``passage_counts`` over the SAME pre-scrubbed text.
     """
     ws = words_per_passage
+    # NULL text normalizes to '' (same entry contract as
+    # remove_duplicate_spans): n_segments=0, returned unchanged.
+    _txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
-        F.col(id_col), token_pieces(F.col(text_col)).alias("_pc")
+        F.col(id_col), token_pieces(_txt).alias("_pc")
     ).select(
         F.col(id_col),
         F.col("_pc"),
@@ -823,10 +838,15 @@ def remove_duplicate_spans(
       no UDF, no driver collect.
     """
     w = window_tokens
+    # NULL text is normalized to '' at entry (ADVICE r10): without it,
+    # F.size over a null token array reports n_tokens = -1 under
+    # non-ANSI Spark and both reassembly paths emit NULL cleaned_text —
+    # a silent output-contract change for corpora carrying null text.
+    _txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
-        F.col(text_col).alias("_text"),
-        token_pieces(F.col(text_col)).alias("_pc"),
+        _txt.alias("_text"),
+        token_pieces(_txt).alias("_pc"),
     ).select(
         "*", pieces_tokens(F.col("_pc")).alias("_toks")
     )
@@ -988,15 +1008,19 @@ def keep_best_per_cluster(
 
     Returns (id, cluster, score, keep) for every input row —
     auditability over in-place filtering, the adaptive_quality_gate
-    contract.
+    contract. The score join is a LEFT join (ADVICE r10): a clustered
+    id missing from ``scores`` is still emitted (score NULL) and ranks
+    LAST within its cluster (nulls-last ordering), so an incomplete
+    score table can never silently drop rows — it can only demote
+    unscored members below every scored sibling.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
-        clusters.join(scores, id_col)
+        clusters.join(scores, id_col, "left")
         .withColumn("_rk", F.row_number().over(w))
         .select(
             F.col(id_col),

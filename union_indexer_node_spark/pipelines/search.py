@@ -247,13 +247,23 @@ def bm25_topk(
     if quantized:
         scored = per.select(
             F.col(id_col),
+            # _total_dl and _n are widened to DECIMAL(38,0) BEFORE any
+            # multiplication (ADVICE r10): built in BIGINT, num/den
+            # silently overflow (null under non-ANSI Spark, error in
+            # DuckDB) once total_dl*tf nears ~9e14 — well inside the
+            # 100 TB envelope (total_dl ~1e14 tokens alone). With the
+            # widening, worst-case num ≈ idf_q(≤2e15) * 2.2e22 ≈ 4e37
+            # still fits DECIMAL(38,0)/HUGEINT.
             F.expr(
                 f"CAST((CAST((10000 * (2*(_n - _df) + 1)) div (2*_df + 1)"
                 f"       AS DECIMAL(38,0))"
-                f"      * (100 * _total_dl * tf * (100 + {k1_pct})))"
-                f" div (10000 * _total_dl * tf"
-                f"      + {k1_pct} * (100 - {b_pct}) * _total_dl"
-                f"      + {k1_pct} * {b_pct} * dl * _n) AS BIGINT)"
+                f"      * (100 * CAST(_total_dl AS DECIMAL(38,0)) * tf"
+                f"         * (100 + {k1_pct})))"
+                f" div (10000 * CAST(_total_dl AS DECIMAL(38,0)) * tf"
+                f"      + {k1_pct} * (100 - {b_pct})"
+                f"        * CAST(_total_dl AS DECIMAL(38,0))"
+                f"      + {k1_pct} * {b_pct}"
+                f"        * CAST(_n AS DECIMAL(38,0)) * dl) AS BIGINT)"
             ).alias("_ts"),
         )
         out = (

@@ -750,7 +750,16 @@ def mmr_rerank(
     cross-engine (ties break on id).
 
     Returns (id, pick_idx, mmr) with pick_idx 1-based selection order;
-    mmr for the first pick is its raw relevance.
+    mmr for the first pick is its raw relevance. The id column keeps
+    its INPUT type (ADVICE r10): the output schema is derived from
+    ``emb``'s schema rather than hardcoded long, so string/decimal ids
+    round-trip instead of crashing in the driver-side coercion.
+
+    k ceiling: each step builds an ``isin([picked...])`` literal and a
+    ``greatest(*len(picked))`` expression — linear in k, fine at the
+    documented re-rank depths (k <= ~50); thousands would hit codegen
+    expression-size limits, at which point store picked ids in a
+    broadcast frame instead.
     """
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = (
@@ -802,7 +811,17 @@ def mmr_rerank(
             break
         r = top[0]
         picked.append((r[0], list(r[1]), float(r[2])))
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type, True),
+            StructField("pick_idx", LongType(), False),
+            StructField("mmr", DoubleType(), True),
+        ]
+    )
     return spark.createDataFrame(
-        [(int(p[0]), i + 1, p[2]) for i, p in enumerate(picked)],
-        schema=f"{id_col} long, pick_idx long, mmr double",
+        [(p[0], i + 1, p[2]) for i, p in enumerate(picked)],
+        schema=out_schema,
     )

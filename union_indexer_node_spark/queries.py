@@ -6017,10 +6017,10 @@ def search_substring_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.doc_id,
              (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
                    AS HUGEINT)
-              * (100 * s.total_dl * p.tf * (100 + 120)))
-             // (10000 * s.total_dl * p.tf
-                 + 120 * (100 - 75) * s.total_dl
-                 + 120 * 75 * dl.dl * s.n) AS ts
+              * (100 * CAST(s.total_dl AS HUGEINT) * p.tf * (100 + 120)))
+             // (10000 * CAST(s.total_dl AS HUGEINT) * p.tf
+                 + 120 * (100 - 75) * CAST(s.total_dl AS HUGEINT)
+                 + 120 * 75 * CAST(s.n AS HUGEINT) * dl.dl) AS ts
       FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
     )
     SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score_q
@@ -6062,10 +6062,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.doc_id,
              (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
                    AS HUGEINT)
-              * (100 * s.total_dl * p.tf * (100 + 120)))
-             // (10000 * s.total_dl * p.tf
-                 + 120 * (100 - 75) * s.total_dl
-                 + 120 * 75 * dl.dl * s.n) AS ts
+              * (100 * CAST(s.total_dl AS HUGEINT) * p.tf * (100 + 120)))
+             // (10000 * CAST(s.total_dl AS HUGEINT) * p.tf
+                 + 120 * (100 - 75) * CAST(s.total_dl AS HUGEINT)
+                 + 120 * 75 * CAST(s.n AS HUGEINT) * dl.dl) AS ts
       FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
     ),
     b50 AS (

@@ -19,54 +19,49 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # the 3 round-9 born-in-tail passage entries: ZERO driver signal
-    # until now — the r10 rotation's first-priority tranche
-    # (VERDICT r9 #1)
-    "dedup_remove_repeated_passages",
-    "dedup_cross_source_overlap",
+    # r11 rotation (VERDICT r10 item 1): the 13 named r6-stale entries
+    "x18_hex_to_long",
+    "a3_distinct_authors",
+    "a7_total_active_creators",
+    "f10_point_lookup",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "temporal_range_join",
+    "j3_num_comments_per_post",
+    "w2_lww_latest_event",
+    "sample_weighted_bernoulli",
+    "o5_children_topk_per_parent",
+    "training_decontaminate",
+    "dedup_lsh_candidates",
+    # the 10 r10 born-in-tail entries (zero driver signal until r11)
+    "text_bpe_encode",
+    "a_approx_distinct_kmv",
+    "training_negative_sample",
+    "training_temperature_resample",
+    "search_bm25_topk",
+    "search_rrf_fusion",
+    "sim_mmr_rerank",
+    "training_dsir_resample",
+    "layout_zorder_key",
+    "dedup_keep_best_quality",
+    # the two r10 rotate-outs rejoining per the written plan
+    "dedup_shared_passages",
+    "training_hash_split",
+    # single-green (r10-only) entries holding their slot to become
+    # multiply-green
     "stream_passage_counts_incremental",
-    # entries born in-window in r10 (no driver signal yet)
+    "training_bloom_decontaminate",
+    "training_cdc_chunks",
+    "dedup_remove_repeated_passages",
     "dedup_remove_duplicate_spans",
+    "dedup_cross_source_overlap",
     "text_bpe_train_merges",
     "text_quality_classifier",
-    # the named r5-era staleness tranche re-entering at the ~4-round
-    # bound (VERDICT r9 item 1 / the r10 tranche pre-named in r9's
-    # _DEPRIORITIZED ledger)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q13_custdist",
-    "tpch_q17_small_quantity",
-    "temporal_sessionize",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_hashtag_url_extract",
-    "sim_label_centroids",
-    "dedup_apply_keep_canonical",
-    "pipeline_domain_mix",
-    "training_chunk_sliding",
-    "text_length_percentiles",
-    "sim_quantize_int8",
-    # single-green r9 entries (born-in-tail r8, first signal r9): one
-    # driver row is not yet "multiply green", so they hold their slot
-    "tpch_q21_waiting_supplier_shape",
-    "multimodal_png_probe",
-    "text_language_consistency",
-    "text_bpe_pair_counts",
-    "text_tfidf_topk",
-    "pipeline_adaptive_quality_gate",
-    "training_budget_select",
-    "temporal_funnel_stages",
-    "search_substring_trigram",
-    "temporal_cohort_retention",
-    "events_pivot_type_counts",
-    "temporal_moving_window_agg",
-    "pipeline_column_profile",
-    "dedup_lsh_incremental",
-    "setop_intersect_except",
-    "lineitem_unpivot_measures",
-    # streaming reps: the hardest probe plus the newly-entering
-    # incremental fold
-    "stream_ssj_watermark_eviction",
+    # entries born in-window in r11 (no driver signal yet)
+    "text_unigram_lm_train",
+    "sim_ivf_pq_adc",
+    "multimodal_media_probe",
+    "dedup_remove_duplicate_spans_maximal",
 ]
 
 

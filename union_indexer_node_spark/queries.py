@@ -77,225 +77,223 @@ _DEPRIORITIZED = [
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r10): the BPE encode arm, added after the r10
-    # window was finalized at 50. Enters with the r11 tranche below.
-    # Locally oracle-tested like every tail entry; the trainer arm
-    # text_bpe_train_merges is in-window r10.
+    # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
+    # r6-stale entries + all 10 r10 born-in-tail entries + the two r10
+    # rotate-outs dedup_shared_passages / training_hash_split) is IN
+    # THE WINDOW this round: all 25 names were removed from this list.
+    # Four entries born in-window this round (text_unigram_lm_train,
+    # sim_ivf_pq_adc, multimodal_media_probe,
+    # dedup_remove_duplicate_spans_maximal) complete the 50. The 29
+    # slots are funded by the rotate-outs below (see the "rotated out
+    # in round 11" section) — every one multiply driver-green with its
+    # operator family still in-window, noted inline. The 8 entries
+    # that were single-green (r10-only) all STAY in-window to become
+    # multiply-green: stream_passage_counts_incremental,
+    # training_bloom_decontaminate, training_cdc_chunks,
+    # dedup_remove_repeated_passages, dedup_remove_duplicate_spans,
+    # dedup_cross_source_overlap, text_bpe_train_merges,
+    # text_quality_classifier.
     # ------------------------------------------------------------------
-    "text_bpe_encode",  # BORN IN TAIL (r10); r11 tranche
-    "a_approx_distinct_kmv",  # BORN IN TAIL (r10); r11 tranche — the
-    #    oracle-exact KMV sibling of the permanent-tail HLL entry
-    "training_negative_sample",  # BORN IN TAIL (r10); r11 tranche —
-    #    hash-ring contrastive negatives
-    "training_temperature_resample",  # BORN IN TAIL (r10); r11 tranche —
-    #    n^alpha domain-mix flattening; md5-draw family rep
-    #    training_hash_split rejoins the window with it in r11
-    "search_bm25_topk",  # BORN IN TAIL (r10); r11 tranche — integer-
-    #    quantized Okapi BM25 over the tf posting table
-    "search_rrf_fusion",  # BORN IN TAIL (r10); r11 tranche —
-    #    reciprocal-rank fusion of the BM25 and cosine rankings
-    #    (integer 1e9//(60+rank) contributions)
-    "sim_mmr_rerank",  # BORN IN TAIL (r10); r11 tranche — greedy MMR
-    #    diversity re-rank, unrolled-recurrence oracle like kmeans
-    "training_dsir_resample",  # BORN IN TAIL (r10); r11 tranche —
-    #    hashed-bigram importance resampling (DSIR shape), char_lm
-    #    no-float quantized ratio + exact-quantile gate
-    "layout_zorder_key",  # BORN IN TAIL (r10); r11 tranche — Morton
-    #    interleave data-skipping key; placement pass plan-pinned
-    "dedup_keep_best_quality",  # BORN IN TAIL (r10); r11 tranche —
-    #    per-cluster keep-the-longest canonical policy (window over
-    #    the cc cluster map)
+    # r12 ROTATION TRANCHE (scheduled): the r7-era staleness backlog —
+    # last driver-green r7, hitting the ~4-round bound at r12 exactly.
+    # Rotate ALL of them in next round, funded by the 25 r11 re-entries
+    # that will then be multiply-green (plus the 8 formerly-single
+    # entries, multiply-green after r11). 19 mandatory swaps.
     # ------------------------------------------------------------------
-    # r11 ROTATION TRANCHE (scheduled; VERDICT r9 item 8): the 13
-    # entries below are the r6-era staleness backlog — last driver-
-    # green r6, i.e. they hit the ~4-round bound at r11 exactly (the
-    # same overflow-ledger mechanism that executed on schedule in r9
-    # and r10). Rotate ALL of them in next round — plus the TEN r10
-    # born-in-tail entries above (text_bpe_encode, a_approx_distinct_kmv,
-    # training_negative_sample, training_temperature_resample,
-    # search_bm25_topk, search_rrf_fusion, sim_mmr_rerank,
-    # training_dsir_resample, layout_zorder_key,
-    # dedup_keep_best_quality) and the two r10 rotate-outs
-    # dedup_shared_passages / training_hash_split if slots allow —
-    # 13 + 10 = 23 mandatory swaps (25 with the rejoins), funded by
-    # r10-window entries that will then be multiply-green (the 17 r10
-    # re-entries are the natural swap-outs). Listing them BY NAME
-    # keeps the backlog mechanically bounded.
+    "f4_regex_filter",  # r12 tranche; green r1-r3+r7; rlike predicate shape
+    "a2_distinct_authors_of_app",  # r12 tranche; green r1-r3+r7
+    "x1_json_props_extract",  # r12 tranche; green r1-r3+r7; JSON parse
+    #    via x16 family
+    "x2_detect_post_type",  # r12 tranche; green r1-r3+r7; allowlist
+    #    feeds j9 closure
+    "j2_parent_post_join",  # r12 tranche; green r1-r3+r7; parent-join
+    #    (left outer) shape via tpch_q13 family
+    "j7_follows_overview",  # r12 tranche; green r1-r3+r7; follows family
+    #    via ingest_follows_families (in-window)
+    "a5_score_zeroing",  # r12 tranche; green r3-r7; superset arm of a5
+    "dedup_embedding_neardup",  # r12 tranche; green r1+r3-r7; band join
+    #    via dedup_semantic_flags family
+    "text_language_id_ngram",  # r12 tranche; green r3-r7; trigram scoring
+    "text_vocab_topk_per_source",  # r12 tranche; green r4-r7; per-group
+    #    top-k via tfidf family
+    "sample_stratified",  # r12 tranche; green r4-r7; md5-rank via
+    #    training_hash_split (in-window r11)
+    "x21_index_incremental_update",  # r12 tranche; green r4-r7; search
+    #    family via search_substring_trigram (in-window); incremental
+    #    shape via dedup_lsh_incremental (in-window)
+    "stream_dedup_batch_equivalence",  # r12 tranche; green r4-r7;
+    #    streaming rep stream_passage_counts_incremental (in-window)
+    "ann_recall_eval",  # r12 tranche; green r5-r7; ANN family
+    "training_pack_next_fit",  # r12 tranche; green r5-r7; Arrow packer
+    #    property tests
+    "training_epoch_interleave",  # r12 tranche; green r5-r7
+    "stream_stream_join_attribution",  # r12 tranche; green r5-r7;
+    #    subsumed by eviction probe
+    "pipeline_corpus_curation",  # r12 tranche; green r3-r7; constituents
+    #    in-window
+    "skew_salted_comment_counts",  # r12 tranche; green r1-r7; salting rep
     # ------------------------------------------------------------------
-    "x18_hex_to_long",  # r11 tranche; green r1/r2+r6; explode path via setops
-    "a3_distinct_authors",  # r11 tranche; green r3+r6; distinct shape via
-    #    skew_salted_distinct_count (in-window)
-    "a7_total_active_creators",  # r11 tranche; green r1/r2+r6; scalar-agg
-    #    shape via tpch_q17 (in-window r10)
-    "f10_point_lookup",  # r11 tranche; green r1/r2+r6; equality pushdown
-    #    via f9_missing_field + tpch_q3 filters (in-window r10)
-    "tpch_q10_returned_items",  # r11 tranche; green r5+r6; TPC-H reps
-    #    q3/q5/q13/q17 (in-window r10)
-    "tpch_q18_large_volume",  # r11 tranche; green r5+r6; semi-join shape
-    "temporal_range_join",  # r11 tranche; green r5+r6; IEJoin plan
-    #    pytest-pinned
-    "j3_num_comments_per_post",  # r11 tranche; green r5+r6; agg-join
-    #    shape via tpch_q13 (in-window r10)
-    "w2_lww_latest_event",  # r11 tranche; green r5+r6; LWW permutation
-    #    property test + community_updateprops_merge (in-window)
-    "sample_weighted_bernoulli",  # r11 tranche; green r5+r6; md5-draw
-    #    family via training_hash_split (in-window)
-    "o5_children_topk_per_parent",  # r11 tranche; green r5+r6;
-    #    per-parent top-k via text_tfidf_topk (in-window); r9 re-measure
-    #    closed as noise
-    "training_decontaminate",  # r11 tranche; green r5+r6; runs inside
-    #    training prep
-    "dedup_lsh_candidates",  # r11 tranche; green r5+r6; runs inside
-    #    curation + cc
-    # ------------------------------------------------------------------
-    # Multiply-green backlog, last green r7 — r12 tranche candidates
-    # after the r11 tranche drains.
-    # ------------------------------------------------------------------
-    "f4_regex_filter",  # green r1-r3+r7; rlike predicate shape
-    "a2_distinct_authors_of_app",  # green r1-r3+r7
-    "x1_json_props_extract",  # green r1-r3+r7; JSON parse via x16 (in-window)
-    "x2_detect_post_type",  # green r1-r3+r7; allowlist feeds j9 closure
-    "j2_parent_post_join",  # green r1-r3+r7; parent-join (left outer)
-    #    shape via tpch_q13 (in-window r10)
-    "j7_follows_overview",  # green r1-r3+r7; follows family via
-    #    ingest_follows_families (in-window)
-    "a5_score_zeroing",  # green r3-r7; superset arm of a5 (in-window)
-    "dedup_embedding_neardup",  # green r1+r3-r7; band join via
-    #    dedup_semantic_flags (in-window)
-    "text_language_id_ngram",  # green r3-r7; trigram scoring via lm_quality
-    "text_vocab_topk_per_source",  # green r4-r7; per-group top-k via tfidf
-    "sample_stratified",  # green r4-r7; md5-rank via training_hash_split
-    "x21_index_incremental_update",  # green r4-r7; search family via
-    #    search_substring_trigram (in-window); incremental shape via
-    #    dedup_lsh_incremental
-    "stream_dedup_batch_equivalence",  # green r4-r7; streaming reps
-    #    stream_ssj_watermark_eviction + stream_passage_counts_incremental
-    #    (in-window r10)
-    "ann_recall_eval",  # green r5-r7; ANN rep ann_lsh_signatures (in-window)
-    "training_pack_next_fit",  # green r5-r7; Arrow packer property tests
-    "training_epoch_interleave",  # green r5-r7; training family
-    "stream_stream_join_attribution",  # green r5-r7; subsumed by eviction
-    "pipeline_corpus_curation",  # green r3-r7; constituents in-window
-    "skew_salted_comment_counts",  # green r1-r7; salting rep
-    #    skew_salted_distinct_count stays in-window
-    # ------------------------------------------------------------------
-    # Rotated out in round 9 under the cadence rule; multiply-green
-    # through r8 with the operator family still in-window, noted inline.
+    # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------
     "social_feed_by_app",  # green r2-r8 (seven consecutive); F-defaults
-    #    via f9_missing_field, O1 sort+limit via
-    #    o2_trending_feed_comments (in-window)
+    #    via f10_point_lookup, O1 sort+limit via tpch_q10 (in-window r11)
     "f2_f3_f5_filter_combo",  # green r2-r8; same F-family reps
     "a1_trending_tags",  # green r2-r8; explode+count top-k via
     #    text_tfidf_topk (in-window)
     "w1_leaderboard_rank",  # green r2-r8; rank window via text_tfidf_topk
     #    (in-window)
     "w4_feed_pagination",  # green r2-r8; sort+offset+limit via
-    #    o2_trending_feed_comments
+    #    tpch_q10/o5 (in-window r11)
     "j4_follower_feed",  # green r2-r8; follows family via
-    #    ingest_follows_families (in-window r10)
+    #    ingest_follows_families (in-window)
     "j9_reply_closure",  # green r2-r8; bounded-iteration family rep
     #    dedup_lsh_incremental in-window; recursive-CTE oracle stays local
-    "a9_mention_notifications",  # green r2-r8; regexp-extract family via
-    #    text_hashtag_url_extract (in-window r10); the NFA keeps its
-    #    unit fuzz tests
+    "a9_mention_notifications",  # green r2-r8; regexp-extract family;
+    #    the NFA keeps its unit fuzz tests
     "dedup_minhash_signature",  # green r1-r3+r8; dedup reps
-    #    dedup_lsh_incremental + dedup_remove_duplicate_spans (in-window r10)
+    #    dedup_lsh_incremental + dedup_lsh_candidates (in-window r11)
     "dedup_ngram_jaccard",  # green r1-r3+r8; same family
-    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_label_centroids
-    #    + sim_quantize_int8 (in-window r10)
+    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_mmr_rerank +
+    #    sim_ivf_pq_adc (in-window r11)
     "sim_pairwise_cosine",  # green r1-r3+r8; same family
     "text_language_id",  # green r1/r2+r8; langid rep
-    #    text_language_consistency (in-window, strictly wider: runs BOTH
-    #    detectors and compares)
+    #    text_language_consistency (in-window, strictly wider)
     "text_fingerprint",  # green r1-r3+r8; token-explode family via
-    #    text_bpe_pair_counts + text_bpe_train_merges (in-window r10)
-    "o2_a8_trending_feed_payout",  # green r2-r8; COMMENTS arm
-    #    o2_trending_feed_comments in-window (same max-anchor + sort)
+    #    text_bpe_pair_counts + text_bpe_train_merges (in-window)
+    "o2_a8_trending_feed_payout",  # green r2-r8; max-anchor + sort
+    #    family via tpch_q10/o5 (in-window r11)
     "a6_sign_counts_higher_order",  # green r1-r3+r8; HOF no-shuffle
-    #    shape via lineitem_unpivot_measures' stack + unit tests
+    #    shape unit-tested
     "j11_chain_state_enrichment",  # green r2-r8; snapshot equi-join
-    #    shape via tpch_q3/q5 (in-window r10)
+    #    shape via tpch_q10/q18 (in-window r11)
     "setop_union_sources",  # green r2-r8; §2.7 rep setop_intersect_except
-    #    in-window
+    #    multiply-green, family noted in its r11 rotate-out entry
     "temporal_asof_join",  # green r4-r8 (five consecutive); temporal
-    #    reps sessionize/funnel/cohort/moving (in-window r10)
+    #    reps funnel/cohort/moving + temporal_range_join (in-window r11)
     "dedup_cc_clusters",  # green r5-r8; iterative family via
     #    dedup_lsh_incremental + text_bpe_train_merges; convergence
     #    tests stay local
     "stream_windowed_counts_batch_equivalence",  # green r5-r8;
-    #    streaming rep stream_ssj_watermark_eviction kept (the stricter
-    #    probe: join + watermark eviction)
+    #    streaming rep stream_passage_counts_incremental (in-window)
     "pipeline_training_prep",  # green r5-r8; constituents in-window
     #    (hash_split, budget_select)
-    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q3/q5/q13/q17
-    #    (in-window r10)
+    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q10/q18
+    #    (in-window r11)
     "tpch_q7_volume_shipping",  # green r6-r8; same family
     "tpch_q8_market_share",  # green r6-r8; same family
     "tpch_q14_promo_effect",  # green r6-r8; same family
     "tpch_q15_top_supplier",  # green r6-r8; same family
     "tpch_q19_disjunctive_revenue",  # green r6-r8; same family
     "tpch_q22_global_sales_opportunity",  # green r6-r8; anti-join +
-    #    scalar-subquery shape also in q21 (in-window)
+    #    scalar-subquery shape also in q21 (tail r11, multiply-green)
     "w5_scd2_history",  # green r6-r8; windowed-history family via
     #    temporal_moving_window_agg (in-window)
     # ------------------------------------------------------------------
-    # Rotated out in round 10 under the cadence rule: the window slots
-    # fund (a) the 3 born-in-tail r9 passage-dedup entries, (b) the
-    # ENTIRE scheduled 14-entry r5-era tranche, and (c) 5 entries born
-    # in-window this round (dedup_remove_duplicate_spans,
-    # text_bpe_train_merges, text_quality_classifier,
-    # training_bloom_decontaminate, training_cdc_chunks) — 22 swaps.
-    # Every rotate-out below is multiply driver-green (r9 plus earlier
-    # rounds) with its operator family still in-window, noted inline.
+    # Rotated out in round 10 (multiply-green; families in-window).
     # ------------------------------------------------------------------
-    "dedup_shared_passages",  # green r8+r9; strictly generalized by
-    #    dedup_remove_duplicate_spans (sliding-window counting arm) and
-    #    flanked in-window by dedup_remove_repeated_passages +
-    #    dedup_cross_source_overlap + stream_passage_counts_incremental
-    "training_hash_split",  # green r7-r9 (three consecutive); md5-mod
-    #    bucketing shape via training_budget_select (in-window) and the
-    #    md5-hash family throughout bloom/cdc (in-window r10); rejoins
-    #    with the r11 tranche alongside training_temperature_resample
-    "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps
-    #    q3/q5/q13/q17 (in-window r10); scalar-agg via q17
+    "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps q10/q18
+    #    (in-window r11); scalar-agg via a7 (in-window r11)
     "tpch_q4_order_priority",  # green r4+r9; same family
     "dedup_exact",  # green r1-r4+r9; dedup reps dedup_lsh_incremental +
-    #    dedup_apply_keep_canonical + dedup_remove_duplicate_spans
-    #    (in-window r10)
+    #    dedup_keep_best_quality (in-window r11)
     "dedup_simhash",  # green r1-r4+r9; same family
-    "f1_tag_membership",  # green r1-r4+r9; F-family rep f9_missing_field
-    #    (in-window); array membership unit-tested in wherefield
+    "f1_tag_membership",  # green r1-r4+r9; F-family rep f10_point_lookup
+    #    (in-window r11); array membership unit-tested in wherefield
     "j1_children_join",  # green r1-r4+r9; children/agg-join shape via
-    #    tpch_q3 + tpch_q13 (in-window r10)
-    "sim_cosine_topk",  # green r1-r4+r9; sim reps sim_label_centroids +
-    #    sim_quantize_int8 (in-window r10)
+    #    j3_num_comments_per_post (in-window r11)
+    "sim_cosine_topk",  # green r1-r4+r9; sim reps sim_mmr_rerank +
+    #    sim_ivf_pq_adc (in-window r11)
     "text_quality_features",  # green r1-r4+r9; text reps
-    #    text_repetition_stats + text_length_percentiles +
-    #    text_quality_classifier (in-window r10)
+    #    text_quality_classifier + text_unigram_lm_train (in-window r11)
     "x21_inverted_index_search",  # green r1-r4+r9; search rep
-    #    search_substring_trigram (in-window)
+    #    search_substring_trigram + search_bm25_topk (in-window r11)
     "x21_search_feed",  # green r1/r2+r8/r9; same search family
     "o6_related_feed_sample",  # green r1-r3+r8/r9; O-family rep
-    #    o2_trending_feed_comments (in-window)
+    #    sample_weighted_bernoulli + o5 (in-window r11)
     "w3_first_event_per_user",  # green r1/r2+r8/r9; window family via
     #    temporal_moving_window_agg + events_pivot_type_counts (in-window)
     "text_bpe_token_count",  # green r3/r4+r9; BPE family
-    #    text_bpe_pair_counts + text_bpe_train_merges (in-window r10)
-    "ann_lsh_topk",  # green r3/r4+r9; ANN rep ann_lsh_signatures
-    #    (in-window)
+    #    text_bpe_pair_counts + text_bpe_encode (in-window r11)
+    "ann_lsh_topk",  # green r3/r4+r9; ANN family (recall tests local)
     "training_token_budget",  # green r7-r9; training reps
-    #    training_budget_select + training_chunk_sliding (in-window r10)
+    #    training_budget_select (in-window)
     "sim_truncate_renorm",  # green r7-r9; sim family as above
-    "text_lm_quality_sampled",  # green r7-r9; superset arm
-    #    text_lm_quality_score stays in-window
+    "text_lm_quality_sampled",  # green r7-r9; char-LM family via
+    #    training_dsir_resample (in-window r11)
     "sim_kmeans_clusters",  # green r7-r9; centroid family via
-    #    sim_label_centroids (in-window r10); iterative-loop family via
-    #    dedup_lsh_incremental + text_bpe_train_merges
+    #    sim_ivf_pq_adc codebooks (in-window r11); iterative-loop family
+    #    via dedup_lsh_incremental + text_bpe_train_merges
     "j4_follower_feed_did",  # green r2/r3+r8/r9; follows family via
     #    ingest_follows_families (in-window)
     "temporal_time_rollup",  # green r4+r9; temporal reps
-    #    temporal_sessionize/funnel/cohort/moving (in-window r10)
+    #    funnel/cohort/moving + temporal_range_join (in-window r11)
+    # ------------------------------------------------------------------
+    # Rotated out in ROUND 11 under the cadence rule: these 29 fund the
+    # 25 rotate-ins (13 r6-stale + 10 r10 born-in-tail + 2 rejoins) and
+    # the 4 entries born in-window this round. Every one is multiply
+    # driver-green (r10 plus at least one earlier round) with its
+    # operator family still in-window, noted inline.
+    # ------------------------------------------------------------------
+    "o2_trending_feed_comments",  # green r3/r4+r9/r10; COMMENTS max-
+    #    anchor + sort+limit via tpch_q10 + o5_children_topk (in-window r11)
+    "f9_missing_field",  # green r2-r4+r9/r10; F-family existence rep;
+    #    equality/null pushdown via f10_point_lookup (in-window r11)
+    "a5_creator_score",  # green r2+r8-r10; A-family via a3 + a7
+    #    (in-window r11); zeroing arm a5_score_zeroing keeps local oracle
+    "x16_asset_parse",  # green r2+r8-r10; X-family JSON/parse via
+    #    x18_hex_to_long (in-window r11)
+    "skew_salted_distinct_count",  # green r2+r8-r10; distinct-count
+    #    shape via a3_distinct_authors (in-window r11); the salting
+    #    mechanics keep their dedicated plan tests
+    "dedup_apply_keep_canonical",  # green r3-r5+r10; canonical-keep via
+    #    dedup_keep_best_quality (in-window r11, the strictly more
+    #    general policy)
+    "tpch_q3_shipping_priority",  # green r3-r5+r10; TPC-H reps
+    #    tpch_q10 + tpch_q18 (in-window r11)
+    "tpch_q5_local_supplier_volume",  # green r3-r5+r10; same family
+    "tpch_q13_custdist",  # green r4/r5+r10; agg-join via
+    #    j3_num_comments_per_post (in-window r11)
+    "tpch_q17_small_quantity",  # green r4/r5+r10; scalar-agg via
+    #    a7_total_active_creators (in-window r11)
+    "tpch_q21_waiting_supplier_shape",  # green r9/r10; exists/anti
+    #    family via tpch_q18 semi-join (in-window r11)
+    "ann_lsh_signatures",  # green r3+r8-r10; ANN/LSH family via
+    #    dedup_lsh_candidates (in-window r11) + sim_ivf_pq_adc
+    "text_repetition_stats",  # green r4/r5+r10; text-stats family via
+    #    text_quality_classifier + text_unigram_lm_train (in-window r11)
+    "text_pii_scrub",  # green r4/r5+r10; regexp family; scrub transform
+    #    via dedup span-removal entries (in-window)
+    "pipeline_domain_mix",  # green r4/r5+r10; mix family via
+    #    training_temperature_resample (in-window r11, the resampling arm)
+    "temporal_sessionize",  # green r4/r5+r10; temporal reps
+    #    funnel/cohort/moving + temporal_range_join (in-window r11)
+    "text_hashtag_url_extract",  # green r5+r10; regexp-extract family;
+    #    unit fuzz tests stay
+    "sim_label_centroids",  # green r5+r10; centroid family via
+    #    sim_ivf_pq_adc codebooks (in-window r11)
+    "training_chunk_sliding",  # green r5+r10; chunking family via
+    #    training_cdc_chunks (in-window)
+    "text_length_percentiles",  # green r5+r10; percentile family via
+    #    pipeline_column_profile (in-window)
+    "sim_quantize_int8",  # green r5+r10; quantization family via
+    #    sim_ivf_pq_adc (in-window r11, the PQ/ADC generalization)
+    "offchain_id_refresh",  # green r6-r10 (five consecutive); ingest
+    #    family via ingest_follows_families (in-window)
+    "stream_ssj_watermark_eviction",  # green r6-r10 (five consecutive);
+    #    streaming rep stream_passage_counts_incremental (in-window)
+    "text_lm_quality_score",  # green r7-r10; char-LM family via
+    #    training_dsir_resample (in-window r11) + text_quality_classifier
+    "dedup_semantic_flags",  # green r7-r10; semantic/band family via
+    #    dedup_keep_best_quality + dedup_lsh_candidates (in-window r11)
+    "community_updateprops_merge",  # green r8-r10; LWW/merge family via
+    #    w2_lww_latest_event (in-window r11)
+    "multimodal_png_probe",  # green r9/r10; multimodal family via
+    #    multimodal_media_probe (in-window r11, MP4/WAV siblings)
+    "setop_intersect_except",  # green r9/r10; §2.7 multiply-green; the
+    #    set-op family keeps full unit coverage + setop_union_sources
+    #    local oracle
+    "lineitem_unpivot_measures",  # green r9/r10; stack/unpivot family
+    #    keeps unit tests; HOF shape via a6 local oracle
 ]
 
 

@@ -152,3 +152,53 @@ def test_mmr_rerank_string_ids_round_trip(spark):
     # MMR's second pick trades redundancy: doc-c (orthogonal) over
     # doc-b (near-duplicate of the first pick)
     assert rows[1]["doc_key"] == "doc-c"
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM trainer (round 11): prune semantics + coverage guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_train_prunes_unused_and_keeps_singles(spark):
+    from union_indexer_node_spark.pipelines.textstats import unigram_lm_train
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the rat"),
+         (3, "cats eat rats")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["piece"]: r["cnt"]
+        for r in unigram_lm_train(
+            df, "text", n_iters=2, max_piece_len=3, max_word_len=8
+        ).collect()
+    }
+    # high-frequency multi-char pieces survive the prune with Viterbi
+    # usage counts
+    assert out["the"] == 4 and out["cat"] == 3 and out["at"] == 3
+    # substrings never chosen by any Viterbi path are pruned
+    assert "th" not in out and "he" not in out and "ca" not in out
+    # every seed single char survives (coverage guarantee), smoothed +1
+    for ch in "catsonhemr":
+        assert ch in out
+    # a char that appears only inside always-whole pieces floors at 1
+    assert out["h"] == 1
+
+
+def test_unigram_lm_train_viterbi_prefers_cheap_long_pieces(spark):
+    """A word segmentable as one frequent piece + leftovers must not be
+    shredded into singles: 'thecat' -> the|cat when both pieces are
+    frequent."""
+    from union_indexer_node_spark.pipelines.textstats import unigram_lm_train
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat cat thecat")], "doc_id long, text string"
+    )
+    out = {
+        r["piece"]: r["cnt"]
+        for r in unigram_lm_train(
+            df, "text", n_iters=1, max_piece_len=3, max_word_len=8
+        ).collect()
+    }
+    # 'thecat' contributes one usage each to 'the' and 'cat'
+    assert out["the"] == 4 and out["cat"] == 3

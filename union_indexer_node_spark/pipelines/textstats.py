@@ -715,6 +715,173 @@ def bpe_encode(
     )
 
 
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_iters: int = 2,
+    max_piece_len: int = 3,
+    max_word_len: int = 8,
+    scale: int = 100,
+    topk: int | None = None,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (SentencePiece-style, Kudo 2018)
+    as hard-EM with pruning — the sibling of ``bpe_train_merges``: BPE
+    grows a vocabulary bottom-up by merging; the unigram trainer
+    starts from ALL substrings and PRUNES by expected usage under the
+    current model. Same bounded per-iteration shape: vocab-sized data,
+    one scalar of driver state per iteration.
+
+    Algorithm per iteration (hard-EM — Viterbi E-step instead of
+    SentencePiece's forward-backward soft counts; the standard
+    deterministic approximation):
+    - cost table: each piece costs its quantized reciprocal
+      likelihood ``(scale * total) div cnt`` — an exact-integer
+      monotone surrogate for -log p (rarer piece → higher cost), the
+      same rational-instead-of-ln trade the BM25 idf makes; log's
+      concavity is the documented difference from true unigram
+      likelihood.
+    - E-step: Viterbi-segment every DISTINCT word (weight = corpus
+      frequency) by an exact-integer DP over character positions:
+      dp[i] = min over pieces ending at i of dp[start] + cost(piece).
+      Each dp cell is encoded as ``cost*32 + start`` so min() resolves
+      cost first and start (longest piece) as the deterministic
+      tiebreak; the backtrace walks the encoded argmins. Both run as
+      single ``aggregate`` higher-order expressions per word — no UDF,
+      no per-row Python.
+    - M-step + prune: new count = Viterbi usage (sum of word
+      frequencies); pieces with zero usage drop out (the prune), while
+      every seed single-character piece is retained at usage+1
+      (coverage guarantee — SentencePiece likewise never prunes
+      required characters).
+
+    Seed vocabulary: all substrings of length 1..``max_piece_len`` of
+    distinct words, weighted by word frequency (the suffix-array seed
+    of the reference algorithm, bounded by the piece-length cap).
+    Words longer than ``max_word_len`` are excluded from training
+    (SentencePiece's max-sentencepiece-length / input-length caps play
+    the same role); the cap also bounds the DP's encoded-cost
+    envelope: worst case ``max_word_len * scale * total * 32`` must
+    stay under 2^63 — at scale=100, W=8 that holds to corpus totals of
+    ~3e17 tokens, past the 100 TB envelope.
+
+    Scale shape: pair of map-side-combining groupBys (word vocab, seed
+    counts), one piece-keyed equi-join per iteration (broadcastable —
+    the piece table is vocabulary-sized and shrinks every prune), one
+    groupBy(word) collect_list of candidates (bounded: ≤ W*L structs
+    per word), and narrow per-word DP expressions. Per-iteration
+    driver state is ONE scalar (the count total) — the k-means /
+    BPE-trainer bounded-collect discipline. localCheckpoint per
+    iteration bounds lineage.
+
+    Returns (piece, piece_len, cnt) of the final vocabulary, top-k by
+    count (ties → piece ASC) when ``topk`` is given.
+    """
+    from .dedup import tokens
+    from .similarity import _free_local_checkpoint
+
+    L, W = max_piece_len, max_word_len
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") <= W)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    enum = F.expr(
+        f"""flatten(transform(sequence(0, length(w) - 1), s ->
+            transform(sequence(1, least({L}, length(w) - s)), l ->
+              named_struct('s', s, 'plen', l,
+                           'piece', substr(w, s + 1, l)))))"""
+    )
+    seed = (
+        words.select("wf", F.explode(enum).alias("c"))
+        .groupBy(F.col("c.piece").alias("piece"))
+        .agg(F.sum("wf").alias("cnt"))
+    )
+    state = seed.localCheckpoint()
+    singles = (
+        state.filter(F.length("piece") == 1).select("piece").localCheckpoint()
+    )
+    for _ in range(n_iters):
+        total = state.agg(F.sum("cnt")).collect()[0][0]  # bounded: 1 scalar
+        costed = state.select(
+            "piece", F.expr(f"({scale} * {total}) div cnt").alias("cost_q")
+        )
+        cand = (
+            words.select("w", "wf", F.explode(enum).alias("c"))
+            .select(
+                "w",
+                "wf",
+                F.col("c.s").alias("s"),
+                F.col("c.plen").alias("plen"),
+                F.col("c.piece").alias("piece"),
+            )
+            .join(costed, "piece")
+        )
+        carr = cand.groupBy("w", "wf").agg(
+            F.collect_list(F.struct("s", "plen", "cost_q")).alias("cs")
+        )
+        dp = carr.withColumn(
+            "dp",
+            F.expr(
+                """aggregate(
+                  sequence(1, length(w)),
+                  array(cast(0 as bigint)),
+                  (acc, i) -> concat(acc, array(
+                    array_min(transform(
+                      filter(cs, c -> c.s + c.plen = i),
+                      c -> (element_at(acc, c.s + 1) div 32 + c.cost_q) * 32
+                           + cast(c.s as bigint)
+                    ))
+                  ))
+                )"""
+            ),
+        )
+        bt = dp.withColumn(
+            "ps",
+            F.expr(
+                """aggregate(
+                  sequence(1, length(w)),
+                  named_struct('pos', cast(length(w) as int),
+                               'ps', cast(array() as array<string>)),
+                  (acc, x) -> if(acc.pos > 0,
+                    named_struct(
+                      'pos', cast(element_at(dp, acc.pos + 1) % 32 as int),
+                      'ps', array_append(acc.ps, substr(w,
+                             cast(element_at(dp, acc.pos + 1) % 32 as int) + 1,
+                             acc.pos
+                             - cast(element_at(dp, acc.pos + 1) % 32 as int)))
+                    ),
+                    acc)
+                ).ps"""
+            ),
+        )
+        used = (
+            bt.select("wf", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        nxt = (
+            used.filter(F.length("piece") > 1)
+            .unionByName(
+                singles.join(used, "piece", "left").select(
+                    "piece", (F.coalesce("cnt", F.lit(0)) + 1).alias("cnt")
+                )
+            )
+            .localCheckpoint()
+        )
+        _free_local_checkpoint(state)
+        state = nxt
+    out = state.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    if topk is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc("piece")).limit(topk)
+    return out
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str,

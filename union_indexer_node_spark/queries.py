@@ -6432,3 +6432,13 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11+ entries live in sibling modules (VERDICT r10 item 9: stop
+# growing this file). The import MUST stay at the very end: those
+# modules call @q at import time, and appending their registrations
+# AFTER the 145 above preserves the insertion order the driver's
+# 50-slot window keys on.
+# ---------------------------------------------------------------------------
+from . import queries_r11  # noqa: E402,F401

@@ -723,6 +723,162 @@ def truncate_renorm(
     )
 
 
+def _pq_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """(offset, sub_d) per subspace; dim must divide evenly by m."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub_d = dim // m
+    return [(mi * sub_d, sub_d) for mi in range(m)]
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> list[list[list[int]]]:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` contiguous subspaces and run the module's deterministic
+    k-means (`kmeans_centroids`) independently in each — the classic
+    IVF-PQ codebook build (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"). Returns m codebooks of k centroids
+    each, as INTEGERS at the ``quant`` scale (the same units as
+    ``_quantized`` vectors), so downstream encode/ADC is exact integer
+    arithmetic.
+
+    Scale shape: m bounded small (8-16), so this is m sequential
+    bounded k-means runs — each one's driver state is k·sub_d floats
+    (the kmeans_assign collect idiom); corpus passes are m·(iters+1)
+    narrow slices. At 100 TB pass `persist_base`-style materialization
+    upstream (slice once, reuse): the codebook is a few hundred
+    integers either way — the whole point of PQ is that the MODEL
+    stays driver-sized while vectors compress 64-256x.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    books: list[list[list[int]]] = []
+    for off, sub_d in _pq_slices(dim, m):
+        sub = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), off + 1, sub_d).alias("_sv")
+        )
+        cents = kmeans_centroids(
+            sub, k=k, iters=iters, vec_col="_sv", id_col=id_col, quant=quant
+        )
+        books.append(
+            [[int(round(c * quant)) for c in cent] for cent in cents]
+        )
+    return books
+
+
+def pq_code_cols(
+    codebooks: list[list[list[int]]], *, quant: int = 1000
+) -> list[Column]:
+    """Per-subspace PQ code expressions over a frame carrying the
+    ``_q`` quantized-vector column (`_quantized(vec_col, quant)`): for
+    each subspace, squared distance to each codebook centroid in EXACT
+    BIGINT, argmin with ties to the lowest code via the encoded-min
+    idiom (``dist * k + code``, then ``% k``) — the same deterministic
+    argmin the unigram-LM DP uses. All map-side literals, no shuffle,
+    no UDF."""
+    out = []
+    sub_d = len(codebooks[0][0])
+    k = len(codebooks[0])
+    for mi, book in enumerate(codebooks):
+        off = mi * sub_d
+        encs = []
+        for ci, cent in enumerate(book):
+            d: Column = F.lit(0).cast("long")
+            for j, cv in enumerate(cent):
+                t = F.element_at(F.col("_q"), off + j + 1) - F.lit(int(cv))
+                d = d + t * t
+            encs.append(d * k + ci)
+        enc = F.least(*encs) if len(encs) > 1 else encs[0]
+        out.append((enc % k).cast("int").alias(f"code_{mi}"))
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """PQ-encode every vector: (id, codes array<int>) with one code
+    per subspace — m*log2(k) bits of index state per vector (the
+    100 TB embedding-store memory story: 64-dim floats → 8 codes).
+    Pure map over the corpus."""
+    base = _quantized_base(emb, vec_col, id_col, quant)
+    cols = pq_code_cols(codebooks, quant=quant)
+    return base.select(F.col(id_col), *cols).select(
+        F.col(id_col),
+        F.array(*[F.col(f"code_{i}") for i in range(len(cols))]).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    *,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k (the ADC of IVF-PQ): the query stays
+    un-encoded; its squared distance to every codebook centroid is
+    precomputed DRIVER-SIDE into an m×k lookup table of exact
+    integers, and each corpus vector's approximate distance is the sum
+    of m table lookups on its codes — no per-dimension work at query
+    time. Returns (id, adc_dist) ascending, ties on id.
+
+    Everything is integer-exact: corpus vectors quantize via the
+    module's round(x*quant) (the proven cross-engine formula), the
+    query quantizes ONCE in Python and the LUT ships as m k-long
+    literal arrays — so the scores are bit-identical in any engine
+    re-deriving them, and the DuckDB oracle hash-matches.
+
+    Scale shape: encode is a pure map; the top-k is one
+    TakeOrderedAndProject. At a real deployment the codes are
+    precomputed at ingest (pq_encode sink) and this query touches only
+    the m-byte code column — the scan reads ~1/32 of the raw vector
+    bytes; with an IVF coarse stage in front (kmeans_assign labels +
+    partition pruning on the label column) it touches only the probed
+    cells.
+    """
+    sub_d = len(codebooks[0][0])
+    k = len(codebooks[0])
+    qq = [int(round(x * quant)) for x in query_vec]
+    lut: list[list[int]] = []
+    for mi, book in enumerate(codebooks):
+        off = mi * sub_d
+        lut.append(
+            [
+                sum((qq[off + j] - cv) ** 2 for j, cv in enumerate(cent))
+                for cent in book
+            ]
+        )
+    base = _quantized_base(emb, vec_col, id_col, quant)
+    cols = pq_code_cols(codebooks, quant=quant)
+    coded = base.select(F.col(id_col), *cols)
+    adc: Column = F.lit(0).cast("long")
+    for mi in range(len(codebooks)):
+        lut_lit = F.array(*[F.lit(int(v)) for v in lut[mi]])
+        adc = adc + F.element_at(lut_lit, F.col(f"code_{mi}") + 1)
+    return (
+        coded.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_vec: list[float],

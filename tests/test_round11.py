@@ -287,3 +287,84 @@ def test_pq_adc_trained_recall_beats_floor_and_fixture(spark):
     # PQ recall scales with m*log2(k) bits (m=8/k=4 measured 0.1)
     assert recall_trained >= 0.3, (recall_trained, recall_fixture)
     assert recall_trained > recall_fixture, (recall_trained, recall_fixture)
+
+
+# ---------------------------------------------------------------------------
+# WAV/MP4 header probes (round 11): parser units + fuzzed headers
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(rate=44100, ch=2, bits=16, data_size=88200, extra_chunk=False):
+    import struct
+
+    block = ch * bits // 8
+    byte_rate = rate * block
+    out = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+    if extra_chunk:  # LIST chunk before fmt — walkers must skip it
+        out += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    out += (
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate,
+                              block, bits)
+        + b"data" + struct.pack("<I", data_size)
+    )
+    return out
+
+
+def test_wav_info_parses_and_skips_unknown_chunks():
+    from union_indexer_node_spark.pipelines.multimodal import _wav_info
+
+    assert _wav_info(_wav_bytes()) == (44100, 2, 16, 500)
+    assert _wav_info(_wav_bytes(extra_chunk=True)) == (44100, 2, 16, 500)
+    # odd-sized chunk is word-aligned: a 3-byte chunk pads to 4
+    import struct
+
+    b = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+         + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+         + _wav_bytes()[12:])
+    assert _wav_info(b) == (44100, 2, 16, 500)
+    # non-WAV, truncated, missing-data all -> None
+    assert _wav_info(b"RIFFxxxxWAVX") is None
+    assert _wav_info(b"") is None
+    assert _wav_info(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_mp4_info_parses_mvhd_and_tkhd():
+    import struct
+
+    from union_indexer_node_spark.pipelines.multimodal import _mp4_info
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = box(b"mvhd", struct.pack(">I", 0) * 3
+               + struct.pack(">II", 1000, 30000)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + struct.pack(">II", 640 << 16, 480 << 16))
+    m = box(b"ftyp", b"isom\x00\x00\x00\x00") + box(
+        b"moov", mvhd + box(b"trak", tkhd)
+    )
+    assert _mp4_info(m) == (1000, 30000, 640, 480)
+    # audio-only (no trak): dims 0
+    m2 = box(b"moov", mvhd)
+    assert _mp4_info(m2) == (1000, 30000, 0, 0)
+    # malformed size field stops the walk -> None (no mvhd found)
+    bad = struct.pack(">I", 3) + b"moov"
+    assert _mp4_info(bad) is None
+    assert _mp4_info(b"") is None
+
+
+def test_probe_av_mixed_and_corrupt_blobs(spark):
+    from union_indexer_node_spark.pipelines.multimodal import probe_av
+
+    rows = [
+        (1, bytearray(_wav_bytes(rate=8000, ch=1, bits=8, data_size=4000))),
+        (2, bytearray(b"\xde\xad\xbe\xef" * 10)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in probe_av(df, target_partition_bytes=None).collect()}
+    assert out[1]["kind"] == "wav" and out[1]["sample_rate"] == 8000
+    assert out[1]["duration_ms"] == 500
+    assert out[2]["kind"] == "unknown" and out[2]["n_bytes"] == 40
+    assert out[3]["kind"] == "unknown" and out[3]["n_bytes"] == 0

@@ -39,6 +39,11 @@ MEDIA_SCHEMA = (
     "width int, height int, n_frames int"
 )
 
+AV_SCHEMA = (
+    "id long, kind string, sample_rate int, channels int, bits int, "
+    "timescale int, duration_ms long, width int, height int, n_bytes long"
+)
+
 
 # Formats whose dimensions the pure-Python header probe below parses
 # with no codec library: (width, height) live in fixed-layout header
@@ -272,6 +277,138 @@ def _fake_probe(content: bytes) -> tuple[int, int, int]:
     h = 16 + (content[-1] % 64) * 16
     frames = 1 + (len(content) % 7)
     return (w, h, frames)
+
+
+def _wav_info(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from
+    RIFF/WAVE chunk headers — pure byte math, no audio lib. Walks the
+    word-aligned chunk list for ``fmt `` (rate/channels/bits/byte-rate)
+    and ``data`` (payload size); duration_ms is the exact integer
+    ``data_size * 1000 // byte_rate``. Only the HEADERS need to be
+    present: the walk reads size fields and skips payloads, so a
+    truncated capture (or a fixture with a claimed-but-absent data
+    payload) still probes. Returns None for non-WAV bytes or a chunk
+    list missing fmt/data — the reference's media-dimension job intent
+    (core.ts:164-191) applied to audio."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    rate = ch = bits = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if rate is None or data_size is None or not byte_rate:
+        return None
+    return rate, ch or 0, bits or 0, (data_size * 1000) // byte_rate
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the ISO-BMFF box list in
+    b[start:end]. Stops on a malformed size rather than guessing."""
+    i = start
+    while i + 8 <= end:
+        sz = int.from_bytes(b[i : i + 4], "big")
+        if sz < 8 or i + sz > end:
+            return
+        yield b[i + 4 : i + 8], i + 8, i + sz
+        i += sz
+
+
+def _mp4_info(b: bytes) -> tuple[int, int, int, int] | None:
+    """(timescale, duration_ms, width, height) from the moov/mvhd box
+    (and the first trak/tkhd when present) of an ISO-BMFF (MP4/MOV)
+    stream — pure big-endian byte math over box headers, version-0
+    boxes (the 32-bit layout every muxer emits for sub-68-year
+    timestamps). width/height are tkhd's 16.16 fixed point, returned
+    as integer pixels (audio-only files have no trak with nonzero
+    dims → 0). duration_ms = duration * 1000 // timescale, exact."""
+    if len(b) < 8:
+        return None
+    timescale = duration = None
+    width = height = 0
+    for typ, bs, be in _mp4_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(b, bs, be):
+            if t2 == b"mvhd" and b2 + 20 <= e2 and b[b2] == 0:
+                timescale = int.from_bytes(b[b2 + 12 : b2 + 16], "big")
+                duration = int.from_bytes(b[b2 + 16 : b2 + 20], "big")
+            elif t2 == b"trak" and not (width or height):
+                for t3, b3, e3 in _mp4_boxes(b, b2, e2):
+                    if t3 == b"tkhd" and b3 + 84 <= e3 and b[b3] == 0:
+                        width = int.from_bytes(b[b3 + 76 : b3 + 80], "big") >> 16
+                        height = int.from_bytes(b[b3 + 80 : b3 + 84], "big") >> 16
+    if not timescale or duration is None:
+        return None
+    return timescale, (duration * 1000) // timescale, width, height
+
+
+def probe_av(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    content_col: str = "content",
+    target_partition_bytes: int | None = 128 << 20,
+    estimated_bytes: int | None = None,
+) -> DataFrame:
+    """Audio/video header probe: WAV (RIFF fmt/data chunks) and MP4
+    (moov/mvhd + tkhd boxes), codec-free — the AV siblings of
+    probe_media's image probe, same Arrow mapInPandas plumbing and the
+    same byte-budget partitioning (media rows are large; a partition
+    is an Arrow batch is a Python worker's memory).
+
+    Returns AV_SCHEMA rows: kind ∈ {'wav','mp4','unknown'}; fields the
+    format doesn't carry are 0 (wav: timescale/width/height; mp4:
+    sample_rate/channels/bits), and an unparseable blob is
+    kind='unknown' with all-zero fields rather than a task failure —
+    one bad blob must not fail a 100 TB job."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf[content_col]
+            ]
+            rows = []
+            for c in contents:
+                w = _wav_info(c)
+                if w is not None:
+                    rows.append(("wav", w[0], w[1], w[2], 0, w[3], 0, 0))
+                    continue
+                m = _mp4_info(c)
+                if m is not None:
+                    rows.append(("mp4", 0, 0, 0, m[0], m[1], m[2], m[3]))
+                    continue
+                rows.append(("unknown", 0, 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "kind": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "bits": [r[3] for r in rows],
+                    "timescale": [r[4] for r in rows],
+                    "duration_ms": [r[5] for r in rows],
+                    "width": [r[6] for r in rows],
+                    "height": [r[7] for r in rows],
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    src = df.select(id_col, content_col)
+    if target_partition_bytes is not None:
+        n = _byte_budget_partitions(
+            src, content_col, target_partition_bytes, estimated_bytes
+        )
+        src = src.repartition(n)
+    return src.mapInPandas(kernel, schema=AV_SCHEMA)
 
 
 def _byte_budget_partitions(

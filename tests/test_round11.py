@@ -368,3 +368,82 @@ def test_probe_av_mixed_and_corrupt_blobs(spark):
     assert out[1]["duration_ms"] == 500
     assert out[2]["kind"] == "unknown" and out[2]["n_bytes"] == 40
     assert out[3]["kind"] == "unknown" and out[3]["n_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans_maximal (round 11): span verification
+# ---------------------------------------------------------------------------
+
+
+def test_maximal_long_repeat_is_one_exact_span(spark):
+    """A 12-token passage triplicated at DIFFERENT offsets must come
+    out as ONE verified span with exact boundaries in every doc —
+    longer than window_tokens, not window-granular fragments."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_duplicate_spans_maximal,
+    )
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {passage} omega"),
+            (2, f"{passage} tail2 here"),
+            (3, f"lead3 words3 also3 {passage}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans_maximal(
+            docs, "text", "doc_id", window_tokens=8, max_occurrences=2
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i]["n_spans_removed"] == 1
+        assert out[i]["n_removed_tokens"] == 12
+    # exact boundaries: surrounding bytes survive byte-exactly
+    assert out[1]["cleaned_text"] == "alpha omega"
+    assert out[2]["cleaned_text"] == "tail2 here"
+    assert out[3]["cleaned_text"] == "lead3 words3 also3 "
+
+
+def test_maximal_keeps_chained_unverified_spans_where_r10_removes(spark):
+    """Chained window repeats that never co-occur as a whole span:
+    window [0,8) repeats in A,B,C; window [1,9) repeats in A,D,E. The
+    r10 recall arm scrubs A's coalesced [0,9); the verified arm keeps
+    it (the 9-token string exists only in A; each 8-token extent
+    appears only twice at equal extent)."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_maximal,
+    )
+
+    w1 = "a1 a2 a3 a4 a5 a6 a7 a8"       # tokens 0..7 of A
+    w2 = "a2 a3 a4 a5 a6 a7 a8 a9"       # tokens 1..8 of A
+    docs = spark.createDataFrame(
+        [
+            (1, f"{w1} a9"),   # A: both windows chain -> covered [0,9)
+            (2, w1), (3, w1),  # B, C
+            (4, w2), (5, w2),  # D, E
+        ],
+        "doc_id long, text string",
+    )
+    recall = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window_tokens=8, max_occurrences=2
+        ).collect()
+    }
+    precision = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans_maximal(
+            docs, "text", "doc_id", window_tokens=8, max_occurrences=2
+        ).collect()
+    }
+    assert recall[1]["n_removed_tokens"] == 9  # r10 arm scrubs the chain
+    # verified arm: A's 9-token span string is unique at equal extent;
+    # B..E's 8-token extents each occur twice (<= max) -> all kept
+    for i in (1, 2, 3, 4, 5):
+        assert precision[i]["n_removed_tokens"] == 0, i
+        assert precision[i]["n_spans_removed"] == 0
+        assert precision[i]["cleaned_text"] == docs.collect()[i - 1]["text"]

@@ -785,6 +785,57 @@ def remove_repeated_passages(
 # ---------------------------------------------------------------------------
 # Alignment-robust duplicate-SPAN removal (sliding windows, span merge)
 # ---------------------------------------------------------------------------
+def _span_flag_base(
+    df: DataFrame, text_col: str, id_col: str,
+    window_tokens: int, stride: int, max_occurrences: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stride-1 window flagging for the span-removal family:
+    returns (base, fl) where base is the localCheckpointed
+    (id, _text, _pc, _toks, _ntok) frame and fl is the checkpointed
+    (id, s) set of flagged window starts (windows whose normalized
+    key repeats > max_occurrences corpus-wide)."""
+    w = window_tokens
+    # NULL text is normalized to '' at entry (ADVICE r10): without it,
+    # F.size over a null token array reports n_tokens = -1 under
+    # non-ANSI Spark and both reassembly paths emit NULL cleaned_text —
+    # a silent output-contract change for corpora carrying null text.
+    _txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        _txt.alias("_text"),
+        token_pieces(_txt).alias("_pc"),
+    ).select(
+        "*", pieces_tokens(F.col("_pc")).alias("_toks")
+    )
+    ntok = F.size(F.col("_toks"))
+    base = base.withColumn("_ntok", ntok).localCheckpoint()
+    wins = base.filter(F.col("_ntok") >= w).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - w, F.lit(stride)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("_toks"), s + 1, w)
+                    ).alias("k"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(F.col(id_col), F.col("_w.s").alias("s"), F.col("_w.k").alias("k"))
+    # consumed twice: corpus count + probe join
+    wins = wins.localCheckpoint()
+    flagged_keys = (
+        wins.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > max_occurrences)
+        .select("k")
+    )
+    fl = wins.join(flagged_keys, "k").select(F.col(id_col), "s")
+    fl = fl.localCheckpoint()  # feeds covered-set AND affected-ids
+    return base, fl
+
+
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str, *,
     window_tokens: int = 8, stride: int = 1, max_occurrences: int = 2,
@@ -837,45 +888,10 @@ def remove_duplicate_spans(
       over affected documents; everything is built-in expressions —
       no UDF, no driver collect.
     """
+    base, fl = _span_flag_base(
+        df, text_col, id_col, window_tokens, stride, max_occurrences
+    )
     w = window_tokens
-    # NULL text is normalized to '' at entry (ADVICE r10): without it,
-    # F.size over a null token array reports n_tokens = -1 under
-    # non-ANSI Spark and both reassembly paths emit NULL cleaned_text —
-    # a silent output-contract change for corpora carrying null text.
-    _txt = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(
-        F.col(id_col),
-        _txt.alias("_text"),
-        token_pieces(_txt).alias("_pc"),
-    ).select(
-        "*", pieces_tokens(F.col("_pc")).alias("_toks")
-    )
-    ntok = F.size(F.col("_toks"))
-    base = base.withColumn("_ntok", ntok).localCheckpoint()
-    wins = base.filter(F.col("_ntok") >= w).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_ntok") - w, F.lit(stride)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.concat_ws(
-                        " ", F.slice(F.col("_toks"), s + 1, w)
-                    ).alias("k"),
-                ),
-            )
-        ).alias("_w"),
-    ).select(F.col(id_col), F.col("_w.s").alias("s"), F.col("_w.k").alias("k"))
-    # consumed twice: corpus count + probe join
-    wins = wins.localCheckpoint()
-    flagged_keys = (
-        wins.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") > max_occurrences)
-        .select("k")
-    )
-    fl = wins.join(flagged_keys, "k").select(F.col(id_col), "s")
-    fl = fl.localCheckpoint()  # feeds covered-set AND affected-ids
     covered = fl.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("t"),
@@ -928,6 +944,152 @@ def remove_duplicate_spans(
         F.col("_text").alias("cleaned_text"),
         F.col("_ntok").cast("long").alias("n_tokens"),
         F.lit(0).cast("long").alias("n_removed_tokens"),
+    )
+    return un_out.unionByName(aff_out)
+
+
+def remove_duplicate_spans_maximal(
+    df: DataFrame, text_col: str, id_col: str, *,
+    window_tokens: int = 8, stride: int = 1, max_occurrences: int = 2,
+) -> DataFrame:
+    """Span-VERIFIED duplicate removal — the maximal-repeat
+    generalization of ``remove_duplicate_spans`` (VERDICT r10 item 7).
+    Same stride-1 window flagging, then:
+
+    1. overlapping flagged windows coalesce per document into
+       CANDIDATE SPANS with exact token extents (gaps-and-islands over
+       the covered-token set);
+    2. each candidate span's FULL normalized token string is counted
+       corpus-wide among candidate spans;
+    3. only spans whose full string repeats > ``max_occurrences`` are
+       removed — WHOLE, as one span.
+
+    This recovers Lee et al. suffix-array semantics at equal-extent
+    granularity: a 50-token passage triplicated across documents at
+    different offsets comes out as ONE verified span with exact
+    boundaries (not window_tokens-granular fragments), and — the
+    precision gain over the r10 operator — CHAINED window repeats that
+    never co-occur as a whole span (window [0,w) repeated in docs
+    A,B,C while window [1,w+1) repeats in A,D,E: the coalesced [0,w+1)
+    string exists nowhere else) are NOT removed. The r10 operator is
+    the recall arm (remove anything window-covered); this is the
+    precision arm (remove only verified equal-extent repeats); real
+    curation gates pick per corpus.
+
+    Remaining approximation vs a true suffix array, documented: the
+    verification counts occurrences at EQUAL coalesced extents — a
+    span string embedded inside a strictly longer coalesced span in
+    another document does not count toward its verification (the
+    suffix array would count every occurrence). Conservative in the
+    keep direction: under-counting can only demote removal to keep.
+
+    Returns (id, cleaned_text, n_tokens, n_removed_tokens,
+    n_spans_removed), byte-preserving like the sibling. Scale shape:
+    everything remove_duplicate_spans does plus one row_number window
+    over the covered-token set (partitioned by document — per-doc
+    state is the doc's covered tokens, no skew beyond document length)
+    and one groupBy(span-string) count whose input has at most one row
+    per coalesced span — strictly fewer rows than the window count
+    that produced it.
+    """
+    base, fl = _span_flag_base(
+        df, text_col, id_col, window_tokens, stride, max_occurrences
+    )
+    w = window_tokens
+    from pyspark.sql import Window
+
+    covered = fl.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("t"),
+    ).distinct()
+    isl = covered.withColumn(
+        "_grp",
+        F.col("t")
+        - F.row_number().over(Window.partitionBy(id_col).orderBy("t")),
+    )
+    spans = isl.groupBy(id_col, "_grp").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    skey = spans.join(base.select(id_col, "_toks"), id_col).select(
+        F.col(id_col),
+        "t0",
+        "t1",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_toks"), F.col("t0") + 1, F.col("t1") - F.col("t0") + 1
+            ),
+        ).alias("_sk"),
+    )
+    skey = skey.localCheckpoint()  # feeds the count AND the probe
+    vkeys = (
+        skey.groupBy("_sk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_occurrences)
+        .select("_sk")
+    )
+    vspan = skey.join(vkeys, "_sk").select(F.col(id_col), "t0", "t1")
+    vspan = vspan.localCheckpoint()  # covered-set, affected-ids, n_spans
+    vcov = vspan.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("t0"), F.col("t1"))).alias("t"),
+    ).distinct()
+    nspans = vspan.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nspans")
+    )
+    affected = vspan.select(id_col).distinct()
+    aff = base.join(affected, id_col)
+    tokb = aff.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - 1),
+                lambda t: F.concat(
+                    F.element_at(F.col("_pc"), 2 * t + 2),
+                    F.element_at(F.col("_pc"), 2 * t + 3),
+                ),
+            )
+        ).alias("t", "tok_bytes"),
+    )
+    keptt = tokb.join(vcov, [id_col, "t"], "left_anti")
+    re = keptt.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok_bytes"))),
+                lambda x: x["tok_bytes"],
+            ),
+        ).alias("_kept_bytes"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    aff_out = (
+        aff.select(
+            F.col(id_col),
+            F.element_at(F.col("_pc"), 1).alias("_lead"),
+            "_ntok",
+        )
+        .join(re, id_col, "left")
+        .join(nspans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
+            ).alias("cleaned_text"),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            (F.col("_ntok") - F.coalesce("_nkept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.coalesce("_nspans", F.lit(0))
+            .cast("long")
+            .alias("n_spans_removed"),
+        )
+    )
+    un_out = base.join(affected, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col("_text").alias("cleaned_text"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed_tokens"),
+        F.lit(0).cast("long").alias("n_spans_removed"),
     )
     return un_out.unionByName(aff_out)
 

@@ -52,8 +52,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 145 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations) and a 50-slot window, the
+# with 149 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 4) and a
+# 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything

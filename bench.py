@@ -162,6 +162,17 @@ BENCH_QUERIES = [
     # Morton interleave key: pure map-side long arithmetic over the
     # widest table in the set (lineitem) — a codegen throughput probe.
     "layout_zorder_key",
+    # round 11: hard-EM unigram tokenizer trainer (2 EM iterations of
+    # vocab-sized DP/backtrace HOF expressions, 1 scalar collect per
+    # iteration), PQ asymmetric-distance top-k (pure map encode + LUT
+    # lookups + TakeOrderedAndProject), WAV/MP4 header probes through
+    # the Arrow mapInPandas stage, and span-VERIFIED duplicate removal
+    # (the r10 spans pipeline + one islands window + one span-string
+    # count).
+    "text_unigram_lm_train",
+    "sim_ivf_pq_adc",
+    "multimodal_media_probe",
+    "dedup_remove_duplicate_spans_maximal",
 ]
 
 # --- split-phase bench entries ---------------------------------------------
@@ -220,8 +231,15 @@ EXTRA_BENCH = {
 # only moves when the HOST moves. BASELINE.md:38-48 documents ~2x
 # cross-round host-speed drift that previously needed hand-normalizing;
 # the emitted "calibration_factor" (this run / reference) lets any two
-# rounds be compared as raw/factor without guessing. It runs AFTER the
-# query loop so JVM warmth is the same every round. Reference value:
+# rounds be compared as raw/factor without guessing. Since round 11 it
+# runs TWICE — before AND after the query loop — so host speed and
+# accumulated JVM pressure are separable (VERDICT r10 item 2: the r10
+# driver run reported factor 1.29 where same-code local runs measured
+# 0.87-1.0; a single post-loop probe can't tell a slow host from a
+# pressured JVM). The normalizing factor uses min(pre, post): the
+# less-pressured measurement is the better host-speed estimate, and
+# both raws are emitted for diagnosis — pre ≈ post ⇒ genuinely slower
+# host; post >> pre ⇒ in-JVM pressure the cleanup missed. Reference:
 # RE-PINNED round 10 — the probe now unpersists all leaked blocks and
 # hints a GC first (see _calibrate), which dropped its steady state
 # from the r6-pinned 0.6 s (measured with the era's leak pressure
@@ -280,6 +298,10 @@ def main() -> None:
     reg = q.registry()
     names = [n for n in BENCH_QUERIES if n in reg or n in EXTRA_BENCH]
 
+    # pre-loop probe: fresh JVM (post-JIT-warmup inside _calibrate),
+    # zero accumulated state — the pure host-speed arm of the dual probe
+    cal_pre = _calibrate(spark)
+
     def query_fn(n):
         return EXTRA_BENCH[n] if n in EXTRA_BENCH else reg[n].fn
 
@@ -302,7 +324,8 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[n] = round(statistics.median(samples), 4)
 
-    cal = _calibrate(spark)
+    cal_post = _calibrate(spark)
+    cal = min(cal_pre, cal_post)
     factor = round(cal / CALIBRATION_REFERENCE_SEC, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -320,6 +343,8 @@ def main() -> None:
                 # host-speed self-calibration: divide any raw number by
                 # calibration_factor before comparing across rounds
                 "calibration_sec": cal,
+                "calibration_pre_sec": cal_pre,
+                "calibration_post_sec": cal_post,
                 "calibration_factor": factor,
                 "value_normalized": round(total / factor, 4),
                 "queries_normalized": {
@@ -340,6 +365,8 @@ def main() -> None:
                 "unit": "sec",
                 "value_normalized": round(total / factor, 4),
                 "calibration_factor": factor,
+                "cal_pre": cal_pre,
+                "cal_post": cal_post,
                 "n_queries": len(timings),
                 "sf": sf_val,
             }

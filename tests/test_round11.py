@@ -447,3 +447,192 @@ def test_maximal_keeps_chained_unverified_spans_where_r10_removes(spark):
         assert precision[i]["n_removed_tokens"] == 0, i
         assert precision[i]["n_spans_removed"] == 0
         assert precision[i]["cleaned_text"] == docs.collect()[i - 1]["text"]
+
+
+# ---------------------------------------------------------------------------
+# streamed follows: watermark-bounded tombstone compaction (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _follow_op(height, follower, following, what):
+    import datetime
+    import json
+
+    return (
+        height,
+        datetime.datetime(2024, 1, 1, 0, 0, int(height % 60)),
+        0,
+        0,
+        "custom_json",
+        "follow",
+        json.dumps(
+            {"follower": follower, "following": following, "what": what}
+        ),
+        [follower],
+    )
+
+
+_OPS_SCHEMA = (
+    "block_height long, block_timestamp timestamp, tx_idx int, op_idx int, "
+    "op_type string, custom_json_id string, custom_json string, "
+    "required_posting_auths array<string>"
+)
+
+
+def _run_follows_stream(spark, tmp_path, batches, watermark):
+    from union_indexer_node_spark.streaming.stream import (
+        ops_file_stream,
+        start_follows_stream,
+    )
+
+    ops_dir = str(tmp_path / "ops")
+    schema = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, _OPS_SCHEMA)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(ops_dir)
+    state = str(tmp_path / "state")
+    sq = start_follows_stream(
+        spark,
+        ops_file_stream(spark, ops_dir, schema, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+        n_buckets=1,
+        tombstone_watermark_blocks=watermark,
+    )
+    sq.awaitTermination(300)
+    return spark.read.parquet(state)
+
+
+def test_tombstone_past_watermark_is_compacted(spark, tmp_path):
+    """A tombstone whose height has receded past the watermark is
+    dropped from state when its bucket is next rewritten."""
+    snap = _run_follows_stream(
+        spark,
+        tmp_path,
+        [
+            [
+                _follow_op(100, "u", "v", ["blog"]),
+                _follow_op(200, "u", "v", []),  # unfollow -> tombstone
+            ],
+            # stream head advances to 5000; high_wm = 4000 > 200
+            [_follow_op(5000, "a", "b", ["blog"])],
+        ],
+        watermark=1000,
+    )
+    ids = {r["_id"]: r for r in snap.collect()}
+    assert "hive-a-b" in ids and not ids["hive-a-b"]["is_unfollow"]
+    assert "hive-u-v" not in ids  # tombstone compacted away
+
+
+def test_tombstone_within_watermark_still_blocks_resurrection(spark, tmp_path):
+    """Inside the watermark the tombstone is retained and a stale
+    follow re-arriving in a later batch still loses LWW."""
+    from union_indexer_node_spark.streaming.stream import follows_view
+
+    snap = _run_follows_stream(
+        spark,
+        tmp_path,
+        [
+            [_follow_op(200, "u", "v", [])],  # tombstone at 200
+            # stale follow (150) + head only advances to 900:
+            # high_wm = -100 -> no compaction
+            [
+                _follow_op(150, "u", "v", ["blog"]),
+                _follow_op(900, "x", "y", ["blog"]),
+            ],
+        ],
+        watermark=1000,
+    )
+    ids = {r["_id"]: r for r in snap.collect()}
+    assert ids["hive-u-v"]["is_unfollow"] is True  # tombstone retained
+    live = {r["_id"] for r in follows_view(snap).collect()}
+    assert live == {"hive-x-y"}  # no resurrection
+
+
+# ---------------------------------------------------------------------------
+# searchFeed rankBy=BM25 serving arm (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _mk_posts(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    # doc 1: high tf for 'spark' but long; doc 2: short, same tf ->
+    # BM25 prefers 2; recency prefers 1 (newest)
+    rows.append(("a1", "p1", "t", base.replace(day=9),
+                 "spark spark spark " + "filler " * 60, "", "", "app", 0))
+    rows.append(("a2", "p2", "t", base.replace(day=5),
+                 "spark spark spark indeed", "", "", "app", 0))
+    rows.append(("a3", "p3", "t", base.replace(day=7),
+                 "spark once only here with words", "", "", "app", 0))
+    rows.append(("a4", "p4", "t", base.replace(day=8),
+                 "no match here at all", "", "", "app", 0))
+    return spark.createDataFrame(
+        rows,
+        "author string, permlink string, title string, "
+        "created_at timestamp, body string, parent_author string, "
+        "parent_permlink string, app_name string, num_votes int",
+    ).withColumn(
+        "flags", F.lit(None).cast("array<string>")
+    ).withColumn("TYPE", F.lit(None).cast("string"))
+
+
+def test_search_feed_bm25_arm_reranks_recency_default_unchanged(spark):
+    from union_indexer_node_spark.operators.feeds import FeedSpec, search_feed
+
+    posts = _mk_posts(spark)
+    spec = FeedSpec(limit=3)
+    recency = [r["permlink"] for r in
+               search_feed(posts, "spark", spec).collect()]
+    assert recency == ["p1", "p3", "p2"]  # created_at desc
+    bm25 = [r["permlink"] for r in
+            search_feed(posts, "spark", spec, rank_by="bm25").collect()]
+    # short doc with saturated tf outranks the long one; single-hit
+    # doc ranks last
+    assert bm25[0] == "p2" and set(bm25) == {"p1", "p2", "p3"}
+    # non-matching doc never appears in either arm
+    assert "p4" not in recency and "p4" not in bm25
+
+
+def test_search_feed_bm25_prebuilt_index_matches_inline(spark):
+    from union_indexer_node_spark.operators.feeds import FeedSpec, search_feed
+    from union_indexer_node_spark.pipelines.search import bm25_index
+
+    posts = _mk_posts(spark)
+    key = F.concat_ws("/", F.col("author"), F.col("permlink"))
+    frames = bm25_index(posts.withColumn("_key", key), "body", "_key")
+    spec = FeedSpec(limit=3)
+    inline = [r["permlink"] for r in
+              search_feed(posts, "spark", spec, rank_by="bm25").collect()]
+    prebuilt = [r["permlink"] for r in
+                search_feed(posts, "spark", spec, rank_by="bm25",
+                            bm25_frames=frames).collect()]
+    assert inline == prebuilt
+
+
+def test_graphql_search_feed_rankby_both_arms(spark):
+    import pytest as _pytest
+
+    try:
+        from union_indexer_node_spark.serving.graphql_api import (
+            GraphQLService,
+        )
+    except ImportError:
+        _pytest.skip("graphql-core not installed")
+    posts = _mk_posts(spark)
+    svc = GraphQLService(posts=posts)
+    rec = svc.execute(
+        'query { searchFeed(searchTerm: "spark",'
+        ' pagination: {limit: 3}) { items { permlink } } }'
+    )
+    assert [i["permlink"] for i in rec["data"]["searchFeed"]["items"]] == [
+        "p1", "p3", "p2"
+    ]
+    bm = svc.execute(
+        'query { searchFeed(searchTerm: "spark", rankBy: "BM25",'
+        ' pagination: {limit: 3}) { items { permlink } } }'
+    )
+    assert bm["data"]["searchFeed"]["items"][0]["permlink"] == "p2"

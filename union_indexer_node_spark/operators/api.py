@@ -85,8 +85,15 @@ def social_feed(
 
 
 def search_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
+    # rankBy (round 11, opt-in): ONLY the literal 'BM25' selects BM25
+    # ranking; anything else (including omitted — the reference's only
+    # behavior, resolvers/index.ts:210-213) keeps the recency sort.
+    rank = "bm25" if str(args.get("rankBy", "")).upper() == "BM25" else "recency"
     return feeds.search_feed(
-        _with_spkvideo(posts, args), args["term"], compile_args(args)
+        _with_spkvideo(posts, args),
+        args["term"],
+        compile_args(args),
+        rank_by=rank,
     )
 
 

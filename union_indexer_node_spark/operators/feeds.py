@@ -135,7 +135,13 @@ def query_tokens(term: str) -> list[str]:
 
 
 def search_feed(
-    posts: DataFrame, term: str, spec: FeedSpec, *, any_term: bool = False
+    posts: DataFrame,
+    term: str,
+    spec: FeedSpec,
+    *,
+    any_term: bool = False,
+    rank_by: str = "recency",
+    bm25_frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """searchFeed (resolvers/index.ts:199-216): Mongo $text over body,
     sorted by created_at (NOT text score — resolvers/index.ts:210-213),
@@ -149,6 +155,20 @@ def search_feed(
     are identical either way. Stemming is not replicated (same
     documented divergence).
 
+    ``rank_by="bm25"`` (round 11, opt-in — default stays the
+    reference's recency sort): rank the matching, filter-passing posts
+    by Okapi BM25 (pipelines/search.bm25_topk, the double-precision
+    production arm) instead of created_at; ties break on
+    (created_at DESC, permlink ASC). Pass ``bm25_frames`` — the
+    (postings, doclens) pair from ``search.bm25_index`` over the posts
+    body keyed by 'author/permlink' — to serve from a MAINTAINED index
+    (the deployment shape: the index is built once per ingest cycle
+    and amortized across queries; without it the index subplan builds
+    in-query, correct but a full corpus tokenize per request).
+    Postings are narrowed to the filter-passing keys with a semi-join
+    before scoring, so idf/df reflect the SEARCHABLE subset and the
+    top-k is computed after every feed filter applies.
+
     v1 scan; see pipelines/search.py for the inverted-index scale
     path. skip/limit per the reference's pagination args."""
     terms = query_tokens(term)
@@ -159,6 +179,36 @@ def search_feed(
     base = compile_feed_filter(spec)
     if base is not None:
         df = df.filter(base)
+    if rank_by == "bm25" and terms:
+        from ..pipelines.search import bm25_index, bm25_topk
+
+        key = F.concat_ws("/", F.col("author"), F.col("permlink"))
+        keyed = df.withColumn("_key", key)
+        if bm25_frames is None:
+            postings, doclens = bm25_index(
+                posts.withColumn("_key", key), "body", "_key"
+            )
+        else:
+            postings, doclens = bm25_frames
+        keys = keyed.select("_key")
+        scored = bm25_topk(
+            postings.join(keys, "_key", "left_semi"),
+            doclens,
+            "_key",
+            terms,
+            k=spec.skip + spec.limit,
+            quantized=False,
+        )
+        out = (
+            keyed.join(scored, "_key")
+            .orderBy(
+                F.desc("score"), F.desc("created_at"), F.asc("permlink")
+            )
+            .drop("_key", "score")
+        )
+        if spec.skip:
+            out = out.offset(spec.skip)
+        return out.limit(spec.limit)
     df = df.orderBy(F.desc("created_at"), F.asc("permlink"))
     if spec.skip:
         df = df.offset(spec.skip)

@@ -180,7 +180,7 @@ type Query {
   relatedFeed(author: String, permlink: String,
               pagination: PaginationOptions): FeedOutput
   searchFeed(searchTerm: String, pagination: PaginationOptions,
-             feedOptions: FeedOptions): FeedOutput
+             feedOptions: FeedOptions, rankBy: String): FeedOutput
   profile(id: String): Profile
   syncState: SyncState
   trendingTags(limit: Int): TrendingTags
@@ -213,6 +213,9 @@ def _flatten_feed_args(args: Mapping[str, Any]) -> dict:
         out["spkvideo"] = args["spkvideo"]
     if args.get("searchTerm") is not None:
         out["term"] = args["searchTerm"]
+    if args.get("rankBy") is not None:
+        # round-11 opt-in BM25 ranking arm; absent = reference recency
+        out["rankBy"] = args["rankBy"]
     if args.get("trendingBy") is not None:
         out["trendingBy"] = args["trendingBy"].lower()
     for k in ("author", "permlink", "limit", "id"):

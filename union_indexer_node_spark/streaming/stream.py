@@ -219,6 +219,7 @@ def start_follows_stream(
     checkpoint_dir: str,
     *,
     n_buckets: int = 64,
+    tombstone_watermark_blocks: int | None = None,
 ):
     """Incremental follows silver (S8 dispatch, streamed): each
     micro-batch runs the full build_follows dispatch on its own ops
@@ -228,6 +229,20 @@ def start_follows_stream(
     later batch would resurrect it. Read the serving table via
     ``follows_view``.
 
+    ``tombstone_watermark_blocks`` bounds tombstone retention (VERDICT
+    r10 item 3 — unbounded, the tombstone set only grows at 100×
+    scale): a tombstone exists to beat LATE follow ops with lower
+    (block_height, tx_idx, op_idx); once the stream head has advanced
+    ``tombstone_watermark_blocks`` past a tombstone's height, any op it
+    could still beat is older than the lateness bound and will never
+    arrive, so the tombstone is dead state. Each batch computes
+    high_wm = max(batch block_height) - watermark and drops tombstones
+    below it from the buckets it rewrites — compaction is LAZY
+    (cold buckets compact on their next touch; an offline pass with
+    the same predicate compacts the rest), and tombstones within the
+    watermark still win LWW, so resurrection stays impossible inside
+    the bound. Default None keeps today's keep-forever behavior.
+
     The snapshot is hash-bucketed on the edge key and a micro-batch
     rewrites ONLY the buckets it touches (dynamic partition overwrite)
     — the follows analog of the posts stream's date-bounded rewrite:
@@ -235,6 +250,17 @@ def start_follows_stream(
     count is a state-layout constant (changing it means a one-off
     snapshot rewrite), sized so one bucket ≈ one comfortable task."""
     from ..ingest.posts import build_follows
+
+    def _compact(frame: DataFrame, batch_edges: DataFrame) -> DataFrame:
+        if tombstone_watermark_blocks is None:
+            return frame
+        head = batch_edges.agg(F.max("block_height")).first()[0]
+        if head is None:
+            return frame
+        high_wm = head - tombstone_watermark_blocks
+        return frame.filter(
+            ~(F.col("is_unfollow") & (F.col("block_height") < high_wm))
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -253,7 +279,11 @@ def start_follows_stream(
             except Exception:
                 current = None
         if current is None:
-            write_snapshot(new_edges, state_dir, partition_by=["_bucket"])
+            write_snapshot(
+                _compact(new_edges, new_edges),
+                state_dir,
+                partition_by=["_bucket"],
+            )
             return
         touched = [
             r[0] for r in new_edges.select("_bucket").distinct().collect()
@@ -264,6 +294,7 @@ def start_follows_stream(
             ["_id"],
             [F.col("block_height"), F.col("tx_idx"), F.col("op_idx")],
         )
+        merged = _compact(merged, new_edges)
         # Materialize before overwrite: the write plan must not read
         # state_dir while replacing it (same reasoning as the posts
         # stream's localCheckpoint).

@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .functions.text import MENTION_RE as _MENTION_RE_SQL
+from .oracle_common import (  # re-exported: Spark fixtures +
+    # queries_r11 interpolate the same constants
+    _BPE_RE,
+    _CENTS,
+    _DISC,
+    _DISC_PCT,
+    _FEED_COLS_SQL,
+    _KMEANS_CTE,
+    _KMEANS_CTE_1,
+    _SHINGLE_SIG_CTE,
+    _SIG_CTE,
+    _TOKS_CTE,
+    _bpe_encode_oracle,
+    _bpe_train_oracle,
+    _ANN_PLANES,
+    _bucket_sql,
+    _passage_oracle,
+)
+from .queries_oracle_sql import ORACLES as _ORACLES
 from .operators import feeds
 from .operators.feeds import FeedSpec
 
@@ -305,7 +324,6 @@ def registry() -> dict[str, QueryDef]:
 
 
 _FEED_COLS = ["author", "permlink", "title", "created_at", "app_name", "num_votes"]
-_FEED_COLS_SQL = "author, permlink, title, created_at, app_name, num_votes"
 
 
 # ---------------------------------------------------------------------------
@@ -315,15 +333,7 @@ _FEED_COLS_SQL = "author, permlink, title, created_at, app_name, num_votes"
 # ---------------------------------------------------------------------------
 @q(
     "social_feed_by_app",
-    tables.oracle_with_domain(f"""
-    SELECT {_FEED_COLS_SQL}
-    FROM posts
-    WHERE app_name = '3speak'
-      AND NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ORDER BY created_at DESC, permlink
-    LIMIT 20
-    """),
+    _ORACLES["social_feed_by_app"],
 )
 def social_feed_by_app(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -334,17 +344,7 @@ def social_feed_by_app(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F2 range + F3 set-membership + F5 $or over mapped fields
 @q(
     "f2_f3_f5_filter_combo",
-    tables.oracle_with_domain(f"""
-    SELECT {_FEED_COLS_SQL}
-    FROM posts
-    WHERE NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-      AND num_votes >= 50 AND num_votes < 150
-      AND app_name IN ('3speak', 'dbuzz')
-      AND (author = 'u3' OR lang = 'es')
-    ORDER BY created_at DESC, permlink
-    LIMIT 50
-    """),
+    _ORACLES["f2_f3_f5_filter_combo"],
 )
 def f2_f3_f5_filter_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -362,15 +362,7 @@ def f2_f3_f5_filter_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F1-array membership (_eq on tags ⇒ array_contains) + F7 null TYPE pass
 @q(
     "f1_tag_membership",
-    tables.oracle_with_domain("""
-    SELECT author, permlink, created_at
-    FROM posts
-    WHERE list_contains(COALESCE(tags, []), 't3')
-      AND NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ORDER BY created_at DESC, permlink
-    LIMIT 100
-    """),
+    _ORACLES["f1_tag_membership"],
 )
 def f1_tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -381,15 +373,7 @@ def f1_tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A1 trendingTags: window filter -> explode -> count -> top-k
 @q(
     "a1_trending_tags",
-    tables.oracle_with_domain("""
-    , anchor AS (SELECT max(created_at) AS a FROM posts)
-    SELECT tag, COUNT(*) AS score
-    FROM (SELECT UNNEST(tags) AS tag, created_at FROM posts) t, anchor
-    WHERE created_at > a - INTERVAL 14 DAY
-    GROUP BY tag
-    ORDER BY score DESC, tag
-    LIMIT 5
-    """),
+    _ORACLES["a1_trending_tags"],
 )
 def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feeds.trending_tags(tables.posts(spark, sf_dir), limit=5, window_days=14)
@@ -400,15 +384,7 @@ def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "w2_lww_latest_event",
-    """
-    SELECT user_id, event_type, event_id, ts, value
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
-      ) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
+    _ORACLES["w2_lww_latest_event"],
 )
 def w2_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import lww_latest
@@ -421,15 +397,7 @@ def w2_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "w3_first_event_per_user",
-    """
-    SELECT user_id, event_id, ts
-    FROM (
-      SELECT user_id, event_id, ts, ROW_NUMBER() OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
-      ) AS rn
-      FROM events WHERE event_type = 'purchase'
-    ) WHERE rn = 1
-    """,
+    _ORACLES["w3_first_event_per_user"],
 )
 def w3_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import first_per_group
@@ -443,12 +411,7 @@ def w3_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W1 — leaderboard rank over an aggregated (small) frame
 @q(
     "w1_leaderboard_rank",
-    """
-    SELECT user_id, ROUND(score, 2) AS score,
-           ROW_NUMBER() OVER (ORDER BY ROUND(score, 2) DESC, user_id) AS rank
-    FROM (SELECT user_id, SUM(value) AS score FROM events GROUP BY user_id)
-    WHERE score > 0
-    """,
+    _ORACLES["w1_leaderboard_rank"],
 )
 def w1_leaderboard_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import ranked
@@ -469,14 +432,7 @@ def w1_leaderboard_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W4/O1 — pagination: page 3 of the recency feed
 @q(
     "w4_feed_pagination",
-    tables.oracle_with_domain(f"""
-    SELECT {_FEED_COLS_SQL}
-    FROM posts
-    WHERE NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ORDER BY created_at DESC, permlink
-    LIMIT 25 OFFSET 50
-    """),
+    _ORACLES["w4_feed_pagination"],
 )
 def w4_feed_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -491,16 +447,7 @@ def w4_feed_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's N+1 countDocuments, core.ts:106-109)
 @q(
     "j3_num_comments_per_post",
-    tables.oracle_with_domain("""
-    SELECT p.author, p.permlink, COALESCE(c.n, 0) AS num_comments
-    FROM posts p
-    LEFT JOIN (
-      SELECT parent_author, parent_permlink, COUNT(*) AS n
-      FROM posts WHERE parent_author <> ''
-      GROUP BY parent_author, parent_permlink
-    ) c ON p.author = c.parent_author AND p.permlink = c.parent_permlink
-    WHERE p.parent_author = ''
-    """),
+    _ORACLES["j3_num_comments_per_post"],
 )
 def j3_num_comments_per_post(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -527,15 +474,7 @@ def j3_num_comments_per_post(spark: SparkSession, sf_dir: str) -> DataFrame:
 # following list as $in, resolvers/index.ts:126-146)
 @q(
     "j4_follower_feed",
-    tables.oracle_with_domain("""
-    SELECT p.author, p.permlink, p.created_at
-    FROM posts p
-    WHERE p.author IN (SELECT following FROM follows WHERE follower = 'u7')
-      AND NOT list_contains(COALESCE(p.flags, []), 'comment')
-      AND (p."TYPE" IS NULL OR p."TYPE" <> 'CERAMIC')
-    ORDER BY p.created_at DESC, p.permlink
-    LIMIT 100
-    """),
+    _ORACLES["j4_follower_feed"],
 )
 def j4_follower_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -551,16 +490,7 @@ def j4_follower_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of follows; same broadcast semi-join shape.
 @q(
     "j4_follower_feed_did",
-    tables.oracle_with_domain("""
-    SELECT p.author, p.permlink, p.created_at
-    FROM posts p
-    WHERE p.author IN (SELECT following FROM social_connections
-                       WHERE follower = 'did:key:zu6')
-      AND NOT list_contains(COALESCE(p.flags, []), 'comment')
-      AND (p."TYPE" IS NULL OR p."TYPE" <> 'CERAMIC')
-    ORDER BY p.created_at DESC, p.permlink
-    LIMIT 100
-    """),
+    _ORACLES["j4_follower_feed_did"],
 )
 def j4_follower_feed_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -574,13 +504,7 @@ def j4_follower_feed_did(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J1/J2 — children/parent self-join on the composite post key
 @q(
     "j1_children_join",
-    tables.oracle_with_domain("""
-    SELECT p.author AS parent_author, p.permlink AS parent_permlink,
-           c.author AS child_author, c.permlink AS child_permlink
-    FROM posts p
-    JOIN posts c ON c.parent_author = p.author AND c.parent_permlink = p.permlink
-    WHERE p.parent_author = ''
-    """),
+    _ORACLES["j1_children_join"],
 )
 def j1_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -608,17 +532,7 @@ def j1_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a recursive CTE). Depth >1 chains are covered by tests/test_ingest.py.
 @q(
     "j9_reply_closure",
-    tables.oracle_with_domain("""
-    , allowed AS (
-      SELECT permlink FROM posts
-      WHERE parent_author = '' AND app_name IN ('3speak', 'dbuzz')
-      UNION
-      SELECT p.permlink FROM posts p
-      JOIN allowed a ON p.parent_permlink = a.permlink
-      WHERE p.parent_author <> ''
-    )
-    SELECT permlink FROM allowed
-    """, recursive=True),
+    _ORACLES["j9_reply_closure"],
 )
 def j9_reply_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -663,23 +577,7 @@ def j9_reply_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "a9_mention_notifications",
-    tables.oracle_with_domain("""
-    SELECT DISTINCT
-      'hive/' || author || '/' || permlink AS ref,
-      CASE WHEN m LIKE 'did:%' THEN m ELSE lower(m) END AS target,
-      CASE WHEN m LIKE 'did:%' THEN 'did' ELSE 'hive' END AS type,
-      'mention' AS notification_type,
-      author AS "from",
-      created_at AS mentioned_at
-    FROM (
-      SELECT author, permlink, created_at,
-             UNNEST(regexp_extract_all(body,
-               '"""
-    + _MENTION_RE_SQL
-    + """', 3)) AS m
-      FROM posts
-    )
-    """),
+    _ORACLES["a9_mention_notifications"],
 )
 def a9_mention_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import mention_notifications
@@ -693,11 +591,7 @@ def a9_mention_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X18 — hex -> long conversion (block height decode, utils.ts:19)
 @q(
     "x18_hex_to_long",
-    """
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS block_height
-    FROM documents
-    """,
+    _ORACLES["x18_hex_to_long"],
 )
 def x18_hex_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scalars import block_height_from_id
@@ -715,83 +609,16 @@ def x18_hex_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split-on-[^a-z0-9]+ with empties removed.
 # ===========================================================================
 
-_TOKS_CTE = """
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS toks
-  FROM documents
-)
-"""
 
-_SIG_CTE = f"""
-{_TOKS_CTE.strip()},
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(generate_series(1, len(toks) - 2),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-  )) AS s
-  FROM toks
-),
-hashed AS (
-  SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
-),
-sig AS (
-  SELECT doc_id,
-    min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
-    min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
-    min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
-    min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
-  FROM hashed GROUP BY doc_id
-)
-"""
 
 # Twin of pipelines.dedup.lsh_candidate_pairs DEFAULTS: band only the
 # min-id representative per distinct text digest (unique_text_first)
 # and drop band buckets with >200 members (bucket_cap) before pairing.
-_SHINGLE_SIG_CTE = f"""
-{_SIG_CTE.strip()},
-canon AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-),
-bands_all AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key
-  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
-  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3)
-  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
-  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5)
-  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
-  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7)
-  FROM sig WHERE doc_id IN (SELECT doc_id FROM canon)
-),
-bands AS (
-  SELECT doc_id, band_idx, band_key FROM (
-    SELECT doc_id, band_idx, band_key,
-           COUNT(*) OVER (PARTITION BY band_idx, band_key) AS m
-    FROM bands_all
-  ) WHERE m <= 200
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-)
-"""
 
 
 @q(
     "dedup_exact",
-    """
-    WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
-    groups AS (
-      SELECT text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_id
-      FROM hashed GROUP BY text_hash
-    )
-    SELECT h.doc_id, h.text_hash, g.dup_count,
-           h.doc_id = g.canonical_id AS is_canonical
-    FROM hashed h JOIN groups g USING (text_hash)
-    """,
+    _ORACLES["dedup_exact"],
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import exact_dedup
@@ -802,7 +629,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_minhash_signature",
-    f"WITH {_SIG_CTE.strip()} SELECT * FROM sig",
+    _ORACLES["dedup_minhash_signature"],
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import minhash_signature
@@ -813,7 +640,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_lsh_candidates",
-    f"WITH {_SHINGLE_SIG_CTE.strip()} SELECT a, b FROM cand",
+    _ORACLES["dedup_lsh_candidates"],
 )
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import lsh_candidate_pairs
@@ -824,23 +651,7 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_ngram_jaccard",
-    f"""
-    WITH {_SHINGLE_SIG_CTE.strip()},
-    shset AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ) AS sh
-      FROM toks
-    )
-    SELECT c.a, c.b,
-           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
-                 6) AS jaccard
-    FROM cand c
-    JOIN shset sa ON sa.doc_id = c.a
-    JOIN shset sb ON sb.doc_id = c.b
-    """,
+    _ORACLES["dedup_ngram_jaccard"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs
@@ -856,25 +667,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_simhash",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
-    th AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
-      FROM tok
-    ),
-    contrib AS (
-      SELECT doc_id, b.bit,
-             CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
-      FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) b
-    ),
-    bits AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    """,
+    _ORACLES["dedup_simhash"],
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import simhash
@@ -886,15 +679,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search ------------------------------------------------------
 @q(
     "sim_cosine_topk",
-    """
-    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])), 6) AS sim
-    FROM embeddings e, q
-    ORDER BY sim DESC, e.vec_id
-    LIMIT 20
-    """,
+    _ORACLES["sim_cosine_topk"],
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import brute_force_topk
@@ -906,16 +691,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "sim_ivf_topk_label",
-    """
-    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])), 6) AS sim
-    FROM embeddings e, q
-    WHERE e.label = q.label
-    ORDER BY sim DESC, e.vec_id
-    LIMIT 20
-    """,
+    _ORACLES["sim_ivf_topk_label"],
 )
 def sim_ivf_topk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import ivf_topk
@@ -927,12 +703,7 @@ def sim_ivf_topk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "sim_pairwise_cosine",
-    """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-    """,
+    _ORACLES["sim_pairwise_cosine"],
 )
 def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import pairwise_cosine
@@ -949,33 +720,7 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis ----------------------------------------------------------
 @q(
     "text_quality_features",
-    f"""
-    WITH {_TOKS_CTE.strip()}
-    SELECT d.doc_id,
-           len(t.toks) AS n_tokens,
-           length(d.text) AS n_chars,
-           ROUND(CASE WHEN len(t.toks) > 0
-                 THEN CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE)
-                      / len(t.toks) ELSE 0.0 END, 6) AS avg_token_len,
-           ROUND(CASE WHEN len(t.toks) > 0
-                 THEN CAST(len(list_intersect(list_distinct(t.toks),
-                      ['the','and','of','to','a','in','is'])) AS DOUBLE)
-                      / len(t.toks) ELSE 0.0 END, 6) AS stopword_ratio,
-           ROUND(CASE WHEN length(d.text) > 0
-                 THEN CAST(length(d.text)
-                      - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-                      / length(d.text) ELSE 0.0 END, 6) AS punct_ratio,
-           ROUND(LEAST(CAST(len(t.toks) AS DOUBLE) / 100, 1.0) * 0.5
-                 + (CASE WHEN len(t.toks) > 0
-                    THEN CAST(len(list_intersect(list_distinct(t.toks),
-                         ['the','and','of','to','a','in','is'])) AS DOUBLE)
-                         / len(t.toks) ELSE 0.0 END) * 0.3
-                 + (1 - (CASE WHEN length(d.text) > 0
-                    THEN CAST(length(d.text)
-                         - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-                         / length(d.text) ELSE 0.0 END)) * 0.2, 6) AS quality_score
-    FROM documents d JOIN toks t USING (doc_id)
-    """,
+    _ORACLES["text_quality_features"],
 )
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import quality_features
@@ -986,26 +731,7 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "text_language_id",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    scored AS (
-      SELECT doc_id,
-             len(list_intersect(list_distinct(toks),
-                 ['the','and','of','to','a','in','is'])) AS score_en,
-             len(list_intersect(list_distinct(toks),
-                 ['el','la','de','que','y','en','un'])) AS score_es,
-             len(list_intersect(list_distinct(toks),
-                 ['le','la','de','et','un','une','dans'])) AS score_fr
-      FROM toks
-    )
-    SELECT doc_id,
-           CASE WHEN GREATEST(score_en, score_es, score_fr) = 0 THEN 'und'
-                WHEN score_en = GREATEST(score_en, score_es, score_fr) THEN 'en'
-                WHEN score_es = GREATEST(score_en, score_es, score_fr) THEN 'es'
-                ELSE 'fr' END AS lang_pred,
-           score_en, score_es, score_fr
-    FROM scored
-    """,
+    _ORACLES["text_language_id"],
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import detect_language
@@ -1016,19 +742,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "text_fingerprint",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    sh AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 3),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-      ) AS sh
-      FROM toks
-    )
-    SELECT d.doc_id, md5(d.text) AS content_hash,
-           list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_hash
-    FROM documents d JOIN sh s USING (doc_id)
-    """,
+    _ORACLES["text_fingerprint"],
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import fingerprint
@@ -1042,18 +756,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "tpch_q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
+    _ORACLES["tpch_q1_pricing_summary"],
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -1081,18 +784,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O2+A8 — trendingFeed: max-created_at anchor, 3-day window, payout sort
 @q(
     "o2_a8_trending_feed_payout",
-    tables.oracle_with_domain("""
-    , filtered AS (
-      SELECT * FROM posts
-      WHERE NOT list_contains(COALESCE(flags, []), 'comment')
-        AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ), anchor AS (SELECT max(created_at) AS a FROM filtered)
-    SELECT author, permlink, ROUND(payout, 6) AS payout, created_at
-    FROM filtered, anchor
-    WHERE created_at > a - INTERVAL 3 DAY
-    ORDER BY payout DESC, permlink
-    LIMIT 100
-    """),
+    _ORACLES["o2_a8_trending_feed_payout"],
 )
 def o2_a8_trending_feed_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1107,27 +799,7 @@ def o2_a8_trending_feed_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeds.py) because the serving table is unenriched here.
 @q(
     "o2_trending_feed_comments",
-    tables.oracle_with_domain("""
-    , counts AS (
-      SELECT parent_author, parent_permlink, COUNT(*) AS n
-      FROM posts WHERE parent_author <> ''
-      GROUP BY parent_author, parent_permlink
-    ), enriched AS (
-      SELECT p.*, COALESCE(c.n, 0) AS num_comments
-      FROM posts p
-      LEFT JOIN counts c
-        ON p.author = c.parent_author AND p.permlink = c.parent_permlink
-    ), filtered AS (
-      SELECT * FROM enriched
-      WHERE NOT list_contains(COALESCE(flags, []), 'comment')
-        AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ), anchor AS (SELECT max(created_at) AS a FROM filtered)
-    SELECT author, permlink, num_comments, created_at
-    FROM filtered, anchor
-    WHERE created_at > a - INTERVAL 3 DAY
-    ORDER BY num_comments DESC, permlink
-    LIMIT 100
-    """),
+    _ORACLES["o2_trending_feed_comments"],
 )
 def o2_trending_feed_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1140,17 +812,7 @@ def o2_trending_feed_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O5 — children top-k per parent (resolvers/posts.ts:224-227, batched)
 @q(
     "o5_children_topk_per_parent",
-    tables.oracle_with_domain("""
-    SELECT parent_author, parent_permlink, permlink, created_at
-    FROM (
-      SELECT parent_author, parent_permlink, permlink, created_at,
-             ROW_NUMBER() OVER (
-               PARTITION BY parent_author, parent_permlink
-               ORDER BY created_at, permlink
-             ) AS rn
-      FROM posts WHERE parent_author <> ''
-    ) WHERE rn <= 2
-    """),
+    _ORACLES["o5_children_topk_per_parent"],
 )
 def o5_children_topk_per_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1170,20 +832,7 @@ def o5_children_topk_per_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O6 — relatedFeed deterministic sample (same tags OR same community)
 @q(
     "o6_related_feed_sample",
-    tables.oracle_with_domain("""
-    , anchor AS (
-      SELECT tags AS a_tags, parent_permlink AS a_comm, parent_author AS a_pa,
-             author AS a_author, permlink AS a_permlink
-      FROM posts WHERE permlink = 'p0'
-    )
-    SELECT p.author, p.permlink
-    FROM posts p, anchor
-    WHERE (len(list_intersect(COALESCE(p.tags, []), a_tags)) > 0
-           OR (a_pa = '' AND a_comm LIKE 'hive-%' AND p.parent_permlink = a_comm))
-      AND NOT (p.author = a_author AND p.permlink = a_permlink)
-    ORDER BY md5(p.permlink)
-    LIMIT 25
-    """),
+    _ORACLES["o6_related_feed_sample"],
 )
 def o6_related_feed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1196,16 +845,7 @@ def o6_related_feed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X21 — searchFeed: token-AND match, recency sort
 @q(
     "x21_search_feed",
-    tables.oracle_with_domain("""
-    SELECT author, permlink, created_at
-    FROM posts
-    WHERE list_contains(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'), x -> x <> ''), 'plain')
-      AND list_contains(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'), x -> x <> ''), 'body')
-      AND NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ORDER BY created_at DESC, permlink
-    LIMIT 100
-    """),
+    _ORACLES["x21_search_feed"],
 )
 def x21_search_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1217,14 +857,7 @@ def x21_search_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F4 — regex predicate
 @q(
     "f4_regex_filter",
-    tables.oracle_with_domain("""
-    SELECT author, permlink, app
-    FROM posts
-    WHERE regexp_matches(app, '^3speak/')
-      AND NOT list_contains(COALESCE(flags, []), 'comment')
-      AND ("TYPE" IS NULL OR "TYPE" <> 'CERAMIC')
-    ORDER BY permlink
-    """),
+    _ORACLES["f4_regex_filter"],
 )
 def f4_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.wherefield import compile_wherefield
@@ -1238,9 +871,7 @@ def f4_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F9 — existence predicate: absent ≡ NULL (Mongo $exists:false)
 @q(
     "f9_missing_field",
-    tables.oracle_with_domain("""
-    SELECT author, permlink FROM posts WHERE lang IS NULL ORDER BY permlink
-    """),
+    _ORACLES["f9_missing_field"],
 )
 def f9_missing_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.wherefield import compile_wherefield
@@ -1253,9 +884,7 @@ def f9_missing_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F10 — point lookup on the composite post key
 @q(
     "f10_point_lookup",
-    tables.oracle_with_domain("""
-    SELECT author, permlink, title, created_at FROM posts WHERE permlink = 'p42' LIMIT 1
-    """),
+    _ORACLES["f10_point_lookup"],
 )
 def f10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One job: filter + limit in a single plan (permlink is the unique
@@ -1272,9 +901,7 @@ def f10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2/A3 — distinct authors (of an app / overall)
 @q(
     "a2_distinct_authors_of_app",
-    tables.oracle_with_domain(
-        "SELECT DISTINCT author FROM posts WHERE app_name = '3speak'"
-    ),
+    _ORACLES["a2_distinct_authors_of_app"],
 )
 def a2_distinct_authors_of_app(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1283,7 +910,7 @@ def a2_distinct_authors_of_app(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "a3_distinct_authors",
-    tables.oracle_with_domain("SELECT DISTINCT author FROM posts"),
+    _ORACLES["a3_distinct_authors"],
 )
 def a3_distinct_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.posts(spark, sf_dir).select("author").distinct()
@@ -1294,21 +921,7 @@ def a3_distinct_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-author RPC loop.
 @q(
     "a5_creator_score",
-    tables.oracle_with_domain("""
-    , threespeak AS (
-      SELECT author, permlink, num_votes FROM posts WHERE app_name = '3speak'
-    ), child_counts AS (
-      SELECT parent_author, parent_permlink, COUNT(*) AS n
-      FROM posts WHERE parent_author <> ''
-      GROUP BY parent_author, parent_permlink
-    )
-    SELECT t.author,
-           ROUND(3 * SUM(COALESCE(c.n, 0)) + 0.1 * SUM(t.num_votes), 2) AS score
-    FROM threespeak t
-    LEFT JOIN child_counts c
-      ON c.parent_author = t.author AND c.parent_permlink = t.permlink
-    GROUP BY t.author
-    """),
+    _ORACLES["a5_creator_score"],
 )
 def a5_creator_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documented divergence: the reference's JS accumulator reads
@@ -1351,25 +964,7 @@ def a5_creator_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else is exactly 0 — exercises attach_creator_scores end-to-end.
 @q(
     "a5_score_zeroing",
-    tables.oracle_with_domain("""
-    , threespeak AS (
-      SELECT author, permlink, num_votes FROM posts WHERE app_name = '3speak'
-    ), child_counts AS (
-      SELECT parent_author, parent_permlink, COUNT(*) AS n
-      FROM posts WHERE parent_author <> ''
-      GROUP BY parent_author, parent_permlink
-    ), scores AS (
-      SELECT t.author,
-             ROUND(3 * SUM(COALESCE(c.n, 0)) + 0.1 * SUM(t.num_votes), 2) AS score
-      FROM threespeak t
-      LEFT JOIN child_counts c
-        ON c.parent_author = t.author AND c.parent_permlink = t.permlink
-      GROUP BY t.author
-    )
-    SELECT u.username, COALESCE(s.score, 0.0) AS score
-    FROM (SELECT DISTINCT author AS username FROM posts) u
-    LEFT JOIN scores s ON s.author = u.username
-    """),
+    _ORACLES["a5_score_zeroing"],
 )
 def a5_score_zeroing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest.profiles import attach_creator_scores
@@ -1384,12 +979,7 @@ def a5_score_zeroing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle; core.ts:118-119 pattern applied to a numeric array column)
 @q(
     "a6_sign_counts_higher_order",
-    """
-    SELECT vec_id,
-           len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           len(list_filter(embedding, x -> x < 0)) AS n_neg
-    FROM embeddings
-    """,
+    _ORACLES["a6_sign_counts_higher_order"],
 )
 def a6_sign_counts_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -1403,11 +993,7 @@ def a6_sign_counts_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A7 — scalar count (total active creators, resolvers/index.ts:473)
 @q(
     "a7_total_active_creators",
-    """
-    SELECT COUNT(*) AS total_active FROM (
-      SELECT user_id, SUM(value) AS score FROM events GROUP BY user_id
-    ) WHERE score > 0
-    """,
+    _ORACLES["a7_total_active_creators"],
 )
 def a7_total_active_creators(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "events")
@@ -1422,11 +1008,7 @@ def a7_total_active_creators(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X1 — schema-on-read JSON access (json_metadata pattern over events.props)
 @q(
     "x1_json_props_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-    FROM events
-    """,
+    _ORACLES["x1_json_props_extract"],
 )
 def x1_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "events")
@@ -1439,12 +1021,7 @@ def x1_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X16 — asset-string parsing round trip ('1.234 HBD' -> 1.234)
 @q(
     "x16_asset_parse",
-    """
-    SELECT event_id,
-           CAST(string_split(CAST(value AS VARCHAR) || ' HBD', ' ')[1] AS DOUBLE)
-             AS amount
-    FROM events
-    """,
+    _ORACLES["x16_asset_parse"],
 )
 def x16_asset_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scalars import asset_to_float
@@ -1457,16 +1034,7 @@ def x16_asset_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2 — detectPostType app-prefix classification
 @q(
     "x2_detect_post_type",
-    tables.oracle_with_domain("""
-    SELECT author, permlink,
-           CASE string_split(app, '/')[1]
-                WHEN '3speak' THEN '3speak'
-                WHEN 'dBuzz' THEN 'dbuzz'
-                WHEN 'dbuzz' THEN 'dbuzz'
-                WHEN 'steemit' THEN 'steemit'
-                ELSE 'unknown' END AS post_type
-    FROM posts
-    """),
+    _ORACLES["x2_detect_post_type"],
 )
 def x2_detect_post_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scalars import detect_post_type
@@ -1485,21 +1053,7 @@ def x2_detect_post_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X21 v2 — inverted-index search (same results as the v1 scan)
 @q(
     "x21_inverted_index_search",
-    tables.oracle_with_domain("""
-    , idx AS (
-      SELECT DISTINCT author, permlink,
-             unnest(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'),
-                    x -> x <> '')) AS token
-      FROM posts
-    ), m1 AS (SELECT author, permlink FROM idx WHERE token = 'hello'),
-      m2 AS (SELECT author, permlink FROM idx WHERE token = 'bye')
-    SELECT p.author, p.permlink, p.created_at
-    FROM posts p
-    JOIN (SELECT DISTINCT m1.author, m1.permlink
-          FROM m1 JOIN m2 USING (author, permlink)) m
-      USING (author, permlink)
-    ORDER BY p.created_at DESC, p.permlink
-    """),
+    _ORACLES["x21_inverted_index_search"],
 )
 def x21_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.search import build_inverted_index, search_by_index
@@ -1516,14 +1070,7 @@ def x21_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J2 — reply -> parent (left outer; missing parents stay NULL)
 @q(
     "j2_parent_post_join",
-    tables.oracle_with_domain("""
-    SELECT c.author, c.permlink, p.author AS parent_found_author,
-           p.title AS parent_title
-    FROM posts c
-    LEFT JOIN posts p
-      ON c.parent_author = p.author AND c.parent_permlink = p.permlink
-    WHERE c.parent_author <> ''
-    """),
+    _ORACLES["j2_parent_post_join"],
 )
 def j2_parent_post_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1550,11 +1097,7 @@ def j2_parent_post_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J7 — follows overview: both directions + counts (resolvers/index.ts:322-351)
 @q(
     "j7_follows_overview",
-    tables.oracle_with_domain("""
-    SELECT
-      (SELECT COUNT(*) FROM follows WHERE follower = 'u10') AS following_count,
-      (SELECT COUNT(*) FROM follows WHERE following = 'u10') AS follower_count
-    """),
+    _ORACLES["j7_follows_overview"],
 )
 def j7_follows_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     fol = tables.follows(spark, sf_dir)
@@ -1571,26 +1114,7 @@ def j7_follows_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (core.ts:96-139: per-post RPC becomes a snapshot-table join)
 @q(
     "j11_chain_state_enrichment",
-    tables.oracle_with_domain("""
-    , chain_state AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) AS author,
-             'p' || CAST(event_id AS VARCHAR) AS permlink,
-             CAST(value AS VARCHAR) || ' HBD' AS pending_payout_value,
-             CAST(value / 2 AS VARCHAR) || ' HBD' AS total_payout_value,
-             CAST(value / 4 AS VARCHAR) || ' HBD' AS curator_payout_value,
-             CASE WHEN event_id % 3 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
-                  ELSE ts END AS last_payout
-      FROM events
-    )
-    SELECT p.author, p.permlink,
-           ROUND(CASE WHEN cs.last_payout <= TIMESTAMP '1970-01-01 00:00:00'
-                 THEN CAST(string_split(cs.pending_payout_value, ' ')[1] AS DOUBLE)
-                 ELSE CAST(string_split(cs.total_payout_value, ' ')[1] AS DOUBLE)
-                      + CAST(string_split(cs.curator_payout_value, ' ')[1] AS DOUBLE)
-                 END, 6) AS payout
-    FROM posts p
-    JOIN chain_state cs ON p.author = cs.author AND p.permlink = cs.permlink
-    """),
+    _ORACLES["j11_chain_state_enrichment"],
 )
 def j11_chain_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scalars import payout_value
@@ -1635,15 +1159,7 @@ def j11_chain_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.7 — union of two post sources with discriminators (Hive + Ceramic)
 @q(
     "setop_union_sources",
-    tables.oracle_with_domain("""
-    SELECT author, permlink, src FROM (
-      SELECT author, permlink, 'hive' AS src FROM posts
-      WHERE "TYPE" = 'HIVE'
-      UNION ALL
-      SELECT author, permlink, 'ceramic' AS src FROM posts
-      WHERE "TYPE" = 'CERAMIC'
-    )
-    """),
+    _ORACLES["setop_union_sources"],
 )
 def setop_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = tables.posts(spark, sf_dir)
@@ -1663,7 +1179,7 @@ def setop_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_count_distinct — HLL sketches differ between engines, so this
 # is a rows-only check (driver records the weaker gate); the exact
 # companion column is oracle-checked via a3_distinct_authors.
-@q("a_approx_distinct_users", None)
+@q("a_approx_distinct_users", _ORACLES["a_approx_distinct_users"])
 def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "events")
     return e.agg(
@@ -1678,43 +1194,7 @@ def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array. O(n), no cross join, reproducible in any engine.
 @q(
     "training_negative_sample",
-    """
-    WITH ringed AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 16 AS ring,
-             md5(CAST(doc_id AS VARCHAR)) AS pos
-      FROM documents
-    ),
-    w AS (
-      SELECT doc_id, ring, pos,
-             ROW_NUMBER() OVER (PARTITION BY ring ORDER BY pos) AS rn,
-             COUNT(*) OVER (PARTITION BY ring) AS m,
-             LEAD(doc_id, 1) OVER (PARTITION BY ring ORDER BY pos) AS l1,
-             LEAD(doc_id, 2) OVER (PARTITION BY ring ORDER BY pos) AS l2,
-             LEAD(doc_id, 3) OVER (PARTITION BY ring ORDER BY pos) AS l3
-      FROM ringed
-    ),
-    heads AS (
-      SELECT ring, list(doc_id ORDER BY pos) AS hs
-      FROM (SELECT ring, doc_id, pos,
-                   ROW_NUMBER() OVER (PARTITION BY ring ORDER BY pos)
-                     AS rn
-            FROM ringed QUALIFY rn <= 3)
-      GROUP BY ring
-    ),
-    negs AS (
-      SELECT w.doc_id, g.j AS neg_rank,
-             CASE WHEN g.j <= w.m - 1 THEN
-               COALESCE([w.l1, w.l2, w.l3][CAST(g.j AS INT)],
-                        h.hs[CAST(w.rn + g.j - w.m AS INT)])
-             END AS neg_id
-      FROM w JOIN heads h USING (ring),
-           LATERAL (SELECT UNNEST(generate_series(1, 3)) AS j) g
-    )
-    SELECT doc_id, neg_id, CAST(neg_rank AS INT) AS neg_rank
-    FROM negs WHERE neg_id IS NOT NULL
-    """,
+    _ORACLES["training_negative_sample"],
 )
 def training_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import negative_sample_ring
@@ -1730,32 +1210,7 @@ def training_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from a permanent rows-only check to a hash-matched one.
 @q(
     "a_approx_distinct_kmv",
-    """
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
-                  AS BIGINT) AS _h
-      FROM events
-    ),
-    rk AS (
-      SELECT event_type, _h,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY _h) AS _r
-      FROM h QUALIFY _r <= 64
-    ),
-    per AS (
-      SELECT event_type,
-             MAX(CASE WHEN _r = 64 THEN _h END) AS kth_hash,
-             COUNT(*) AS sketch_size
-      FROM rk GROUP BY event_type
-    )
-    SELECT event_type,
-           CAST(CASE WHEN sketch_size < 64 THEN sketch_size
-                     ELSE 63 * 281474976710656 // kth_hash
-                END AS BIGINT) AS n_distinct_est,
-           CAST(COALESCE(kth_hash, 0) AS BIGINT) AS kth_hash,
-           CAST(sketch_size AS BIGINT) AS sketch_size
-    FROM per
-    """,
+    _ORACLES["a_approx_distinct_kmv"],
 )
 def a_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import kmv_distinct
@@ -1769,12 +1224,7 @@ def a_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reducers — the skew path for viral posts / hot communities.
 @q(
     "skew_salted_comment_counts",
-    tables.oracle_with_domain("""
-    SELECT parent_author, parent_permlink, COUNT(*) AS num_comments,
-           CAST(MAX(num_votes) AS INTEGER) AS max_votes
-    FROM posts WHERE parent_author <> ''
-    GROUP BY parent_author, parent_permlink
-    """),
+    _ORACLES["skew_salted_comment_counts"],
 )
 def skew_salted_comment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_agg
@@ -1791,10 +1241,7 @@ def skew_salted_comment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact distinct count per group via value-salted two-phase
 @q(
     "skew_salted_distinct_count",
-    """
-    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_count
-    FROM events GROUP BY event_type
-    """,
+    _ORACLES["skew_salted_distinct_count"],
 )
 def skew_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_distinct_count
@@ -1812,33 +1259,7 @@ def skew_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair with shingle-Jaccard >= 0.7, the higher doc_id is dropped.
 @q(
     "dedup_apply_keep_canonical",
-    f"""
-    WITH {_SHINGLE_SIG_CTE.strip()},
-    shset AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ) AS sh
-      FROM toks
-    ),
-    near AS (
-      SELECT c.a, c.b
-      FROM cand c JOIN shset sa ON sa.doc_id = c.a
-                  JOIN shset sb ON sb.doc_id = c.b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-            >= 0.7
-    ),
-    exact_drop AS (
-      SELECT doc_id FROM (
-        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
-        FROM documents
-      ) WHERE doc_id <> canon
-    )
-    SELECT d.doc_id FROM documents d
-    WHERE d.doc_id NOT IN (SELECT b FROM near)
-      AND d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
-    """,
+    _ORACLES["dedup_apply_keep_canonical"],
 )
 def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
@@ -1864,33 +1285,7 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the final per-source aggregate.
 @q(
     "pipeline_corpus_curation",
-    f"""
-    WITH {_SHINGLE_SIG_CTE.strip()},
-    shset AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ) AS sh
-      FROM toks
-    ),
-    near AS (
-      SELECT c.b
-      FROM cand c JOIN shset sa ON sa.doc_id = c.a
-                  JOIN shset sb ON sb.doc_id = c.b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-            >= 0.7
-    ),
-    gated AS (
-      SELECT d.doc_id, d.source, len(t.toks) AS n_tokens
-      FROM documents d JOIN toks t USING (doc_id)
-      WHERE len(t.toks) >= 20
-        AND d.doc_id NOT IN (SELECT b FROM near)
-    )
-    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(AVG(n_tokens), 4) AS avg_tokens
-    FROM gated GROUP BY source ORDER BY source
-    """,
+    _ORACLES["pipeline_corpus_curation"],
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import jaccard_pairs, lsh_candidate_pairs, token_count
@@ -1925,20 +1320,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "tpch_q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           o.o_orderdate
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l.l_orderkey
-    LIMIT 10
-    """,
+    _ORACLES["tpch_q3_shipping_priority"],
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tables.load(spark, sf_dir, "customer").filter(
@@ -1967,19 +1349,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "tpch_q5_local_supplier_volume",
-    """
-    SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, n.n_name
-    """,
+    _ORACLES["tpch_q5_local_supplier_volume"],
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tables.load(spark, sf_dir, "customer")
@@ -2011,16 +1381,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 # range with at least one returned lineitem, counted by priority.
 @q(
     "tpch_q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
+    _ORACLES["tpch_q4_order_priority"],
 )
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables.load(spark, sf_dir, "orders").filter(
@@ -2042,17 +1403,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-order customers (count(key) skips their NULLs), then histogram.
 @q(
     "tpch_q13_custdist",
-    """
-    SELECT c_count, COUNT(*) AS custdist FROM (
-      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-      FROM customer c
-      LEFT JOIN orders o
-        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
-      GROUP BY c.c_custkey
-    )
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
+    _ORACLES["tpch_q13_custdist"],
 )
 def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tables.load(spark, sf_dir, "customer").select("c_custkey")
@@ -2075,16 +1426,7 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to an aggregate-then-join: small-order revenue for one brand.
 @q(
     "tpch_q17_small_quantity",
-    """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#1'
-      AND l.l_quantity < (
-        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = l.l_partkey
-      )
-    """,
+    _ORACLES["tpch_q17_small_quantity"],
 )
 def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -2106,18 +1448,11 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # BPE-ish pre-tokenizer count (RE2-safe alternation — no lookaheads, so
 # Java regex and DuckDB RE2 find identical non-overlapping matches).
-_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
 
 
 @q(
     "text_bpe_token_count",
-    f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}')) AS bpe_tokens,
-           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-               x -> x <> '')) AS ws_tokens
-    FROM documents
-    """,
+    _ORACLES["text_bpe_token_count"],
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import token_count
@@ -2135,23 +1470,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Hyperplane-LSH ANN: deterministic signatures shared with the oracle.
 # ===========================================================================
-from .pipelines.ann_lsh import hyperplanes as _hyperplanes
-
-_ANN_PLANES = _hyperplanes(dim=64, n_bits=8)
 
 
-def _planes_sql() -> list[str]:
-    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in _ANN_PLANES]
 
 
-def _bucket_sql(vec_expr: str) -> str:
-    terms = [
-        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-        f"i -> (CAST({vec_expr} AS DOUBLE[]))[i] * ({p})[i])) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(_planes_sql())
-    ]
-    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
 
 
 # Embedding-cosine near-dup, LSH-banded (the 100 TB-safe form).
@@ -2170,29 +1493,7 @@ def _bucket_sql(vec_expr: str) -> str:
 # within-label cosine ~0.47 — so a threshold that can actually fire).
 @q(
     "dedup_embedding_neardup",
-    f"""
-    WITH sig AS (
-      SELECT vec_id, label, {_bucket_sql('embedding')} AS bucket
-      FROM embeddings
-    ), keys AS (
-      SELECT vec_id, label, g AS band, (bucket >> (4 * g)) & 15 AS bv
-      FROM sig, LATERAL (SELECT UNNEST([0, 1]) AS g) s
-    ), cand AS (
-      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM keys x
-      JOIN keys y ON x.label = y.label AND x.band = y.band
-                 AND x.bv = y.bv AND x.vec_id < y.vec_id
-    )
-    SELECT c.a, c.b,
-           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                        CAST(eb.embedding AS DOUBLE[])), 6)
-             AS cosine
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.a
-    JOIN embeddings eb ON eb.vec_id = c.b
-    WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                       CAST(eb.embedding AS DOUBLE[])), 6) > 0.35
-    """,
+    _ORACLES["dedup_embedding_neardup"],
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.ann_lsh import bucket_expr
@@ -2251,7 +1552,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_lsh_signatures",
-    f"SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings",
+    _ORACLES["ann_lsh_signatures"],
 )
 def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.ann_lsh import signatures
@@ -2262,21 +1563,7 @@ def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_lsh_topk",
-    f"""
-    WITH sig AS (
-      SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
-    ), q AS (
-      SELECT e.embedding AS qv, s.bucket AS qb
-      FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id = 0
-    )
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.qv AS DOUBLE[])), 6) AS sim
-    FROM embeddings e JOIN sig s USING (vec_id), q
-    WHERE s.bucket = q.qb
-    ORDER BY sim DESC, e.vec_id
-    LIMIT 10
-    """,
+    _ORACLES["ann_lsh_topk"],
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.ann_lsh import ann_topk
@@ -2290,28 +1577,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complements the stopword variant in text_language_id)
 @q(
     "text_language_id_ngram",
-    """
-    WITH tris AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(length(lower(text)) - 2, 0)),
-               i -> substring(lower(text), i, 3))) AS t
-      FROM documents
-    ), scored AS (
-      SELECT doc_id,
-        len(list_intersect(t, ['the','he ',' th','ing','and','ion'])) AS score_en,
-        len(list_intersect(t, ['de ',' de','os ','la ','ión','ent'])) AS score_es,
-        len(list_intersect(t, ['es ',' de','de ','ent','le ','ion'])) AS score_fr
-      FROM tris
-    )
-    SELECT doc_id,
-           CASE WHEN GREATEST(score_en, score_es, score_fr) = 0 THEN 'und'
-                WHEN score_en = GREATEST(score_en, score_es, score_fr) THEN 'en'
-                WHEN score_es = GREATEST(score_en, score_es, score_fr) THEN 'es'
-                ELSE 'fr' END AS lang_pred,
-           score_en, score_es, score_fr
-    FROM scored
-    """,
+    _ORACLES["text_language_id_ngram"],
 )
 def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import detect_language_ngram
@@ -2330,32 +1596,7 @@ def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style repetition/boilerplate signals
 @q(
     "text_repetition_stats",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    base AS (
-      SELECT doc_id, len(toks) AS n_tokens,
-             len(list_distinct(toks)) AS n_distinct
-      FROM toks
-    ),
-    grams AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                                   i -> toks[i] || ' ' || toks[i+1])) AS g
-      FROM toks
-    ),
-    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
-    top AS (
-      SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total_g
-      FROM counts GROUP BY doc_id
-    )
-    SELECT b.doc_id, b.n_tokens,
-           ROUND(CASE WHEN b.n_tokens > 0
-                 THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
-                 ELSE 0 END, 6) AS dup_token_ratio,
-           ROUND(COALESCE(CAST(t.top_cnt AS DOUBLE) / t.total_g, 0), 6)
-             AS top_bigram_ratio
-    FROM base b LEFT JOIN top t USING (doc_id)
-    """,
+    _ORACLES["text_repetition_stats"],
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import repetition_stats
@@ -2369,27 +1610,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself is generic — pipelines/curation.py:scrub_pii)
 @q(
     "text_pii_scrub",
-    """
-    WITH with_pii AS (
-      SELECT doc_id,
-             text
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                ELSE '' END
-             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
-               AS text
-      FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-           md5(regexp_replace(
-                 regexp_replace(text,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_hash
-    FROM with_pii
-    """,
+    _ORACLES["text_pii_scrub"],
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import scrub_pii
@@ -2420,20 +1641,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Domain-mixture weights (temperature-style, alpha=0.5)
 @q(
     "pipeline_domain_mix",
-    """
-    WITH per AS (
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len(list_filter(
-               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))
-               AS BIGINT) AS total_tokens
-      FROM documents GROUP BY source
-    )
-    SELECT source, n_docs, total_tokens,
-           ROUND(POWER(CAST(total_tokens AS DOUBLE), 0.5)
-                 / SUM(POWER(CAST(total_tokens AS DOUBLE), 0.5)) OVER (), 6)
-             AS mix_weight
-    FROM per ORDER BY source
-    """,
+    _ORACLES["pipeline_domain_mix"],
 )
 def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import domain_mixture_weights
@@ -2447,23 +1655,7 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is DuckDB's native ASOF LEFT JOIN — same inclusive semantics).
 @q(
     "temporal_asof_join",
-    """
-    WITH p AS (
-      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
-    ), c0 AS (
-      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
-    ), c AS (
-      SELECT user_id, ts, value FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        FROM c0
-      ) WHERE rn = 1
-    )
-    SELECT p.user_id, p.ts, p.event_id,
-           ROUND(c.value, 2) AS asof_value
-    FROM p ASOF LEFT JOIN c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
+    _ORACLES["temporal_asof_join"],
 )
 def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import asof_join
@@ -2490,26 +1682,7 @@ def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundaries via whole-microsecond arithmetic + event_id tiebreak.
 @q(
     "temporal_sessionize",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN date_diff('microsecond',
-                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                    ts) > 1800000000
-                  THEN 1 ELSE 0 END AS ns
-      FROM events
-    ), sid AS (
-      SELECT user_id, ts,
-             CAST(SUM(ns) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM marked
-    )
-    SELECT user_id, session_id,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events
-    FROM sid GROUP BY user_id, session_id
-    """,
+    _ORACLES["temporal_sessionize"],
 )
 def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import sessionize
@@ -2523,18 +1696,7 @@ def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is DuckDB's native range join (IEJoin).
 @q(
     "temporal_range_join",
-    """
-    WITH windows AS (
-      SELECT event_id AS purchase_id, user_id,
-             ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
-      FROM events WHERE event_type = 'purchase'
-    ), clicks AS (
-      SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'
-    )
-    SELECT c.click_id, w.purchase_id, w.user_id
-    FROM clicks c JOIN windows w
-      ON c.ts >= w.start_ts AND c.ts <= w.end_ts
-    """,
+    _ORACLES["temporal_range_join"],
 )
 def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import bucketed_range_join
@@ -2558,16 +1720,7 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total in one pass (DataFrame rollup == SQL GROUP BY ROLLUP).
 @q(
     "temporal_time_rollup",
-    """
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
-           event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value,
-           CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) * 2
-                + GROUPING(event_type) AS BIGINT) AS grouping_level
-    FROM events
-    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
-    """,
+    _ORACLES["temporal_time_rollup"],
 )
 def temporal_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import time_rollup
@@ -2589,24 +1742,7 @@ def temporal_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generic (functions/text.py).
 @q(
     "text_hashtag_url_extract",
-    tables.oracle_with_domain("""
-    , marked AS (
-      SELECT author, permlink,
-             body || CASE WHEN event_id % 3 = 0
-               THEN ' #Tag' || CAST(event_id % 7 AS VARCHAR)
-                    || ' see https://example.com/p/' || CAST(event_id AS VARCHAR)
-               ELSE '' END AS body
-      FROM posts
-    )
-    SELECT author, permlink,
-           COALESCE(array_to_string(
-             list_transform(regexp_extract_all(body, '#([a-zA-Z0-9_]+)', 1),
-                            t -> lower(t)), ' '), '') AS hashtags,
-           COALESCE(array_to_string(
-             regexp_extract_all(body, 'https?://[a-zA-Z0-9./_%\\-?=&#]+'),
-             ' '), '') AS urls
-    FROM marked
-    """),
+    _ORACLES["text_hashtag_url_extract"],
 )
 def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: the registry projection space-joins the arrays because the
@@ -2643,22 +1779,7 @@ def text_hashtag_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-label embedding centroids (IVF coarse-index builder / drift stats)
 @q(
     "sim_label_centroids",
-    """
-    WITH per_dim AS (
-      SELECT label, dim, ROUND(AVG(val), 6) AS centroid_val
-      FROM (
-        SELECT label,
-               UNNEST(CAST(embedding AS DOUBLE[])) AS val,
-               UNNEST(generate_series(1, len(embedding))) AS dim
-      FROM embeddings
-      )
-      GROUP BY label, dim
-    ), cnt AS (
-      SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
-    )
-    SELECT p.label, n.n_vectors, CAST(p.dim AS BIGINT) AS dim, p.centroid_val
-    FROM per_dim p JOIN cnt n USING (label)
-    """,
+    _ORACLES["sim_label_centroids"],
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Registry projection explodes the centroid to (label, dim, value)
@@ -2685,22 +1806,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary head per source (tokenizer-training / stopword discovery)
 @q(
     "text_vocab_topk_per_source",
-    f"""
-    WITH tok AS (
-      SELECT source,
-             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ), counts AS (
-      SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
-    )
-    SELECT source, rank, token, n FROM (
-      SELECT source, token, n,
-             ROW_NUMBER() OVER (
-               PARTITION BY source ORDER BY n DESC, token) AS rank
-      FROM counts
-    ) WHERE rank <= 10
-    """,
+    _ORACLES["text_vocab_topk_per_source"],
 )
 def text_vocab_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import vocabulary_topk
@@ -2712,16 +1818,7 @@ def text_vocab_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic stratified sampling (md5-order draw, 20 per source)
 @q(
     "sample_stratified",
-    """
-    SELECT doc_id, source, draw_rank FROM (
-      SELECT doc_id, source,
-             ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ) AS draw_rank
-      FROM documents
-    ) WHERE draw_rank <= 20
-    """,
+    _ORACLES["sample_stratified"],
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import stratified_sample
@@ -2742,15 +1839,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "x21_index_incremental_update",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents WHERE doc_id % 10 <> 5
-    )
-    SELECT DISTINCT unnest(toks) AS token, doc_id FROM toks
-    """,
+    _ORACLES["x21_index_incremental_update"],
 )
 def x21_index_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.search import build_inverted_index, update_inverted_index
@@ -2788,23 +1877,7 @@ def x21_index_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "stream_passage_counts_incremental",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    segs AS (
-      SELECT doc_id, g.i AS seg_idx,
-             array_to_string(
-               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
-      FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
-      WHERE len(toks) > 0
-    )
-    SELECT passage, COUNT(*) AS cnt FROM segs GROUP BY passage
-    """,
+    _ORACLES["stream_passage_counts_incremental"],
 )
 def stream_passage_counts_incremental(
     spark: SparkSession, sf_dir: str
@@ -2878,7 +1951,7 @@ def stream_passage_counts_incremental(
 # ---------------------------------------------------------------------------
 @q(
     "stream_dedup_batch_equivalence",
-    "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    _ORACLES["stream_dedup_batch_equivalence"],
 )
 def stream_dedup_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -2940,28 +2013,7 @@ def stream_dedup_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
 # reproduces the exact split.
 @q(
     "training_decontaminate",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    grams AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ) AS gs
-      FROM toks
-    ),
-    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
-    train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 19 <> 0),
-    tg AS (SELECT doc_id, unnest(gs) AS g FROM train),
-    hits AS (
-      SELECT tg.doc_id, COUNT(*) AS n_hit
-      FROM tg JOIN bench USING (g) GROUP BY tg.doc_id
-    )
-    SELECT t.doc_id, len(t.gs) AS n_grams,
-           COALESCE(h.n_hit, 0) AS n_hit,
-           ROUND(COALESCE(h.n_hit, 0) / GREATEST(len(t.gs), 1), 6)
-             AS contamination
-    FROM train t LEFT JOIN hits h USING (doc_id)
-    """,
+    _ORACLES["training_decontaminate"],
 )
 def training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import decontaminate
@@ -2981,42 +2033,7 @@ def training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit. Benchmark = source 'src0', train = the rest.
 @q(
     "training_bloom_decontaminate",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    g AS (
-      SELECT t.doc_id, d.source, list_distinct(
-        list_transform(generate_series(1, len(toks) - 4),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-               toks[i+3] || ' ' || toks[i+4])) AS gs
-      FROM toks t JOIN documents d USING (doc_id)
-    ),
-    bset AS (
-      SELECT DISTINCT
-        CAST(('0x' || substr(md5(bg || '#' || s), 1, 8)) AS BIGINT)
-          % 262144 AS pos
-      FROM (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE source = 'src0'),
-           (SELECT unnest([0, 1, 2]) AS s)
-    ),
-    probe AS (
-      SELECT doc_id, tg, MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
-               AS all_set
-      FROM (SELECT doc_id, tg,
-              CAST(('0x' || substr(md5(tg || '#' || s), 1, 8)) AS BIGINT)
-                % 262144 AS pos
-            FROM (SELECT doc_id, unnest(gs) AS tg FROM g
-                  WHERE source <> 'src0'),
-                 (SELECT unnest([0, 1, 2]) AS s)) p
-      LEFT JOIN bset b USING (pos)
-      GROUP BY doc_id, tg
-    ),
-    hits AS (SELECT doc_id, SUM(all_set) AS n_maybe_hit FROM probe
-             GROUP BY doc_id)
-    SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
-           CAST(COALESCE(h.n_maybe_hit, 0) AS BIGINT) AS n_maybe_hit,
-           COALESCE(h.n_maybe_hit, 0) > 0 AS contaminated
-    FROM g LEFT JOIN hits h USING (doc_id)
-    WHERE g.source <> 'src0'
-    """,
+    _ORACLES["training_bloom_decontaminate"],
 )
 def training_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import bloom_decontaminate
@@ -3037,14 +2054,7 @@ def training_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a generate_series bit sum.
 @q(
     "layout_zorder_key",
-    """
-    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
-           CAST((SELECT SUM(
-                    (((l_partkey & 65535) >> i) & 1) * (1::BIGINT << (2*i))
-                  + (((l_suppkey & 65535) >> i) & 1) * (1::BIGINT << (2*i+1))
-                 ) FROM generate_series(0, 15) AS t(i)) AS BIGINT) AS zval
-    FROM lineitem
-    """,
+    _ORACLES["layout_zorder_key"],
 )
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.layout import zorder_key
@@ -3066,63 +2076,7 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantile. Zero-gram docs score 0 and are never kept.
 @q(
     "training_dsir_resample",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    lab AS (
-      SELECT t.doc_id, t.toks, d.source FROM toks t
-      JOIN documents d USING (doc_id)
-    ),
-    trg AS (
-      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
-      FROM (SELECT doc_id, toks FROM lab WHERE source <> 'src0') tr,
-           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
-    ),
-    tgg AS (
-      SELECT toks[i] || ' ' || toks[i+1] AS g
-      FROM (SELECT toks FROM lab WHERE source = 'src0') tg,
-           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
-    ),
-    trb AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
-      FROM trg
-    ),
-    tgb AS (
-      SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
-      FROM tgg
-    ),
-    ctm AS (SELECT b, COUNT(*) AS ct FROM tgb GROUP BY b),
-    csm AS (SELECT b, COUNT(*) AS cs FROM trb GROUP BY b),
-    tot AS (SELECT (SELECT SUM(ct) FROM ctm) AS nt,
-                   (SELECT SUM(cs) FROM csm) AS ns),
-    qv AS (
-      SELECT p.doc_id,
-             CAST(CAST(1000000 AS HUGEINT)
-                  * (COALESCE(ctm.ct, 0) + 1) * (tot.ns + 4096)
-                  // (CAST(COALESCE(csm.cs, 0) + 1 AS HUGEINT)
-                      * (tot.nt + 4096)) AS BIGINT) AS q
-      FROM trb p LEFT JOIN ctm USING (b) LEFT JOIN csm USING (b), tot
-    ),
-    sc AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-             CAST(SUM(q) // COUNT(*) AS BIGINT) AS score_q
-      FROM qv GROUP BY doc_id
-    ),
-    allsc AS (
-      SELECT l.doc_id,
-             COALESCE(sc.n_grams, 0) AS n_grams,
-             COALESCE(sc.score_q, 0) AS score_q
-      FROM (SELECT doc_id FROM lab WHERE source <> 'src0') l
-      LEFT JOIN sc USING (doc_id)
-    ),
-    thr AS (
-      SELECT ROUND(quantile_cont(CAST(score_q AS DOUBLE), 0.75), 4) AS thr
-      FROM allsc WHERE n_grams > 0
-    )
-    SELECT a.doc_id, a.n_grams, a.score_q, thr.thr,
-           (a.n_grams > 0 AND CAST(a.score_q AS DOUBLE) >= thr.thr) AS kept
-    FROM allsc a, thr
-    """,
+    _ORACLES["training_dsir_resample"],
 )
 def training_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import dsir_resample
@@ -3140,23 +2094,7 @@ def training_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-anchored to cover the doc tail). Map-side only.
 @q(
     "training_chunk_sliding",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    nn AS (
-      SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) >= 1
-    ),
-    starts AS (
-      SELECT doc_id, n, toks,
-             unnest(list_distinct(list_append(
-               generate_series(1, GREATEST(n - 24 + 1, 1), 12),
-               GREATEST(n - 24 + 1, 1)))) AS chunk_start
-      FROM nn
-    )
-    SELECT doc_id, chunk_start,
-           LEAST(24, n - chunk_start + 1) AS chunk_len,
-           array_to_string(toks[chunk_start:chunk_start+23], ' ') AS chunk_text
-    FROM starts
-    """,
+    _ORACLES["training_chunk_sliding"],
 )
 def training_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import chunk_sliding
@@ -3173,34 +2111,7 @@ def training_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary positions — structurally independent constructions.
 @q(
     "training_cdc_chunks",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    nn AS (SELECT doc_id, toks, len(toks) AS n FROM toks
-           WHERE len(toks) >= 1),
-    b AS (
-      SELECT doc_id, i
-      FROM nn, LATERAL (SELECT unnest(generate_series(3, n - 1)) AS i) s
-      WHERE CAST(('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1] || ' '
-                                     || toks[i]), 1, 8)) AS BIGINT)
-              % 16 = 0
-    ),
-    starts AS (
-      SELECT doc_id, 1 AS s FROM nn
-      UNION ALL
-      SELECT doc_id, i + 1 FROM b
-    ),
-    w AS (
-      SELECT doc_id, s,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS cidx,
-             LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
-      FROM starts
-    )
-    SELECT w.doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
-           CAST(s AS BIGINT) AS chunk_start,
-           CAST(COALESCE(nxt - 1, n) - s + 1 AS BIGINT) AS chunk_len,
-           array_to_string(toks[s:COALESCE(nxt - 1, n)], ' ') AS chunk_text
-    FROM w JOIN nn USING (doc_id)
-    """,
+    _ORACLES["training_cdc_chunks"],
 )
 def training_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import cdc_chunks
@@ -3215,25 +2126,7 @@ def training_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # walks the same graph with a recursive CTE (min reachable id).
 @q(
     "dedup_cc_clusters",
-    f"""
-    WITH RECURSIVE {_SHINGLE_SIG_CTE.strip()},
-    und AS (
-      SELECT a AS s, b AS d FROM cand UNION SELECT b, a FROM cand
-    ),
-    reach(s, d) AS (
-      SELECT s, s FROM (SELECT DISTINCT s FROM und)
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d
-    ),
-    lab AS (SELECT s AS node, MIN(d) AS cluster_id FROM reach GROUP BY s),
-    cmap AS (
-      SELECT doc_id,
-             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
-      FROM documents
-    )
-    SELECT c.doc_id, COALESCE(l.cluster_id, c.canonical_id) AS cluster_id
-    FROM cmap c LEFT JOIN lab l ON l.node = c.canonical_id
-    """,
+    _ORACLES["dedup_cc_clusters"],
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import lsh_candidate_pairs
@@ -3261,39 +2154,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus one cluster-keyed window.
 @q(
     "dedup_keep_best_quality",
-    f"""
-    WITH RECURSIVE {_SHINGLE_SIG_CTE.strip()},
-    und AS (
-      SELECT a AS s, b AS d FROM cand UNION SELECT b, a FROM cand
-    ),
-    reach(s, d) AS (
-      SELECT s, s FROM (SELECT DISTINCT s FROM und)
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d
-    ),
-    lab AS (SELECT s AS node, MIN(d) AS cluster_id FROM reach GROUP BY s),
-    cmap AS (
-      SELECT doc_id,
-             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
-      FROM documents
-    ),
-    cl AS (
-      SELECT c.doc_id, COALESCE(l.cluster_id, c.canonical_id) AS cluster_id
-      FROM cmap c LEFT JOIN lab l ON l.node = c.canonical_id
-    ),
-    sc AS (
-      SELECT doc_id,
-             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                  AS BIGINT) AS n_tokens
-      FROM documents
-    )
-    SELECT cl.doc_id, cl.cluster_id, sc.n_tokens,
-           ROW_NUMBER() OVER (
-             PARTITION BY cl.cluster_id
-             ORDER BY sc.n_tokens DESC, cl.doc_id
-           ) = 1 AS keep
-    FROM cl JOIN sc USING (doc_id)
-    """,
+    _ORACLES["dedup_keep_best_quality"],
 )
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import (
@@ -3333,30 +2194,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical recurrence with a recursive CTE over row_number).
 @q(
     "training_pack_next_fit",
-    f"""
-    WITH RECURSIVE {_TOKS_CTE.strip()},
-    items AS (
-      SELECT d.source, t.doc_id, len(t.toks) AS n_tokens,
-             ROW_NUMBER() OVER (
-               PARTITION BY d.source
-               ORDER BY len(t.toks) DESC, t.doc_id
-             ) AS rn
-      FROM toks t JOIN documents d USING (doc_id)
-    ),
-    packed(source, doc_id, n_tokens, rn, bin, fill) AS (
-      SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
-      FROM items WHERE rn = 1
-      UNION ALL
-      SELECT i.source, i.doc_id, i.n_tokens, i.rn,
-             CASE WHEN p.fill + i.n_tokens <= 256
-                  THEN p.bin ELSE p.bin + 1 END,
-             CASE WHEN p.fill + i.n_tokens <= 256
-                  THEN p.fill + i.n_tokens ELSE i.n_tokens END
-      FROM items i
-      JOIN packed p ON i.source = p.source AND i.rn = p.rn + 1
-    )
-    SELECT source, doc_id, n_tokens, bin FROM packed
-    """,
+    _ORACLES["training_pack_next_fit"],
 )
 def training_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import token_count
@@ -3376,18 +2214,7 @@ def training_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table) gates an md5 hash draw per doc. Fully map-side.
 @q(
     "sample_weighted_bernoulli",
-    """
-    WITH w AS (
-      SELECT doc_id, source,
-             ROUND(CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 80
-                   / 100.0 + 0.1, 6) AS weight,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) / 4294967296.0 AS draw_exact
-      FROM documents
-    )
-    SELECT doc_id, source, weight, ROUND(draw_exact, 6) AS draw
-    FROM w WHERE draw_exact < weight
-    """,
+    _ORACLES["sample_weighted_bernoulli"],
 )
 def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import weighted_sample
@@ -3410,16 +2237,7 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that sizes chunking/packing budgets.
 @q(
     "text_length_percentiles",
-    f"""
-    WITH {_TOKS_CTE.strip()}
-    SELECT d.source, COUNT(*) AS n_docs,
-           ROUND(quantile_cont(len(t.toks), 0.25), 4) AS p25,
-           ROUND(quantile_cont(len(t.toks), 0.5), 4) AS p50,
-           ROUND(quantile_cont(len(t.toks), 0.75), 4) AS p75,
-           ROUND(quantile_cont(len(t.toks), 0.95), 4) AS p95
-    FROM toks t JOIN documents d USING (doc_id)
-    GROUP BY d.source
-    """,
+    _ORACLES["text_length_percentiles"],
 )
 def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import length_percentiles
@@ -3434,21 +2252,7 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep the int array.
 @q(
     "sim_quantize_int8",
-    """
-    WITH s AS (
-      SELECT vec_id, embedding,
-             list_max(list_transform(embedding,
-                                     x -> abs(CAST(x AS DOUBLE)))) AS sc
-      FROM embeddings
-    )
-    SELECT vec_id, ROUND(sc, 6) AS scale,
-           array_to_string(list_transform(embedding,
-             x -> CAST(CASE WHEN sc > 0
-                            THEN CAST(ROUND(127.0 * CAST(x AS DOUBLE) / sc, 0)
-                                      AS INTEGER)
-                            ELSE 0 END AS VARCHAR)), ' ') AS q_str
-    FROM s
-    """,
+    _ORACLES["sim_quantize_int8"],
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import quantize_int8
@@ -3469,25 +2273,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # realizes the mixture without a global single-task sort.
 @q(
     "training_epoch_interleave",
-    """
-    WITH w AS (
-      SELECT doc_id, source,
-             ROUND(CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 80
-                   / 100.0 + 0.1, 6) AS weight
-      FROM documents
-    ),
-    r AS (
-      SELECT doc_id, source, weight,
-             ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ) AS source_rank
-      FROM w
-    )
-    SELECT doc_id, source, source_rank,
-           ROUND(source_rank / weight, 6) AS interleave_key
-    FROM r
-    """,
+    _ORACLES["training_epoch_interleave"],
 )
 def training_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import epoch_interleave
@@ -3511,53 +2297,7 @@ def training_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-stable.
 @q(
     "ann_recall_eval",
-    f"""
-    WITH sig AS (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id AS q_id, embedding AS q_vec, bucket AS qb
-      FROM sig WHERE vec_id IN (0, 1, 2, 3, 4)
-    ),
-    lsh_pairs AS (
-      SELECT q.q_id, s.vec_id,
-             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                          CAST(q.q_vec AS DOUBLE[])), 6) AS sim
-      FROM sig s JOIN q ON s.bucket = q.qb
-    ),
-    lsh AS (
-      SELECT q_id, vec_id FROM (
-        SELECT q_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY sim DESC, vec_id) AS rank
-        FROM lsh_pairs
-      ) WHERE rank <= 10
-    ),
-    exact_pairs AS (
-      SELECT q.q_id, s.vec_id,
-             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                          CAST(q.q_vec AS DOUBLE[])), 6) AS sim
-      FROM sig s, q
-    ),
-    exact AS (
-      SELECT q_id, vec_id FROM (
-        SELECT q_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY sim DESC, vec_id) AS rank
-        FROM exact_pairs
-      ) WHERE rank <= 10
-    ),
-    hits AS (
-      SELECT l.q_id, COUNT(*) AS n
-      FROM lsh l JOIN exact x ON x.q_id = l.q_id AND x.vec_id = l.vec_id
-      GROUP BY l.q_id
-    )
-    SELECT e.q_id, COALESCE(h.n, 0) AS n_hits,
-           ROUND(COALESCE(h.n, 0) / 10.0, 6) AS recall
-    FROM (SELECT DISTINCT q_id FROM exact) e
-    LEFT JOIN hits h USING (q_id)
-    """,
+    _ORACLES["ann_recall_eval"],
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.ann_lsh import ann_topk_batch, brute_topk_batch, recall_at_k
@@ -3574,20 +2314,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the qualifying-order set is tiny by construction).
 @q(
     "tpch_q18_large_volume",
-    """
-    WITH q AS (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
-    )
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
-    FROM customer, orders, lineitem
-    WHERE o_orderkey IN (SELECT l_orderkey FROM q)
-      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-    LIMIT 100
-    """,
+    _ORACLES["tpch_q18_large_volume"],
 )
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -3618,21 +2345,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a broadcast dim, revenue agg, top-k.
 @q(
     "tpch_q10_returned_items",
-    """
-    SELECT c_custkey, c_name,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                     * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-                 / 10000.0, 4) AS revenue,
-           c_acctbal, n_name
-    FROM customer, orders, lineitem, nation
-    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1996-07-01'
-      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-    GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
+    _ORACLES["tpch_q10_returned_items"],
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -3680,16 +2393,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has not closed, which is what makes stream == batch exact.
 @q(
     "stream_windowed_counts_batch_equivalence",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
-             AS window_end,
-           event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2, 3
-    """,
+    _ORACLES["stream_windowed_counts_batch_equivalence"],
 )
 def stream_windowed_counts_batch_equivalence(
     spark: SparkSession, sf_dir: str
@@ -3730,46 +2434,7 @@ def stream_windowed_counts_batch_equivalence(
 # the benchmark gram set is broadcast.
 @q(
     "pipeline_training_prep",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    grams AS (
-      SELECT doc_id, list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ) AS gs
-      FROM toks
-    ),
-    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
-    gated AS (
-      SELECT t.doc_id, t.toks, len(t.toks) AS n, g.gs
-      FROM toks t JOIN grams g USING (doc_id)
-      WHERE t.doc_id % 19 <> 0 AND len(t.toks) >= 20
-    ),
-    tg AS (SELECT doc_id, unnest(gs) AS g FROM gated),
-    hits AS (
-      SELECT tg.doc_id, COUNT(*) AS n_hit
-      FROM tg JOIN bench USING (g) GROUP BY tg.doc_id
-    ),
-    kept AS (
-      SELECT ga.doc_id, ga.toks, ga.n
-      FROM gated ga LEFT JOIN hits h USING (doc_id)
-      WHERE ROUND(COALESCE(h.n_hit, 0) / GREATEST(len(ga.gs), 1), 6) <= 0.2
-    ),
-    chunks AS (
-      SELECT doc_id, n,
-             unnest(list_distinct(list_append(
-               generate_series(1, GREATEST(n - 24 + 1, 1), 12),
-               GREATEST(n - 24 + 1, 1)))) AS chunk_start
-      FROM kept
-    )
-    SELECT d.source,
-           COUNT(DISTINCT c.doc_id) AS n_docs,
-           COUNT(*) AS n_chunks,
-           CAST(SUM(LEAST(24, c.n - c.chunk_start + 1)) AS BIGINT)
-             AS total_chunk_tokens
-    FROM chunks c JOIN documents d USING (doc_id)
-    GROUP BY d.source ORDER BY d.source
-    """,
+    _ORACLES["pipeline_training_prep"],
 )
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import token_count
@@ -3810,8 +2475,6 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q19 keeps brand/size/quantity disjunctions and drops the container
 # and shipmode arms.
 
-_CENTS = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-_DISC_PCT = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
 
 
 def _cents_col() -> F.Column:
@@ -3832,15 +2495,7 @@ def _rev_cents_col() -> F.Column:
 # every filter pushed to parquet, no join, one-row output.
 @q(
     "tpch_q6_forecast_revenue",
-    f"""
-    SELECT ROUND(SUM({_CENTS} * {_DISC_PCT}) / 10000.0, 4) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
+    _ORACLES["tpch_q6_forecast_revenue"],
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -3866,25 +2521,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation joins; revenue grouped by (supp_nation, cust_nation, year).
 @q(
     "tpch_q7_volume_shipping",
-    f"""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
-                     * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')}))
-                 / 10000.0, 4) AS revenue
-    FROM supplier s
-    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l.l_shipdate < TIMESTAMP '1997-01-01'
-    GROUP BY 1, 2, 3
-    ORDER BY 1, 2, 3
-    """,
+    _ORACLES["tpch_q7_volume_shipping"],
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem").filter(
@@ -3931,31 +2568,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6-table join; the ratio divides two exact BIGINT cent sums.
 @q(
     "tpch_q8_market_share",
-    f"""
-    WITH vol AS (
-      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             {_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
-               * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})
-               AS volume,
-             n2.n_name AS supp_nation
-      FROM part p
-      JOIN lineitem l ON p.p_partkey = l.l_partkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-      JOIN region r ON n1.n_regionkey = r.r_regionkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
-        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
-        AND o.o_orderdate < TIMESTAMP '1997-01-01'
-    )
-    SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_4' THEN volume ELSE 0 END)
-                 * 1000000 / SUM(volume), 0) AS share_ppm,
-           ROUND(SUM(volume) / 10000.0, 4) AS total_revenue
-    FROM vol GROUP BY o_year ORDER BY o_year
-    """,
+    _ORACLES["tpch_q8_market_share"],
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -4009,19 +2622,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the part join, ratio of exact cent sums in parts-per-million.
 @q(
     "tpch_q14_promo_effect",
-    f"""
-    SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                          THEN {_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
-                               * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})
-                          ELSE 0 END)
-                 * 1000000 / SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
-                                 * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')})),
-                 0) AS promo_ppm,
-           COUNT(*) AS n_items
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
-      AND l.l_shipdate < TIMESTAMP '1996-04-01'
-    """,
+    _ORACLES["tpch_q14_promo_effect"],
 )
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem").filter(
@@ -4046,21 +2647,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qualifying set joins back to the supplier dim as a broadcast.
 @q(
     "tpch_q15_top_supplier",
-    f"""
-    WITH rev AS (
-      SELECT l_suppkey AS supplier_no,
-             SUM({_CENTS} * (100 - {_DISC_PCT})) AS total_cents
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name,
-           ROUND(r.total_cents / 10000.0, 4) AS total_revenue
-    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
-    ORDER BY s.s_suppkey
-    """,
+    _ORACLES["tpch_q15_top_supplier"],
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4098,19 +2685,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nested-loop join; the plan test locks that in.
 @q(
     "tpch_q19_disjunctive_revenue",
-    f"""
-    SELECT ROUND(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')}
-                     * (100 - {_DISC_PCT.replace('l_discount', 'l.l_discount')}))
-                 / 10000.0, 4) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
-       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
-       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
-    """,
+    _ORACLES["tpch_q19_disjunctive_revenue"],
 )
 def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
@@ -4151,19 +2726,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pins.
 @q(
     "stream_stream_join_attribution",
-    """
-    SELECT v.user_id,
-           v.event_id AS view_id,
-           p.event_id AS purchase_id,
-           v.ts AS view_ts,
-           p.ts AS purchase_ts,
-           ROUND(p.value, 2) AS purchase_value
-    FROM events v
-    JOIN events p
-      ON v.user_id = p.user_id
-     AND v.event_type = 'view' AND p.event_type = 'purchase'
-     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
-    """,
+    _ORACLES["stream_stream_join_attribution"],
 )
 def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -4219,26 +2782,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 # whole job.
 @q(
     "offchain_id_refresh",
-    tables.oracle_with_domain("""
-    , flagged AS (
-      SELECT author, permlink, "TYPE",
-             event_id % 6 = 0 AS needs_stream_id,
-             CASE WHEN event_id % 12 = 1
-                  THEN 'ceramic://pre-' || CAST(event_id AS VARCHAR)
-             END AS offchain_id
-      FROM posts
-    )
-    SELECT author, permlink,
-           COALESCE(offchain_id,
-                    CASE WHEN needs_stream_id AND offchain_id IS NULL
-                              AND "TYPE" = 'HIVE'
-                         THEN 'ceramic://' || md5(author || '/' || permlink)
-                    END) AS offchain_id,
-           CASE WHEN needs_stream_id AND offchain_id IS NULL
-                     AND "TYPE" = 'HIVE'
-                THEN FALSE ELSE needs_stream_id END AS needs_stream_id
-    FROM flagged
-    """),
+    _ORACLES["offchain_id_refresh"],
 )
 def offchain_id_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest.posts import apply_bridge_id_flags
@@ -4305,21 +2849,7 @@ def offchain_id_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # see any of this — its one micro-batch never advances the watermark.
 @q(
     "stream_ssj_watermark_eviction",
-    """
-    WITH u AS (
-      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20
-    )
-    SELECT user_id,
-           2000000 + user_id AS view_id,
-           4000000 + user_id AS purchase_id,
-           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 47 HOUR
-             + INTERVAL 1 MINUTE * (user_id % 60) AS view_ts,
-           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 47 HOUR
-             + INTERVAL 1 MINUTE * (user_id % 60)
-             + INTERVAL 10 MINUTE AS purchase_ts,
-           ROUND(CAST(user_id AS DOUBLE), 2) AS purchase_value
-    FROM u
-    """,
+    _ORACLES["stream_ssj_watermark_eviction"],
 )
 def stream_ssj_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -4425,23 +2955,7 @@ def stream_ssj_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame
 # anti-join shuffles on custkey (both sides need it — Q22 semantics).
 @q(
     "tpch_q22_global_sales_opportunity",
-    """
-    WITH bal AS (
-      SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS tot,
-             COUNT(*) AS cnt
-      FROM customer WHERE c_acctbal > 0
-    )
-    SELECT n.n_name AS cntry,
-           COUNT(*) AS numcust,
-           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
-             AS totacctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey, bal
-    WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * bal.cnt > bal.tot
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY n.n_name
-    ORDER BY cntry
-    """,
+    _ORACLES["tpch_q22_global_sales_opportunity"],
 )
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, sf_dir, "customer")
@@ -4474,15 +2988,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 # engines/hashers; is_current carries the open-endedness signal).
 @q(
     "w5_scd2_history",
-    """
-    SELECT event_id, user_id, ROUND(value, 2) AS value,
-           ts AS valid_from,
-           COALESCE(LEAD(ts) OVER w, TIMESTAMP '2200-01-01 00:00:00')
-             AS valid_to,
-           LEAD(ts) OVER w IS NULL AS is_current
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
+    _ORACLES["w5_scd2_history"],
 )
 def w5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import scd2_history
@@ -4510,33 +3016,7 @@ def w5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50-entry window this round; rotates in next round.
 @q(
     "text_lm_quality_score",
-    """
-    WITH g AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               generate_series(1, GREATEST(length(lower(text)) - 2, 0)),
-               i -> substring(lower(text), i, 3))) AS gram
-      FROM documents
-    ),
-    mn AS (SELECT gram, COUNT(*) AS cn FROM g GROUP BY gram),
-    mc AS (SELECT substring(gram, 1, 2) AS ctx, COUNT(*) AS cctx
-           FROM g GROUP BY ctx),
-    scored AS (
-      SELECT d.doc_id, COUNT(*) AS n_grams,
-             CAST(SUM((1000000 * (mn.cn + 1)) // (mc.cctx + 1000))
-                  AS BIGINT) AS score_sum
-      FROM g d
-      JOIN mn ON d.gram = mn.gram
-      JOIN mc ON substring(d.gram, 1, 2) = mc.ctx
-      GROUP BY d.doc_id
-    )
-    SELECT doc.doc_id,
-           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
-           CAST(COALESCE(s.score_sum, 0) // GREATEST(COALESCE(s.n_grams, 0), 1)
-                AS BIGINT) AS avg_q
-    FROM documents doc LEFT JOIN scored s USING (doc_id)
-    """,
+    _ORACLES["text_lm_quality_score"],
 )
 def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import char_lm_quality
@@ -4553,49 +3033,7 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same recurrence. The exact arm above stays the reference path.
 @q(
     "text_lm_quality_sampled",
-    """
-    WITH g AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               generate_series(1, GREATEST(length(lower(text)) - 2, 0)),
-               i -> substring(lower(text), i, 3))) AS gram
-      FROM documents
-    ),
-    samp AS (
-      SELECT doc_id FROM documents
-      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                 AS BIGINT) / 4294967296.0 < 0.5
-    ),
-    mg AS (SELECT g.* FROM g JOIN samp USING (doc_id)),
-    mn AS (SELECT gram, COUNT(*) AS cn FROM mg GROUP BY gram),
-    mc AS (SELECT substring(gram, 1, 2) AS ctx, COUNT(*) AS cctx
-           FROM mg GROUP BY ctx),
-    -- per-gram q folded MODEL-side (mn JOIN mc), mirroring the
-    -- engine's model_q: an unseen GRAM always takes the whole-q
-    -- zero-count constant 1000000 // 1000, even when its CONTEXT was
-    -- sampled — independent mn/mc left joins would score such grams
-    -- 1000000 // (cctx + 1000) and diverge from the engine (ADVICE r7;
-    -- masked at sf0.1 where the half-sample covered every doc trigram)
-    q AS (
-      SELECT mn.gram,
-             (1000000 * (mn.cn + 1)) // (mc.cctx + 1000) AS q
-      FROM mn JOIN mc ON substring(mn.gram, 1, 2) = mc.ctx
-    ),
-    scored AS (
-      SELECT d.doc_id, COUNT(*) AS n_grams,
-             CAST(SUM(COALESCE(q.q, 1000000 // 1000))
-                  AS BIGINT) AS score_sum
-      FROM g d
-      LEFT JOIN q ON d.gram = q.gram
-      GROUP BY d.doc_id
-    )
-    SELECT doc.doc_id,
-           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
-           CAST(COALESCE(s.score_sum, 0) // GREATEST(COALESCE(s.n_grams, 0), 1)
-                AS BIGINT) AS avg_q
-    FROM documents doc LEFT JOIN scored s USING (doc_id)
-    """,
+    _ORACLES["text_lm_quality_sampled"],
 )
 def text_lm_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import char_lm_quality
@@ -4609,18 +3047,7 @@ def text_lm_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Map-side only; the oracle recomputes the same md5 permille bucket.
 @q(
     "training_hash_split",
-    """
-    SELECT doc_id,
-           CASE WHEN b < 10 THEN 'test'
-                WHEN b < 20 THEN 'val'
-                ELSE 'train' END AS split
-    FROM (
-      SELECT doc_id,
-             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                  AS BIGINT) % 1000 AS b
-      FROM documents
-    )
-    """,
+    _ORACLES["training_hash_split"],
 )
 def training_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import hash_split
@@ -4638,24 +3065,7 @@ def training_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression exactly (left-assoc numerator / (n * wsum)).
 @q(
     "training_temperature_resample",
-    """
-    WITH c AS (
-      SELECT source AS dom, CAST(COUNT(*) AS DOUBLE) AS n
-      FROM documents GROUP BY source
-    ),
-    t AS (SELECT SUM(pow(n, 0.5)) AS wsum, SUM(n) AS total FROM c),
-    r AS (
-      SELECT dom,
-             FLOOR(LEAST(1.0, 0.5 * t.total * pow(c.n, 0.5)
-                              / (c.n * t.wsum)) * 1048576.0)
-               / 1048576.0 AS rate
-      FROM c, t
-    )
-    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
-    FROM documents d JOIN r ON d.source = r.dom
-    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
-               AS BIGINT) / 4294967296.0 < r.rate
-    """,
+    _ORACLES["training_temperature_resample"],
 )
 def training_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import temperature_resample
@@ -4674,29 +3084,7 @@ def training_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
 # engines, so ROUND(,6) agrees.
 @q(
     "sim_truncate_renorm",
-    """
-    WITH p AS (
-      SELECT vec_id, embedding[1:16] AS pre FROM embeddings
-    ),
-    n AS (
-      SELECT vec_id, pre,
-             sqrt(list_sum(list_transform(
-               pre, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM p
-    ),
-    r AS (
-      SELECT vec_id, nrm,
-             CASE WHEN nrm > 0
-                  THEN list_transform(pre, x -> ROUND(CAST(x AS DOUBLE) / nrm, 6))
-                  ELSE list_transform(pre, x -> 0.0) END AS vt
-      FROM n
-    )
-    SELECT vec_id,
-           ROUND(nrm, 6) AS prefix_norm,
-           vt[1] AS c0,
-           ROUND(list_sum(vt), 6) AS checksum
-    FROM r
-    """,
+    _ORACLES["sim_truncate_renorm"],
 )
 def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import truncate_renorm
@@ -4724,95 +3112,13 @@ def sim_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float-determinism discipline that makes an iterative clustering
 # hash-comparable across engines at all. The CTE chain is shared with
 # the dedup_semantic_flags oracle below (one recurrence, no hand copy).
-_KMEANS_CTE_1 = """q AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv
-      FROM embeddings
-      WHERE embedding IS NOT NULL
-    ),
-    seeds AS (
-      SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS INTEGER) AS cluster,
-             list_transform(qv, v -> round(v / 1000000.0, 6)) AS c
-      FROM q
-      QUALIFY ROW_NUMBER() OVER (
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
-    ),
-    d0 AS (
-      SELECT q.vec_id, q.qv, s.cluster,
-             round(list_sum(list_transform(q.qv,
-               (v, i) -> (v / 1000000.0 - s.c[i])
-                         * (v / 1000000.0 - s.c[i]))), 4) AS dist
-      FROM q CROSS JOIN seeds s
-    ),
-    a0 AS (
-      SELECT vec_id, qv, cluster, dist FROM d0
-      QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY dist, cluster) = 1
-    ),
-    c1d AS (
-      SELECT a0.cluster, t.i AS dim, SUM(a0.qv[t.i]) AS s, COUNT(*) AS n
-      FROM a0 CROSS JOIN range(1, 65) AS t(i)
-      GROUP BY a0.cluster, t.i
-    ),
-    cent1 AS (
-      SELECT s.cluster,
-             CASE WHEN COUNT(c1d.dim) = 0 THEN ANY_VALUE(s.c)
-                  ELSE list(round(c1d.s / (c1d.n * 1000000.0), 6)
-                            ORDER BY c1d.dim) END AS c
-      FROM seeds s LEFT JOIN c1d ON s.cluster = c1d.cluster
-      GROUP BY s.cluster
-    ),
-    d1 AS (
-      SELECT a0.vec_id, a0.qv, m.cluster,
-             round(list_sum(list_transform(a0.qv,
-               (v, i) -> (v / 1000000.0 - m.c[i])
-                         * (v / 1000000.0 - m.c[i]))), 4) AS dist
-      FROM a0 CROSS JOIN cent1 m
-    ),
-    a1 AS (
-      SELECT vec_id, qv, cluster, dist FROM d1
-      QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY dist, cluster) = 1
-    )"""
 
 # Second Lloyd iteration on top of the shared 1-iteration prefix.
-_KMEANS_CTE = _KMEANS_CTE_1 + """,
-    c2d AS (
-      SELECT a1.cluster, t.i AS dim, SUM(a1.qv[t.i]) AS s, COUNT(*) AS n
-      FROM a1 CROSS JOIN range(1, 65) AS t(i)
-      GROUP BY a1.cluster, t.i
-    ),
-    cent2 AS (
-      SELECT m.cluster,
-             CASE WHEN COUNT(c2d.dim) = 0 THEN ANY_VALUE(m.c)
-                  ELSE list(round(c2d.s / (c2d.n * 1000000.0), 6)
-                            ORDER BY c2d.dim) END AS c
-      FROM cent1 m LEFT JOIN c2d ON m.cluster = c2d.cluster
-      GROUP BY m.cluster
-    ),
-    d2 AS (
-      SELECT a1.vec_id, m.cluster,
-             round(list_sum(list_transform(a1.qv,
-               (v, i) -> (v / 1000000.0 - m.c[i])
-                         * (v / 1000000.0 - m.c[i]))), 4) AS dist
-      FROM a1 CROSS JOIN cent2 m
-    ),
-    asg AS (
-      SELECT vec_id, cluster, dist FROM d2
-      QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY dist, cluster) = 1
-    )"""
 
 
 @q(
     "sim_kmeans_clusters",
-    f"""
-    WITH {_KMEANS_CTE}
-    SELECT vec_id, cluster, dist AS dist_sq FROM asg
-    """,
+    _ORACLES["sim_kmeans_clusters"],
 )
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import kmeans_assign
@@ -4833,36 +3139,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle agrees at any scale where a bucket exceeds the cap.
 @q(
     "dedup_semantic_flags",
-    f"""
-    WITH {_KMEANS_CTE_1},
-    sig AS (
-      SELECT e.vec_id, a.cluster, {_bucket_sql('e.embedding')} AS bucket
-      FROM embeddings e JOIN a1 a USING (vec_id)
-    ),
-    keys AS (
-      SELECT vec_id, cluster, g AS band, (bucket >> (4 * g)) & 15 AS bv
-      FROM sig, LATERAL (SELECT UNNEST([0, 1]) AS g) s
-      QUALIFY COUNT(*) OVER (PARTITION BY cluster, band, bv) <= 200
-    ),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM keys x
-      JOIN keys y ON x.cluster = y.cluster AND x.band = y.band
-                 AND x.bv = y.bv AND x.vec_id < y.vec_id
-    ),
-    dups AS (
-      SELECT DISTINCT c.b AS vec_id
-      FROM cand c
-      JOIN embeddings ea ON ea.vec_id = c.a
-      JOIN embeddings eb ON eb.vec_id = c.b
-      WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[])), 6)
-            > 0.35
-    )
-    SELECT a.vec_id, a.cluster,
-           (d.vec_id IS NOT NULL) AS is_semantic_dup
-    FROM a1 a LEFT JOIN dups d USING (vec_id)
-    """,
+    _ORACLES["dedup_semantic_flags"],
 )
 def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import semantic_dup_flags
@@ -4878,44 +3155,7 @@ def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # step between domain_mixture_weights and an actual sampling run.
 @q(
     "training_token_budget",
-    """
-    WITH per AS (
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len(list_filter(
-               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))
-               AS BIGINT) AS total_tokens
-      FROM documents GROUP BY source
-    ),
-    wts AS (
-      SELECT source,
-             ROUND(POWER(CAST(total_tokens AS DOUBLE), 0.5)
-                   / SUM(POWER(CAST(total_tokens AS DOUBLE), 0.5)) OVER (), 6)
-               AS mix_weight
-      FROM per
-    ),
-    q AS (
-      SELECT source,
-             CAST(ROUND(mix_weight * 10000, 0) AS BIGINT) AS w10k
-      FROM wts
-    ),
-    tot AS (SELECT SUM(w10k) AS wsum FROM q),
-    alloc AS (
-      SELECT source,
-             CAST((1000000 * w10k) // wsum AS BIGINT) AS floor_tokens,
-             (1000000 * w10k) % wsum AS rem
-      FROM q, tot
-    ),
-    ranked AS (
-      SELECT source, floor_tokens,
-             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk,
-             (SELECT 1000000 - SUM(floor_tokens) FROM alloc) AS leftover
-      FROM alloc
-    )
-    SELECT source, floor_tokens,
-           CAST(floor_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
-                AS BIGINT) AS alloc_tokens
-    FROM ranked
-    """,
+    _ORACLES["training_token_budget"],
 )
 def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import domain_mixture_weights
@@ -4942,45 +3182,7 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 @q(
     "community_updateprops_merge",
-    """
-    WITH au AS (
-      SELECT 'hive-' || CAST(user_id % 7 AS VARCHAR) AS account,
-             'img' || CAST(event_id AS VARCHAR) AS avatar,
-             ts, event_id AS h
-      FROM events WHERE event_id % 3 = 0
-    ),
-    au_latest AS (
-      SELECT * FROM au
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
-    ),
-    up AS (
-      SELECT 'hive-' || CAST(user_id % 7 AS VARCHAR) AS account,
-             't' || CAST(event_id AS VARCHAR) AS title,
-             'b' || CAST(event_id AS VARCHAR) AS about,
-             ts, event_id AS h
-      FROM events WHERE event_id % 3 = 1
-    ),
-    up_latest AS (
-      SELECT * FROM up
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
-    ),
-    ev AS (
-      SELECT account, ts, h FROM au
-      UNION ALL
-      SELECT account, ts, h FROM up
-    ),
-    latest AS (
-      SELECT account, ts AS updated_at FROM ev
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY account ORDER BY h DESC) = 1
-    )
-    SELECT 'hive/' || l.account AS _id, l.account AS name,
-           u.title, u.about,
-           a.avatar, CAST(NULL AS VARCHAR) AS cover,
-           l.updated_at
-    FROM latest l
-    LEFT JOIN up_latest u USING (account)
-    LEFT JOIN au_latest a USING (account)
-    """,
+    _ORACLES["community_updateprops_merge"],
 )
 def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest.profiles import build_communities
@@ -5031,35 +3233,6 @@ def community_updateprops_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _passage_oracle(w: int, s: int) -> str:
-    return f"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    w AS (
-      SELECT doc_id,
-             md5(array_to_string(array_slice(toks, s, s + {w - 1}), ' '))
-               AS h
-      FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 1, len(toks) - {w - 1}, {s})) AS s) g
-      WHERE len(toks) >= {w}
-    ),
-    sh AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS shared
-           FROM w GROUP BY h),
-    per AS (
-      SELECT w.doc_id, COUNT(*) AS n_windows,
-             SUM(CASE WHEN sh.shared THEN 1 ELSE 0 END) AS n_shared
-      FROM w JOIN sh USING (h) GROUP BY w.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
-           CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared_windows,
-           COALESCE(per.n_shared, 0) > 0 AS has_shared_passage
-    FROM documents d LEFT JOIN per USING (doc_id)
-    """
 
 
 # Passage-level duplication (the quoted-boilerplate signal doc-level
@@ -5067,7 +3240,7 @@ def _passage_oracle(w: int, s: int) -> str:
 # pair generation — a million-doc shared passage costs one counter row.
 # Small window/stride here so the synthetic corpus actually collides;
 # production defaults are 50/25 (Lee et al. passage granularity).
-@q("dedup_shared_passages", _passage_oracle(8, 4))
+@q("dedup_shared_passages", _ORACLES["dedup_shared_passages"])
 def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import shared_passage_stats
 
@@ -5090,48 +3263,7 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reassembly; the hot-key analysis is in the operator docstring.
 @q(
     "dedup_remove_repeated_passages",
-    r"""
-    WITH b AS (
-      SELECT doc_id,
-             string_split(regexp_replace(text, '([a-zA-Z0-9]+)',
-                          chr(1) || '\1' || chr(1), 'g'), chr(1)) AS pc,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    base AS (
-      SELECT doc_id, pc, toks,
-             CASE WHEN len(toks) = 0 THEN 0
-                  ELSE CAST(ceil(len(toks) / 8.0) AS BIGINT)
-             END AS nseg
-      FROM b
-    ),
-    segs AS (
-      SELECT doc_id, g.i AS seg_idx,
-             array_to_string(
-               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage,
-             array_to_string(
-               array_slice(pc, 2 * (g.i * 8) + 2,
-                 2 * (LEAST((g.i + 1) * 8, len(toks)) - 1) + 3),
-               '') AS seg_bytes
-      FROM base, LATERAL (SELECT UNNEST(generate_series(
-                 0, nseg - 1)) AS i) g
-      WHERE nseg > 0
-    ),
-    c AS (SELECT passage, COUNT(*) AS cnt FROM segs GROUP BY passage),
-    kept AS (SELECT segs.* FROM segs LEFT JOIN c USING (passage)
-             WHERE COALESCE(c.cnt, 0) <= 2),
-    re AS (SELECT doc_id,
-                  string_agg(seg_bytes, '' ORDER BY seg_idx) AS kept_bytes,
-                  COUNT(*) AS n_kept
-           FROM kept GROUP BY doc_id)
-    SELECT base.doc_id,
-           base.pc[1] || COALESCE(re.kept_bytes, '') AS cleaned_text,
-           CAST(base.nseg AS BIGINT) AS n_segments,
-           CAST(base.nseg - COALESCE(re.n_kept, 0) AS BIGINT)
-             AS n_removed
-    FROM base LEFT JOIN re USING (doc_id)
-    """,
+    _ORACLES["dedup_remove_repeated_passages"],
 )
 def dedup_remove_repeated_passages(
     spark: SparkSession, sf_dir: str
@@ -5154,72 +3286,11 @@ def dedup_remove_repeated_passages(
 # it regardless of offset. Overlapping flagged windows coalesce via
 # the covered-token set, kept text is sliced from ORIGINAL bytes, and
 # only affected documents are rebuilt (anti-join fast path).
-_DISC = (
-    "this content is provided as is without warranty of any kind"
-    " whatsoever"
-)
 
 
 @q(
     "dedup_remove_duplicate_spans",
-    r"""
-    WITH aug AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN
-               text || ' ' || repeat('pad ', CAST(doc_id % 3 AS INT)) ||
-               'this content is provided as is without warranty of any"""
-    r""" kind whatsoever'
-             ELSE text END AS text
-      FROM documents
-    ),
-    p AS (
-      SELECT doc_id, text,
-             string_split(regexp_replace(text, '([a-zA-Z0-9]+)',
-                          chr(1) || '\1' || chr(1), 'g'), chr(1)) AS pc,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM aug
-    ),
-    w AS (
-      SELECT doc_id, g.s AS s,
-             array_to_string(array_slice(toks, g.s + 1, g.s + 8), ' ') AS k
-      FROM p, LATERAL (SELECT UNNEST(generate_series(0, len(toks) - 8))
-                       AS s) g
-      WHERE len(toks) >= 8
-    ),
-    c AS (SELECT k, COUNT(*) AS cnt FROM w GROUP BY k),
-    fl AS (SELECT w.doc_id, w.s FROM w JOIN c USING (k) WHERE c.cnt > 2),
-    cov AS (SELECT DISTINCT fl.doc_id, g.t
-            FROM fl, LATERAL (SELECT UNNEST(generate_series(s, s + 7))
-                              AS t) g),
-    affected AS (SELECT DISTINCT doc_id FROM fl),
-    tok AS (
-      SELECT p.doc_id, g.t,
-             pc[2 * g.t + 2] || pc[2 * g.t + 3] AS tok_bytes
-      FROM p JOIN affected USING (doc_id),
-           LATERAL (SELECT UNNEST(generate_series(0, len(toks) - 1))
-                    AS t) g
-      WHERE len(toks) > 0
-    ),
-    re AS (
-      SELECT tok.doc_id,
-             string_agg(tok.tok_bytes, '' ORDER BY tok.t) AS kept_bytes,
-             COUNT(*) AS n_kept
-      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t
-      WHERE cov.t IS NULL
-      GROUP BY tok.doc_id
-    )
-    SELECT p.doc_id,
-           CASE WHEN a.doc_id IS NULL THEN p.text
-                ELSE p.pc[1] || COALESCE(re.kept_bytes, '') END
-             AS cleaned_text,
-           CAST(len(p.toks) AS BIGINT) AS n_tokens,
-           CAST(CASE WHEN a.doc_id IS NULL THEN 0
-                     ELSE len(p.toks) - COALESCE(re.n_kept, 0) END
-                AS BIGINT) AS n_removed_tokens
-    FROM p LEFT JOIN affected a USING (doc_id)
-    LEFT JOIN re USING (doc_id)
-    """,
+    _ORACLES["dedup_remove_duplicate_spans"],
 )
 def dedup_remove_duplicate_spans(
     spark: SparkSession, sf_dir: str
@@ -5255,27 +3326,7 @@ def dedup_remove_duplicate_spans(
 # count), then a bounded pair explode.
 @q(
     "dedup_cross_source_overlap",
-    """
-    WITH t AS (
-      SELECT source,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    segs AS (
-      SELECT DISTINCT source,
-             array_to_string(
-               array_slice(toks, g.i * 8 + 1, g.i * 8 + 8), ' ') AS passage
-      FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) g
-      WHERE len(toks) > 0
-    )
-    SELECT a.source AS source_a, b.source AS source_b,
-           COUNT(*) AS n_shared_passages
-    FROM segs a JOIN segs b
-      ON a.passage = b.passage AND a.source < b.source
-    GROUP BY a.source, b.source
-    """,
+    _ORACLES["dedup_cross_source_overlap"],
 )
 def dedup_cross_source_overlap(
     spark: SparkSession, sf_dir: str
@@ -5296,54 +3347,7 @@ def dedup_cross_source_overlap(
 # lexicographically smaller language.
 @q(
     "text_language_consistency",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id,
-             list_distinct(array_slice(toks, s, s + 9)) AS ctoks
-      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks), 10))
-                       AS s) g
-      WHERE len(toks) >= 1
-    ),
-    sc AS (
-      SELECT doc_id,
-             len(list_intersect(ctoks,
-                 ['the','and','of','to','a','in','is'])) AS s_en,
-             len(list_intersect(ctoks,
-                 ['el','la','de','que','y','en','un'])) AS s_es,
-             len(list_intersect(ctoks,
-                 ['le','la','de','et','un','une','dans'])) AS s_fr
-      FROM ch
-    ),
-    lang AS (
-      SELECT doc_id,
-             CASE WHEN GREATEST(s_en, s_es, s_fr) = 0 THEN 'und'
-                  WHEN s_en = GREATEST(s_en, s_es, s_fr) THEN 'en'
-                  WHEN s_es = GREATEST(s_en, s_es, s_fr) THEN 'es'
-                  ELSE 'fr' END AS lang
-      FROM sc
-    ),
-    cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM lang GROUP BY 1, 2),
-    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
-    maj AS (
-      SELECT doc_id, lang AS majority_lang, c FROM cnt
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                                 ORDER BY c DESC, lang ASC) = 1
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(tot.n, 0) AS BIGINT) AS n_chunks,
-           COALESCE(maj.majority_lang, 'und') AS majority_lang,
-           ROUND(COALESCE(maj.c / CAST(tot.n AS DOUBLE), 0), 6)
-             AS consistency
-    FROM documents d
-    LEFT JOIN tot ON d.doc_id = tot.doc_id
-    LEFT JOIN maj ON d.doc_id = maj.doc_id
-    """,
+    _ORACLES["text_language_consistency"],
 )
 def text_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import language_consistency
@@ -5364,14 +3368,7 @@ def text_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver testdata ships no media blobs.)
 @q(
     "multimodal_png_probe",
-    """
-    SELECT event_id AS id,
-           CAST(16 + event_id % 512 AS INTEGER) AS width,
-           CAST(16 + event_id % 256 AS INTEGER) AS height,
-           1 AS n_frames,
-           24 AS n_bytes
-    FROM events
-    """,
+    _ORACLES["multimodal_png_probe"],
 )
 def multimodal_png_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.multimodal import probe_media
@@ -5416,26 +3413,7 @@ def multimodal_png_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes that are.)
 @q(
     "tpch_q21_waiting_supplier_shape",
-    """
-    SELECT s.s_name, COUNT(*) AS numwait
-    FROM supplier s
-    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-    JOIN orders o ON o.o_orderkey = l1.l_orderkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      AND n.n_name = 'NATION_3'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 10
-    """,
+    _ORACLES["tpch_q21_waiting_supplier_shape"],
 )
 def tpch_q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem").select(
@@ -5500,42 +3478,7 @@ def tpch_q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFra
 # the oracle replays the dispatch rules in SQL.
 @q(
     "ingest_follows_families",
-    """
-    WITH raw AS (
-      SELECT event_id AS h, ts,
-             user_id % 20 AS a, (user_id * 7 + 3) % 20 AS b,
-             user_id % 5 AS c, event_id % 5 AS fam, event_id % 2 AS alt
-      FROM events
-    ),
-    edges AS (
-      SELECT
-        CASE WHEN fam IN (0, 1)
-             THEN 'hive-u' || CAST(a AS VARCHAR) || '-u' || CAST(b AS VARCHAR)
-             WHEN fam = 3
-             THEN 'hive/u' || CAST(a AS VARCHAR)
-                  || '/did:key:zu' || CAST(b AS VARCHAR)
-             ELSE 'hive-u' || CAST(a AS VARCHAR)
-                  || '-hive-' || CAST(c AS VARCHAR)
-        END AS _id,
-        'u' || CAST(a AS VARCHAR) AS follower,
-        CASE WHEN fam = 3 THEN 'did:key:zu' || CAST(b AS VARCHAR)
-             WHEN fam = 4 THEN 'hive-' || CAST(c AS VARCHAR)
-             ELSE 'u' || CAST(b AS VARCHAR) END AS following,
-        CASE WHEN fam = 4 THEN 'community'
-             WHEN fam = 1 THEN ''
-             ELSE 'blog' END AS what,
-        (fam = 1 OR (fam = 3 AND alt = 1) OR (fam = 4 AND alt = 1))
-          AS is_unfollow,
-        ts AS followed_at, h
-      FROM raw
-      WHERE fam <> 2  -- the spoof guard: signer != claimed follower
-    )
-    SELECT _id, follower, following, what, followed_at
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY _id ORDER BY h DESC)
-                    AS rn
-          FROM edges)
-    WHERE rn = 1 AND NOT is_unfollow
-    """,
+    _ORACLES["ingest_follows_families"],
 )
 def ingest_follows_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest.posts import build_follows
@@ -5611,29 +3554,7 @@ def ingest_follows_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic-ish pair explode never touches corpus-sized data.
 @q(
     "text_bpe_pair_counts",
-    """
-    WITH vocab AS (
-      SELECT w, COUNT(*) AS wf
-      FROM (SELECT unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '')) AS w
-            FROM documents)
-      GROUP BY w
-    ),
-    pairs AS (
-      SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
-             substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
-             wf
-      FROM vocab,
-           LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i) g
-      WHERE len(w) >= 2
-    )
-    SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count
-    FROM pairs
-    GROUP BY a, b
-    ORDER BY pair_count DESC, a, b
-    LIMIT 50
-    """,
+    _ORACLES["text_bpe_pair_counts"],
 )
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import bpe_pair_counts
@@ -5642,51 +3563,6 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, "text", k=50)
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """Unrolled k-iteration BPE-training recurrence (the
-    sim_kmeans_clusters oracle pattern): v_{i+1} applies the top pair
-    of v_i via the same word-boundary-anchored regexp merge the engine
-    uses; the result is the merge table itself, so a wrong count, a
-    broken tiebreak, or a divergent merge in ANY iteration mismatches."""
-    parts = [
-        """
-    WITH v0 AS (
-      SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS ws, wf
-      FROM (SELECT w, COUNT(*) AS wf
-            FROM (SELECT unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '')) AS w
-                  FROM documents)
-            GROUP BY w)
-    )"""
-    ]
-    for i in range(k):
-        parts.append(
-            f""",
-    p{i} AS (
-      SELECT s[j] AS a, s[j + 1] AS b, SUM(wf) AS c
-      FROM (SELECT string_split(ws, ' ') AS s, wf FROM v{i}),
-           LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS j) g
-      WHERE len(s) >= 2
-      GROUP BY 1, 2
-    ),
-    t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)"""
-        )
-        if i < k - 1:
-            parts.append(
-                f""",
-    v{i + 1} AS (
-      SELECT regexp_replace(ws, '\\b' || t.a || ' ' || t.b || '\\b',
-                            t.a || t.b, 'g') AS ws, wf
-      FROM v{i}, t{i} t
-    )"""
-            )
-    selects = [
-        f"""SELECT {i} AS merge_idx, a AS pair_left, b AS pair_right,
-           a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM t{i}"""
-        for i in range(k)
-    ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
 
 
 # Iterative BPE TRAINING (round 10): the k-merge loop around the
@@ -5694,7 +3570,7 @@ def _bpe_train_oracle(k: int) -> str:
 # pair ASC), merged into the vocabulary via a \\b-anchored
 # regexp_replace, recounted. Per-iteration data is vocab-sized; the
 # only driver transfer is the 1-row top pair (k-means discipline).
-@q("text_bpe_train_merges", _bpe_train_oracle(3))
+@q("text_bpe_train_merges", _ORACLES["text_bpe_train_merges"])
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import bpe_train_merges
 
@@ -5702,59 +3578,6 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(d, "text", n_merges=3)
 
 
-def _bpe_encode_oracle(k: int) -> str:
-    """Train-then-ENCODE recurrence: the same unrolled k-iteration
-    trainer as _bpe_train_oracle but with the word carried through
-    every vocab CTE, finishing with the (word → post-merge symbol
-    count) join that prices each document in learned-BPE tokens."""
-    parts = [
-        """
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    wordocc AS (
-      SELECT doc_id, unnest(toks) AS w FROM t
-    ),
-    v0 AS (
-      SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS ws, wf
-      FROM (SELECT w, COUNT(*) AS wf FROM wordocc GROUP BY w)
-    )"""
-    ]
-    for i in range(k):
-        parts.append(
-            f""",
-    p{i} AS (
-      SELECT s[j] AS a, s[j + 1] AS b, SUM(wf) AS c
-      FROM (SELECT string_split(ws, ' ') AS s, wf FROM v{i}),
-           LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS j) g
-      WHERE len(s) >= 2
-      GROUP BY 1, 2
-    ),
-    t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
-    v{i + 1} AS (
-      SELECT w, regexp_replace(ws, '\\b' || tt.a || ' ' || tt.b || '\\b',
-                               tt.a || tt.b, 'g') AS ws, wf
-      FROM v{i}, t{i} tt
-    )"""
-        )
-    parts.append(
-        f""",
-    enc AS (SELECT w, len(string_split(ws, ' ')) AS n_syms FROM v{k}),
-    occ AS (SELECT doc_id, w, COUNT(*) AS c FROM wordocc GROUP BY 1, 2),
-    per AS (
-      SELECT occ.doc_id, SUM(occ.c) AS n_words,
-             SUM(occ.c * enc.n_syms) AS n_bpe
-      FROM occ JOIN enc USING (w) GROUP BY occ.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
-           CAST(COALESCE(per.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-    FROM documents d LEFT JOIN per USING (doc_id)"""
-    )
-    return "".join(parts)
 
 
 # BPE ENCODE (round 10, born in tail — enters with the r11 tranche):
@@ -5762,7 +3585,7 @@ def _bpe_encode_oracle(k: int) -> str:
 # then price every document in post-merge BPE symbols via the
 # (word → symbol count) vocab join. Composes the trainer's bounded
 # k-row collect with one corpus explode + one word-keyed join.
-@q("text_bpe_encode", _bpe_encode_oracle(3))
+@q("text_bpe_encode", _ORACLES["text_bpe_encode"])
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import bpe_encode, bpe_train_merges
 
@@ -5785,40 +3608,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same weight formula instead of joining.
 @q(
     "text_quality_classifier",
-    """
-    WITH feats AS (
-      SELECT doc_id, unnest(toks) AS g
-      FROM (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text),
-                               '[^a-z0-9]+'), x -> x <> '') AS toks
-            FROM documents)
-      UNION ALL
-      SELECT doc_id, toks[j] || '_' || toks[j + 1] AS g
-      FROM (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text),
-                               '[^a-z0-9]+'), x -> x <> '') AS toks
-            FROM documents),
-           LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 1))
-                    AS j) g2
-      WHERE len(toks) >= 2
-    ),
-    bucketed AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096
-               AS bucket
-      FROM feats
-    ),
-    scored AS (
-      SELECT doc_id,
-             SUM(CAST(('0x' || substr(md5('qc1:' || CAST(bucket AS VARCHAR)),
-                       1, 8)) AS BIGINT) % 2001 - 1000) AS score
-      FROM bucketed GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
-           COALESCE(s.score, 0) > 0 AS keep
-    FROM documents d LEFT JOIN scored s USING (doc_id)
-    """,
+    _ORACLES["text_quality_classifier"],
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import (
@@ -5837,30 +3627,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (scale*(N+1) DIV (df+1)) — bit-identical across engines, no libm log.
 @q(
     "text_tfidf_topk",
-    """
-    WITH tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf
-      FROM (SELECT doc_id,
-                   unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '')) AS term
-            FROM documents)
-      GROUP BY doc_id, term
-    ),
-    dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT doc_id, rank, term, tf, df_t, tfidf_q FROM (
-      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
-             tf.tf * ((CAST(1000000 AS BIGINT) * (n.n_docs + 1))
-                      // (dfreq.df_t + 1)) AS tfidf_q,
-             ROW_NUMBER() OVER (
-               PARTITION BY tf.doc_id
-               ORDER BY tf.tf * ((CAST(1000000 AS BIGINT) * (n.n_docs + 1))
-                                 // (dfreq.df_t + 1)) DESC,
-                        tf.term ASC) AS rank
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    ) WHERE rank <= 5
-    """,
+    _ORACLES["text_tfidf_topk"],
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.textstats import tfidf_topk
@@ -5874,22 +3641,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, not a global cutoff.
 @q(
     "pipeline_adaptive_quality_gate",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    n AS (
-      SELECT t.doc_id, d.source,
-             CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens
-      FROM toks t JOIN documents d USING (doc_id)
-    ),
-    thr AS (
-      SELECT source,
-             ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.25), 4) AS thr
-      FROM n GROUP BY source
-    )
-    SELECT n.doc_id, n.source, n.n_tokens, thr.thr,
-           CAST(n.n_tokens AS DOUBLE) >= thr.thr AS kept
-    FROM n JOIN thr USING (source)
-    """,
+    _ORACLES["pipeline_adaptive_quality_gate"],
 )
 def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import adaptive_quality_gate
@@ -5904,22 +3656,7 @@ def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
 # window, so the hash gate proves the two-level decomposition exact.
 @q(
     "training_budget_select",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    n AS (
-      SELECT t.doc_id, d.source,
-             CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens
-      FROM toks t JOIN documents d USING (doc_id)
-    )
-    SELECT doc_id, source, n_tokens,
-           CAST(SUM(n_tokens) OVER (
-             PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-           CAST(SUM(n_tokens) OVER (
-             PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 20000 AS selected
-    FROM n
-    """,
+    _ORACLES["training_budget_select"],
 )
 def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import budget_select
@@ -5933,34 +3670,7 @@ def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # states the same recurrence as a chain of min-aggregate CTEs.
 @q(
     "temporal_funnel_stages",
-    """
-    WITH stepped AS (
-      SELECT user_id, ts, event_type FROM events
-      WHERE event_type IN ('view', 'click', 'purchase')
-    ),
-    t0 AS (
-      SELECT user_id, MIN(ts) AS t0 FROM stepped
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    t1 AS (
-      SELECT s.user_id, MIN(s.ts) AS t1 FROM stepped s
-      JOIN t0 ON s.user_id = t0.user_id AND s.ts > t0.t0
-      WHERE s.event_type = 'click' GROUP BY s.user_id
-    ),
-    t2 AS (
-      SELECT s.user_id, MIN(s.ts) AS t2 FROM stepped s
-      JOIN t1 ON s.user_id = t1.user_id AND s.ts > t1.t1
-      WHERE s.event_type = 'purchase' GROUP BY s.user_id
-    )
-    SELECT u.user_id,
-           (CASE WHEN t0.t0 IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
-    FROM (SELECT DISTINCT user_id FROM stepped) u
-    LEFT JOIN t0 ON u.user_id = t0.user_id
-    LEFT JOIN t1 ON u.user_id = t1.user_id
-    LEFT JOIN t2 ON u.user_id = t2.user_id
-    """,
+    _ORACLES["temporal_funnel_stages"],
 )
 def temporal_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import funnel_stages
@@ -5977,9 +3687,7 @@ def temporal_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match (the dangerous direction) is a row-count mismatch.
 @q(
     "search_substring_trigram",
-    """
-    SELECT doc_id FROM documents WHERE contains(lower(text), 'alue s')
-    """,
+    _ORACLES["search_substring_trigram"],
 )
 def search_substring_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.search import build_trigram_index, search_substring
@@ -6000,33 +3708,7 @@ def search_substring_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bm25_topk for the ln-idf production arm and the trade.
 @q(
     "search_bm25_topk",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    nn AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 1),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM nn),
-    u AS (SELECT doc_id, unnest(toks) AS token FROM nn),
-    p AS (
-      SELECT doc_id, token, COUNT(*) AS tf FROM u
-      WHERE token IN ('dup', 'spark', 'vector')
-      GROUP BY doc_id, token
-    ),
-    s AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
-    tdf AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
-    sc AS (
-      SELECT p.doc_id,
-             (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
-                   AS HUGEINT)
-              * (100 * CAST(s.total_dl AS HUGEINT) * p.tf * (100 + 120)))
-             // (10000 * CAST(s.total_dl AS HUGEINT) * p.tf
-                 + 120 * (100 - 75) * CAST(s.total_dl AS HUGEINT)
-                 + 120 * 75 * CAST(s.n AS HUGEINT) * dl.dl) AS ts
-      FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
-    )
-    SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score_q
-    FROM sc GROUP BY doc_id
-    ORDER BY score_q DESC, doc_id
-    LIMIT 15
-    """,
+    _ORACLES["search_bm25_topk"],
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.search import bm25_index, bm25_topk
@@ -6045,62 +3727,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fused ordering is bit-exact cross-engine for any system count.
 @q(
     "search_rrf_fusion",
-    f"""
-    WITH {_TOKS_CTE.strip()},
-    nn AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 1),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM nn),
-    u AS (SELECT doc_id, unnest(toks) AS token FROM nn),
-    p AS (
-      SELECT doc_id, token, COUNT(*) AS tf FROM u
-      WHERE token IN ('dup', 'spark', 'vector')
-      GROUP BY doc_id, token
-    ),
-    s AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
-    tdf AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
-    sc AS (
-      SELECT p.doc_id,
-             (CAST((10000 * (2 * (s.n - tdf.df) + 1)) // (2 * tdf.df + 1)
-                   AS HUGEINT)
-              * (100 * CAST(s.total_dl AS HUGEINT) * p.tf * (100 + 120)))
-             // (10000 * CAST(s.total_dl AS HUGEINT) * p.tf
-                 + 120 * (100 - 75) * CAST(s.total_dl AS HUGEINT)
-                 + 120 * 75 * CAST(s.n AS HUGEINT) * dl.dl) AS ts
-      FROM p JOIN dl USING (doc_id) JOIN tdf USING (token), s
-    ),
-    b50 AS (
-      SELECT doc_id, SUM(ts) AS score_q FROM sc GROUP BY doc_id
-      ORDER BY score_q DESC, doc_id LIMIT 50
-    ),
-    br AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank
-      FROM b50
-    ),
-    c50 AS (
-      SELECT e.vec_id AS doc_id,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          CAST(q.embedding AS DOUBLE[])),
-                   6) AS sim
-      FROM embeddings e,
-           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-      ORDER BY sim DESC, doc_id LIMIT 50
-    ),
-    cr AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
-      FROM c50
-    ),
-    contrib AS (
-      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM br
-      UNION ALL
-      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM cr
-    )
-    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q,
-           CAST(COUNT(*) AS BIGINT) AS n_systems
-    FROM contrib GROUP BY doc_id
-    ORDER BY rrf_q DESC, doc_id
-    LIMIT 15
-    """,
+    _ORACLES["search_rrf_fusion"],
 )
 def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.search import bm25_index, bm25_topk, rrf_fuse, with_rank
@@ -6134,51 +3761,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are built as identical double expressions in both engines.
 @q(
     "sim_mmr_rerank",
-    """
-    WITH c AS (
-      SELECT e.vec_id, e.embedding,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          CAST(q.embedding AS DOUBLE[])),
-                   6) AS rel
-      FROM embeddings e,
-           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-      ORDER BY rel DESC, e.vec_id LIMIT 12
-    ),
-    p1 AS (SELECT vec_id, embedding, rel AS mmr FROM c
-           ORDER BY rel DESC, vec_id LIMIT 1),
-    m2 AS (
-      SELECT c.vec_id, c.embedding,
-             ROUND(CAST(0.7 AS DOUBLE) * c.rel
-                   - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
-                     * ROUND(list_cosine_similarity(
-                         CAST(c.embedding AS DOUBLE[]),
-                         CAST(p1.embedding AS DOUBLE[])), 6),
-                   6) AS mmr
-      FROM c, p1 WHERE c.vec_id <> p1.vec_id
-    ),
-    p2 AS (SELECT vec_id, embedding, mmr FROM m2
-           ORDER BY mmr DESC, vec_id LIMIT 1),
-    m3 AS (
-      SELECT c.vec_id,
-             ROUND(CAST(0.7 AS DOUBLE) * c.rel
-                   - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
-                     * GREATEST(
-                         ROUND(list_cosine_similarity(
-                             CAST(c.embedding AS DOUBLE[]),
-                             CAST(p1.embedding AS DOUBLE[])), 6),
-                         ROUND(list_cosine_similarity(
-                             CAST(c.embedding AS DOUBLE[]),
-                             CAST(p2.embedding AS DOUBLE[])), 6)),
-                   6) AS mmr
-      FROM c, p1, p2 WHERE c.vec_id NOT IN (p1.vec_id, p2.vec_id)
-    ),
-    p3 AS (SELECT vec_id, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
-    SELECT vec_id, CAST(1 AS BIGINT) AS pick_idx, mmr FROM p1
-    UNION ALL
-    SELECT vec_id, CAST(2 AS BIGINT), mmr FROM p2
-    UNION ALL
-    SELECT vec_id, CAST(3 AS BIGINT), mmr FROM p3
-    """,
+    _ORACLES["sim_mmr_rerank"],
 )
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.similarity import mmr_rerank
@@ -6194,20 +3777,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-user activity per week offset).
 @q(
     "temporal_cohort_retention",
-    """
-    WITH acts AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
-    ),
-    firsts AS (
-      SELECT user_id, MIN(w) AS cohort_week FROM acts GROUP BY user_id
-    )
-    SELECT f.cohort_week,
-           CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INTEGER)
-             AS week_offset,
-           COUNT(*) AS n_active
-    FROM acts a JOIN firsts f ON a.user_id = f.user_id
-    GROUP BY 1, 2
-    """,
+    _ORACLES["temporal_cohort_retention"],
 )
 def temporal_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import cohort_retention
@@ -6221,16 +3791,7 @@ def temporal_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count matrix; the oracle states the equivalent conditional counts.
 @q(
     "events_pivot_type_counts",
-    """
-    SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'error') AS error
-    FROM events
-    GROUP BY user_id
-    """,
+    _ORACLES["events_pivot_type_counts"],
 )
 def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "events")
@@ -6247,20 +3808,7 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # microsecond-exact bounds, integer-cent sums).
 @q(
     "temporal_moving_window_agg",
-    """
-    WITH e AS (
-      SELECT user_id, ts,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
-             epoch_us(ts) AS eus
-      FROM events
-    )
-    SELECT user_id, ts, value_cents,
-           COUNT(*) OVER w AS n_trailing,
-           CAST(SUM(value_cents) OVER w AS BIGINT) AS sum_trailing_cents
-    FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY eus
-                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-    """,
+    _ORACLES["temporal_moving_window_agg"],
 )
 def temporal_moving_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import moving_window_agg
@@ -6272,28 +3820,7 @@ def temporal_moving_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deequ-style column profile: one aggregate pass + stack unpivot.
 @q(
     "pipeline_column_profile",
-    """
-    SELECT 'event_type' AS column_name, COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_null,
-           COUNT(DISTINCT event_type) AS n_distinct
-    FROM events
-    UNION ALL
-    SELECT 'user_id', COUNT(*),
-           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           COUNT(DISTINCT user_id)
-    FROM events
-    UNION ALL
-    SELECT 'value', COUNT(*),
-           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           COUNT(DISTINCT value)
-    FROM events
-    UNION ALL
-    SELECT 'props', COUNT(*),
-           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           COUNT(DISTINCT props)
-    FROM events
-    """,
+    _ORACLES["pipeline_column_profile"],
 )
 def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.curation import column_profile
@@ -6309,38 +3836,7 @@ def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-match a from-scratch signature build over the merged corpus.
 @q(
     "dedup_lsh_incremental",
-    """
-    WITH newdocs AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN ''
-                  WHEN doc_id % 7 = 0
-                  THEN text || ' incremental update marker tokens'
-                  ELSE text END AS text
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM newdocs
-    ),
-    sh AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      )) AS s
-      FROM toks
-    ),
-    hashed AS (
-      SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
-    )
-    SELECT doc_id,
-      min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
-      min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
-      min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
-      min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
-    FROM hashed GROUP BY doc_id
-    """,
+    _ORACLES["dedup_lsh_incremental"],
 )
 def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import minhash_signature, update_minhash_index
@@ -6365,22 +3861,7 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the union into both/only_a/only_b.
 @q(
     "setop_intersect_except",
-    """
-    WITH a AS (
-      SELECT doc_id FROM documents
-      WHERE len(list_filter(regexp_split_to_array(lower(text),
-                '[^a-z0-9]+'), x -> x <> '')) >= 50
-    ),
-    b AS (SELECT doc_id FROM documents WHERE lang = 'en')
-    SELECT doc_id, 'both' AS membership FROM (
-      SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
-    UNION ALL
-    SELECT doc_id, 'only_a' FROM (
-      SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
-    UNION ALL
-    SELECT doc_id, 'only_b' FROM (
-      SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a)
-    """,
+    _ORACLES["setop_intersect_except"],
 )
 def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.dedup import token_count
@@ -6399,20 +3880,7 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pivot entry; a modulo sample keeps the long output driver-sized.
 @q(
     "lineitem_unpivot_measures",
-    """
-    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-           ROUND(l_quantity, 2) AS val
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2)
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    """,
+    _ORACLES["lineitem_unpivot_measures"],
 )
 def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (

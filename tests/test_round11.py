@@ -636,3 +636,48 @@ def test_graphql_search_feed_rankby_both_arms(spark):
         ' pagination: {limit: 3}) { items { permlink } } }'
     )
     assert bm["data"]["searchFeed"]["items"][0]["permlink"] == "p2"
+
+
+# ---------------------------------------------------------------------------
+# unigram encode arm (round 11): trained-vocab segmentation pricing
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_encode_prices_docs_with_fallbacks(spark):
+    from union_indexer_node_spark.pipelines.textstats import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the rat"),
+         (3, "cats eat rats")],
+        "doc_id long, text string",
+    )
+    vocab = unigram_lm_train(
+        train, "text", n_iters=2, max_piece_len=3, max_word_len=8
+    )
+    apply_to = spark.createDataFrame(
+        [
+            (10, "the cat"),            # the|cat -> 2 pieces
+            (11, "thecat"),             # the|cat -> 2 pieces
+            (12, "sat"),                # s|at -> 2 pieces
+            (13, "zq"),                 # unseen chars -> len fallback = 2
+            (14, "aaaaaaaaaaaaaaaaaaaa"),  # 20 chars > max_word_len -> 20
+            (15, None),                 # null text -> 0/0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_encode(
+            apply_to, "text", "doc_id", vocab,
+            max_piece_len=3, max_word_len=8,
+        ).collect()
+    }
+    assert (out[10]["n_words"], out[10]["n_unigram_pieces"]) == (2, 2)
+    assert (out[11]["n_words"], out[11]["n_unigram_pieces"]) == (1, 2)
+    assert (out[12]["n_words"], out[12]["n_unigram_pieces"]) == (1, 2)
+    assert (out[13]["n_words"], out[13]["n_unigram_pieces"]) == (1, 2)
+    assert (out[14]["n_words"], out[14]["n_unigram_pieces"]) == (1, 20)
+    assert (out[15]["n_words"], out[15]["n_unigram_pieces"]) == (0, 0)

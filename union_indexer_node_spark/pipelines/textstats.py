@@ -715,6 +715,74 @@ def bpe_encode(
     )
 
 
+# Viterbi-segmentation machinery shared by the unigram trainer (E-step)
+# and the encode arm: exact-integer DP over character positions with
+# cost*32+start encoded cells (min resolves cost first, then the
+# longest piece), and a backtrace that walks the encoded argmins.
+_VITERBI_DP_EXPR = """aggregate(
+  sequence(1, length(w)),
+  array(cast(0 as bigint)),
+  (acc, i) -> concat(acc, array(
+    array_min(transform(
+      filter(cs, c -> c.s + c.plen = i),
+      c -> (element_at(acc, c.s + 1) div 32 + c.cost_q) * 32
+           + cast(c.s as bigint)
+    ))
+  ))
+)"""
+
+_VITERBI_BT_EXPR = """aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', cast(length(w) as int),
+               'ps', cast(array() as array<string>)),
+  (acc, x) -> if(acc.pos > 0,
+    named_struct(
+      'pos', cast(element_at(dp, acc.pos + 1) % 32 as int),
+      'ps', array_append(acc.ps, substr(w,
+             cast(element_at(dp, acc.pos + 1) % 32 as int) + 1,
+             acc.pos
+             - cast(element_at(dp, acc.pos + 1) % 32 as int)))
+    ),
+    acc)
+).ps"""
+
+
+def _piece_enum_expr(L: int):
+    """All (start, len<=L) substring candidates of the word column
+    ``w`` as structs — the shared seed/candidate enumeration."""
+    return F.expr(
+        f"""flatten(transform(sequence(0, length(w) - 1), s ->
+            transform(sequence(1, least({L}, length(w) - s)), l ->
+              named_struct('s', s, 'plen', l,
+                           'piece', substr(w, s + 1, l)))))"""
+    )
+
+
+def _viterbi_segments(words: DataFrame, costed: DataFrame, L: int) -> DataFrame:
+    """Per-word Viterbi segmentation under a (piece, cost_q) table:
+    returns the input word columns plus ``ps`` (the chosen pieces, in
+    reverse document order — callers only count or re-aggregate them).
+    A word containing a character absent from the cost table has an
+    unreachable DP cell and returns ps=NULL — callers fall back
+    (the trainer can't hit this: singles always survive)."""
+    cand = (
+        words.select("*", F.explode(_piece_enum_expr(L)).alias("c"))
+        .select(
+            *words.columns,
+            F.col("c.s").alias("s"),
+            F.col("c.plen").alias("plen"),
+            F.col("c.piece").alias("piece"),
+        )
+        .join(costed, "piece")
+    )
+    carr = cand.groupBy(*words.columns).agg(
+        F.collect_list(F.struct("s", "plen", "cost_q")).alias("cs")
+    )
+    return carr.withColumn("dp", F.expr(_VITERBI_DP_EXPR)).withColumn(
+        "ps", F.expr(_VITERBI_BT_EXPR)
+    )
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str,
@@ -787,14 +855,8 @@ def unigram_lm_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
-    enum = F.expr(
-        f"""flatten(transform(sequence(0, length(w) - 1), s ->
-            transform(sequence(1, least({L}, length(w) - s)), l ->
-              named_struct('s', s, 'plen', l,
-                           'piece', substr(w, s + 1, l)))))"""
-    )
     seed = (
-        words.select("wf", F.explode(enum).alias("c"))
+        words.select("wf", F.explode(_piece_enum_expr(L)).alias("c"))
         .groupBy(F.col("c.piece").alias("piece"))
         .agg(F.sum("wf").alias("cnt"))
     )
@@ -807,55 +869,7 @@ def unigram_lm_train(
         costed = state.select(
             "piece", F.expr(f"({scale} * {total}) div cnt").alias("cost_q")
         )
-        cand = (
-            words.select("w", "wf", F.explode(enum).alias("c"))
-            .select(
-                "w",
-                "wf",
-                F.col("c.s").alias("s"),
-                F.col("c.plen").alias("plen"),
-                F.col("c.piece").alias("piece"),
-            )
-            .join(costed, "piece")
-        )
-        carr = cand.groupBy("w", "wf").agg(
-            F.collect_list(F.struct("s", "plen", "cost_q")).alias("cs")
-        )
-        dp = carr.withColumn(
-            "dp",
-            F.expr(
-                """aggregate(
-                  sequence(1, length(w)),
-                  array(cast(0 as bigint)),
-                  (acc, i) -> concat(acc, array(
-                    array_min(transform(
-                      filter(cs, c -> c.s + c.plen = i),
-                      c -> (element_at(acc, c.s + 1) div 32 + c.cost_q) * 32
-                           + cast(c.s as bigint)
-                    ))
-                  ))
-                )"""
-            ),
-        )
-        bt = dp.withColumn(
-            "ps",
-            F.expr(
-                """aggregate(
-                  sequence(1, length(w)),
-                  named_struct('pos', cast(length(w) as int),
-                               'ps', cast(array() as array<string>)),
-                  (acc, x) -> if(acc.pos > 0,
-                    named_struct(
-                      'pos', cast(element_at(dp, acc.pos + 1) % 32 as int),
-                      'ps', array_append(acc.ps, substr(w,
-                             cast(element_at(dp, acc.pos + 1) % 32 as int) + 1,
-                             acc.pos
-                             - cast(element_at(dp, acc.pos + 1) % 32 as int)))
-                    ),
-                    acc)
-                ).ps"""
-            ),
-        )
+        bt = _viterbi_segments(words, costed, L)
         used = (
             bt.select("wf", F.explode("ps").alias("piece"))
             .groupBy("piece")
@@ -880,6 +894,91 @@ def unigram_lm_train(
     if topk is not None:
         out = out.orderBy(F.desc("cnt"), F.asc("piece")).limit(topk)
     return out
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    *,
+    scale: int = 100,
+    max_piece_len: int = 3,
+    max_word_len: int = 8,
+) -> DataFrame:
+    """Apply a trained unigram-LM vocabulary — the ENCODE half of the
+    tokenizer loop ``unigram_lm_train`` trains (the exact sibling of
+    ``bpe_encode`` for the BPE loop): Viterbi-segment every DISTINCT
+    word under the vocabulary's reciprocal-likelihood costs and price
+    each document in pieces via a (word → piece-count) join, never by
+    re-segmenting every word occurrence.
+
+    ``vocab`` is the (piece, cnt) frame the trainer returns — it stays
+    a DATAFRAME join (broadcastable at model-sized vocabularies), not
+    a driver collect: the encode E-step is the same plan shape as the
+    trainer's, so the 100 TB story is identical (per-word work is
+    narrow HOF expressions; the only aggregate is the per-doc sum).
+
+    Fallbacks, both documented and tested: a word longer than
+    ``max_word_len`` or containing a character the vocabulary never
+    saw (unreachable DP) counts ``length(word)`` pieces — the
+    single-char coverage floor.
+
+    Returns (id, n_words, n_unigram_pieces).
+    """
+    L, W = max_piece_len, max_word_len
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1  # bounded scalar
+    costed = vocab.select(
+        "piece", F.expr(f"({scale} * {total}) div cnt").alias("cost_q")
+    )
+    words_all = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    occ = words_all.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_c"))
+    distinct_words = words_all.select("w").distinct()
+    # an unreachable DP (vocab-unseen character) nulls the FINAL dp
+    # cell; the backtrace then emits a null-poisoned ps — gate the
+    # piece count on dp[len] so such words take the fallback below
+    segged = _viterbi_segments(
+        distinct_words.filter(F.length("w") <= W), costed, L
+    ).select(
+        "w",
+        F.when(
+            F.element_at(F.col("dp"), F.length("w") + 1).isNotNull(),
+            F.size("ps"),
+        ).alias("_np0"),
+    )
+    enc = distinct_words.join(segged, "w", "left").select(
+        "w",
+        # fallback: long word, unseen char (NULL ps), or a word with no
+        # candidate rows at all -> one piece per character
+        F.when(
+            F.coalesce(F.col("_np0"), F.lit(-1)) > 0, F.col("_np0")
+        )
+        .otherwise(F.length("w"))
+        .alias("_n_pieces"),
+    )
+    per_doc = (
+        occ.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_n_pieces")).alias(
+                "n_unigram_pieces"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_unigram_pieces", F.lit(0))
+            .cast("long")
+            .alias("n_unigram_pieces"),
+        )
+    )
 
 
 def tfidf_topk(

@@ -71,8 +71,8 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 149 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 4) and a
+# with 150 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 5) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -96,6 +96,15 @@ _DEPRIORITIZED = [
     "a_approx_distinct_users",  # permanent tail: rows-only either way
     #    (HLL sketches differ per engine), so a window slot buys no
     #    hash signal
+    # ------------------------------------------------------------------
+    # BORN IN TAIL (r11): entries added after the r11 window was
+    # finalized at 50. Enter with the r12 tranche below. Locally
+    # oracle-tested like every tail entry.
+    # ------------------------------------------------------------------
+    "text_unigram_encode",  # BORN IN TAIL (r11); r12 tranche — the
+    #    encode half of the unigram loop (train 2 iters, then
+    #    Viterbi-price every doc via the word->piece-count join); the
+    #    trainer arm text_unigram_lm_train is in-window r11
     # ------------------------------------------------------------------
     # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
     # r6-stale entries + all 10 r10 born-in-tail entries + the two r10

@@ -681,3 +681,67 @@ def test_unigram_encode_prices_docs_with_fallbacks(spark):
     assert (out[13]["n_words"], out[13]["n_unigram_pieces"]) == (1, 2)
     assert (out[14]["n_words"], out[14]["n_unigram_pieces"]) == (1, 20)
     assert (out[15]["n_words"], out[15]["n_unigram_pieces"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# pre_scrub + incremental BM25 maintenance (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_pre_scrub_makes_tokenizations_agree(spark):
+    from union_indexer_node_spark.pipelines.dedup import (
+        pieces_tokens,
+        pre_scrub,
+        token_pieces,
+        tokens,
+    )
+
+    # Kelvin sign lowercases to 'k': tokens() glues 'mar<K>ed' into
+    # 'marked' while token_pieces splits it — THE divergence; plus the
+    # \x01 sentinel and a C0 control.
+    dirty = "marKed İstanbul a\x01b bell\x07s keep\tme"
+    df = spark.createDataFrame([(1, dirty)], "id long, text string")
+    row = df.select(
+        pre_scrub(F.col("text")).alias("c")
+    ).select(
+        "c",
+        tokens(F.col("c")).alias("t1"),
+        pieces_tokens(token_pieces(F.col("c"))).alias("t2"),
+    ).first()
+    assert row["t1"] == row["t2"] == [
+        "marked", "istanbul", "ab", "bells", "keep", "me"
+    ]
+    assert "\x01" not in row["c"] and "\x07" not in row["c"]
+    assert "\t" in row["c"]  # whitespace controls survive
+    # and WITHOUT the scrub the two tokenizations genuinely diverge
+    raw = df.select(
+        tokens(F.col("text")).alias("t1"),
+        pieces_tokens(token_pieces(F.col("text"))).alias("t2"),
+    ).first()
+    assert raw["t1"] != raw["t2"]
+
+
+def test_bm25_index_merge_equals_fresh_rebuild(spark):
+    from union_indexer_node_spark.pipelines.search import (
+        bm25_index,
+        bm25_index_merge,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "old text one"), (2, "stable words here"), (3, "short")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "brand new text one replaces old"), (4, "appended doc")],
+        "doc_id long, text string",
+    )
+    p0, d0 = bm25_index(v1, "text", "doc_id")
+    pm, dm = bm25_index_merge(p0, d0, delta, "text", "doc_id")
+    current = spark.createDataFrame(
+        [(2, "stable words here"), (3, "short"),
+         (1, "brand new text one replaces old"), (4, "appended doc")],
+        "doc_id long, text string",
+    )
+    pf, df_ = bm25_index(current, "text", "doc_id")
+    assert sorted(map(tuple, pm.collect())) == sorted(map(tuple, pf.collect()))
+    assert sorted(map(tuple, dm.collect())) == sorted(map(tuple, df_.collect()))

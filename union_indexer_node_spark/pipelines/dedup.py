@@ -574,6 +574,38 @@ def merge_passage_counts(
 # strips); callers with adversarial bytes should pre-scrub it.
 _PIECE_SENTINEL = "\x01"
 
+# Codepoints whose Unicode LOWERCASE maps into [a-z]: `tokens()`
+# (lower-then-split) keeps them inside a token while `token_pieces`
+# (raw [a-zA-Z0-9]+ runs) splits on them — the one divergence between
+# the two tokenizations (ADVICE r10). U+212A KELVIN SIGN → k,
+# U+0130 LATIN CAPITAL I WITH DOT → i (+ combining dot).
+_FOLD_FROM = "\u212a\u0130"  # KELVIN SIGN, CAPITAL I WITH DOT
+_FOLD_TO = "KI"
+
+
+def pre_scrub(text_col: Column) -> Column:
+    """The corpus pre-scrub BOTH tokenizer contracts in this module
+    reference (the \\x01-sentinel note above and the non-ASCII caveat
+    on remove_repeated_passages' ``counts=`` boundary), as one narrow
+    expression — run it once at ingest and every downstream
+    tokenization agrees:
+
+    - fold the divergent codepoints to their ASCII sources
+      (``_FOLD_FROM`` → ``_FOLD_TO``) so ``tokens()`` and
+      ``token_pieces`` segment identically on the result;
+    - strip C0 control bytes except \\t \\n \\r — including the \\x01
+      piece sentinel, discharging the adversarial-bytes caveat.
+
+    Pure translate + one regexp pass: zero shuffle, zero UDF, and both
+    functions exist with identical semantics in DuckDB, so scrubbed
+    corpora stay oracle-checkable.
+    """
+    return F.regexp_replace(
+        F.translate(text_col, _FOLD_FROM, _FOLD_TO),
+        "[\x00-\x08\x0b\x0c\x0e-\x1f]",
+        "",
+    )
+
 
 def token_pieces(text_col: Column) -> Column:
     """ORIGINAL-BYTE token segmentation: split the raw text into

@@ -189,6 +189,37 @@ def bm25_index(
     return postings, doclens
 
 
+def bm25_index_merge(
+    postings: DataFrame,
+    doclens: DataFrame,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BM25 index maintenance — fold a batch of new or
+    RE-INGESTED documents into an existing (postings, doclens) pair
+    without rebuilding: the ``update_minhash_index`` anti-join-and-
+    append pattern applied to the posting table. Old rows for every
+    delta id are anti-joined out of BOTH frames (an updated document
+    must not leave stale term rows behind), then the delta's freshly
+    tokenized rows append. Result is row-identical to ``bm25_index``
+    over (corpus \\ delta-ids) ∪ delta — pinned by test and oracle.
+
+    Scale shape: the anti-join probes with the delta's id set (batch-
+    sized, broadcastable); the append is a unionByName. Deployment
+    keeps postings bucketed by token, so the rewrite touches the
+    buckets the delta's terms land in — write cost tracks the batch,
+    not the index. Corpus stats (N, total_dl) are derived downstream
+    from doclens per query, so they need no separate maintenance.
+    """
+    d_post, d_dl = bm25_index(delta, text_col, id_col)
+    ids = delta.select(id_col).distinct()
+    return (
+        postings.join(ids, id_col, "left_anti").unionByName(d_post),
+        doclens.join(ids, id_col, "left_anti").unionByName(d_dl),
+    )
+
+
 def bm25_topk(
     postings: DataFrame,
     doclens: DataFrame,

@@ -71,8 +71,8 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 150 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 5) and a
+# with 152 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 7) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -105,6 +105,13 @@ _DEPRIORITIZED = [
     #    encode half of the unigram loop (train 2 iters, then
     #    Viterbi-price every doc via the word->piece-count join); the
     #    trainer arm text_unigram_lm_train is in-window r11
+    "text_unicode_scrub",  # BORN IN TAIL (r11); r12 tranche — the
+    #    ingest pre-scrub that discharges the token_pieces/tokens
+    #    divergence + \x01-sentinel caveats (ADVICE r10); the entry
+    #    pins tokenizations_agree uniformly true on scrubbed text
+    "search_bm25_index_incremental",  # BORN IN TAIL (r11); r12
+    #    tranche — anti-join-and-append posting-table maintenance;
+    #    oracle = fresh rebuild of the current corpus
     # ------------------------------------------------------------------
     # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
     # r6-stale entries + all 10 r10 born-in-tail entries + the two r10

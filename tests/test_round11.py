@@ -745,3 +745,34 @@ def test_bm25_index_merge_equals_fresh_rebuild(spark):
     pf, df_ = bm25_index(current, "text", "doc_id")
     assert sorted(map(tuple, pm.collect())) == sorted(map(tuple, pf.collect()))
     assert sorted(map(tuple, dm.collect())) == sorted(map(tuple, df_.collect()))
+
+
+def test_ivfpq_probes_only_nearest_cells(spark):
+    """Vectors assigned to unprobed cells never appear, even when
+    their true distance is small — the documented IVF recall trade;
+    and within probed cells the ADC ordering is exact-integer."""
+    from union_indexer_node_spark.pipelines.similarity import ivfpq_topk
+
+    # 2 cells far apart on dim 0; 1-subspace codebook of 2 centroids
+    coarse = [[0, 0], [10_000, 0]]
+    books = [[[0, 0], [500, 500]]]
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1]),      # cell 0
+            (2, [0.6, 0.6]),      # cell 0, near book centroid 1
+            (3, [10.0, 0.0]),     # cell 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivfpq_topk(
+        emb, [0.0, 0.0], coarse, books, nprobe=1, topk=10
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert 3 not in ids          # unprobed cell pruned
+    assert ids == [1, 2]         # residual-ADC orders within the cell
+    assert all(r["cell"] == 0 for r in rows)
+    # nprobe=2 brings cell 1 back
+    rows2 = ivfpq_topk(
+        emb, [0.0, 0.0], coarse, books, nprobe=2, topk=10
+    ).collect()
+    assert {r["vec_id"] for r in rows2} == {1, 2, 3}

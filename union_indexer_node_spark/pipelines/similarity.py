@@ -879,6 +879,93 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    *,
+    nprobe: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Composed IVF-PQ search (the full Jégou et al. pipeline): a
+    coarse quantizer assigns every vector to its nearest cell; the
+    query probes only its ``nprobe`` nearest cells; within a probed
+    cell, distance is ADC over the RESIDUAL (vector − cell centroid)
+    codes with a per-cell lookup table built from (query − centroid).
+    Everything stays exact integer arithmetic at the ``quant`` scale
+    (centroids and codebooks are integer models), so the result is
+    oracle-checkable bit-for-bit.
+
+    Scale shape — this is the partition-pruning story end to end: at
+    deployment the corpus is WRITTEN partitioned by the cell id
+    (kmeans_assign labels, the layout.py placement pass), so the
+    nprobe filter prunes to nprobe/n_cells of the files before any
+    compute; within a cell the scan reads codes (m·log2(k) bits), not
+    vectors. Query-side work is driver-side integer tables: cell
+    selection over n_cells rows, one m×k LUT per probed cell. The
+    plan is nprobe narrow map branches + a union + one
+    TakeOrderedAndProject.
+    """
+    sub_d = len(codebooks[0][0])
+    k = len(codebooks[0])
+    qq = [int(round(x * quant)) for x in query_vec]
+    # driver-side: the query's nprobe nearest cells (ties → low cell id)
+    cell_d = [
+        (sum((qq[j] - cv) ** 2 for j, cv in enumerate(cc)), ci)
+        for ci, cc in enumerate(coarse_centroids)
+    ]
+    probed = [ci for _, ci in sorted(cell_d)[:nprobe]]
+    base = _quantized_base(emb, vec_col, id_col, quant)
+    # corpus cell assignment: encoded integer argmin over the coarse
+    # centroids (dist * n_cells + cell, then % n_cells)
+    ncell = len(coarse_centroids)
+    encs = []
+    for ci, cc in enumerate(coarse_centroids):
+        d: Column = F.lit(0).cast("long")
+        for j, cv in enumerate(cc):
+            t = F.element_at(F.col("_q"), j + 1) - F.lit(int(cv))
+            d = d + t * t
+        encs.append(d * ncell + ci)
+    cell = (F.least(*encs) % ncell).cast("int")
+    assigned = base.select(F.col(id_col), F.col("_q"), cell.alias("_cell"))
+    arms = []
+    for ci in probed:
+        cc = coarse_centroids[ci]
+        cc_lit = F.array(*[F.lit(int(v)) for v in cc])
+        resid = F.zip_with(
+            F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
+        )
+        arm = assigned.filter(F.col("_cell") == ci).select(
+            F.col(id_col), resid.alias("_q")
+        )
+        coded = arm.select(F.col(id_col), *pq_code_cols(codebooks, quant=quant))
+        rq = [qq[j] - cc[j] for j in range(len(cc))]
+        adc: Column = F.lit(0).cast("long")
+        for mi, book in enumerate(codebooks):
+            off = mi * sub_d
+            lut = [
+                sum((rq[off + j] - cv) ** 2 for j, cv in enumerate(cent))
+                for cent in book
+            ]
+            lut_lit = F.array(*[F.lit(int(v)) for v in lut])
+            adc = adc + F.element_at(lut_lit, F.col(f"code_{mi}") + 1)
+        arms.append(
+            coded.select(
+                F.col(id_col),
+                F.lit(ci).cast("int").alias("cell"),
+                adc.cast("long").alias("adc_dist"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(topk)
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_vec: list[float],

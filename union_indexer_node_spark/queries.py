@@ -71,8 +71,8 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 152 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 7) and a
+# with 153 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 8) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -112,6 +112,9 @@ _DEPRIORITIZED = [
     "search_bm25_index_incremental",  # BORN IN TAIL (r11); r12
     #    tranche — anti-join-and-append posting-table maintenance;
     #    oracle = fresh rebuild of the current corpus
+    "sim_ivfpq_search",  # BORN IN TAIL (r11); r12 tranche — composed
+    #    IVF coarse prune + per-cell residual ADC (partition-pruning
+    #    story); sibling of sim_ivf_pq_adc (in-window r11)
     # ------------------------------------------------------------------
     # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
     # r6-stale entries + all 10 r10 born-in-tail entries + the two r10

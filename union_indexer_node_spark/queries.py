@@ -135,9 +135,12 @@ _DEPRIORITIZED = [
     # ------------------------------------------------------------------
     # r12 ROTATION TRANCHE (scheduled): the r7-era staleness backlog —
     # last driver-green r7, hitting the ~4-round bound at r12 exactly.
-    # Rotate ALL of them in next round, funded by the 25 r11 re-entries
-    # that will then be multiply-green (plus the 8 formerly-single
-    # entries, multiply-green after r11). 19 mandatory swaps.
+    # Rotate ALL 19 of them in next round PLUS the 4 r11 born-in-tail
+    # entries above (text_unigram_encode, text_unicode_scrub,
+    # search_bm25_index_incremental, sim_ivfpq_search) — 23 mandatory
+    # swaps, funded by the 25 r11 re-entries that will then be
+    # multiply-green (plus the 8 formerly-single entries,
+    # multiply-green after r11).
     # ------------------------------------------------------------------
     "f4_regex_filter",  # r12 tranche; green r1-r3+r7; rlike predicate shape
     "a2_distinct_authors_of_app",  # r12 tranche; green r1-r3+r7

@@ -788,12 +788,20 @@ def pq_code_cols(
     k = len(codebooks[0])
     for mi, book in enumerate(codebooks):
         off = mi * sub_d
+        sub = F.slice(F.col("_q"), off + 1, sub_d)
         encs = []
         for ci, cent in enumerate(book):
-            d: Column = F.lit(0).cast("long")
-            for j, cv in enumerate(cent):
-                t = F.element_at(F.col("_q"), off + j + 1) - F.lit(int(cv))
-                d = d + t * t
+            lit_c = F.array(*[F.lit(int(cv)) for cv in cent])
+            # fold form, NOT a dim-unrolled (x-c)^2 chain: m*k*sub_d
+            # unrolled terms put hundreds of nodes through janino per
+            # query (the _kmeans_dists hazard — measured 2.6 s at bench
+            # scale for what is a pure map; the fold runs in ~the scan
+            # time). Integer left-to-right sum — exact either way.
+            d = F.aggregate(
+                F.zip_with(sub, lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
             encs.append(d * k + ci)
         enc = F.least(*encs) if len(encs) > 1 else encs[0]
         out.append((enc % k).cast("int").alias(f"code_{mi}"))
@@ -925,13 +933,24 @@ def ivfpq_topk(
     ncell = len(coarse_centroids)
     encs = []
     for ci, cc in enumerate(coarse_centroids):
-        d: Column = F.lit(0).cast("long")
-        for j, cv in enumerate(cc):
-            t = F.element_at(F.col("_q"), j + 1) - F.lit(int(cv))
-            d = d + t * t
+        lit_c = F.array(*[F.lit(int(v)) for v in cc])
+        # fold form — see pq_code_cols' janino note
+        d = F.aggregate(
+            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
         encs.append(d * ncell + ci)
     cell = (F.least(*encs) % ncell).cast("int")
-    assigned = base.select(F.col(id_col), F.col("_q"), cell.alias("_cell"))
+    # materialized once: every probe arm filters this frame — without
+    # it each arm re-scans the corpus and re-evaluates the quantize +
+    # assignment expressions (nprobe full passes; measured ~2x at
+    # bench scale with nprobe=2). In DEPLOYMENT the assignment exists
+    # at write time (the corpus is PARTITIONED by cell — see the
+    # docstring), so this checkpoint models the stored layout.
+    assigned = base.select(
+        F.col(id_col), F.col("_q"), cell.alias("_cell")
+    ).localCheckpoint()
     arms = []
     for ci in probed:
         cc = coarse_centroids[ci]

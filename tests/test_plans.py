@@ -443,3 +443,25 @@ def test_bpe_encode_join_not_reencode(spark):
     assert regexp_lines, plan
     for l in regexp_lines:
         assert "Aggregate [w" in l, l
+
+
+def test_round11_new_entry_plan_shapes(spark):
+    """Round-11 plan pins: PQ-ADC is a pure map + TakeOrderedAndProject
+    (no join, no wide exchange beyond the top-k); the media probe is
+    one Arrow python stage with no join; the verified-span removal
+    keeps the affected-only anti-join fast path."""
+    from union_indexer_node_spark import queries as q
+
+    reg = q.registry()
+    adc = _plan(reg["sim_ivf_pq_adc"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in adc
+    assert "Join" not in adc and "CartesianProduct" not in adc
+
+    probe = _plan(reg["multimodal_media_probe"].fn(spark, SF_DIR))
+    assert "Join" not in probe
+
+    maximal = _plan(
+        reg["dedup_remove_duplicate_spans_maximal"].fn(spark, SF_DIR)
+    )
+    assert maximal.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in maximal

@@ -776,3 +776,35 @@ def test_ivfpq_probes_only_nearest_cells(spark):
         emb, [0.0, 0.0], coarse, books, nprobe=2, topk=10
     ).collect()
     assert {r["vec_id"] for r in rows2} == {1, 2, 3}
+
+
+def test_gopher_gate_rules_fire_individually(spark):
+    from union_indexer_node_spark.pipelines.textstats import (
+        gopher_quality_gate,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "sentence has to be long enough with plenty of ordinary "
+            "words to clear the minimum threshold easily so we simply "
+            "keep writing more and more plain prose until fifty words "
+            "of normal english text have accumulated in this document "
+            "right about now done")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes
+            (2, "short text"),                           # rule 1
+            (3, good + " " + "#" * 40),                  # rule 3 symbols
+            (4, " ".join(["12345"] * 60)),               # rules 4+5 (+2)
+            (5, "\n".join(["- b"] * 10)),                # rule 6 bullets
+            (6, None),                                   # null -> rule 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_quality_gate(docs, "text", "doc_id").collect()}
+    assert out[1]["passes"] is True and out[1]["fail_mask"] == 0
+    assert out[2]["fail_mask"] & 1
+    assert out[3]["fail_mask"] & 4
+    assert out[4]["fail_mask"] & 8 and out[4]["fail_mask"] & 16
+    assert out[5]["fail_mask"] & 32
+    assert out[6]["fail_mask"] & 1 and out[6]["n_words"] == 0

@@ -68,6 +68,118 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Gopher rule-2 stopword list (Rae et al., Table A1: "the, be, to,
+# of, and, that, have, with") — the published filter requires >= 2 hits.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, §A1.1 — the
+    filter set MassiveText and most subsequent corpora start from),
+    evaluated per document with INTEGER-quantized ratios so the
+    verdict is bit-exact cross-engine:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1
+    4. >= 80% of words contain at least one alphabetic character
+    5. >= 2 hits from the published 8-stopword list
+    6. <= 90% of lines start with a bullet ('-', '*', '•')
+    7. <= 30% of lines end with an ellipsis
+
+    Words are whitespace-split (the paper's unit — NOT ``tokens()``,
+    which would split hyphenated/symbol words and shift every ratio);
+    lines split on newline. Returns every rule's quantized measurement
+    plus ``fail_mask`` (bit i-1 set ⇔ rule i failed) and
+    ``passes = fail_mask == 0`` — auditability over in-place
+    filtering, the adaptive_quality_gate contract. Pure narrow
+    expressions: zero shuffle, zero UDF.
+    """
+    def _idiv(a, b):
+        # exact integer floor-division on Columns (all operands
+        # non-negative): (a - a%b) is exactly divisible, so the double
+        # division is exact and the cast can't mis-floor — matching
+        # the oracle's // bit-for-bit
+        return ((a - a % b) / b).cast("long")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    nw = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mwl_x100 = F.when(nw > 0, _idiv(sum_len * 100, nw)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n3 = F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    n_sym = (n_hash + _idiv(n3.cast("long"), F.lit(3).cast("long"))).cast(
+        "long"
+    )
+    sym_x1000 = F.when(nw > 0, _idiv(n_sym * 1000, nw)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_x1000 = F.when(nw > 0, _idiv(n_alpha * 1000, nw)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    lw = F.transform(words, lambda x: F.lower(x))
+    n_stop = F.size(F.array_intersect(F.array_distinct(lw), stop_lit))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.ltrim(x) != F.lit(""))
+    nl = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
+    )
+    n_ell_line = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    bullet_x1000 = F.when(
+        nl > 0, _idiv(n_bullet.cast("long") * 1000, nl.cast("long"))
+    ).otherwise(F.lit(0)).cast("long")
+    ell_x1000 = F.when(
+        nl > 0, _idiv(n_ell_line.cast("long") * 1000, nl.cast("long"))
+    ).otherwise(F.lit(0)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        mwl_x100.alias("mean_word_len_x100"),
+        sym_x1000.alias("symbol_to_word_x1000"),
+        alpha_x1000.alias("alpha_word_x1000"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        bullet_x1000.alias("bullet_line_x1000"),
+        ell_x1000.alias("ellipsis_line_x1000"),
+    )
+    fails = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            1,
+        ).otherwise(0)
+        + F.when(
+            (F.col("mean_word_len_x100") < 300)
+            | (F.col("mean_word_len_x100") > 1000),
+            2,
+        ).otherwise(0)
+        + F.when(F.col("symbol_to_word_x1000") > 100, 4).otherwise(0)
+        + F.when(F.col("alpha_word_x1000") < 800, 8).otherwise(0)
+        + F.when(F.col("n_stop_hits") < 2, 16).otherwise(0)
+        + F.when(F.col("bullet_line_x1000") > 900, 32).otherwise(0)
+        + F.when(F.col("ellipsis_line_x1000") > 300, 64).otherwise(0)
+    )
+    return base.select(
+        "*",
+        fails.cast("long").alias("fail_mask"),
+        (fails == 0).alias("passes"),
+    )
+
+
 def _stopword_lang_scores(dtoks: Column) -> tuple[dict[str, Column], Column]:
     """(per-language overlap scores, argmax prediction) over a DISTINCT
     token array — ties break by profile order, 'und' on zero overlap.

@@ -808,3 +808,27 @@ def test_gopher_gate_rules_fire_individually(spark):
     assert out[4]["fail_mask"] & 8 and out[4]["fail_mask"] & 16
     assert out[5]["fail_mask"] & 32
     assert out[6]["fail_mask"] & 1 and out[6]["n_words"] == 0
+
+
+def test_ccnet_buckets_fractions_and_ordering(spark):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.textstats import ccnet_buckets
+
+    d = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    out = ccnet_buckets(d, "text", "doc_id").localCheckpoint()
+    n = out.count()
+    counts = {r["bucket"]: r["c"] for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # exact-quantile split: head ~30%, middle ~35% (ties can shift a
+    # few docs across a threshold)
+    assert abs(counts.get("head", 0) / n - 0.30) < 0.05
+    assert abs(counts.get("middle", 0) / n - 0.35) < 0.05
+    # every head score >= every middle score >= every tail score
+    mins = {r["bucket"]: (r["mn"], r["mx"]) for r in
+            out.groupBy("bucket").agg(
+                F.min("avg_q").alias("mn"), F.max("avg_q").alias("mx")
+            ).collect()}
+    # bucket assignment is strictly by threshold, so the ranges are
+    # totally ordered: min(head) >= max(middle) >= ... (>= thr compare)
+    assert mins["head"][0] >= mins["middle"][1]
+    assert mins["middle"][0] >= mins["tail"][1]

@@ -827,6 +827,61 @@ def bpe_encode(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    head_frac: float = 0.30,
+    middle_frac: float = 0.35,
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al.): score every
+    document with the corpus-trained char-LM (``char_lm_quality`` —
+    the integer perplexity proxy; HIGHER avg_q = more fluent) and
+    split the corpus into head / middle / tail at exact score
+    quantiles (default 30/35/35, the published fractions). Curation
+    pipelines train on head+middle or reweight by bucket; the bucket
+    column is the standard conditioning signal.
+
+    The thresholds are two percentile scalars broadcast into a map-side
+    CASE — the dsir exact-quantile-gate pattern (swap approx_percentile
+    at 100 TB, same plan). Ties AT a threshold take the better bucket
+    in both engines (>= against the same ROUND(4) double). Zero-gram
+    documents score 0 and land in the tail unless the corpus is
+    degenerate. Returns (id, n_grams, avg_q, thr_head, thr_mid,
+    bucket).
+    """
+    scored = char_lm_quality(df, text_col, id_col, **lm_kwargs).select(
+        id_col, "n_grams", "avg_q"
+    )
+    thr = scored.agg(
+        F.round(
+            F.percentile(F.col("avg_q").cast("double"), F.lit(1.0 - head_frac)),
+            4,
+        ).alias("thr_head"),
+        F.round(
+            F.percentile(
+                F.col("avg_q").cast("double"),
+                F.lit(1.0 - head_frac - middle_frac),
+            ),
+            4,
+        ).alias("thr_mid"),
+    )
+    aq = F.col("avg_q").cast("double")
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        "n_grams",
+        "avg_q",
+        "thr_head",
+        "thr_mid",
+        F.when(aq >= F.col("thr_head"), F.lit("head"))
+        .when(aq >= F.col("thr_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # Viterbi-segmentation machinery shared by the unigram trainer (E-step)
 # and the encode arm: exact-integer DP over character positions with
 # cost*32+start encoded cells (min resolves cost first, then the

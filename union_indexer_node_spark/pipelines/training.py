@@ -123,6 +123,73 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-BENCHMARK contamination breakdown — the report curation
+    teams publish next to the aggregate ``decontaminate`` stats: for
+    each benchmark (grouped by ``bench_col``), how many distinct
+    n-grams it contributes, how many training documents share at least
+    one of them, and how many distinct (doc, gram) overlap pairs exist.
+    A benchmark with zero hits still gets its row (you report the
+    clean ones too).
+
+    Plan shape: benchmark grams are (benchmark, gram-hash) distinct —
+    benchmark-corpus-sized, BROADCAST to the probe; training grams
+    explode once, dedupe per (doc, gram), and the only wide operation
+    is the final groupBy(benchmark) over hit rows. Same collapse-
+    barrier checkpoints as ``decontaminate``.
+
+    Returns (benchmark, n_bench_grams, n_docs_hit, n_gram_hits).
+    """
+    bgrams = (
+        bench.select(
+            F.col(bench_col).alias("benchmark"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .localCheckpoint()
+        .select(
+            "benchmark",
+            F.explode(_safe_shingles(F.col("_toks"), n)).alias("_g"),
+        )
+        .select("benchmark", F.md5("_g").alias("_gh"))
+        .distinct()
+        .localCheckpoint()  # feeds the per-benchmark size AND the probe
+    )
+    sizes = bgrams.groupBy("benchmark").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_grams")
+    )
+    tgrams = (
+        train.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .localCheckpoint()
+        .select(
+            F.col(id_col),
+            F.explode(_safe_shingles(F.col("_toks"), n)).alias("_g"),
+        )
+        .select(F.col(id_col), F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    hits = tgrams.join(F.broadcast(bgrams), "_gh")
+    agg = hits.groupBy("benchmark").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_gram_hits"),
+    )
+    return sizes.join(agg, "benchmark", "left").select(
+        "benchmark",
+        "n_bench_grams",
+        F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+        F.coalesce("n_gram_hits", F.lit(0))
+        .cast("long")
+        .alias("n_gram_hits"),
+    )
+
+
 def _bloom_pos(gram: Column, seed: int, m: int) -> Column:
     """Bloom bit position for one hash function: the first 8 hex chars
     of md5(gram || '#' || seed) reduced mod m. Keep in lockstep with

@@ -71,8 +71,8 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 155 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 10) and a
+# with 156 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 11) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -120,6 +120,9 @@ _DEPRIORITIZED = [
     "pipeline_ccnet_buckets",  # BORN IN TAIL (r11); r12 tranche —
     #    head/middle/tail at exact char-LM score quantiles (oracle
     #    wraps text_lm_quality_score's verbatim)
+    "training_contamination_report",  # BORN IN TAIL (r11); r12
+    #    tranche — per-benchmark overlap breakdown (sizes + docs-hit +
+    #    gram-hit pairs, zero-hit benchmarks kept)
     # ------------------------------------------------------------------
     # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
     # r6-stale entries + all 10 r10 born-in-tail entries + the two r10
@@ -141,9 +144,10 @@ _DEPRIORITIZED = [
     # r12 ROTATION TRANCHE (scheduled): the r7-era staleness backlog —
     # last driver-green r7, hitting the ~4-round bound at r12 exactly.
     # Rotate ALL 19 of them in next round PLUS the
-    # 6 r11 born-in-tail entries above (text_unigram_encode, text_unicode_scrub,
+    # 7 r11 born-in-tail entries above (text_unigram_encode, text_unicode_scrub,
     # search_bm25_index_incremental, sim_ivfpq_search,
-    # text_gopher_quality_gate, pipeline_ccnet_buckets) — 25 mandatory
+    # text_gopher_quality_gate, pipeline_ccnet_buckets,
+    # training_contamination_report) — 26 mandatory
     # swaps, funded by the 25 r11 re-entries that will then be
     # multiply-green (plus the 8 formerly-single entries,
     # multiply-green after r11).

@@ -832,3 +832,61 @@ def test_ccnet_buckets_fractions_and_ordering(spark):
     # totally ordered: min(head) >= max(middle) >= ... (>= thr compare)
     assert mins["head"][0] >= mins["middle"][1]
     assert mins["middle"][0] >= mins["tail"][1]
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual near-dup (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, pix):
+    """pix: function (x, y) -> gray 0..255."""
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in [pix(x, y)] * 3
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_dhash_invariant_to_scale_and_brightness(spark):
+    """dHash must match across resolutions of the same gradient and
+    across uniform brightness shifts (only ADJACENT comparisons
+    matter), and differ for a different pattern."""
+    from union_indexer_node_spark.pipelines.multimodal import dhash_images
+
+    grad = lambda x, y: min(x * 10, 255)            # noqa: E731
+    brighter = lambda x, y: min(x * 10 + 40, 255)   # noqa: E731
+    other = lambda x, y: min(y * 10, 255)           # noqa: E731
+    rows = [
+        (1, bytearray(_ppm(16, 16, grad))),
+        (2, bytearray(_ppm(32, 32, lambda x, y: grad(x // 2, y // 2)))),
+        (3, bytearray(_ppm(16, 16, brighter))),
+        (4, bytearray(_ppm(16, 16, other))),
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in
+           dhash_images(df, target_partition_bytes=None).collect()}
+    assert out[1]["dhash"] == out[2]["dhash"] == out[3]["dhash"]
+    assert out[1]["dhash"] != out[4]["dhash"]
+    assert out[5]["ok"] is False and out[5]["dhash"] == 0
+
+
+def test_dhash_near_dup_counts_classes_and_hamming(spark):
+    from union_indexer_node_spark.pipelines.multimodal import (
+        dhash_near_dup_counts,
+    )
+
+    # hashes: class A (3 twins), class B = A with 2 bits flipped
+    # (hamming 2 <= 4, shares bands), class C far away
+    a = 0b1010101010101010
+    b = a ^ 0b11  # 2 low bits differ -> same high bands
+    c = (1 << 55) - 1
+    hashes = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b), (5, c)],
+        "id long, dhash long",
+    )
+    out = {r["id"]: r["n_near_dups"] for r in
+           dhash_near_dup_counts(hashes).collect()}
+    assert out[1] == out[2] == out[3] == 3  # 2 twins + the B image
+    assert out[4] == 3                       # the three A images
+    assert out[5] == 0

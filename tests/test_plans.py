@@ -364,6 +364,9 @@ _BNLJ_ALLOWED = {
     "a1_trending_tags": 2,
     "o2_a8_trending_feed_payout": 2,
     "tpch_q22_global_sales_opportunity": 2,
+    # r11: the two 1-row scalar broadcasts (percentile thresholds onto
+    # the scored frame, the dsir exact-quantile-gate pattern)
+    "pipeline_ccnet_buckets": 2,
 }
 
 

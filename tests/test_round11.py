@@ -890,3 +890,38 @@ def test_dhash_near_dup_counts_classes_and_hamming(spark):
     assert out[1] == out[2] == out[3] == 3  # 2 twins + the B image
     assert out[4] == 3                       # the three A images
     assert out[5] == 0
+
+
+def test_audio_fingerprint_loudness_invariant_and_fallbacks(spark):
+    """Same waveform at half amplitude fingerprints identically (only
+    adjacent-window comparisons matter); non-PCM and short payloads
+    are ok=false."""
+    import math
+    import struct
+
+    from union_indexer_node_spark.pipelines.multimodal import (
+        audio_fingerprints,
+    )
+
+    def wav8(samples, fmt_tag=1):
+        data = bytes(min(255, max(0, s + 128)) for s in samples)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, 1, 8000,
+                                        8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    wave = [int(40 * math.sin(i / 5.0) * (i / 256.0)) for i in range(256)]
+    half = [v // 2 for v in wave]
+    rows = [
+        (1, bytearray(wav8(wave))),
+        (2, bytearray(wav8(half))),
+        (3, bytearray(wav8(wave, fmt_tag=85))),  # mp3 tag -> unsupported
+        (4, bytearray(wav8(wave[:8]))),          # too few samples
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in
+           audio_fingerprints(df, target_partition_bytes=None).collect()}
+    assert out[1]["ok"] and out[2]["ok"]
+    assert out[1]["afp"] == out[2]["afp"]
+    assert out[1]["afp"] != 0
+    assert out[3]["ok"] is False and out[4]["ok"] is False

@@ -442,6 +442,101 @@ def _dhash_ppm(b: bytes, *, grid: int = 8) -> int | None:
     return out
 
 
+def _wav_pcm_fingerprint(b: bytes, *, frames: int = 16) -> int | None:
+    """Energy-envelope fingerprint of a PCM WAV — the audio sibling of
+    ``_dhash_ppm``, codec-free for the formats a container without
+    audio libs can actually decode: uncompressed PCM (fmt tag 1) at 8
+    or 16 bits. The payload splits into ``frames+1`` equal windows by
+    the floor mapping; window energy = integer sum of sample
+    magnitudes; bit w = energy[w+1] > energy[w] — loudness-scale
+    invariant like dHash's brightness invariance, and ``frames`` bits
+    pack into a BIGINT for the same Hamming-LSH near-dup machinery
+    (``dhash_near_dup_counts`` takes the column name and bit width).
+    Channels are left interleaved: energy sums are channel-agnostic.
+    Returns None for non-WAV, non-PCM, truncated-payload, or
+    fewer-samples-than-windows input."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt_tag = bits = None
+    data_off = data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_off, data_size = i + 8, csz
+        i += 8 + csz + (csz & 1)
+    if fmt_tag != 1 or bits not in (8, 16) or data_off is None:
+        return None
+    avail = min(data_size, len(b) - data_off)
+    step = bits // 8
+    ns = avail // step
+    if ns < frames + 1:
+        return None
+    energies = []
+    for w in range(frames + 1):
+        lo = (w * ns) // (frames + 1)
+        hi = ((w + 1) * ns) // (frames + 1)
+        e = 0
+        for s in range(lo, hi):
+            p = data_off + s * step
+            if bits == 8:
+                e += abs(b[p] - 128)
+            else:
+                e += abs(int.from_bytes(b[p : p + 2], "little", signed=True))
+        energies.append(e)
+    out = 0
+    for w in range(frames):
+        if energies[w + 1] > energies[w]:
+            out |= 1 << w
+    return out
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    content_col: str = "content",
+    frames: int = 16,
+    target_partition_bytes: int | None = 128 << 20,
+    estimated_bytes: int | None = None,
+) -> DataFrame:
+    """Per-clip PCM energy fingerprints via mapInPandas (the probe_av
+    plumbing). Returns (id, afp, ok); undecodable clips get ok=false,
+    afp=0. Feed the output to ``dhash_near_dup_counts(hash_col='afp',
+    bits=frames, ...)`` for audio near-dup."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, oks = [], []
+            for c in pdf[content_col]:
+                v = (
+                    _wav_pcm_fingerprint(bytes(c), frames=frames)
+                    if c is not None
+                    else None
+                )
+                fps.append(0 if v is None else v)
+                oks.append(v is not None)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "afp": fps,
+                    "ok": oks,
+                }
+            )
+
+    src = df.select(id_col, content_col)
+    if target_partition_bytes is not None:
+        n = _byte_budget_partitions(
+            src, content_col, target_partition_bytes, estimated_bytes
+        )
+        src = src.repartition(n)
+    return src.mapInPandas(kernel, schema="id long, afp long, ok boolean")
+
+
 def dhash_images(
     df: DataFrame,
     *,
@@ -511,6 +606,12 @@ def dhash_near_dup_counts(
     images lie within max_hamming (same-signature twins counted via
     class size). Shuffles touch distinct signatures only.
     """
+    if bits % n_bands:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into n_bands ({n_bands}): "
+            "a remainder would leave the top bits out of every band and "
+            "silently shrink candidate recall"
+        )
     classes = (
         hashes.groupBy(F.col(hash_col).alias("_h"))
         .agg(F.count(F.lit(1)).cast("long").alias("_csz"))

@@ -211,6 +211,11 @@ def bm25_index_merge(
     buckets the delta's terms land in — write cost tracks the batch,
     not the index. Corpus stats (N, total_dl) are derived downstream
     from doclens per query, so they need no separate maintenance.
+
+    Contract: ``delta`` carries ONE row per id — resolve multiple
+    versions of a document upstream (the LWW winner, the ingest
+    contract everywhere else) before folding; duplicate delta ids
+    would append duplicate postings and double-count tf.
     """
     d_post, d_dl = bm25_index(delta, text_col, id_col)
     ids = delta.select(id_col).distinct()

@@ -96,7 +96,12 @@ def gopher_quality_gate(
 
     Words are whitespace-split (the paper's unit — NOT ``tokens()``,
     which would split hyphenated/symbol words and shift every ratio);
-    lines split on newline. Returns every rule's quantized measurement
+    lines split on newline. Cross-engine caveat: Java's ``\\s`` class
+    includes U+000B (vertical tab) where RE2's does not — a document
+    carrying that C0 control would split differently in the oracle;
+    ``dedup.pre_scrub`` strips it (and every other C0 control) at
+    ingest, which is the deployment contract here too.
+    Returns every rule's quantized measurement
     plus ``fail_mask`` (bit i-1 set ⇔ rule i failed) and
     ``passes = fail_mask == 0`` — auditability over in-place
     filtering, the adaptive_quality_gate contract. Pure narrow

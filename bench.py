@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "sim_ivf_pq_adc",
     "multimodal_media_probe",
     "dedup_remove_duplicate_spans_maximal",
+    # round 11 second batch: the serving searchFeed's opt-in BM25 arm
+    # against the PREBUILT posting index (warmup-persisted, the
+    # deployment amortization) — per-request cost only.
+    "searchfeed_bm25_query",
 ]
 
 # --- split-phase bench entries ---------------------------------------------
@@ -220,9 +224,49 @@ def _bench_search_query(spark, sf_dir):
     )
 
 
+_BM25_SERVE_STATE: dict = {}
+
+
+def _bm25_serve_prebuilt(spark, sf_dir):
+    """Posts + persisted BM25 index for the serving searchFeed arm —
+    built once per sf_dir outside any timed region (deployment
+    amortizes the index across queries; bm25_index_merge maintains it
+    across ingest cycles)."""
+    if sf_dir not in _BM25_SERVE_STATE:
+        from pyspark.sql import functions as F
+
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.pipelines.search import bm25_index
+
+        posts = tables.posts(spark, sf_dir)
+        key = F.concat_ws("/", F.col("author"), F.col("permlink"))
+        postings, doclens = bm25_index(
+            posts.withColumn("_key", key), "body", "_key"
+        )
+        postings = postings.persist()
+        postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        _BM25_SERVE_STATE[sf_dir] = (posts, (postings, doclens))
+    return _BM25_SERVE_STATE[sf_dir]
+
+
+def _bench_searchfeed_bm25_query(spark, sf_dir):
+    """The rankBy=BM25 serving arm against the PREBUILT index — the
+    per-request cost a deployment pays (match filter + term-pruned
+    scoring + top-k), not the index build."""
+    from union_indexer_node_spark.operators.feeds import FeedSpec, search_feed
+
+    posts, frames = _bm25_serve_prebuilt(spark, sf_dir)
+    return search_feed(
+        posts, "body", FeedSpec(limit=20), rank_by="bm25", bm25_frames=frames
+    )
+
+
 EXTRA_BENCH = {
     "trigram_index_build": _bench_trigram_build,
     "search_substring_query": _bench_search_query,
+    "searchfeed_bm25_query": _bench_searchfeed_bm25_query,
 }
 
 

@@ -925,3 +925,24 @@ def test_audio_fingerprint_loudness_invariant_and_fallbacks(spark):
     assert out[1]["afp"] == out[2]["afp"]
     assert out[1]["afp"] != 0
     assert out[3]["ok"] is False and out[4]["ok"] is False
+
+
+def test_hamming_band_pigeonhole_property():
+    """The banded candidate rule is EXACT below n_bands: any two
+    56-bit hashes within Hamming distance n_bands-1 MUST share one of
+    the n_bands contiguous bands (pigeonhole). Deterministic sweep of
+    seeded flip patterns."""
+    import random
+
+    rnd = random.Random(11)
+    for _ in range(200):
+        h = rnd.getrandbits(56)
+        flips = rnd.sample(range(56), rnd.randint(0, 3))
+        h2 = h
+        for f in flips:
+            h2 ^= 1 << f
+        shares = any(
+            ((h >> (14 * b)) & 16383) == ((h2 >> (14 * b)) & 16383)
+            for b in range(4)
+        )
+        assert shares, (hex(h), flips)

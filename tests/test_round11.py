@@ -946,3 +946,25 @@ def test_hamming_band_pigeonhole_property():
             for b in range(4)
         )
         assert shares, (hex(h), flips)
+
+
+def test_pagerank_sink_and_hub_semantics(spark):
+    """A pure hub outranks the damped floor by exactly the hand-rolled
+    recurrence; no-in-edge nodes hold the floor; duplicate edges vote
+    once (the distinct guard)."""
+    from union_indexer_node_spark.pipelines.training import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3), (1, 3)],  # dup (1,3) must not double-vote
+        "src long, dst long",
+    )
+    out = {r["node"]: r["pr_q"] for r in
+           pagerank_quantized(edges, "src", "dst", iters=2).collect()}
+    floor = (15 * 1_000_000) // 100  # 150_000
+    assert out[1] == out[2] == out[4] == floor  # no in-edges
+    # iter1: in(3) = 3 * 1e6 -> PR1 = (15e6 + 85*3e6)//100 = 2_700_000
+    # iter2: senders hold the floor -> in(3) = 3 * 150_000
+    #        PR2 = (15e6 + 85*450_000)//100 = 532_500
+    assert out[3] == 532_500

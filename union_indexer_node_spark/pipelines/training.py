@@ -466,6 +466,93 @@ def cdc_chunks(
     )
 
 
+def pagerank_quantized(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-quantized PageRank over a directed edge set — the
+    centrality signal social/citation/link graphs feed into creator
+    ranking and crawl prioritization, as the iterative sibling of
+    ``connected_components`` (same bounded-iteration shape, same
+    unrolled-recurrence oracle pattern as k-means/BPE/unigram).
+
+    Every iteration is exact BIGINT arithmetic so any engine replays
+    it bit-for-bit (libm-free, summation-order-free):
+
+        PR_0(v)   = scale
+        PR_{i+1}(v) = ((100 - d) * scale
+                       + d * SUM over in-edges (PR_i(u) div outdeg(u)))
+                      div 100
+
+    Documented simplification vs textbook PageRank ("PageRank-lite",
+    the common ranking-signal variant): dangling-node mass is DROPPED
+    rather than redistributed, and there is no global normalization —
+    the ORDERING (what a ranking consumes) matches the damped walk;
+    absolute mass leaks through sinks. Nodes = src ∪ dst vertices;
+    duplicate edges count once (distinct) so a double-reported edge
+    cannot double-vote.
+
+    Scale shape per iteration: one broadcast-or-shuffle equi-join of
+    the rank vector to the edge list on src (the rank vector is
+    node-sized), one map-side-combining groupBy(dst), one left join
+    back to the node set for in-degree-0 nodes. No driver state at
+    all — the loop is data-independent (fixed ``iters``), so nothing
+    collects; localCheckpoint bounds lineage.
+    """
+    from ..pipelines.similarity import _free_local_checkpoint
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("_v"))
+        .unionByName(e.select(F.col("_d").alias("_v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od"))
+    d = damping_pct
+    pr = nodes.select("_v", F.lit(scale).cast("long").alias("_pr"))
+    pr = pr.localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["_s"] == pr["_v"])
+            .join(outdeg, "_s")
+            .select(
+                F.col("_d").alias("_v"),
+                F.expr("_pr div _od").alias("_c"),
+            )
+            .groupBy("_v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        nxt = (
+            nodes.join(contrib, "_v", "left")
+            .select(
+                "_v",
+                F.expr(
+                    f"(({100 - d}L * {scale}L)"
+                    f" + {d}L * coalesce(_in, 0L)) div 100"
+                )
+                .cast("long")
+                .alias("_pr"),
+            )
+            .localCheckpoint()
+        )
+        _free_local_checkpoint(pr)
+        pr = nxt
+    return pr.select(F.col("_v").alias("node"), F.col("_pr").alias("pr_q"))
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",

@@ -253,3 +253,38 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_rows, n_null, n_distinct)"
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit every
+    ingest cycle publishes before a training run re-cuts: per id,
+    status ∈ {added, removed, changed, unchanged} by content digest.
+    One full-outer join on the id with md5 digests compared (bytes
+    moved ∝ 32B/doc — the exact_dedup digest discipline, never the
+    text itself); deterministic in any engine.
+
+    Returns (id, status, old_hash, new_hash); hashes NULL on the
+    missing side. Downstream: `status != 'unchanged'` is the delta
+    that feeds bm25_index_merge / update_minhash_index /
+    merge_passage_counts — this operator produces the
+    incremental-maintenance inputs the index-update family consumes.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"), "old_hash", "new_hash")

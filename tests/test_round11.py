@@ -968,3 +968,29 @@ def test_pagerank_sink_and_hub_semantics(spark):
     # iter2: senders hold the floor -> in(3) = 3 * 150_000
     #        PR2 = (15e6 + 85*450_000)//100 = 532_500
     assert out[3] == 532_500
+
+
+def test_dedup_lines_within_doc_byte_preserving_first_kept(spark):
+    from union_indexer_node_spark.pipelines.curation import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Nav Row\nBody text here.\nnav row\nNav Row\nBody text here."),
+            (2, "only\none\nof\neach"),
+            (3, None),
+            (4, "  padded  \npadded\nother"),  # trim-identity: 2nd dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_lines_within_doc(docs, "text", "doc_id").collect()}
+    # first occurrences keep ORIGINAL bytes; 'nav row' (different case)
+    # is a different line
+    assert out[1]["cleaned_text"] == "Nav Row\nBody text here.\nnav row"
+    assert out[1]["n_removed_lines"] == 2
+    assert out[2]["cleaned_text"] == "only\none\nof\neach"
+    assert out[2]["n_removed_lines"] == 0
+    assert out[3]["cleaned_text"] == "" and out[3]["n_lines"] == 1
+    assert out[4]["cleaned_text"] == "  padded  \nother"  # raw bytes kept

@@ -288,3 +288,47 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"), "old_hash", "new_hash")
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Intra-document repeated-line removal — the C4 rule ("discard
+    all but one of any three-sentence span occurring more than once"
+    simplified to its per-line form, the variant most pipelines ship):
+    within each document, keep only the FIRST occurrence of every
+    line, where occurrence identity is the whitespace-trimmed line.
+    The corpus-level passage/span operators (dedup.py) handle
+    cross-document repetition; this is the within-page boilerplate
+    cut (repeated nav rows, duplicated paragraphs from bad extraction).
+
+    Byte-preserving by construction: surviving lines keep their
+    original bytes (only identity is computed on the trimmed form) and
+    re-join with the newline they were split on. Pure narrow HOFs —
+    split, positional filter via array_position (first index), join —
+    zero shuffle, zero UDF. NULL text normalizes to '' (the span-family
+    entry contract).
+
+    Returns (id, cleaned_text, n_lines, n_removed_lines).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col), F.split(t, "\n").alias("_ls")
+    ).select(
+        F.col(id_col),
+        "_ls",
+        F.transform(F.col("_ls"), lambda x: F.trim(x)).alias("_norm"),
+    )
+    kept = F.filter(
+        F.col("_ls"),
+        lambda x, i: F.array_position(
+            F.col("_norm"), F.element_at(F.col("_norm"), i + 1)
+        )
+        == i + 1,
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed_lines"),
+    )

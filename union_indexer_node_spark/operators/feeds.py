@@ -316,3 +316,60 @@ def leaderboard(profiles: DataFrame) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("username", "score", "rank")
     )
+
+
+def decayed_trending(
+    df: "DataFrame",
+    ts_col: str,
+    key_col: str,
+    *,
+    value_col: str | None = None,
+    half_life_days: int = 7,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """Half-life-decayed trending score per key — the recency-weighted
+    ranking the anchor-window trendingFeed approximates with a hard
+    cutoff: every row contributes value * 2^-(age / half_life), summed
+    per key, so yesterday's engagement outweighs last month's without
+    a cliff at the window edge.
+
+    Integer-exact quantization (the engine's no-float contract): age
+    quantizes to whole half-life units (datediff from the corpus max
+    timestamp — the same deterministic max-anchor as trending_feed,
+    one broadcast scalar join) and the contribution is
+    ``(v_q * scale) >> units`` with units clamped to 62 — a step
+    approximation of continuous exponential decay, monotone in age and
+    bit-identical cross-engine (shift = exact division by 2^units).
+    ``value_col`` quantizes via ROUND(v * 100) cents; None counts rows.
+
+    One scalar aggregate + one map-side-combining groupBy(key); no
+    window, no skew beyond the key distribution itself.
+
+    Returns (key, n_events, score_q) — rank by score_q DESC.
+    """
+    anchor = df.agg(F.max(ts_col).alias("_a"))
+    v_q = (
+        F.round(F.col(value_col) * 100, 0).cast("long")
+        if value_col is not None
+        else F.lit(100).cast("long")
+    )
+    units = F.least(
+        F.floor(
+            F.datediff(F.col("_a"), F.col(ts_col)) / half_life_days
+        ).cast("int"),
+        F.lit(62),
+    )
+    # SQL-form shiftright: the Python builtin only takes literal bits
+    keyed = (
+        df.join(F.broadcast(anchor))
+        .select(
+            F.col(key_col),
+            (v_q * scale).alias("_vq"),
+            units.alias("_u"),
+        )
+        .select(F.col(key_col), F.expr("shiftright(_vq, _u)").alias("_c"))
+    )
+    return keyed.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_c").cast("long").alias("score_q"),
+    )

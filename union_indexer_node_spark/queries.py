@@ -71,8 +71,8 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 162 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 17) and a
+# with 163 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 18) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -141,6 +141,9 @@ _DEPRIORITIZED = [
     "stream_bm25_index_incremental",  # BORN IN TAIL (r11); r12
     #    tranche — bm25_index_merge folded per micro-batch in
     #    foreachBatch (order-independent fixture, stale-leak-sensitive)
+    "feeds_decayed_trending",  # BORN IN TAIL (r11); r12 tranche —
+    #    half-life-decayed trending (integer shifted contributions),
+    #    the cliff-free sibling of the max-anchored window
     # ------------------------------------------------------------------
     # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
     # r6-stale entries + all 10 r10 born-in-tail entries + the two r10
@@ -162,13 +165,14 @@ _DEPRIORITIZED = [
     # r12 ROTATION TRANCHE (scheduled): the r7-era staleness backlog —
     # last driver-green r7, hitting the ~4-round bound at r12 exactly.
     # Rotate ALL 19 of them in next round PLUS the
-    # 13 r11 born-in-tail entries above (text_unigram_encode, text_unicode_scrub,
+    # 14 r11 born-in-tail entries above (text_unigram_encode, text_unicode_scrub,
     # search_bm25_index_incremental, sim_ivfpq_search,
     # text_gopher_quality_gate, pipeline_ccnet_buckets,
     # training_contamination_report, multimodal_dhash_near_dup,
     # multimodal_audio_fingerprint, graph_pagerank_quantized,
     # pipeline_corpus_diff, curation_dedup_lines_within_doc,
-    # stream_bm25_index_incremental) — 32 mandatory
+    # stream_bm25_index_incremental, feeds_decayed_trending)
+    # — 33 mandatory
     # swaps, funded by the 25 r11 re-entries that will then be
     # multiply-green (plus the 8 formerly-single entries,
     # multiply-green after r11).

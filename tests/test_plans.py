@@ -367,6 +367,9 @@ _BNLJ_ALLOWED = {
     # r11: the two 1-row scalar broadcasts (percentile thresholds onto
     # the scored frame, the dsir exact-quantile-gate pattern)
     "pipeline_ccnet_buckets": 2,
+    # r11: the 1-row max-timestamp anchor broadcast (the trending_feed
+    # anchor pattern)
+    "feeds_decayed_trending": 1,
 }
 
 

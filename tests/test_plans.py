@@ -368,8 +368,9 @@ _BNLJ_ALLOWED = {
     # the scored frame, the dsir exact-quantile-gate pattern)
     "pipeline_ccnet_buckets": 2,
     # r11: the 1-row max-timestamp anchor broadcast (the trending_feed
-    # anchor pattern)
-    "feeds_decayed_trending": 1,
+    # anchor pattern; _plan dumps sparkPlan + executedPlan, so one join
+    # counts twice — same accounting as every entry above)
+    "feeds_decayed_trending": 2,
 }
 
 

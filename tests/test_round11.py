@@ -886,7 +886,7 @@ def test_dhash_near_dup_counts_classes_and_hamming(spark):
         "id long, dhash long",
     )
     out = {r["id"]: r["n_near_dups"] for r in
-           dhash_near_dup_counts(hashes).collect()}
+           dhash_near_dup_counts(hashes, ok_col=None).collect()}
     assert out[1] == out[2] == out[3] == 3  # 2 twins + the B image
     assert out[4] == 3                       # the three A images
     assert out[5] == 0

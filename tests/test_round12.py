@@ -1,0 +1,298 @@
+"""Round 12: ADVICE/VERDICT r11 fixes.
+
+- follows-stream tombstone compaction: a touched bucket whose merged
+  output becomes EMPTY must be deleted on disk (dynamic partition
+  overwrite skips empty partitions — the stale pre-merge bucket would
+  resurrect beaten follows).
+- dhash_near_dup_counts: ok=false sentinel filtering + hot-bucket cap
+  (the semantic_dup_flags cap ported to the Hamming-LSH path) +
+  dhash_bucket_stats audit.
+- search_feed BM25 arm: corpus stats scoped to the searchable subset;
+  k-boundary ties resolve by the advertised (created_at, permlink).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# follows stream: empty-bucket compaction (ADVICE r11, medium)
+# ---------------------------------------------------------------------------
+
+_OPS_SCHEMA = (
+    "block_height long, block_timestamp timestamp, tx_idx int, op_idx int, "
+    "op_type string, custom_json_id string, custom_json string, "
+    "required_posting_auths array<string>"
+)
+
+
+def _follow_op(height, follower, following, what):
+    return (
+        height,
+        datetime.datetime(2024, 1, 1, 0, 0, int(height % 60)),
+        0,
+        0,
+        "custom_json",
+        "follow",
+        json.dumps({"follower": follower, "following": following, "what": what}),
+        [follower],
+    )
+
+
+def test_compacted_empty_bucket_is_deleted_not_resurrected(spark, tmp_path):
+    """A live follow's bucket is rewritten by a catch-up batch whose
+    ONLY row for that bucket is an unfollow below high_wm: _compact
+    drops the tombstone, the bucket's merged output is empty, dynamic
+    overwrite skips it — the on-disk pre-merge follow must be rmtree'd
+    or the unfollow is silently lost."""
+    from union_indexer_node_spark.streaming.stream import (
+        follows_view,
+        ops_file_stream,
+        start_follows_stream,
+    )
+
+    n_buckets = 64
+    # the hazard needs the unfollowed edge and the head-advancing edge
+    # in DIFFERENT buckets (else the bucket is non-empty and rewritten)
+    assert (
+        zlib.crc32(b"hive-u-v") % n_buckets
+        != zlib.crc32(b"hive-a-b") % n_buckets
+    )
+    ops_dir = str(tmp_path / "ops")
+    batches = [
+        [_follow_op(100, "u", "v", ["blog"])],  # live edge in state
+        # catch-up batch: unfollow at 200 (< high_wm = 5000-1000) plus
+        # a fresh follow at 5000 in another bucket
+        [
+            _follow_op(200, "u", "v", []),
+            _follow_op(5000, "a", "b", ["blog"]),
+        ],
+    ]
+    schema = None
+    for rows in batches:
+        df = spark.createDataFrame(rows, _OPS_SCHEMA)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(ops_dir)
+    state = str(tmp_path / "state")
+    sq = start_follows_stream(
+        spark,
+        ops_file_stream(spark, ops_dir, schema, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+        n_buckets=n_buckets,
+        tombstone_watermark_blocks=1000,
+    )
+    sq.awaitTermination(300)
+    snap = spark.read.parquet(state)
+    live = {r["_id"] for r in follows_view(snap).collect()}
+    # the unfollow must win even though its tombstone was compacted
+    assert live == {"hive-a-b"}
+
+
+# ---------------------------------------------------------------------------
+# dhash_near_dup_counts: ok filter + bucket cap + audit (VERDICT r11 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_ok_false_sentinels_do_not_inflate_counts(spark):
+    """Undecodable blobs (ok=false, hash 0) must not form a duplicate
+    class or band-match real hashes near 0."""
+    from union_indexer_node_spark.pipelines.multimodal import (
+        dhash_near_dup_counts,
+    )
+
+    a = 0b1010101010101010
+    hashes = spark.createDataFrame(
+        [(1, a, True), (2, a, True), (3, 0, False), (4, 0, False),
+         (5, 1, True)],  # hash 1: bands match sentinel 0's high bands
+        "id long, dhash long, ok boolean",
+    )
+    rows = dhash_near_dup_counts(hashes).collect()
+    out = {r["id"]: r["n_near_dups"] for r in rows}
+    assert out[1] == out[2] == 1  # each other, not the sentinels
+    assert out[5] == 0            # no sentinel partners
+    assert 3 not in out and 4 not in out  # sentinel rows dropped
+
+
+def test_missing_ok_column_raises(spark):
+    from union_indexer_node_spark.pipelines.multimodal import (
+        dhash_near_dup_counts,
+    )
+
+    hashes = spark.createDataFrame([(1, 5)], "id long, dhash long")
+    with pytest.raises(ValueError, match="ok_col"):
+        dhash_near_dup_counts(hashes).collect()
+
+
+def test_bucket_cap_drops_hot_bucket_pairs_and_audit_reports_mass(spark):
+    """Five distinct signatures differing only in bits outside band 0
+    share the (0, bv) bucket; cap=4 drops that bucket's pairs, and the
+    far pair (only reachable through the hot bucket) disappears while
+    near pairs survive via their other shared bands. The audit
+    histogram reports the over-cap bucket with its row mass."""
+    from union_indexer_node_spark.pipelines.multimodal import (
+        dhash_bucket_stats,
+        dhash_near_dup_counts,
+    )
+
+    # 16-bit hashes, 4 bands of 4 bits; band 0 = low nibble, value 0xA
+    base = 0x000A
+    # flip bits in band 3 (bits 12..15) only: all share bands 0,1,2
+    sigs = [base | (i << 12) for i in range(5)]
+    rows = [(i + 1, s, True) for i, s in enumerate(sigs)]
+    hashes = spark.createDataFrame(rows, "id long, dhash long, ok boolean")
+
+    kw = dict(hash_col="dhash", bits=16, n_bands=4)
+    uncapped = {
+        r["id"]: r["n_near_dups"]
+        for r in dhash_near_dup_counts(
+            hashes, max_hamming=2, **kw
+        ).collect()
+    }
+    # every pair differs by <= 2 bits (two nibble-bit flips) except
+    # (0b0011, 0b0100)-style 3-bit flips; with max_hamming=2 most
+    # verify — just assert some mass exists uncapped
+    assert any(v > 0 for v in uncapped.values())
+
+    capped = {
+        r["id"]: r["n_near_dups"]
+        for r in dhash_near_dup_counts(
+            hashes, max_hamming=2, bucket_cap=4, **kw
+        ).collect()
+    }
+    # bands 0,1,2 buckets each hold all 5 sigs -> over cap 4 -> dropped;
+    # band 3 values are all distinct -> no candidates at all
+    assert all(v == 0 for v in capped.values())
+
+    stats = dhash_bucket_stats(hashes, bits=16, n_bands=4).collect()
+    over = [r for r in stats if r["n_members"] > 4]
+    assert {(r["bi"]) for r in over} == {0, 1, 2}
+    assert all(r["n_rows"] == 5 for r in over)
+
+
+def test_bucket_cap_noop_when_buckets_small(spark):
+    """Cap far above bucket sizes must be byte-identical to uncapped
+    (the registry entries pass cap=64 over <=5-member buckets)."""
+    from union_indexer_node_spark.pipelines.multimodal import (
+        dhash_near_dup_counts,
+    )
+
+    a = 0b1010101010101010
+    b = a ^ 0b11
+    c = (1 << 55) - 1
+    hashes = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b), (5, c)], "id long, dhash long"
+    )
+    plain = sorted(
+        map(tuple, dhash_near_dup_counts(hashes, ok_col=None).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            dhash_near_dup_counts(
+                hashes, ok_col=None, bucket_cap=64
+            ).collect(),
+        )
+    )
+    assert plain == capped
+
+
+# ---------------------------------------------------------------------------
+# search_feed BM25 arm: subset-scoped stats + advertised tiebreak
+# ---------------------------------------------------------------------------
+
+
+def _posts(spark, rows):
+    base_cols = (
+        "author string, permlink string, title string, "
+        "created_at timestamp, body string, parent_author string, "
+        "parent_permlink string, app_name string, num_votes int"
+    )
+    return (
+        spark.createDataFrame(rows, base_cols)
+        .withColumn("flags", F.lit(None).cast("array<string>"))
+        .withColumn("TYPE", F.lit("HIVE"))
+    )
+
+
+def test_bm25_stats_scope_to_searchable_subset(spark):
+    """A filtered-out doc must not contribute to N/total_dl/avgdl: two
+    surviving docs with equal tf but different lengths rank by length
+    regardless of a giant excluded doc skewing avgdl."""
+    from union_indexer_node_spark.operators.feeds import FeedSpec, search_feed
+    from union_indexer_node_spark.pipelines.search import bm25_index, bm25_topk
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        ("a1", "p1", "t", base, "spark spark " + "x " * 50,
+         "", "", "keep", 0),
+        ("a2", "p2", "t", base, "spark spark y", "", "", "keep", 0),
+        # excluded by the byApp filter; enormous dl
+        ("a3", "p3", "t", base, "spark " + "z " * 5000, "", "", "drop", 0),
+    ]
+    posts = _posts(spark, rows)
+    spec = FeedSpec(where={"byApp": {"_eq": "keep"}}, limit=10)
+    got = search_feed(posts, "spark", spec, rank_by="bm25").collect()
+    assert [r["permlink"] for r in got] == ["p2", "p1"]
+
+    # and the scoring stats equal a from-scratch index over ONLY the
+    # subset (the docstring's claim, now true for doclens too)
+    subset = posts.filter(F.col("app_name") == "keep").withColumn(
+        "_key", F.concat_ws("/", "author", "permlink")
+    )
+    postings, doclens = bm25_index(subset, "body", "_key")
+    want = {
+        r["_key"]: r["score"]
+        for r in bm25_topk(
+            postings, doclens, "_key", ["spark"], k=None, quantized=False
+        ).collect()
+    }
+    full = posts.withColumn("_key", F.concat_ws("/", "author", "permlink"))
+    fp, fd = bm25_index(full, "body", "_key")
+    keys = subset.select("_key")
+    got_scores = {
+        r["_key"]: r["score"]
+        for r in bm25_topk(
+            fp.join(keys, "_key", "left_semi"),
+            fd.join(keys, "_key", "left_semi"),
+            "_key",
+            ["spark"],
+            k=None,
+            quantized=False,
+        ).collect()
+    }
+    assert got_scores == want
+
+
+def test_bm25_boundary_tie_resolves_by_created_at(spark):
+    """Docs with IDENTICAL bodies score identically; at limit=1 the
+    page must contain the newest one (advertised created_at DESC
+    tiebreak), not the lexicographically-smallest key."""
+    from union_indexer_node_spark.operators.feeds import FeedSpec, search_feed
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        # key 'a1/p1' sorts before 'z9/p9' — the old k-cut inside
+        # bm25_topk would keep a1/p1; advertised order wants z9/p9
+        ("a1", "p1", "t", base, "spark words here", "", "", "app", 0),
+        ("z9", "p9", "t", base.replace(day=9), "spark words here",
+         "", "", "app", 0),
+        ("m5", "p5", "t", base.replace(day=5), "spark words here",
+         "", "", "app", 0),
+    ]
+    posts = _posts(spark, rows)
+    got = search_feed(
+        posts, "spark", FeedSpec(limit=1), rank_by="bm25"
+    ).collect()
+    assert [(r["author"], r["permlink"]) for r in got] == [("z9", "p9")]
+    # and pagination walks the same advertised order
+    page2 = search_feed(
+        posts, "spark", FeedSpec(limit=1, skip=1), rank_by="bm25"
+    ).collect()
+    assert [(r["author"], r["permlink"]) for r in page2] == [("m5", "p5")]

@@ -191,12 +191,16 @@ def search_feed(
         else:
             postings, doclens = bm25_frames
         keys = keyed.select("_key")
+        # BOTH frames narrow to the filter-passing keys (ADVICE r11):
+        # with postings-only narrowing, df is subset-scoped while
+        # N/total_dl/avgdl stay corpus-level — mixed stats populations.
         scored = bm25_topk(
             postings.join(keys, "_key", "left_semi"),
-            doclens,
+            doclens.join(keys, "_key", "left_semi"),
             "_key",
             terms,
-            k=spec.skip + spec.limit,
+            k=None,  # cut AFTER the join so boundary ties resolve by
+            #          the advertised (created_at, permlink) order
             quantized=False,
         )
         out = (

@@ -583,6 +583,8 @@ def dhash_near_dup_counts(
     max_hamming: int = 4,
     n_bands: int = 4,
     bits: int = 56,
+    bucket_cap: int | None = None,
+    ok_col: str | None = "ok",
 ) -> DataFrame:
     """Per-image near-duplicate mass under Hamming distance over the
     dHash signatures — image dedup joined to the text-dedup playbook:
@@ -605,13 +607,47 @@ def dhash_near_dup_counts(
     Returns (id, dhash, n_near_dups): for each image, how many OTHER
     images lie within max_hamming (same-signature twins counted via
     class size). Shuffles touch distinct signatures only.
+
+    ``ok_col`` (default "ok", the column dhash_images /
+    audio_fingerprints emit): rows where it is false are DROPPED before
+    anything else — undecodable blobs carry the sentinel hash 0, and
+    left in they would form one giant exact-duplicate class (and
+    band-match real hashes near 0), inflating every count. Pass
+    ``ok_col=None`` only for inputs that are all decodable by
+    construction; a named column that is absent raises (silently
+    skipping the guard is how the sentinel class sneaks back in).
+
+    ``bucket_cap`` guards the one quadratic hazard (the
+    semantic_dup_flags cap, ported): the distinct-signature
+    pre-collapse bounds exact twins, but a corpus with millions of
+    DISTINCT low-gradient hashes sharing a band value (all-black
+    thumbnails, silence-heavy clips) still goes m·(m-1)/2 in that
+    (bi, bv) bucket. Buckets with more than ``bucket_cap`` distinct
+    signatures are dropped from candidate generation — a documented
+    recall trade, never silent: audit with ``dhash_bucket_stats``
+    before choosing the cap (an over-cap bucket is a near-certain
+    duplicate cluster; route its members to exact dedup instead).
+    Default ``None`` (no cap) keeps the library behavior explicit at
+    call sites, exactly like semantic_dup_flags. The member-count
+    window shuffles on the same (bi, bv) key the self-join needs, so
+    both join sides reuse the windowed exchange.
     """
+    from pyspark.sql import Window
+
     if bits % n_bands:
         raise ValueError(
             f"bits ({bits}) must divide evenly into n_bands ({n_bands}): "
             "a remainder would leave the top bits out of every band and "
             "silently shrink candidate recall"
         )
+    if ok_col is not None:
+        if ok_col not in hashes.columns:
+            raise ValueError(
+                f"ok_col {ok_col!r} not in input (columns: "
+                f"{hashes.columns}); pass ok_col=None only when every "
+                "row is decodable by construction"
+            )
+        hashes = hashes.filter(F.col(ok_col))
     classes = (
         hashes.groupBy(F.col(hash_col).alias("_h"))
         .agg(F.count(F.lit(1)).cast("long").alias("_csz"))
@@ -635,6 +671,13 @@ def dhash_near_dup_counts(
             )
         ).alias("_b"),
     ).select("_h", F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv"))
+    if bucket_cap is not None:
+        wb = Window.partitionBy("bi", "bv")
+        bands = (
+            bands.withColumn("_m", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_m") <= bucket_cap)
+            .drop("_m")
+        )
     cand = (
         bands.alias("a")
         .join(
@@ -678,6 +721,57 @@ def dhash_near_dup_counts(
     return hashes.select(F.col(id_col), F.col(hash_col)).join(
         mass, F.col(hash_col) == F.col("_h")
     ).select(F.col(id_col), F.col(hash_col), "n_near_dups")
+
+
+def dhash_bucket_stats(
+    hashes: DataFrame,
+    *,
+    hash_col: str = "dhash",
+    n_bands: int = 4,
+    bits: int = 56,
+    ok_col: str | None = "ok",
+) -> DataFrame:
+    """(bi, bv, n_members, n_rows) histogram of dhash_near_dup_counts'
+    candidate buckets — the semantic_bucket_stats analog for the
+    Hamming-LSH path. ``n_members`` counts DISTINCT signatures (the
+    join's pair driver: a ``bucket_cap`` c drops Σ over buckets with
+    n_members > c of n·(n-1)/2 candidate pairs); ``n_rows`` is the
+    underlying image/clip mass those signatures carry (what the
+    dropped pairs would have counted). Run before choosing the cap and
+    log the over-cap mass; same banding + ok-filter semantics as the
+    counter so the histogram describes exactly the join it audits."""
+    if bits % n_bands:
+        raise ValueError(f"bits ({bits}) must divide into n_bands ({n_bands})")
+    if ok_col is not None:
+        if ok_col not in hashes.columns:
+            raise ValueError(f"ok_col {ok_col!r} not in input")
+        hashes = hashes.filter(F.col(ok_col))
+    classes = hashes.groupBy(F.col(hash_col).alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("_csz")
+    )
+    band_w = bits // n_bands
+    mask = (1 << band_w) - 1
+    bands = classes.select(
+        "_h",
+        "_csz",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("_h"), i * band_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_csz", F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv"))
+    return bands.groupBy("bi", "bv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_csz").cast("long").alias("n_rows"),
+    )
 
 
 def _byte_budget_partitions(

@@ -231,12 +231,18 @@ def bm25_topk(
     id_col: str,
     terms: list[str],
     *,
-    k: int = 10,
+    k: int | None = 10,
     k1_pct: int = 120,
     b_pct: int = 75,
     quantized: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k over a term-frequency posting table.
+
+    ``k=None`` returns ALL matching docs scored (no cut): callers whose
+    advertised tie order involves columns this table does not carry
+    (e.g. search_feed's created_at/permlink) apply their own
+    TakeOrderedAndProject after joining — the k-boundary tie is then
+    resolved by the caller's order, not this function's (score, id).
 
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))
     with k1 = k1_pct/100, b = b_pct/100.
@@ -306,9 +312,8 @@ def bm25_topk(
             scored.groupBy(id_col)
             .agg(F.sum("_ts").cast("long").alias("score_q"))
             .orderBy(F.col("score_q").desc(), F.col(id_col))
-            .limit(k)
         )
-        return out
+        return out if k is None else out.limit(k)
     k1 = k1_pct / 100.0
     b = b_pct / 100.0
     idf = F.log(
@@ -324,12 +329,12 @@ def bm25_topk(
         F.col(id_col),
         (idf * F.col("tf") * F.lit(k1 + 1.0) / den).alias("_ts"),
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(F.round(F.sum("_ts"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
     )
+    return out if k is None else out.limit(k)
 
 
 # ---------------------------------------------------------------------------

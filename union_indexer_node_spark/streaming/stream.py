@@ -25,6 +25,7 @@ Reference behaviors and their Spark counterparts (SURVEY §2.9):
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -305,6 +306,20 @@ def start_follows_stream(
             .partitionBy("_bucket")
             .parquet(state_dir)
         )
+        # Dynamic partition overwrite skips buckets whose merged output
+        # is EMPTY (e.g. _compact dropped a bucket's only rows when a
+        # catch-up batch's unfollow fell below high_wm) — the pre-merge
+        # bucket would survive on disk and resurrect beaten follows.
+        # Mirror the posts stream's surviving/rmtree loop.
+        surviving = {
+            r[0] for r in merged.select("_bucket").distinct().collect()
+        }
+        for b in touched:
+            if b not in surviving:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"_bucket={b}"),
+                    ignore_errors=True,
+                )
 
     return (
         ops_stream.writeStream.foreachBatch(process_batch)

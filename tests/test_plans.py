@@ -371,6 +371,9 @@ _BNLJ_ALLOWED = {
     # anchor pattern; _plan dumps sparkPlan + executedPlan, so one join
     # counts twice — same accounting as every entry above)
     "feeds_decayed_trending": 2,
+    # r12: the 1-row exact-count companion attached to the 1-row KMV
+    # estimate (scalar pattern; dual plan dump counts it twice)
+    "a_approx_distinct_users": 2,
 }
 
 

@@ -296,3 +296,50 @@ def test_bm25_boundary_tie_resolves_by_created_at(spark):
         posts, "spark", FeedSpec(limit=1, skip=1), rank_by="bm25"
     ).collect()
     assert [(r["author"], r["permlink"]) for r in page2] == [("m5", "p5")]
+
+
+# ---------------------------------------------------------------------------
+# global KMV sketch (VERDICT r11 #4: a_approx_distinct_users upgrade)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_global_two_level_equals_single_group(spark):
+    """The two-level truncation (per-residue-bucket rank, then a
+    bounded global rank) must produce the IDENTICAL sketch to ranking
+    everything through one constant group — level 1 never evicts a
+    global k-smallest survivor (pigeonhole on ranks)."""
+    from union_indexer_node_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_sketch_global,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 700).alias("user_id")  # 700 distinct, dups too
+    )
+    k = 16
+    via_global = kmv_sketch_global(df, "user_id", k=k, prebuckets=8)
+    via_const = kmv_sketch(
+        df.withColumn("_g", F.lit(1)), ["_g"], "user_id", k=k
+    ).select("_h", "_r")
+    assert sorted(map(tuple, via_global.collect())) == sorted(
+        map(tuple, via_const.collect())
+    )
+    est = kmv_estimate(via_global, [], k=k).collect()[0]
+    assert est["sketch_size"] == k
+    # 700 distinct, k=16 -> estimate within ~3x (loose sanity; the
+    # oracle entry pins the exact integer value)
+    assert 200 < est["n_distinct_est"] < 2100
+
+
+def test_kmv_global_underfull_is_exact(spark):
+    from union_indexer_node_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch_global,
+    )
+
+    df = spark.range(0, 50).select((F.col("id") % 7).alias("user_id"))
+    est = kmv_estimate(
+        kmv_sketch_global(df, "user_id", k=64), [], k=64
+    ).collect()[0]
+    assert est["n_distinct_est"] == 7 and est["sketch_size"] == 7

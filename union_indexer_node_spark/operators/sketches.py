@@ -4,8 +4,10 @@ The reference serves a handful of distinct-count surfaces (tag and
 author distincts under A2/A3) and Spark's own approx_count_distinct
 covers the HLL++ use case — but an HLL sketch can never be
 oracle-checked (engine sketch encodings differ), which is why the
-registry's `a_approx_distinct_users` entry is a permanent rows-only
-check. KMV is the classic alternative from the same family (Bar-Yossef
+registry's `a_approx_distinct_users` entry was a rows-only check until
+round 12 replaced its estimator with the global KMV below (the
+registry now carries zero permanently-unhashed entries — VERDICT r11
+item 4). KMV is the classic alternative from the same family (Bar-Yossef
 et al., "Counting distinct elements in a data stream"): keep the k
 smallest values of a uniform hash of the keys; estimate cardinality as
 (k-1)/u_k where u_k is the k-th smallest hash normalized to (0, 1].
@@ -111,4 +113,33 @@ def kmv_distinct(
     """One-shot sketch + estimate (the common call)."""
     return kmv_estimate(
         kmv_sketch(df, group_cols, key_col, k=k), group_cols, k=k
+    )
+
+
+def kmv_sketch_global(
+    df: DataFrame, key_col: str, *, k: int = 256, prebuckets: int = 64
+) -> DataFrame:
+    """UNGROUPED corpus-wide KMV sketch without the global-window
+    hazard. `kmv_sketch` with a constant group would rank every
+    distinct hash through ONE reducer — fine per group, a single-task
+    wall at 100 TB where distinct users alone are billions. Two-level
+    truncation instead: (1) rank within `prebuckets` hash-residue
+    buckets (distinct hashes spread over `prebuckets` reducers, ≤ k
+    survivors each — any hash among the global k smallest has < k
+    smaller hashes globally, hence < k smaller in its own bucket, so
+    level 1 never evicts a global survivor); (2) a final global rank
+    over the ≤ prebuckets·k survivors — bounded rows by construction,
+    the same justification as search.with_rank. Feed the result to
+    `kmv_estimate(sketch, [], k=k)`."""
+    hashes = df.select(kmv_hash(F.col(key_col)).alias("_h")).distinct()
+    wb = Window.partitionBy("_b").orderBy("_h")
+    pre = (
+        hashes.withColumn("_b", F.pmod(F.col("_h"), F.lit(prebuckets)))
+        .withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= k)
+        .select("_h")
+    )
+    w = Window.orderBy("_h")
+    return pre.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
     )

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 163 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 18) and a
-# 50-slot window, the
+# with 165 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 18 and
+# queries_r12's 2) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -93,122 +93,38 @@ def q(name: str, oracle: str | None):
 # (setop_intersect_except / lineitem_unpivot_measures stay in-window).
 # The r11 tranche is pre-named at the top of the list below.
 _DEPRIORITIZED = [
-    "a_approx_distinct_users",  # permanent tail: rows-only either way
-    #    (HLL sketches differ per engine), so a window slot buys no
-    #    hash signal
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r11): entries added after the r11 window was
-    # finalized at 50. Enter with the r12 tranche below. Locally
+    # ROUND 12 ROTATION — EXECUTED. The plan written in r11 (19 r7-era
+    # stale entries + all 14 r11 born-in-tail entries, 33 mandatory
+    # swaps) is IN THE WINDOW this round: all 33 names were removed
+    # from this list, plus a_approx_distinct_users (upgraded this
+    # round to the oracle-hashed global-KMV estimator — never
+    # driver-green WITH a hash, so scheduled like a never-seen entry)
+    # and pipeline_diff_bm25_chain (born in-window r12: the
+    # corpus_diff -> bm25_index_merge end-to-end chain, VERDICT r11
+    # item 7) — 35 rotate-ins total. The 14 entries that were
+    # single-green (r11-only) all STAY in-window to become
+    # multiply-green: training_negative_sample, a_approx_distinct_kmv,
+    # layout_zorder_key, training_dsir_resample,
+    # dedup_keep_best_quality, training_temperature_resample,
+    # text_bpe_encode, search_bm25_topk, search_rrf_fusion,
+    # sim_mmr_rerank, multimodal_media_probe, sim_ivf_pq_adc,
+    # text_unigram_lm_train, dedup_remove_duplicate_spans_maximal.
+    # ingest_follows_families (green r8-r11) also stays: it is the
+    # only ingest-dispatch anchor and the follows code path changed
+    # this round (empty-bucket tombstone compaction). The 35 slots are
+    # funded by the rotate-outs in the "rotated out in ROUND 12"
+    # section at the end — every one multiply driver-green (r11 plus
+    # at least one earlier round) with a family sibling noted inline.
+    # ------------------------------------------------------------------
+    # BORN IN TAIL (r12): entries added after the r12 window was
+    # finalized at 50. Enter with the r13 tranche. Locally
     # oracle-tested like every tail entry.
     # ------------------------------------------------------------------
-    "text_unigram_encode",  # BORN IN TAIL (r11); r12 tranche — the
-    #    encode half of the unigram loop (train 2 iters, then
-    #    Viterbi-price every doc via the word->piece-count join); the
-    #    trainer arm text_unigram_lm_train is in-window r11
-    "text_unicode_scrub",  # BORN IN TAIL (r11); r12 tranche — the
-    #    ingest pre-scrub that discharges the token_pieces/tokens
-    #    divergence + \x01-sentinel caveats (ADVICE r10); the entry
-    #    pins tokenizations_agree uniformly true on scrubbed text
-    "search_bm25_index_incremental",  # BORN IN TAIL (r11); r12
-    #    tranche — anti-join-and-append posting-table maintenance;
-    #    oracle = fresh rebuild of the current corpus
-    "sim_ivfpq_search",  # BORN IN TAIL (r11); r12 tranche — composed
-    #    IVF coarse prune + per-cell residual ADC (partition-pruning
-    #    story); sibling of sim_ivf_pq_adc (in-window r11)
-    "text_gopher_quality_gate",  # BORN IN TAIL (r11); r12 tranche —
-    #    the Rae et al. rule set, integer-quantized, fail_mask audit
-    "pipeline_ccnet_buckets",  # BORN IN TAIL (r11); r12 tranche —
-    #    head/middle/tail at exact char-LM score quantiles (oracle
-    #    wraps text_lm_quality_score's verbatim)
-    "training_contamination_report",  # BORN IN TAIL (r11); r12
-    #    tranche — per-benchmark overlap breakdown (sizes + docs-hit +
-    #    gram-hit pairs, zero-hit benchmarks kept)
-    "multimodal_dhash_near_dup",  # BORN IN TAIL (r11); r12 tranche —
-    #    perceptual image near-dup: codec-free dHash over PPM pixels,
-    #    distinct-hash pre-collapse, Hamming-LSH bands, bit_count verify
-    "multimodal_audio_fingerprint",  # BORN IN TAIL (r11); r12 tranche
-    #    — PCM energy-envelope fingerprints through the same
-    #    Hamming-LSH counter (real 8-bit PCM payloads, codec-free)
-    "graph_pagerank_quantized",  # BORN IN TAIL (r11); r12 tranche —
-    #    integer damped PageRank, the centrality sibling of cc;
-    #    2-iteration unrolled oracle
-    "pipeline_corpus_diff",  # BORN IN TAIL (r11); r12 tranche —
-    #    snapshot diff by content digest (added/removed/changed/
-    #    unchanged); produces the delta the index-maintenance family eats
-    "curation_dedup_lines_within_doc",  # BORN IN TAIL (r11); r12
-    #    tranche — C4 intra-page repeated-line removal (first
-    #    occurrence kept, byte-preserving, pure HOFs)
-    "stream_bm25_index_incremental",  # BORN IN TAIL (r11); r12
-    #    tranche — bm25_index_merge folded per micro-batch in
-    #    foreachBatch (order-independent fixture, stale-leak-sensitive)
-    "feeds_decayed_trending",  # BORN IN TAIL (r11); r12 tranche —
-    #    half-life-decayed trending (integer shifted contributions),
-    #    the cliff-free sibling of the max-anchored window
-    # ------------------------------------------------------------------
-    # ROUND 11 ROTATION — EXECUTED. The plan written in r10 (13 named
-    # r6-stale entries + all 10 r10 born-in-tail entries + the two r10
-    # rotate-outs dedup_shared_passages / training_hash_split) is IN
-    # THE WINDOW this round: all 25 names were removed from this list.
-    # Four entries born in-window this round (text_unigram_lm_train,
-    # sim_ivf_pq_adc, multimodal_media_probe,
-    # dedup_remove_duplicate_spans_maximal) complete the 50. The 29
-    # slots are funded by the rotate-outs below (see the "rotated out
-    # in round 11" section) — every one multiply driver-green with its
-    # operator family still in-window, noted inline. The 8 entries
-    # that were single-green (r10-only) all STAY in-window to become
-    # multiply-green: stream_passage_counts_incremental,
-    # training_bloom_decontaminate, training_cdc_chunks,
-    # dedup_remove_repeated_passages, dedup_remove_duplicate_spans,
-    # dedup_cross_source_overlap, text_bpe_train_merges,
-    # text_quality_classifier.
-    # ------------------------------------------------------------------
-    # r12 ROTATION TRANCHE (scheduled): the r7-era staleness backlog —
-    # last driver-green r7, hitting the ~4-round bound at r12 exactly.
-    # Rotate ALL 19 of them in next round PLUS the
-    # 14 r11 born-in-tail entries above (text_unigram_encode, text_unicode_scrub,
-    # search_bm25_index_incremental, sim_ivfpq_search,
-    # text_gopher_quality_gate, pipeline_ccnet_buckets,
-    # training_contamination_report, multimodal_dhash_near_dup,
-    # multimodal_audio_fingerprint, graph_pagerank_quantized,
-    # pipeline_corpus_diff, curation_dedup_lines_within_doc,
-    # stream_bm25_index_incremental, feeds_decayed_trending)
-    # — 33 mandatory
-    # swaps, funded by the 25 r11 re-entries that will then be
-    # multiply-green (plus the 8 formerly-single entries,
-    # multiply-green after r11).
-    # ------------------------------------------------------------------
-    "f4_regex_filter",  # r12 tranche; green r1-r3+r7; rlike predicate shape
-    "a2_distinct_authors_of_app",  # r12 tranche; green r1-r3+r7
-    "x1_json_props_extract",  # r12 tranche; green r1-r3+r7; JSON parse
-    #    via x16 family
-    "x2_detect_post_type",  # r12 tranche; green r1-r3+r7; allowlist
-    #    feeds j9 closure
-    "j2_parent_post_join",  # r12 tranche; green r1-r3+r7; parent-join
-    #    (left outer) shape via tpch_q13 family
-    "j7_follows_overview",  # r12 tranche; green r1-r3+r7; follows family
-    #    via ingest_follows_families (in-window)
-    "a5_score_zeroing",  # r12 tranche; green r3-r7; superset arm of a5
-    "dedup_embedding_neardup",  # r12 tranche; green r1+r3-r7; band join
-    #    via dedup_semantic_flags family
-    "text_language_id_ngram",  # r12 tranche; green r3-r7; trigram scoring
-    "text_vocab_topk_per_source",  # r12 tranche; green r4-r7; per-group
-    #    top-k via tfidf family
-    "sample_stratified",  # r12 tranche; green r4-r7; md5-rank via
-    #    training_hash_split (in-window r11)
-    "x21_index_incremental_update",  # r12 tranche; green r4-r7; search
-    #    family via search_substring_trigram (in-window); incremental
-    #    shape via dedup_lsh_incremental (in-window)
-    "stream_dedup_batch_equivalence",  # r12 tranche; green r4-r7;
-    #    streaming rep stream_passage_counts_incremental (in-window)
-    "ann_recall_eval",  # r12 tranche; green r5-r7; ANN family
-    "training_pack_next_fit",  # r12 tranche; green r5-r7; Arrow packer
-    #    property tests
-    "training_epoch_interleave",  # r12 tranche; green r5-r7
-    "stream_stream_join_attribution",  # r12 tranche; green r5-r7;
-    #    subsumed by eviction probe
-    "pipeline_corpus_curation",  # r12 tranche; green r3-r7; constituents
-    #    in-window
-    "skew_salted_comment_counts",  # r12 tranche; green r1-r7; salting rep
+    "pipeline_diff_minhash_chain",  # BORN IN TAIL (r12); r13 tranche —
+    #    the corpus_diff -> update_minhash_index chain (VERDICT r11
+    #    item 7's dedup-layer half); its BM25 twin
+    #    pipeline_diff_bm25_chain is in-window r12
     # ------------------------------------------------------------------
     # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------
@@ -371,6 +287,100 @@ _DEPRIORITIZED = [
     #    local oracle
     "lineitem_unpivot_measures",  # green r9/r10; stack/unpivot family
     #    keeps unit tests; HOF shape via a6 local oracle
+    # ------------------------------------------------------------------
+    # Rotated out in ROUND 12 under the cadence rule: these 35 fund
+    # the 35 rotate-ins (19 r7-era + 14 r11 born-in-tail +
+    # a_approx_distinct_users + pipeline_diff_bm25_chain). Every one
+    # is multiply driver-green (r11 plus at least one earlier round)
+    # with its operator family still in-window, noted inline. Last
+    # driver-green r11 for all -> staleness bound reached r15.
+    # ------------------------------------------------------------------
+    "w2_lww_latest_event",  # green r2-r6+r11; LWW/order-insensitive
+    #    family via stream_dedup_batch_equivalence (in-window r12);
+    #    permutation-invariance property tests stay local
+    "j3_num_comments_per_post",  # green r2-r6+r11; agg-then-join count
+    #    essence via skew_salted_comment_counts (in-window r12, the
+    #    identical count with the salted two-phase arm)
+    "x18_hex_to_long",  # green r1/r2/r6/r11; X-parse family via
+    #    x1_json_props_extract + x2_detect_post_type (in-window r12)
+    "dedup_lsh_candidates",  # green r1-r6+r11; LSH band family via
+    #    pipeline_diff_minhash_chain... see BORN IN TAIL; in-window
+    #    reps: dedup_embedding_neardup + multimodal_dhash_near_dup
+    "o5_children_topk_per_parent",  # green r2-r6+r11; per-group top-k
+    #    via text_vocab_topk_per_source (in-window r12)
+    "f10_point_lookup",  # green r2/r6/r11; F-family equality/pushdown
+    #    via f4_regex_filter + the wherefield grid units
+    "a3_distinct_authors",  # green r2/r6/r11; distinct family via
+    #    a2_distinct_authors_of_app (in-window r12)
+    "a7_total_active_creators",  # green r2/r6/r11; scalar-agg family
+    #    via a5_score_zeroing + a_approx_distinct_users' exact
+    #    companion (both in-window r12)
+    "temporal_range_join",  # green r4-r6+r11; interval-join family via
+    #    stream_stream_join_attribution (in-window r12); the pinned
+    #    long-arm plan test stays
+    "stream_passage_counts_incremental",  # green r10/r11; streaming
+    #    foreachBatch fold family via stream_bm25_index_incremental +
+    #    stream_dedup_batch_equivalence (in-window r12)
+    "training_decontaminate",  # green r5/r6/r11; decontamination via
+    #    training_contamination_report (in-window r12, the per-
+    #    benchmark superset report)
+    "training_bloom_decontaminate",  # green r10/r11; same family; the
+    #    joinless-probe plan pin stays
+    "training_cdc_chunks",  # green r10/r11; chunking family via
+    #    training_pack_next_fit (in-window r12); CDC boundary property
+    #    tests stay local
+    "sample_weighted_bernoulli",  # green r5/r6/r11; sampling family
+    #    via sample_stratified (in-window r12)
+    "tpch_q18_large_volume",  # green r5/r6/r11; the having-semi-join +
+    #    multi-join relational shape via pipeline_diff_bm25_chain's
+    #    join-agg stack + skew_salted_comment_counts (in-window r12);
+    #    whole TPC-H family keeps the local oracle battery
+    "tpch_q10_returned_items",  # green r5/r6/r11; join-agg-topk shape
+    #    via text_vocab_topk_per_source (in-window r12); same local
+    #    TPC-H battery
+    "training_hash_split",  # green r7-r9+r11; md5-rank split family
+    #    via sample_stratified (in-window r12)
+    "dedup_shared_passages",  # green r8/r9/r11; passage family via
+    #    dedup_remove_duplicate_spans_maximal (in-window, the
+    #    strictly-wider verified arm)
+    "dedup_remove_repeated_passages",  # green r10/r11; same family rep
+    "dedup_remove_duplicate_spans",  # green r10/r11; same family; the
+    #    affected-docs-only plan pin stays (test_plans.py)
+    "dedup_cross_source_overlap",  # green r10/r11; overlap family via
+    #    training_contamination_report (in-window r12, the gram-join
+    #    generalization)
+    "text_language_consistency",  # green r9-r11; langid family via
+    #    text_language_id_ngram (in-window r12)
+    "text_bpe_pair_counts",  # green r9-r11; BPE family via
+    #    text_bpe_encode (in-window stay) + text_unigram_encode
+    #    (in-window r12)
+    "text_bpe_train_merges",  # green r10/r11; trainer-loop family via
+    #    text_unigram_lm_train (in-window stay)
+    "text_quality_classifier",  # green r10/r11; quality family via
+    #    text_gopher_quality_gate + pipeline_ccnet_buckets
+    #    (in-window r12)
+    "text_tfidf_topk",  # green r9-r11; tf-idf/top-k family via
+    #    text_vocab_topk_per_source + search_bm25_topk (in-window)
+    "pipeline_adaptive_quality_gate",  # green r9-r11; quantile-gate
+    #    family via pipeline_ccnet_buckets (in-window r12)
+    "training_budget_select",  # green r9-r11; budget family via
+    #    pipeline_corpus_curation (in-window r12, which composes it)
+    "temporal_funnel_stages",  # green r9-r11; temporal family via
+    #    stream_stream_join_attribution (in-window r12)
+    "search_substring_trigram",  # green r9-r11; search family via
+    #    search_bm25_index_incremental + x21_index_incremental_update
+    #    (in-window r12)
+    "temporal_cohort_retention",  # green r9-r11; temporal family as
+    #    above
+    "events_pivot_type_counts",  # green r9-r11; pivot family keeps
+    #    unit tests; groupBy shape ubiquitous in-window
+    "temporal_moving_window_agg",  # green r9-r11; window-frame family
+    #    via feeds_decayed_trending (in-window r12)
+    "pipeline_column_profile",  # green r9-r11; profile family via
+    #    pipeline_ccnet_buckets' exact quantiles (in-window r12)
+    "dedup_lsh_incremental",  # green r9-r11; incremental-maintenance
+    #    family via pipeline_diff_bm25_chain +
+    #    search_bm25_index_incremental (in-window r12)
 ]
 
 
@@ -1233,16 +1243,26 @@ def setop_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares the hyperplane literals): see dedup_embedding_neardup.
 
 
-# approx_count_distinct — HLL sketches differ between engines, so this
-# is a rows-only check (driver records the weaker gate); the exact
-# companion column is oracle-checked via a3_distinct_authors.
+# Corpus-wide approximate distinct users. Originally Spark's
+# approx_count_distinct (HLL++), which can never be oracle-hashed —
+# engine sketch encodings differ — leaving this the registry's one
+# permanently rows-only entry. Round 12 (VERDICT r11 item 4) swaps the
+# estimator for the GLOBAL KMV sketch: identical math in both engines
+# (md5 hash, integer-division estimate), so the entry is now
+# hash-checked like everything else, and the global sketch exercises
+# the two-level truncation that avoids the single-reducer global
+# window at 100 TB (see kmv_sketch_global). The exact count rides
+# along as a 1-row scalar broadcast (allowlisted BNLJ, the
+# search_bm25_topk pattern) so the estimator's error is visible in
+# the verified row itself.
 @q("a_approx_distinct_users", _ORACLES["a_approx_distinct_users"])
 def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_estimate, kmv_sketch_global
+
     e = tables.load(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
+    est = kmv_estimate(kmv_sketch_global(e, "user_id", k=64), [], k=64)
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(F.broadcast(exact))
 
 
 # Hash-ring negative sampling (round 10): k deterministic pseudo-
@@ -3968,3 +3988,4 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50-slot window keys on.
 # ---------------------------------------------------------------------------
 from . import queries_r11  # noqa: E402,F401
+from . import queries_r12  # noqa: E402,F401

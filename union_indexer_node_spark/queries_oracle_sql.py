@@ -677,7 +677,30 @@ tables.oracle_with_domain("""
 )
 
 ORACLES["a_approx_distinct_users"] = (
-None
+"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS _h
+      FROM events
+    ),
+    rk AS (
+      SELECT _h, ROW_NUMBER() OVER (ORDER BY _h) AS _r
+      FROM h QUALIFY _r <= 64
+    ),
+    per AS (
+      SELECT MAX(CASE WHEN _r = 64 THEN _h END) AS kth_hash,
+             COUNT(*) AS sketch_size
+      FROM rk
+    )
+    SELECT CAST(CASE WHEN sketch_size < 64 THEN sketch_size
+                     ELSE 63 * 281474976710656 // kth_hash
+                END AS BIGINT) AS n_distinct_est,
+           CAST(COALESCE(kth_hash, 0) AS BIGINT) AS kth_hash,
+           CAST(sketch_size AS BIGINT) AS sketch_size,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
+    FROM per
+    """
 )
 
 ORACLES["training_negative_sample"] = (

@@ -1,0 +1,178 @@
+"""Round-12 registry entries (sibling-module pattern per VERDICT r10
+item 9; ``queries.py`` imports this module at its very end so these
+registrations append after everything else and the driver's 50-slot
+window ordering is untouched).
+
+Both entries discharge VERDICT r11 item 7: the incremental-maintenance
+operators (bm25_index_merge, update_minhash_index) were each verified
+ALONE against a fresh rebuild; these verify the full diff-driven
+pipeline — ``corpus_diff`` computes the delta between two corpus
+versions, the delta feeds the index maintainer, and the chained result
+must hash-match a from-scratch build over the evolved corpus. That
+pins the deployment claim end-to-end: an ingest cycle does
+O(changed docs) index work, driven entirely by the snapshot diff.
+
+Shared fixture (every diff status populated):
+- old  = documents with 1/3 carrying ' stale' text (-> changed) plus
+         1/11 extra legacy ids (doc_id + 2000000, -> removed)
+- new  = current documents plus 1/5 extra v2 ids (doc_id + 1000000,
+         -> added); the rest unchanged
+The delta the chain feeds is: new text for changed/added ids, empty
+text for removed ids (the documented deletion encoding of
+update_minhash_index / the zero-token drop of bm25_index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .queries import q
+
+# The evolved corpus, as each engine sees it. 1000000/2000000 offsets
+# keep synthetic ids disjoint from real doc_ids at any test SF.
+_NEWC_CTE = """
+newc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _old_new(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    did = F.col("doc_id")
+    old = d.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.concat(F.col("text"), F.lit(" stale")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.filter(did % 11 == 0).select(
+            (did + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" legacy")).alias("text"),
+        )
+    )
+    new = d.select("doc_id", "text").unionByName(
+        d.filter(did % 5 == 0).select(
+            (did + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        )
+    )
+    return old, new
+
+
+def _diff_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """corpus_diff -> the delta frame the index maintainers consume:
+    (id, new text) for changed/added, (id, '') for removed. The diff
+    is the ONLY driver — nothing downstream re-reads the old corpus."""
+    from .pipelines.curation import corpus_diff
+
+    diff = corpus_diff(old, new, "doc_id", "text").filter(
+        F.col("status") != "unchanged"
+    )
+    upserts = new.join(
+        diff.filter(F.col("status").isin("changed", "added")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    removed = (
+        diff.filter(F.col("status") == "removed")
+        .select("doc_id")
+        .withColumn("text", F.lit(""))
+    )
+    return upserts.unionByName(removed)
+
+
+# corpus_diff -> bm25_index_merge, end-to-end: build the index over the
+# OLD corpus, fold only the diff-derived delta, and the maintained
+# (postings, doclens) must equal a fresh bm25_index over the NEW corpus
+# — stale rows gone (changed docs), legacy ids gone (removed docs), v2
+# ids present (added docs). Oracle = per-doc stats of the fresh build.
+@q(
+    "pipeline_diff_bm25_chain",
+    f"""
+    WITH {_NEWC_CTE.strip()},
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM newc
+    ),
+    nn AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 1),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM nn),
+    p AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM u GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST((SELECT len(toks) FROM nn WHERE nn.doc_id = p.doc_id)
+                AS BIGINT) AS dl,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MAX(tf) AS BIGINT) AS max_tf
+    FROM p GROUP BY doc_id
+    """,
+)
+def pipeline_diff_bm25_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.search import bm25_index, bm25_index_merge
+
+    d = tables.load(spark, sf_dir, "documents")
+    old, new = _old_new(d)
+    postings, doclens = bm25_index(old, "text", "doc_id")
+    delta = _diff_delta(old, new)
+    postings, doclens = bm25_index_merge(
+        postings, doclens, delta, "text", "doc_id"
+    )
+    stats = postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    return doclens.join(stats, "doc_id").select(
+        "doc_id", F.col("dl").cast("long").alias("dl"), "n_terms", "max_tf"
+    )
+
+
+# corpus_diff -> update_minhash_index, end-to-end: same chain for the
+# dedup layer's signature table — the maintained index must hash-match
+# minhash_signature over the NEW corpus row-for-row (k=8 hash windows).
+@q(
+    "pipeline_diff_minhash_chain",
+    f"""
+    WITH {_NEWC_CTE.strip()},
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM newc
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      )) AS s
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
+    )
+    SELECT doc_id,
+      min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
+      min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
+      min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
+      min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def pipeline_diff_minhash_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.dedup import minhash_signature, update_minhash_index
+
+    d = tables.load(spark, sf_dir, "documents")
+    old, new = _old_new(d)
+    index = minhash_signature(old, "text", "doc_id")
+    delta = _diff_delta(old, new)
+    return update_minhash_index(index, delta, "text", "doc_id")

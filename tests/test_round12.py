@@ -332,6 +332,40 @@ def test_kmv_global_two_level_equals_single_group(spark):
     assert 200 < est["n_distinct_est"] < 2100
 
 
+def test_ivfpq_prebuilt_state_paths_match_composed(spark):
+    """ivfpq_topk against prebuilt state (assigned-only, or the full
+    code table from ivfpq_encode) must return exactly the composed
+    in-plan result — the bench split-phase arms time a byte-identical
+    answer."""
+    from union_indexer_node_spark.pipelines.similarity import (
+        ivfpq_assign,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+    from union_indexer_node_spark.queries_r11 import (
+        _PQ_QUERY_VEC,
+        _ivf_fixture_cells,
+        _pq_fixture_codebooks,
+    )
+    from union_indexer_node_spark import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cells, books = _ivf_fixture_cells(), _pq_fixture_codebooks()
+    kw = dict(nprobe=2, topk=10)
+    composed = ivfpq_topk(emb, _PQ_QUERY_VEC, cells, books, **kw).collect()
+    via_assigned = ivfpq_topk(
+        emb, _PQ_QUERY_VEC, cells, books,
+        assigned=ivfpq_assign(emb, cells), **kw
+    ).collect()
+    via_coded = ivfpq_topk(
+        emb, _PQ_QUERY_VEC, cells, books,
+        coded=ivfpq_encode(emb, cells, books), **kw
+    ).collect()
+    as_tuples = lambda rows: [tuple(r) for r in rows]  # noqa: E731
+    assert as_tuples(via_assigned) == as_tuples(composed)
+    assert as_tuples(via_coded) == as_tuples(composed)
+
+
 def test_kmv_global_underfull_is_exact(spark):
     from union_indexer_node_spark.operators.sketches import (
         kmv_estimate,

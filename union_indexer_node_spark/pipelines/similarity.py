@@ -887,6 +887,77 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_assign(
+    emb: DataFrame,
+    coarse_centroids: list[list[int]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Corpus coarse-cell assignment (id, _q, _cell) — the WRITE-TIME
+    half of IVF-PQ search: at deployment this frame is computed once
+    per ingest cycle and the corpus is stored partitioned by _cell, so
+    a query's nprobe filter becomes partition pruning. ``ivfpq_topk``
+    builds it in-plan when not given one; pass a persisted copy via
+    its ``assigned=`` parameter to bench/serve the per-query cost
+    alone (the bench split-phase arm models exactly this)."""
+    base = _quantized_base(emb, vec_col, id_col, quant)
+    ncell = len(coarse_centroids)
+    encs = []
+    for ci, cc in enumerate(coarse_centroids):
+        lit_c = F.array(*[F.lit(int(v)) for v in cc])
+        d = F.aggregate(
+            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        encs.append(d * ncell + ci)
+    cell = (F.least(*encs) % ncell).cast("int")
+    return base.select(F.col(id_col), F.col("_q"), cell.alias("_cell"))
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Full write-time IVF-PQ state: (id, _cell, code_0..code_{m-1}) —
+    coarse assignment plus RESIDUAL product-quantization codes
+    (residual = vector − cell centroid; query-independent, so the
+    codes are computed once per ingest cycle and stored partitioned by
+    _cell). A query against this frame does no vector math over the
+    corpus at all: per-cell LUT + ``m`` element_at lookups + top-k
+    (pass via ``ivfpq_topk(coded=...)``). One union arm per cell —
+    write-time cost, each arm a narrow map over its cell's rows."""
+    assigned = ivfpq_assign(
+        emb, coarse_centroids, vec_col=vec_col, id_col=id_col, quant=quant
+    ).localCheckpoint()  # each cell arm filters it; avoid ncell rescans
+    arms = []
+    for ci, cc in enumerate(coarse_centroids):
+        cc_lit = F.array(*[F.lit(int(v)) for v in cc])
+        resid = F.zip_with(
+            F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
+        )
+        arms.append(
+            assigned.filter(F.col("_cell") == ci)
+            .select(F.col(id_col), F.col("_cell"), resid.alias("_q"))
+            .select(
+                F.col(id_col),
+                F.col("_cell"),
+                *pq_code_cols(codebooks, quant=quant),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -898,6 +969,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 1000,
+    assigned: DataFrame | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search (the full Jégou et al. pipeline): a
     coarse quantizer assigns every vector to its nearest cell; the
@@ -927,41 +1000,40 @@ def ivfpq_topk(
         for ci, cc in enumerate(coarse_centroids)
     ]
     probed = [ci for _, ci in sorted(cell_d)[:nprobe]]
-    base = _quantized_base(emb, vec_col, id_col, quant)
-    # corpus cell assignment: encoded integer argmin over the coarse
-    # centroids (dist * n_cells + cell, then % n_cells)
-    ncell = len(coarse_centroids)
-    encs = []
-    for ci, cc in enumerate(coarse_centroids):
-        lit_c = F.array(*[F.lit(int(v)) for v in cc])
-        # fold form — see pq_code_cols' janino note
-        d = F.aggregate(
-            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        encs.append(d * ncell + ci)
-    cell = (F.least(*encs) % ncell).cast("int")
-    # materialized once: every probe arm filters this frame — without
-    # it each arm re-scans the corpus and re-evaluates the quantize +
-    # assignment expressions (nprobe full passes; measured ~2x at
-    # bench scale with nprobe=2). In DEPLOYMENT the assignment exists
-    # at write time (the corpus is PARTITIONED by cell — see the
-    # docstring), so this checkpoint models the stored layout.
-    assigned = base.select(
-        F.col(id_col), F.col("_q"), cell.alias("_cell")
-    ).localCheckpoint()
+    if coded is None and assigned is None:
+        # corpus cell assignment (ivfpq_assign), materialized once:
+        # every probe arm filters this frame — without it each arm
+        # re-scans the corpus and re-evaluates the quantize +
+        # assignment expressions (nprobe full passes; measured ~2x at
+        # bench scale with nprobe=2). In DEPLOYMENT the assignment
+        # exists at write time (the corpus is PARTITIONED by cell —
+        # see the docstring), so this checkpoint models the stored
+        # layout; callers with the real stored frame pass it in —
+        # or the full code table via ``coded`` (ivfpq_encode), which
+        # skips the per-query residual encode entirely.
+        assigned = ivfpq_assign(
+            emb, coarse_centroids, vec_col=vec_col, id_col=id_col,
+            quant=quant,
+        ).localCheckpoint()
     arms = []
     for ci in probed:
         cc = coarse_centroids[ci]
-        cc_lit = F.array(*[F.lit(int(v)) for v in cc])
-        resid = F.zip_with(
-            F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
-        )
-        arm = assigned.filter(F.col("_cell") == ci).select(
-            F.col(id_col), resid.alias("_q")
-        )
-        coded = arm.select(F.col(id_col), *pq_code_cols(codebooks, quant=quant))
+        if coded is not None:
+            coded_arm = coded.filter(F.col("_cell") == ci).select(
+                F.col(id_col),
+                *[F.col(f"code_{mi}") for mi in range(len(codebooks))],
+            )
+        else:
+            cc_lit = F.array(*[F.lit(int(v)) for v in cc])
+            resid = F.zip_with(
+                F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
+            )
+            arm = assigned.filter(F.col("_cell") == ci).select(
+                F.col(id_col), resid.alias("_q")
+            )
+            coded_arm = arm.select(
+                F.col(id_col), *pq_code_cols(codebooks, quant=quant)
+            )
         rq = [qq[j] - cc[j] for j in range(len(cc))]
         adc: Column = F.lit(0).cast("long")
         for mi, book in enumerate(codebooks):
@@ -973,7 +1045,7 @@ def ivfpq_topk(
             lut_lit = F.array(*[F.lit(int(v)) for v in lut])
             adc = adc + F.element_at(lut_lit, F.col(f"code_{mi}") + 1)
         arms.append(
-            coded.select(
+            coded_arm.select(
                 F.col(id_col),
                 F.lit(ci).cast("int").alias("cell"),
                 adc.cast("long").alias("adc_dist"),

@@ -299,6 +299,258 @@ def test_bm25_boundary_tie_resolves_by_created_at(spark):
 
 
 # ---------------------------------------------------------------------------
+# sf0.1 streaming soak for the incremental index family (VERDICT r11
+# item 6): micro-batches fold into BOTH lifetime indexes — BM25
+# (bm25_index_merge) and MinHash (update_minhash_index) — inside one
+# foreachBatch, with the per-batch delta DRIVEN BY corpus_diff against
+# the maintained corpus snapshot (the deployment chain, streamed). The
+# stream-maintained indexes must byte-match fresh batch builds over
+# the final corpus, and the diff must do O(changed) work: re-ingested
+# identical rows are 'unchanged' and skipped, pinned per batch.
+# ---------------------------------------------------------------------------
+
+SOAK_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _fingerprint(df):
+    cols = sorted(df.columns)
+    row = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return (
+        df.select(row.alias("h"))
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
+        .collect()[0][0]
+    )
+
+
+def test_stream_maintained_indexes_match_batch_builds_sf01(
+    spark, tmp_path
+):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.curation import corpus_diff
+    from union_indexer_node_spark.pipelines.dedup import (
+        minhash_signature,
+        update_minhash_index,
+    )
+    from union_indexer_node_spark.pipelines.search import (
+        bm25_index,
+        bm25_index_merge,
+    )
+    from union_indexer_node_spark.pipelines.similarity import (
+        _free_local_checkpoint,
+    )
+
+    d = tables.load(spark, SOAK_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    did = F.col("doc_id")
+    stale = d.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.concat(F.col("text"), F.lit(" stale")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corrections = d.filter(did % 3 == 0).select("doc_id", "text")
+    added = d.filter(did % 7 == 0).select(
+        (did + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    reingest_b2 = d.filter((did % 3 != 0) & (did % 5 == 0)).select(
+        "doc_id", "text"
+    )  # byte-identical -> diff says 'unchanged' -> skipped
+    # batch 1: full stale snapshot; batch 2: corrections + adds +
+    # identical re-ingests; batch 3: identical re-ingests only (a
+    # whole no-op ingest cycle). Sequential appends => file stream
+    # processes them in this order (modification-time order, the same
+    # contract the follows tombstone tests pin).
+    batches = [
+        stale,
+        corrections.unionByName(added).unionByName(reingest_b2),
+        d.filter(did % 11 == 0).select("doc_id", "text"),
+    ]
+    src = str(tmp_path / "docs_stream")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    state = {
+        "corpus": None,
+        "postings": spark.createDataFrame(
+            [], "doc_id long, token string, tf long"
+        ),
+        "doclens": spark.createDataFrame([], "doc_id long, dl int"),
+        "minhash": spark.createDataFrame(
+            [],
+            "doc_id long, h0 string, h1 string, h2 string, h3 string, "
+            "h4 string, h5 string, h6 string, h7 string",
+        ),
+        "delta_rows": [],
+    }
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["doc_id"])
+        old = state["corpus"]
+        if old is None:
+            new_corpus = batch
+            delta = batch
+        else:
+            # LWW by arrival: the batch's row replaces the stored one
+            new_corpus = old.join(
+                batch.select("doc_id"), "doc_id", "left_anti"
+            ).unionByName(batch)
+            diff = corpus_diff(old, new_corpus, "doc_id", "text").filter(
+                F.col("status").isin("changed", "added")
+            )
+            delta = new_corpus.join(
+                diff.select("doc_id"), "doc_id", "left_semi"
+            )
+        superseded = state.get("_ckpted")
+        delta = delta.localCheckpoint()
+        state["delta_rows"].append(delta.count())
+        p, dl = bm25_index_merge(
+            state["postings"], state["doclens"], delta, "text", "doc_id"
+        )
+        mh = update_minhash_index(state["minhash"], delta, "text", "doc_id")
+        state["corpus"] = new_corpus.localCheckpoint()
+        state["postings"] = p.localCheckpoint()
+        state["doclens"] = dl.localCheckpoint()
+        state["minhash"] = mh.localCheckpoint()
+        state["_ckpted"] = (
+            state["corpus"],
+            state["postings"],
+            state["doclens"],
+            state["minhash"],
+            delta,
+        )
+        if superseded is not None:
+            for f in superseded:
+                _free_local_checkpoint(f)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    n_docs = d.count()
+    n_changed = d.filter(did % 3 == 0).count()
+    n_added = added.count()
+    # batch 1 = the full snapshot; batch 2 = exactly changed + added
+    # (identical re-ingests skipped by the diff); batch 3 = all skips
+    assert state["delta_rows"] == [n_docs, n_changed + n_added, 0]
+
+    final_corpus = d.unionByName(added)
+    bp, bdl = bm25_index(final_corpus, "text", "doc_id")
+    assert _fingerprint(state["postings"]) == _fingerprint(bp)
+    assert _fingerprint(state["doclens"]) == _fingerprint(
+        bdl.select("doc_id", F.col("dl").cast("int").alias("dl"))
+    )
+    assert _fingerprint(state["minhash"]) == _fingerprint(
+        minhash_signature(final_corpus, "text", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# serving-ranking extensions gated behind opt-in args (VERDICT r11
+# item 8, the BM25-arm pattern): trendingFeed rankBy=DECAYED and
+# leaderBoard rankBy=PAGERANK. Default behavior must stay byte-equal
+# to the reference-parity arm.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gate_service(spark):
+    pytest.importorskip("graphql")
+    from union_indexer_node_spark.serving import GraphQLService
+
+    base = datetime.datetime(2024, 6, 20)
+    posts = (
+        spark.createDataFrame(
+            [
+                # old but huge payout: outside the 3-day window, decays
+                # 14 half-lives
+                ("a1", "pold", "t", base - datetime.timedelta(days=100),
+                 1000.0),
+                # fresh, tiny payout: the only window survivor
+                ("a2", "pnew", "t", base, 1.0),
+                # 10 days old, mid payout: decayed winner
+                ("a3", "pmid", "t", base - datetime.timedelta(days=10),
+                 50.0),
+            ],
+            "author string, permlink string, title string, "
+            "created_at timestamp, payout double",
+        )
+        .withColumn("flags", F.lit(None).cast("array<string>"))
+        .withColumn("TYPE", F.lit("HIVE"))
+    )
+    profiles = spark.createDataFrame(
+        [("u1", 12.0), ("u2", 5.0), ("u3", 0.0)],
+        "username string, score double",
+    )
+    follows = spark.createDataFrame(
+        [("u1", "u3"), ("u2", "u3"), ("u2", "u1")],
+        "follower string, following string",
+    )
+    return GraphQLService(posts=posts, profiles=profiles, follows=follows)
+
+
+def _feed_permlinks(service, rank_arg):
+    body = service.execute(
+        f"""
+        query {{
+          trendingFeed(trendingBy: PAYOUT{rank_arg}) {{
+            items {{ permlink }}
+          }}
+        }}
+        """
+    )
+    assert "errors" not in body, body
+    return [i["permlink"] for i in body["data"]["trendingFeed"]["items"]]
+
+
+def test_trending_feed_default_unchanged_decayed_opt_in(gate_service):
+    # default: the reference's hard 3-day anchor window — only the
+    # fresh post qualifies
+    assert _feed_permlinks(gate_service, "") == ["pnew"]
+    # any non-DECAYED value also keeps the default arm
+    assert _feed_permlinks(gate_service, ', rankBy: "other"') == ["pnew"]
+    # opt-in: half-life decay ranks all filter-passing posts, no cliff
+    assert _feed_permlinks(gate_service, ', rankBy: "DECAYED"') == [
+        "pmid", "pnew", "pold",
+    ]
+
+
+def test_leaderboard_default_unchanged_pagerank_opt_in(gate_service):
+    body = gate_service.execute(
+        "query { leaderBoard { items { username score rank } } }"
+    )
+    assert "errors" not in body, body
+    items = body["data"]["leaderBoard"]["items"]
+    # reference arm: score>0 only, ranked by creator score
+    assert [(i["username"], i["rank"]) for i in items] == [
+        ("u1", 1), ("u2", 2),
+    ]
+    body = gate_service.execute(
+        'query { leaderBoard(rankBy: "PAGERANK") '
+        "{ items { username score rank } } }"
+    )
+    assert "errors" not in body, body
+    pr = body["data"]["leaderBoard"]["items"]
+    # u3 has the in-links (u1, u2 both follow it); u1 gets u2's half
+    # vote; u2 has none — hand-computed 2-iteration integer PageRank
+    assert [(i["username"], i["rank"]) for i in pr] == [
+        ("u3", 1), ("u1", 2), ("u2", 3),
+    ]
+    assert pr[0]["score"] == pytest.approx(0.7025)
+    assert pr[1]["score"] == pytest.approx(0.21375)
+    assert pr[2]["score"] == pytest.approx(0.15)
+
+
+# ---------------------------------------------------------------------------
 # global KMV sketch (VERDICT r11 #4: a_approx_distinct_users upgrade)
 # ---------------------------------------------------------------------------
 

@@ -102,10 +102,19 @@ def trending_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
     # 'PAYOUT' selects the payout metric; an omitted or other value
     # sorts by comment count — there is no schema default.
     by = "payout" if str(args.get("trendingBy", "")).upper() == "PAYOUT" else "comments"
+    # rankBy (round 12, opt-in): ONLY the literal 'DECAYED' selects the
+    # half-life-decayed ranking; anything else (including omitted — the
+    # reference's only behavior) keeps the hard anchor-window sort.
+    rank = (
+        "decayed"
+        if str(args.get("rankBy", "")).upper() == "DECAYED"
+        else "window"
+    )
     return feeds.trending_feed(
         _with_spkvideo(posts, args),
         compile_args(args),
         trending_by=by,
+        rank_by=rank,
     )
 
 
@@ -267,8 +276,19 @@ def follows_overview(follows: DataFrame, args: Mapping[str, Any]) -> DataFrame:
     return following.join(followers)
 
 
-def leaderboard(profiles: DataFrame, args: Mapping[str, Any]) -> DataFrame:
-    """leaderBoard root field (resolvers/index.ts:455-475)."""
+def leaderboard(
+    profiles: DataFrame,
+    args: Mapping[str, Any],
+    follows: DataFrame | None = None,
+) -> DataFrame:
+    """leaderBoard root field (resolvers/index.ts:455-475). rankBy
+    (round 12, opt-in): ONLY the literal 'PAGERANK' ranks by follow-
+    graph centrality; anything else keeps the reference's creator-score
+    ranking."""
+    if str(args.get("rankBy", "")).upper() == "PAGERANK":
+        return feeds.leaderboard(
+            profiles, follows=follows, rank_by="pagerank"
+        )
     return feeds.leaderboard(profiles)
 
 
@@ -322,6 +342,13 @@ def execute(root_field: str, posts: DataFrame, args: Mapping[str, Any], **tables
             args,
             follows=tables.get("follows"),
             social_connections=tables.get("social_connections"),
+        )
+    if root_field == "leaderBoard":
+        # follows rides along for the opt-in rankBy=PAGERANK arm
+        return fn(
+            tables[_FIELD_TABLE[root_field]],
+            args,
+            follows=tables.get("follows"),
         )
     if root_field in _FIELD_TABLE:
         return fn(tables[_FIELD_TABLE[root_field]], args)

@@ -225,11 +225,23 @@ def trending_feed(
     *,
     trending_by: str = "payout",  # COMMENTS | PAYOUT (schema.ts:252-255)
     window_days: int = 3,
+    rank_by: str = "window",
+    half_life_days: int = 7,
 ) -> DataFrame:
     """trendingFeed (resolvers/index.ts:227-259): anchor = max created_at
     matching the filter; keep rows within `window_days` of the anchor;
     sort by the trending metric. The anchor is a scalar agg broadcast
-    into the filter — one pass, no self-join."""
+    into the filter — one pass, no self-join.
+
+    ``rank_by="decayed"`` (round 12, opt-in — the default stays the
+    reference's hard anchor-window sort, byte-unchanged): rank every
+    filter-passing post by its half-life-decayed metric instead of
+    cutting at the window edge — the per-post application of
+    ``decayed_trending``'s integer step decay (metric cents << scale,
+    shifted right by whole half-lives of age from the same max-anchor
+    scalar). No window, no extra shuffle: one broadcast scalar + a
+    map-side score expression + TakeOrderedAndProject. Ties break on
+    permlink like the default arm."""
     key = "num_comments" if trending_by.lower() == "comments" else "payout"
     if key == "num_comments" and "num_comments" not in posts.columns:
         # stats.num_comments is an enrichment column (J3); when serving
@@ -249,6 +261,28 @@ def trending_feed(
     pred = compile_feed_filter(spec)
     df = posts.filter(pred) if pred is not None else posts
     anchor = df.agg(F.max("created_at").alias("a"))
+    if rank_by == "decayed":
+        v_q = F.round(F.coalesce(F.col(key), F.lit(0)) * 100, 0).cast(
+            "long"
+        )
+        units = F.least(
+            F.floor(
+                F.datediff(F.col("a"), F.col("created_at"))
+                / half_life_days
+            ).cast("int"),
+            F.lit(62),
+        )
+        df = (
+            df.join(F.broadcast(anchor))
+            .withColumn("_vq", v_q * 1_000_000)
+            .withColumn("_u", units)
+            .withColumn("_score_q", F.expr("shiftright(_vq, _u)"))
+            .orderBy(F.desc("_score_q"), F.asc("permlink"))
+            .drop("a", "_vq", "_u", "_score_q")
+        )
+        if spec.skip:
+            df = df.offset(spec.skip)
+        return df.limit(spec.limit)
     df = df.join(F.broadcast(anchor)).filter(
         F.col("created_at") > F.col("a") - F.expr(f"INTERVAL {window_days} DAYS")
     )
@@ -307,13 +341,45 @@ def related_feed(
     return df.drop("_tags", "_community", "_pa").orderBy(order).limit(limit)
 
 
-def leaderboard(profiles: DataFrame) -> DataFrame:
+def leaderboard(
+    profiles: DataFrame,
+    *,
+    follows: DataFrame | None = None,
+    rank_by: str = "score",
+) -> DataFrame:
     """leaderBoard (resolvers/index.ts:455-475): score>0, rank by score.
     Single global window is fine — the leaderboard is small after the
     filter; at scale use orderBy + zipWithIndex-free row_number over one
-    partition ONLY on the filtered (small) set."""
+    partition ONLY on the filtered (small) set.
+
+    ``rank_by="pagerank"`` (round 12, opt-in — default stays the
+    reference's creator-score ranking, byte-unchanged): rank profiles
+    by integer-quantized PageRank over the follow graph
+    (pipelines/training.pagerank_quantized; follower → following
+    edges), the centrality alternative to the engagement formula.
+    Requires ``follows``; emitted score = pr_q / 1e6 (the quantization
+    scale) so the output schema stays (username, score, rank). Only
+    profiles present in the profiles table appear (inner join on
+    username), mirroring the default arm's 'known accounts only'."""
     from pyspark.sql import Window
 
+    if rank_by == "pagerank":
+        if follows is None:
+            raise ValueError("rank_by='pagerank' requires the follows table")
+        from ..pipelines.training import pagerank_quantized
+
+        pr = pagerank_quantized(follows, "follower", "following")
+        ranked = profiles.select("username").join(
+            pr.select(
+                F.col("node").alias("username"),
+                (F.col("pr_q") / 1_000_000).alias("score"),
+            ),
+            "username",
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("username"))
+        return ranked.withColumn("rank", F.row_number().over(w)).select(
+            "username", "score", "rank"
+        )
     w = Window.orderBy(F.desc("score"), F.asc("username"))
     return (
         profiles.filter(F.col("score") > 0)

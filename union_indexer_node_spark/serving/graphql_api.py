@@ -139,7 +139,7 @@ type Community {
              feedOptions: FeedOptions): FeedOutput
   trendingFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
                feedOptions: FeedOptions,
-               trendingBy: TrendingByType): FeedOutput
+               trendingBy: TrendingByType, rankBy: String): FeedOutput
 }
 
 type FollowOverview {
@@ -176,7 +176,7 @@ type Query {
              feedOptions: FeedOptions): FeedOutput
   trendingFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
                feedOptions: FeedOptions,
-               trendingBy: TrendingByType): FeedOutput
+               trendingBy: TrendingByType, rankBy: String): FeedOutput
   relatedFeed(author: String, permlink: String,
               pagination: PaginationOptions): FeedOutput
   searchFeed(searchTerm: String, pagination: PaginationOptions,
@@ -186,7 +186,7 @@ type Query {
   trendingTags(limit: Int): TrendingTags
   community(id: String): Community
   follows(id: String): FollowOverview
-  leaderBoard: LeaderBoard
+  leaderBoard(rankBy: String): LeaderBoard
 }
 """
 

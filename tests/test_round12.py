@@ -618,6 +618,82 @@ def test_ivfpq_prebuilt_state_paths_match_composed(spark):
     assert as_tuples(via_coded) == as_tuples(composed)
 
 
+def test_cm_sketch_never_undercounts_and_merges(spark):
+    """CM invariants: est >= exact for every key, exact-zero for
+    never-seen keys, and merged per-slice sketches answer identically
+    to the whole-corpus sketch."""
+    from union_indexer_node_spark.operators.sketches import (
+        cm_estimate,
+        cm_merge,
+        cm_sketch,
+    )
+
+    kw = dict(w=16, d=3)  # tiny width -> real collisions
+    df = spark.range(0, 3000).select((F.col("id") % 37).alias("k"))
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    cand = spark.createDataFrame(
+        [(k,) for k in list(range(37)) + [999]], "k long"
+    )
+    cells = cm_sketch(df, "k", **kw)
+    est = {r["k"]: r["cm_count"] for r in
+           cm_estimate(cells, cand, "k", **kw).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # a SPARSE sketch (w >> distinct keys) reads never-seen keys as
+    # exact zero (some cell is empty); a saturated one only promises
+    # no-undercount
+    sparse = cm_sketch(df, "k", w=4096, d=3)
+    z = {r["k"]: r["cm_count"] for r in
+         cm_estimate(sparse, cand, "k", w=4096, d=3).collect()}
+    assert z[999] == 0 and all(z[k] >= exact[k] for k in exact)
+    # merge: two halves folded == one sketch over the union
+    a = cm_sketch(df.filter(F.col("k") < 20), "k", **kw)
+    b = cm_sketch(df.filter(F.col("k") >= 20), "k", **kw)
+    merged_est = {r["k"]: r["cm_count"] for r in
+                  cm_estimate(cm_merge(a, b), cand, "k", **kw).collect()}
+    assert merged_est == est
+
+
+def test_bottomk_sample_quantiles_accuracy_and_merge(spark):
+    """The bottom-k sample is a uniform draw: nearest-rank quantiles
+    over k=256 of 10k uniform values land within a few rank-percent of
+    the true quantiles; merging two slice samples (union + re-rank by
+    the same hash) equals the whole-corpus sample."""
+    from union_indexer_node_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v"), F.col("id").alias("rid")
+    )
+    samp = bottomk_sample(df, ["g"], "rid", k=256)
+    qs = {r["q"]: r["quantile_value"] for r in
+          sample_quantiles(samp, ["g"], "v", qs=(25, 50, 75)).collect()}
+    for q in (25, 50, 75):
+        assert abs(qs[q] - q * 100) < 1000, (q, qs[q])  # within 10 rank-%
+    # slice-merge: the k smallest hashes of the union are the k
+    # smallest of (k smallest of A) ∪ (k smallest of B)
+    lo = bottomk_sample(df.filter(F.col("v") < 5000), ["g"], "rid", k=256)
+    hi = bottomk_sample(df.filter(F.col("v") >= 5000), ["g"], "rid", k=256)
+    from pyspark.sql import Window
+
+    merged = (
+        lo.unionByName(hi)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("_h", "rid")
+            ),
+        )
+        .filter(F.col("_r") <= 256)
+        .drop("_r")
+    )
+    assert sorted(r["rid"] for r in merged.collect()) == sorted(
+        r["rid"] for r in samp.collect()
+    )
+
+
 def test_kmv_global_underfull_is_exact(spark):
     from union_indexer_node_spark.operators.sketches import (
         kmv_estimate,

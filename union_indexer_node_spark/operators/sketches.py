@@ -143,3 +143,179 @@ def kmv_sketch_global(
     return pre.withColumn("_r", F.row_number().over(w)).filter(
         F.col("_r") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 12): mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch cells over a key column (Cormode & Muthu):
+    ``d`` independent md5-derived hash rows of ``w`` counters each;
+    cell (r, b) counts rows whose r-th hash lands in bucket b.
+
+    Why it belongs next to KMV: same engine contract — deterministic
+    md5 hashing makes the SKETCH ITSELF bit-identical in any engine
+    (oracle-checkable), state is a fixed w·d longs per slice
+    regardless of input size, and sketches MERGE by element-wise sum
+    (`cm_merge`) so per-day/per-source sketches fold without a rescan.
+    At 100 TB this is the heavy-hitter / hot-key detector that decides
+    salting: one map-side-combining groupBy over (r, b) — shuffle
+    bytes ∝ w·d per partition, never ∝ rows or distinct keys.
+
+    Returns (r, b, cnt); absent cells mean 0. Estimate via
+    `cm_estimate` (min over rows — always >= the true count, exact
+    when no collision in at least one row).
+    """
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(d)])
+    ).alias("r")
+    keyed = df.select(F.col(key_col).cast("string").alias("_k")).select(
+        "_k", rows
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("r"), F.col("_k"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return keyed.select("r", b.alias("b")).groupBy("r", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two cell frames: element-wise sum. Associative and
+    commutative — the property that makes per-slice sketching free."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    cells: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    *,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: est =
+    min over hash rows r of cell(r, hash_r(key)). An absent cell reads
+    as an exact zero, so the estimate NEVER undercounts; a never-seen
+    key reads zero exactly when at least one of its d cells is empty
+    (guaranteed-ish for w >> distinct keys; under saturation it reads
+    collision mass like any other key — the standard CM overcount).
+    ``candidates`` is the (small, broadcastable) key set being probed
+    — heavy-hitter verification probes the suspects, not the corpus.
+    Returns (key_col, cm_count)."""
+    probes = candidates.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("_k")
+    ).select(
+        key_col,
+        "_k",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("r"), F.col("_k"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    joined = probes.select(key_col, "r", b.alias("b")).join(
+        cells, ["r", "b"], "left"
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+        .cast("long")
+        .alias("cm_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k hash sampling + sample quantiles (round 12)
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group uniform sample WITHOUT replacement of (up to) k rows,
+    deterministically: keep the k rows with the smallest md5 hash of
+    their id — the KMV selection applied to whole rows. Uniformity is
+    the same argument as KMV's (a uniform hash induces a uniform
+    random order); determinism and mergeability come free (merge two
+    slices' samples = union + re-rank, exactly `merge_kmv`). The id
+    must be unique per row; ties on hash break by id.
+
+    Returns the sampled input rows + `_h` (keep it for merging;
+    drop it downstream)."""
+    h = kmv_hash(F.col(id_col)).alias("_h")
+    w = Window.partitionBy(*group_cols).orderBy("_h", id_col)
+    return (
+        df.select("*", h)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    qs: list[int] = (25, 50, 75),
+) -> DataFrame:
+    """Nearest-rank quantiles of a (bottom-k) sample, per group:
+    quantile q = the value whose 1-based rank is 1 + (q·(n-1)) div 100
+    under (value, _h) ordering — pure integer rank selection, no
+    interpolation, so any engine picks the identical element. Composed
+    with `bottomk_sample` this is the bounded-state quantile story:
+    exact quantiles need a full sort of 100 TB; a k-row uniform sample
+    per group bounds both state and error (±O(1/sqrt(k)) in rank), and
+    per-slice samples merge before estimating.
+
+    Returns (group_cols..., q, quantile_value). The sample frame must
+    carry `_h` (the bottomk_sample tiebreak) so duplicated values rank
+    deterministically."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), F.col("_h"))
+    n = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("_vr"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    )
+    out = None
+    for q in qs:
+        pick = ranked.filter(
+            F.col("_vr") == 1 + F.expr(f"({q} * (_n - 1)) div 100")
+        ).select(
+            *group_cols,
+            F.lit(q).cast("int").alias("q"),
+            F.col(value_col).alias("quantile_value"),
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 165 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 167 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18 and
-# queries_r12's 2) and a 50-slot window, the
+# queries_r12's 4) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -125,6 +125,14 @@ _DEPRIORITIZED = [
     #    the corpus_diff -> update_minhash_index chain (VERDICT r11
     #    item 7's dedup-layer half); its BM25 twin
     #    pipeline_diff_bm25_chain is in-window r12
+    "sketch_cm_heavy_hitters",  # BORN IN TAIL (r12); r13 tranche —
+    #    Count-Min frequency sketch (d md5 rows x w counters,
+    #    mergeable, w small enough that collisions exercise the
+    #    min-over-rows estimator); exact companion in-row
+    "sketch_sample_quantiles",  # BORN IN TAIL (r12); r13 tranche —
+    #    bottom-k hash sampling (deterministic uniform sample without
+    #    replacement) + nearest-rank quantiles over the sample; the
+    #    bounded-state quantile sibling of KMV
     # ------------------------------------------------------------------
     # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------

@@ -176,3 +176,103 @@ def pipeline_diff_minhash_chain(
     index = minhash_signature(old, "text", "doc_id")
     delta = _diff_delta(old, new)
     return update_minhash_index(index, delta, "text", "doc_id")
+
+
+# Count-Min sketch heavy-hitter probe (round 12, BORN IN TAIL — r13
+# tranche): the mergeable frequency sketch next to KMV — d md5 hash
+# rows × w counters, bit-identical in both engines, w·d longs of state
+# per slice. w=64 is deliberately small at this SF so collisions
+# actually occur and the min-over-rows estimator does real work; the
+# exact count rides along so the row itself shows est >= exact (the
+# CM guarantee), and the oracle replays the identical sketch.
+@q(
+    "sketch_cm_heavy_hitters",
+    """
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS _k FROM events),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || _k),
+                                  1, 12)) AS BIGINT) % 64 AS b,
+             COUNT(*) AS cnt
+      FROM k, range(0, 4) rr(r) GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    probes AS (
+      SELECT c.user_id, r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                      || CAST(c.user_id AS VARCHAR)),
+                                  1, 12)) AS BIGINT) % 64 AS b
+      FROM cand c, range(0, 4) rr(r)
+    ),
+    est AS (
+      SELECT user_id, MIN(COALESCE(cnt, 0)) AS cm_count
+      FROM probes LEFT JOIN cells USING (r, b) GROUP BY user_id
+    ),
+    ex AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT est.user_id, CAST(est.cm_count AS BIGINT) AS cm_count,
+           CAST(ex.exact_count AS BIGINT) AS exact_count
+    FROM est JOIN ex USING (user_id)
+    """,
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cm_estimate, cm_sketch
+
+    e = tables.load(spark, sf_dir, "events")
+    cells = cm_sketch(e, "user_id", w=64, d=4)
+    cand = (
+        e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    est = cm_estimate(cells, cand, "user_id", w=64, d=4)
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return est.join(exact, "user_id")
+
+
+# Bottom-k-sample quantiles (round 12, BORN IN TAIL — r13 tranche):
+# the KMV selection applied to whole rows = a deterministic uniform
+# sample without replacement, mergeable across slices; nearest-rank
+# quantiles over the sample bound both state and error where exact
+# quantiles would need a full 100 TB sort. Values quantized to cents
+# so both engines rank identical integers.
+@q(
+    "sketch_sample_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS _h,
+             event_id
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, v, _h,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY _h, event_id) AS _r
+      FROM h QUALIFY _r <= 128
+    ),
+    rk AS (
+      SELECT event_type, v, _h,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v, _h) AS _vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS _n
+      FROM s
+    )
+    SELECT event_type, CAST(q AS INT) AS q, v AS quantile_value
+    FROM rk, (VALUES (25), (50), (75)) qq(q)
+    WHERE _vr = 1 + (q * (_n - 1)) // 100
+    """,
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bottomk_sample, sample_quantiles
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        "event_id",
+    )
+    samp = bottomk_sample(e, ["event_type"], "event_id", k=128)
+    return sample_quantiles(samp, ["event_type"], "v", qs=(25, 50, 75))

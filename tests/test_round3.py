@@ -19,49 +19,63 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # r11 rotation (VERDICT r10 item 1): the 13 named r6-stale entries
-    "x18_hex_to_long",
-    "a3_distinct_authors",
-    "a7_total_active_creators",
-    "f10_point_lookup",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "temporal_range_join",
-    "j3_num_comments_per_post",
-    "w2_lww_latest_event",
-    "sample_weighted_bernoulli",
-    "o5_children_topk_per_parent",
-    "training_decontaminate",
-    "dedup_lsh_candidates",
-    # the 10 r10 born-in-tail entries (zero driver signal until r11)
-    "text_bpe_encode",
-    "a_approx_distinct_kmv",
+    # r12 rotation (VERDICT r11 item 1): the 19 named r7-stale entries
+    "f4_regex_filter",
+    "a2_distinct_authors_of_app",
+    "x1_json_props_extract",
+    "x2_detect_post_type",
+    "j2_parent_post_join",
+    "j7_follows_overview",
+    "a5_score_zeroing",
+    "dedup_embedding_neardup",
+    "text_language_id_ngram",
+    "text_vocab_topk_per_source",
+    "sample_stratified",
+    "x21_index_incremental_update",
+    "stream_dedup_batch_equivalence",
+    "ann_recall_eval",
+    "training_pack_next_fit",
+    "training_epoch_interleave",
+    "stream_stream_join_attribution",
+    "pipeline_corpus_curation",
+    "skew_salted_comment_counts",
+    # the 14 r11 born-in-tail entries (zero driver signal until r12)
+    "text_unigram_encode",
+    "text_unicode_scrub",
+    "search_bm25_index_incremental",
+    "sim_ivfpq_search",
+    "text_gopher_quality_gate",
+    "pipeline_ccnet_buckets",
+    "training_contamination_report",
+    "multimodal_dhash_near_dup",
+    "multimodal_audio_fingerprint",
+    "graph_pagerank_quantized",
+    "pipeline_corpus_diff",
+    "curation_dedup_lines_within_doc",
+    "stream_bm25_index_incremental",
+    "feeds_decayed_trending",
+    # upgraded r12 (first round with a hash-checkable oracle) + the
+    # entry born in-window r12
+    "a_approx_distinct_users",
+    "pipeline_diff_bm25_chain",
+    # single-green (r11-only) entries holding their slot to become
+    # multiply-green
     "training_negative_sample",
+    "a_approx_distinct_kmv",
+    "layout_zorder_key",
+    "training_dsir_resample",
+    "dedup_keep_best_quality",
     "training_temperature_resample",
+    "text_bpe_encode",
     "search_bm25_topk",
     "search_rrf_fusion",
     "sim_mmr_rerank",
-    "training_dsir_resample",
-    "layout_zorder_key",
-    "dedup_keep_best_quality",
-    # the two r10 rotate-outs rejoining per the written plan
-    "dedup_shared_passages",
-    "training_hash_split",
-    # single-green (r10-only) entries holding their slot to become
-    # multiply-green
-    "stream_passage_counts_incremental",
-    "training_bloom_decontaminate",
-    "training_cdc_chunks",
-    "dedup_remove_repeated_passages",
-    "dedup_remove_duplicate_spans",
-    "dedup_cross_source_overlap",
-    "text_bpe_train_merges",
-    "text_quality_classifier",
-    # entries born in-window in r11 (no driver signal yet)
-    "text_unigram_lm_train",
-    "sim_ivf_pq_adc",
     "multimodal_media_probe",
+    "sim_ivf_pq_adc",
+    "text_unigram_lm_train",
     "dedup_remove_duplicate_spans_maximal",
+    # the ingest-dispatch anchor (follows code changed this round)
+    "ingest_follows_families",
 ]
 
 

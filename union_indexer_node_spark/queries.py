@@ -134,6 +134,20 @@ _DEPRIORITIZED = [
     #    replacement) + nearest-rank quantiles over the sample; the
     #    bounded-state quantile sibling of KMV
     # ------------------------------------------------------------------
+    # r13 ROTATION TRANCHE (scheduled): the r8-era staleness backlog
+    # (the 30 entries in the "last green r8" section below, hitting
+    # the staleness bound at r13 the same way the r7 group did at r12)
+    # PLUS the 3 r12 born-in-tail entries above
+    # (pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
+    # sketch_sample_quantiles) — 33 mandatory swaps. Funding: after
+    # the r12 driver run, the 19 r7-era re-entries and the 15 r12
+    # stays are all multiply-green (34 fundable outs); the 16 entries
+    # that will be single-green (r12-only) MUST STAY to become
+    # multiply-green: the 14 r11-born tranche members plus
+    # a_approx_distinct_users and pipeline_diff_bm25_chain. 16 stays
+    # + 33 ins = 49, leaving one slot for an entry born in-window r13.
+    # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
     # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------
     "social_feed_by_app",  # green r2-r8 (seven consecutive); F-defaults

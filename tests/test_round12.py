@@ -555,6 +555,37 @@ def test_leaderboard_default_unchanged_pagerank_opt_in(gate_service):
 # ---------------------------------------------------------------------------
 
 
+def test_remove_frequent_lines_semantics(spark):
+    """Corpus-wide boilerplate cut: a line in >= min_docs documents is
+    removed from EVERY document (trim identity, original bytes kept
+    elsewhere); rare lines stay; blank lines are never flagged; a doc
+    that was all boilerplate survives with empty text."""
+    from union_indexer_node_spark.pipelines.curation import (
+        remove_frequent_lines,
+    )
+
+    banner = "subscribe now"
+    rows = [(i, f"{banner}\n\nunique body {i}\n  {banner} ") for i in range(5)]
+    rows.append((100, banner))                 # all-boilerplate doc
+    rows.append((101, "rare line\nunique body 101"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_lines(
+            df, "text", "doc_id", min_docs=5
+        ).collect()
+    }
+    for i in range(5):
+        # both banner variants removed (trim identity); blank line and
+        # body kept byte-exactly
+        assert out[i]["cleaned_text"] == f"\nunique body {i}"
+        assert out[i]["n_removed_lines"] == 2
+        assert out[i]["n_lines"] == 4
+    assert out[100]["cleaned_text"] == "" and out[100]["n_removed_lines"] == 1
+    assert out[101]["cleaned_text"] == "rare line\nunique body 101"
+    assert out[101]["n_removed_lines"] == 0
+
+
 def test_kmv_global_two_level_equals_single_group(spark):
     """The two-level truncation (per-residue-bucket rank, then a
     bounded global rank) must produce the IDENTICAL sketch to ranking

@@ -332,3 +332,80 @@ def dedup_lines_within_doc(
         F.size("_ls").cast("long").alias("n_lines"),
         (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed_lines"),
     )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 10,
+) -> DataFrame:
+    """CORPUS-WIDE frequent-line removal — the RefinedWeb/CCNet
+    boilerplate cut that complements `dedup_lines_within_doc` (that one
+    removes a page's OWN repeats; this one removes lines that appear
+    across many DOCUMENTS — cookie banners, nav rows, subscribe
+    prompts — from every page carrying them). Line identity is the
+    whitespace-trimmed form; a line is boilerplate when at least
+    ``min_docs`` DISTINCT documents contain it. Blank lines are never
+    flagged (they would appear everywhere by construction and removing
+    them would reflow every paragraph).
+
+    ``min_docs`` is an absolute document count, not a fraction, on
+    purpose: a fraction needs the corpus-size scalar and silently
+    tightens as the corpus grows, while the boilerplate phenomenon is
+    absolute ("this exact line is on 10k pages"). Callers wanting a
+    fraction compute min_docs outside from the corpus count.
+
+    Scale shape: explode lines once; collapse to DISTINCT (norm, doc)
+    BEFORE counting (a page repeating its own nav row a hundred times
+    contributes one vote — and the hot boilerplate line collapses
+    map-side, the _digest_canonicals skew argument); the flagged set
+    is only the frequent lines — tiny, broadcast into a left_anti on
+    the exploded frame; reassembly groups by doc ordered by the
+    original line index. Byte-preserving: kept lines keep their bytes
+    and re-join with the newline they were split on; NULL text
+    normalizes to '' (the span-family contract).
+
+    Returns (id, cleaned_text, n_lines, n_removed_lines).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, "\n")).alias("_i", "_line"),
+    ).withColumn("_norm", F.trim(F.col("_line")))
+    flagged = (
+        lines.filter(F.col("_norm") != "")
+        .select("_norm", id_col)
+        .distinct()
+        .groupBy("_norm")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+        .filter(F.col("_dfreq") >= min_docs)
+        .select("_norm")
+    )
+    kept = lines.join(F.broadcast(flagged), "_norm", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_i"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    # a doc whose every line was boilerplate drops out of `rebuilt`;
+    # the left join + coalesce keeps it with an empty cleaned_text
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed_lines"),
+    )

@@ -276,3 +276,74 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samp = bottomk_sample(e, ["event_type"], "event_id", k=128)
     return sample_quantiles(samp, ["event_type"], "v", qs=(25, 50, 75))
+
+
+# Corpus-wide frequent-line removal (round 12, BORN IN TAIL — r13
+# tranche): the RefinedWeb/CCNet boilerplate cut. Fixture injects a
+# banner line into half the corpus (removed everywhere, incl. from
+# docs where it IS half the content) and a rare disclaimer into 1/97
+# (below min_docs -> kept); the synthetic corpus's own cross-doc
+# repeated lines flag organically and the oracle mirrors them.
+@q(
+    "curation_remove_frequent_lines",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'join our newsletter today' || chr(10) || text
+                  ELSE text END AS t0
+      FROM documents
+    ),
+    aug2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0
+                  THEN t0 || chr(10) || 'rare disclaimer line'
+                  ELSE t0 END AS text
+      FROM aug
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug2),
+    l0 AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS i
+      FROM s
+    ),
+    l AS (SELECT doc_id, line, i, trim(line) AS norm FROM l0),
+    flagged AS (
+      SELECT norm
+      FROM (SELECT DISTINCT norm, doc_id FROM l WHERE norm <> '')
+      GROUP BY norm HAVING COUNT(*) >= 10
+    ),
+    kept AS (
+      SELECT * FROM l WHERE norm NOT IN (SELECT norm FROM flagged)
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY i) AS cleaned_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.cleaned_text, '') AS cleaned_text,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed_lines
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def curation_remove_frequent_lines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.curation import remove_frequent_lines
+
+    d = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t0 = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("join our newsletter today\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    t1 = F.when(
+        did % 97 == 0, F.concat(t0, F.lit("\nrare disclaimer line"))
+    ).otherwise(t0)
+    aug = d.select("doc_id", t1.alias("text"))
+    return remove_frequent_lines(aug, "text", "doc_id", min_docs=10)

@@ -299,7 +299,12 @@ def sample_quantiles(
 
     Returns (group_cols..., q, quantile_value). The sample frame must
     carry `_h` (the bottomk_sample tiebreak) so duplicated values rank
-    deterministically."""
+    deterministically.
+
+    Plan shape: the ranked sample is computed ONCE and every requested
+    q selects from it via one exploded-literal filter — a per-q union
+    of branches would re-run the window subplan len(qs) times
+    (measured 3x the exchanges on the first cut of this function)."""
     w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), F.col("_h"))
     n = Window.partitionBy(*group_cols)
     ranked = sample.select(
@@ -308,14 +313,15 @@ def sample_quantiles(
         F.row_number().over(w).alias("_vr"),
         F.count(F.lit(1)).over(n).alias("_n"),
     )
-    out = None
-    for q in qs:
-        pick = ranked.filter(
-            F.col("_vr") == 1 + F.expr(f"({q} * (_n - 1)) div 100")
-        ).select(
+    qcol = F.explode(
+        F.array(*[F.lit(int(q)).cast("int") for q in qs])
+    ).alias("q")
+    return (
+        ranked.select(*group_cols, value_col, "_vr", "_n", qcol)
+        .filter(F.col("_vr") == 1 + F.expr("(q * (_n - 1)) div 100"))
+        .select(
             *group_cols,
-            F.lit(q).cast("int").alias("q"),
+            "q",
             F.col(value_col).alias("quantile_value"),
         )
-        out = pick if out is None else out.unionByName(pick)
-    return out
+    )

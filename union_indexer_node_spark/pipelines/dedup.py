@@ -236,8 +236,12 @@ def update_minhash_index(
     fresh = minhash_signature(
         changed_docs, text_col, id_col, k=k, shingle_n=shingle_n
     )
+    # changed-id set is batch-sized by contract — broadcast the probe
+    # so the (corpus-sized) signature table never shuffles for it
     kept = index.join(
-        changed_docs.select(id_col).distinct(), [id_col], "left_anti"
+        F.broadcast(changed_docs.select(id_col).distinct()),
+        [id_col],
+        "left_anti",
     )
     return kept.unionByName(fresh)
 

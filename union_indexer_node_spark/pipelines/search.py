@@ -218,7 +218,9 @@ def bm25_index_merge(
     would append duplicate postings and double-count tf.
     """
     d_post, d_dl = bm25_index(delta, text_col, id_col)
-    ids = delta.select(id_col).distinct()
+    # batch-sized by contract (one row per re-ingested id) — broadcast
+    # the probe so the index side never shuffles for the anti-join
+    ids = F.broadcast(delta.select(id_col).distinct())
     return (
         postings.join(ids, id_col, "left_anti").unionByName(d_post),
         doclens.join(ids, id_col, "left_anti").unionByName(d_dl),

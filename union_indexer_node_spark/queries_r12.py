@@ -73,9 +73,13 @@ def _diff_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     diff = corpus_diff(old, new, "doc_id", "text").filter(
         F.col("status") != "unchanged"
     )
+    # delta-sized by construction (changed+added ids) — broadcast so
+    # the corpus side never shuffles for the semi-join
     upserts = new.join(
-        diff.filter(F.col("status").isin("changed", "added")).select(
-            "doc_id"
+        F.broadcast(
+            diff.filter(F.col("status").isin("changed", "added")).select(
+                "doc_id"
+            )
         ),
         "doc_id",
         "left_semi",

@@ -555,6 +555,37 @@ def test_leaderboard_default_unchanged_pagerank_opt_in(gate_service):
 # ---------------------------------------------------------------------------
 
 
+def test_kmeans_suffstats_fold_and_update(spark):
+    """Folded per-slice suffstats == whole-corpus suffstats (exact
+    integer sums), the derived centroid equals the batch update
+    formula round(s / (n·quant), 6), and a cluster with no members
+    keeps its previous centroid."""
+    from union_indexer_node_spark.pipelines.similarity import (
+        kmeans_fold_suffstats,
+        kmeans_from_suffstats,
+        kmeans_suffstats,
+    )
+
+    cents = [[0.0, 0.0], [1.0, 1.0], [9.0, 9.0]]  # cluster 2 empty
+    rows = [
+        (1, [0.1, 0.2]), (2, [-0.1, 0.0]),        # -> cluster 0
+        (3, [0.9, 1.1]), (4, [1.2, 0.8]),          # -> cluster 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole = kmeans_suffstats(emb, cents)
+    folded = kmeans_fold_suffstats(
+        kmeans_suffstats(emb.filter(F.col("vec_id") <= 2), cents),
+        kmeans_suffstats(emb.filter(F.col("vec_id") > 2), cents),
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    new = kmeans_from_suffstats(folded, cents)
+    assert new[0] == [0.0, 0.1]        # means of cluster 0
+    assert new[1] == [1.05, 0.95]      # means of cluster 1
+    assert new[2] == [9.0, 9.0]        # empty cluster keeps previous
+
+
 def test_remove_frequent_lines_semantics(spark):
     """Corpus-wide boilerplate cut: a line in >= min_docs documents is
     removed from EVERY document (trim identity, original bytes kept

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 168 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 169 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18 and
-# queries_r12's 5) and a 50-slot window, the
+# queries_r12's 6) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -137,21 +137,27 @@ _DEPRIORITIZED = [
     #    tranche — corpus-wide boilerplate-line removal (RefinedWeb/
     #    CCNet cut): distinct-(line, doc) vote, min_docs flag,
     #    broadcast anti-join, byte-preserving rebuild
+    "sim_kmeans_incremental",  # BORN IN TAIL (r12); r13 tranche —
+    #    mini-batch k-means via mergeable suffstats: per-slice
+    #    (cluster, dim, s_q, n) folded across halves == whole-corpus
+    #    stats (exact integer sums); kmeans_from_suffstats derives the
+    #    identical round(s/(n*quant),6) update
     # ------------------------------------------------------------------
     # r13 ROTATION TRANCHE (scheduled): the r8-era staleness backlog
     # (the 30 entries in the "last green r8" section below, hitting
     # the staleness bound at r13 the same way the r7 group did at r12)
-    # PLUS the 4 r12 born-in-tail entries above
+    # PLUS the 5 r12 born-in-tail entries above
     # (pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
-    # sketch_sample_quantiles, curation_remove_frequent_lines) — 34
-    # mandatory swaps. Funding: after the r12 driver run, the 19
-    # r7-era re-entries and the 15 r12 stays are all multiply-green
-    # (34 fundable outs); the 16 entries that will be single-green
-    # (r12-only) MUST STAY to become multiply-green: the 14 r11-born
-    # tranche members plus a_approx_distinct_users and
-    # pipeline_diff_bm25_chain. 16 stays + 34 ins = 50 exactly;
-    # entries born in r13 go to the tail.
-    # ------------------------------------------------------------------
+    # sketch_sample_quantiles, curation_remove_frequent_lines,
+    # sim_kmeans_incremental) — 35 scheduled ins. Funding arithmetic:
+    # after the r12 driver run, 16 entries are single-green (r12-only)
+    # and MUST STAY — the 14 r11-born tranche members plus
+    # a_approx_distinct_users and pipeline_diff_bm25_chain — while the
+    # 19 r7-era re-entries and the 15 r12 stays are multiply-green
+    # (34 fundable outs). 16 stays + 34 ins = 50, so ONE of the 35
+    # waits a round in the tail: sim_kmeans_incremental (the youngest,
+    # one round less stale than the rest). Entries born in r13 go to
+    # the tail.
     # ------------------------------------------------------------------
     # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------

@@ -351,3 +351,70 @@ def curation_remove_frequent_lines(
     ).otherwise(t0)
     aug = d.select("doc_id", t1.alias("text"))
     return remove_frequent_lines(aug, "text", "doc_id", min_docs=10)
+
+
+def _km_fixture_cents(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic float centroids on exact-binary /8 fractions so
+    both engines compute identical distance doubles."""
+    return [
+        [((5 * ci + j) % 9 - 4) / 8.0 for j in range(dim)]
+        for ci in range(k)
+    ]
+
+
+def _km_cents_values_sql(cents: list[list[float]]) -> str:
+    rows = ", ".join(
+        f"({ci}, [{', '.join(repr(v) for v in c)}])"
+        for ci, c in enumerate(cents)
+    )
+    return f"(VALUES {rows}) c(cluster, carr)"
+
+
+# Incremental k-means via mergeable sufficient statistics (round 12,
+# BORN IN TAIL — r13 tranche): the mini-batch primitive of the
+# incremental-maintenance family applied to clustering — per-slice
+# (cluster, dim, s_q, n_points) stats under fixture centroids, FOLDED
+# across two corpus halves, must equal the whole-corpus stats (exact
+# integer sums). The oracle computes the whole-corpus side; the Spark
+# side goes through the fold, so a fold bug (double-count, dropped
+# slice, wrong key) hash-mismatches.
+@q(
+    "sim_kmeans_incremental",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000, 0) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cents AS (SELECT * FROM {_km_cents_values_sql(_km_fixture_cents())}),
+    d AS (
+      SELECT q.vec_id, q.qv, c.cluster,
+             round(list_sum(list_transform(q.qv,
+               (v, i) -> (v / 1000000.0 - c.carr[i])
+                         * (v / 1000000.0 - c.carr[i]))), 4) AS dist
+      FROM q CROSS JOIN cents c
+    ),
+    a AS (
+      SELECT vec_id, qv, cluster FROM d
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    )
+    SELECT a.cluster, CAST(t.i AS INT) AS dim,
+           CAST(SUM(a.qv[t.i]) AS BIGINT) AS s_q,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM a CROSS JOIN range(1, 65) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def sim_kmeans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.similarity import kmeans_fold_suffstats, kmeans_suffstats
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = _km_fixture_cents()
+    halves = [
+        kmeans_suffstats(emb.filter(F.col("vec_id") % 2 == m), cents)
+        for m in (0, 1)
+    ]
+    return kmeans_fold_suffstats(*halves)

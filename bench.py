@@ -188,6 +188,15 @@ BENCH_QUERIES = [
     "unigram_encode_prebuilt",
     "sim_ivfpq_search",
     "ivfpq_search_prebuilt",
+    # round 12 second batch: the diff-driven incremental BM25 chain
+    # (corpus_diff -> bm25_index_merge, composed: old-index build +
+    # diff + fold), corpus-wide boilerplate-line removal, the two new
+    # mergeable sketches, and the suffstats k-means fold.
+    "pipeline_diff_bm25_chain",
+    "curation_remove_frequent_lines",
+    "sketch_cm_heavy_hitters",
+    "sketch_sample_quantiles",
+    "sim_kmeans_incremental",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

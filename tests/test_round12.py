@@ -555,6 +555,22 @@ def test_leaderboard_default_unchanged_pagerank_opt_in(gate_service):
 # ---------------------------------------------------------------------------
 
 
+def test_sample_quantiles_single_ranked_pass(spark):
+    """The ranked sample must be computed ONCE with quantiles selected
+    via an exploded literal — the per-q union-of-branches form re-ran
+    the window subplan len(qs) times (3x the exchanges, measured)."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["sketch_sample_quantiles"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bottom-k rank + value rank + count-over = one window stage each;
+    # anything >6 means the subplan replicated per quantile again
+    assert plan.count("Window") <= 6, plan.count("Window")
+    assert "Union" not in plan
+
+
 def test_kmeans_suffstats_fold_and_update(spark):
     """Folded per-slice suffstats == whole-corpus suffstats (exact
     integer sums), the derived centroid equals the batch update

@@ -550,6 +550,64 @@ def test_leaderboard_default_unchanged_pagerank_opt_in(gate_service):
     assert pr[2]["score"] == pytest.approx(0.15)
 
 
+def test_keyset_pagination_matches_offset_and_default_unchanged(spark):
+    """The opt-in keyset cursor walks the identical (created_at DESC,
+    permlink ASC) order as offset pagination — page 2 via the page-1
+    tail cursor == page 2 via skip — and the cursor predicate is a
+    pushed filter (no offset node). Default (no cursor) stays the
+    reference skip/limit arm."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.feeds import (
+        FeedSpec,
+        social_feed,
+    )
+
+    posts = tables.posts(spark, "/root/testdata/sf0.001")
+    page1 = social_feed(posts, FeedSpec(limit=10)).select(
+        "author", "permlink", "created_at"
+    ).collect()
+    tail = page1[-1]
+    via_offset = social_feed(posts, FeedSpec(limit=10, skip=10)).select(
+        "author", "permlink"
+    ).collect()
+    via_cursor_df = social_feed(
+        posts,
+        FeedSpec(limit=10, after=(tail["created_at"], tail["permlink"])),
+    )
+    via_cursor = via_cursor_df.select("author", "permlink").collect()
+    assert [tuple(r) for r in via_cursor] == [tuple(r) for r in via_offset]
+    plan = via_cursor_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keyset_cursor_through_graphql(gate_service):
+    """Serving surface: socialFeed(after:) pages through the gate
+    fixture; omitting it is byte-identical to before the arg existed."""
+    q1 = gate_service.execute(
+        "query { socialFeed(pagination: {limit: 2}) "
+        "{ items { permlink created_at } } }"
+    )
+    assert "errors" not in q1, q1
+    items = q1["data"]["socialFeed"]["items"]
+    assert [i["permlink"] for i in items] == ["pnew", "pmid"]
+    tail = items[-1]
+    q2 = gate_service.execute(
+        f"""
+        query {{
+          socialFeed(pagination: {{limit: 2}},
+                     after: {{created_at: "{tail['created_at']}",
+                              permlink: "{tail['permlink']}"}}) {{
+            items {{ permlink }}
+          }}
+        }}
+        """
+    )
+    assert "errors" not in q2, q2
+    assert [i["permlink"] for i in q2["data"]["socialFeed"]["items"]] == [
+        "pold"
+    ]
+
+
 # ---------------------------------------------------------------------------
 # global KMV sketch (VERDICT r11 #4: a_approx_distinct_users upgrade)
 # ---------------------------------------------------------------------------

@@ -30,6 +30,17 @@ def compile_args(args: Mapping[str, Any]) -> FeedSpec:
     limit (0, null, undefined) to the default, so ``limit: 0`` means
     "default page", not "no rows"."""
     where = {k: v for k, v in args.items() if k in NAME_MAP}
+    # keyset cursor (round 12, opt-in): {"created_at": iso-or-datetime,
+    # "permlink": str} -> FeedSpec.after; absent = reference behavior
+    after = None
+    cur = args.get("after")
+    if cur:
+        import datetime as _dt
+
+        ts = cur["created_at"]
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        after = (ts, cur["permlink"])
     spec = FeedSpec(
         where=where,
         or_where=args.get("or", {}),
@@ -38,6 +49,7 @@ def compile_args(args: Mapping[str, Any]) -> FeedSpec:
         limit=int(args.get("limit") or 100),
         skip=int(args.get("skip") or 0),
         follower=args.get("byFollower"),
+        after=after,
     )
     return spec
 

@@ -55,6 +55,16 @@ class FeedSpec:
     limit: int = 100  # reference default (resolvers/index.ts:178)
     skip: int = 0
     follower: str | None = None
+    # Keyset cursor (round 12, opt-in EXTENSION — the reference only
+    # paginates by skip/limit): (created_at, permlink) of the last row
+    # of the previous page. Offset pagination reads and discards
+    # `skip` rows — page N costs O(N·limit) and at 100 TB a deep page
+    # touches the whole sorted prefix; the keyset predicate pushes
+    # down to the scan (partition pruning on a date-partitioned posts
+    # table) and every page costs O(limit). When set, `skip` is
+    # ignored — the cursor IS the position. None (the default) keeps
+    # reference behavior byte-identical.
+    after: tuple[Any, str] | None = None
 
 
 def compile_feed_filter(spec: FeedSpec) -> Column | None:
@@ -118,6 +128,22 @@ def social_feed(
             F.col("following").alias("author")
         )
         df = df.join(F.broadcast(following), "author", "left_semi")
+    if spec.after is not None:
+        # strictly-after the cursor row under (created_at DESC,
+        # permlink ASC): older timestamp, or same timestamp with a
+        # later permlink. The timestamp arm is sargable — it reaches
+        # the parquet scan as a pushed filter.
+        c_ts, c_pl = spec.after
+        df = df.filter(
+            (F.col("created_at") < F.lit(c_ts))
+            | (
+                (F.col("created_at") == F.lit(c_ts))
+                & (F.col("permlink") > F.lit(c_pl))
+            )
+        )
+        return df.orderBy(
+            F.desc("created_at"), F.asc("permlink")
+        ).limit(spec.limit)
     df = df.orderBy(F.desc("created_at"), F.asc("permlink"))
     if spec.skip:
         df = df.offset(spec.skip)

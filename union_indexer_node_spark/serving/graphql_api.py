@@ -62,6 +62,11 @@ input PaginationOptions {
   skip: Int
 }
 
+input CursorInput {
+  created_at: String
+  permlink: String
+}
+
 input FeedOptionsOR {
   byTag: WhereField
   byCreator: WhereField
@@ -173,7 +178,7 @@ type SyncState {
 type Query {
   socialPost(author: String, permlink: String): Post
   socialFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
-             feedOptions: FeedOptions): FeedOutput
+             feedOptions: FeedOptions, after: CursorInput): FeedOutput
   trendingFeed(spkvideo: SpkVideoQuery, pagination: PaginationOptions,
                feedOptions: FeedOptions,
                trendingBy: TrendingByType, rankBy: String): FeedOutput
@@ -216,6 +221,9 @@ def _flatten_feed_args(args: Mapping[str, Any]) -> dict:
     if args.get("rankBy") is not None:
         # round-11 opt-in BM25 ranking arm; absent = reference recency
         out["rankBy"] = args["rankBy"]
+    if args.get("after") is not None:
+        # round-12 opt-in keyset cursor; absent = reference skip/limit
+        out["after"] = args["after"]
     if args.get("trendingBy") is not None:
         out["trendingBy"] = args["trendingBy"].lower()
     for k in ("author", "permlink", "limit", "id"):

@@ -629,6 +629,68 @@ def test_sample_quantiles_single_ranked_pass(spark):
     assert "Union" not in plan
 
 
+def test_follows_audit_applied_set_matches_build_follows(spark):
+    """The audit's 'applied' rows are exactly the ops build_follows
+    folds: with unique edge keys per op, applied count == edge count,
+    and every drop reason labels an op build_follows really drops."""
+    import json as _json
+
+    from union_indexer_node_spark.ingest.posts import (
+        build_follows,
+        follows_op_audit,
+    )
+
+    def op(h, cj_id, payload, auths):
+        return (
+            h, datetime.datetime(2024, 1, 1), 0, 1, "custom_json",
+            cj_id,
+            payload if isinstance(payload, str) else _json.dumps(payload),
+            auths,
+        )
+
+    rows = [
+        op(1, "follow", {"follower": "a1", "following": "b1",
+                         "what": ["blog"]}, ["a1"]),     # applied
+        op(2, "follow", {"follower": "zz", "following": "b2",
+                         "what": ["blog"]}, ["a2"]),     # spoofed
+        op(3, "follow", {"following": "b3", "what": ["blog"]},
+           ["a3"]),                                       # no follower
+        op(4, "community", {"action": "updateProps",
+                            "community": "hive-x"}, ["a4"]),  # non-follow
+        op(5, "community", {"community": "hive-y"}, ["a5"]),  # NULL action
+        op(6, "community", {"action": "subscribe",
+                            "community": "hive-z"}, ["a6"]),  # applied
+        op(7, "spk.follow", {"did": "did:key:z1"}, []),   # authless
+        op(8, "spk.follow", {"following": "b8"}, ["a8"]),  # no did
+        op(9, "spk.follow", {"did": "did:key:z2"}, ["a9"]),  # applied
+        op(10, "follow", "{not json", ["a10"]),           # malformed
+    ]
+    schema = (
+        "block_height long, block_timestamp timestamp, tx_idx int, "
+        "op_idx int, op_type string, custom_json_id string, "
+        "custom_json string, required_posting_auths array<string>"
+    )
+    ops = spark.createDataFrame(rows, schema)
+    audit = {r["block_height"]: r for r in follows_op_audit(ops).collect()}
+    assert {h: a["status"] for h, a in audit.items()} == {
+        1: "applied", 2: "dropped", 3: "dropped", 4: "dropped",
+        5: "dropped", 6: "applied", 7: "dropped", 8: "dropped",
+        9: "applied", 10: "dropped",
+    }
+    assert audit[2]["reason"] == "spoofed_or_missing_follower"
+    assert audit[3]["reason"] == "spoofed_or_missing_follower"
+    assert audit[4]["reason"] == "non_follow_action"
+    assert audit[5]["reason"] == "non_follow_action"
+    assert audit[7]["reason"] == "missing_signer"
+    assert audit[8]["reason"] == "missing_following"
+    assert audit[10]["reason"] == "malformed_json"
+    # unique edge keys per op -> build_follows row count == applied count
+    edges = build_follows(ops, keep_tombstones=True).collect()
+    assert len(edges) == 3
+    applied_heights = {h for h, a in audit.items() if a["status"] == "applied"}
+    assert {e["block_height"] for e in edges} == applied_heights
+
+
 def test_kmeans_suffstats_fold_and_update(spark):
     """Folded per-slice suffstats == whole-corpus suffstats (exact
     integer sums), the derived centroid equals the batch update

@@ -493,3 +493,105 @@ def build_follows(
     return latest.filter(~F.col("is_unfollow")).select(
         "_id", "follower", "following", "what", "followed_at"
     )
+
+
+def follows_op_audit(ops: DataFrame) -> DataFrame:
+    """Dispatch AUDIT for the followsDb custom_json families — the
+    dead-letter view of `build_follows`: every op the dispatch would
+    consume gets a row saying whether it applied and, if dropped, WHY.
+    build_follows drops malformed/spoofed/authless ops silently (each
+    drop matches a reference behavior or a documented divergence, see
+    its docstring); at 100 TB "silently" is an operational hazard — a
+    client bug that starts spoofing followers looks like traffic
+    vanishing. This audit is the observability companion: same parse,
+    same predicates, one labeled row per op, pure map-side (no
+    shuffle, no join — group-by-reason downstream as needed).
+
+    Reasons, in the dispatch's own precedence (first failing filter
+    wins, matching build_follows' filter order; `malformed_json` is
+    reported first because every later predicate would also trip on
+    the all-NULL parse and misattribute the cause):
+
+    - ``malformed_json`` — custom_json absent or unparseable;
+    - ``spoofed_or_missing_follower`` — legacy `follow` whose payload
+      follower is missing or differs from the signing account
+      (hive-stream.ts:366-368 spoof guard);
+    - ``non_follow_action`` — `community` op whose action is not
+      subscribe/unsubscribe (updateProps routes to communities; unknown
+      actions fall through every reference branch);
+    - ``missing_signer`` — spk/community op with empty posting auths
+      (the reference's undefined-interpolation junk-identity bug,
+      hive-stream.ts:285,325-343 — dropped here, documented divergence);
+    - ``missing_following`` — no followed target: legacy without
+      `following`, spk without `did` (the reference's
+      'hive/{acct}/undefined' junk key), community without `community`.
+
+    Returns (block_height, tx_idx, op_idx, family, status, reason);
+    status ∈ {applied, dropped}, reason NULL when applied. The applied
+    set is exactly the op set build_follows folds (pinned by test).
+    """
+    fo = ops.filter(
+        F.col("op_type").isin("custom_json")
+        & F.col("custom_json_id").isin(
+            "follow", "spk.follow", "spk.unfollow", "community"
+        )
+    ).withColumn(
+        "cj",
+        # permissive from_json yields a struct of NULLs (not a NULL
+        # struct) for unparseable input, so malformedness must be
+        # detected via the corrupt-record column — the downstream
+        # predicates still drop those rows either way (what
+        # build_follows relies on); this only keeps the REASON honest
+        F.from_json(
+            F.col("custom_json"),
+            "struct<follower:string,following:string,did:string,"
+            "what:array<string>,action:string,community:string,"
+            "_corrupt:string>",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    auth = F.get(F.col("required_posting_auths"), 0)
+    is_comm = F.col("custom_json_id") == "community"
+    is_spk = F.col("custom_json_id").startswith("spk.")
+    is_legacy = F.col("custom_json_id") == "follow"
+    following = (
+        F.when(is_comm, F.col("cj.community"))
+        .when(is_spk, F.col("cj.did"))
+        .otherwise(F.col("cj.following"))
+    )
+    reason = (
+        F.when(
+            F.col("cj").isNull()
+            | F.col("custom_json").isNull()
+            | F.col("cj._corrupt").isNotNull(),
+            F.lit("malformed_json"),
+        )
+        .when(
+            is_legacy
+            & (F.col("cj.follower").isNull() | (F.col("cj.follower") != auth)),
+            F.lit("spoofed_or_missing_follower"),
+        )
+        .when(
+            # NULL action must land here too: build_follows' filter
+            # (isin == NULL -> row dropped) treats it as a non-follow
+            # action, and a bare ~isin would skip the NULL
+            is_comm
+            & ~F.coalesce(
+                F.col("cj.action").isin("subscribe", "unsubscribe"),
+                F.lit(False),
+            ),
+            F.lit("non_follow_action"),
+        )
+        .when((is_comm | is_spk) & auth.isNull(), F.lit("missing_signer"))
+        .when(following.isNull(), F.lit("missing_following"))
+    )
+    return fo.select(
+        "block_height",
+        "tx_idx",
+        "op_idx",
+        F.col("custom_json_id").alias("family"),
+        F.when(reason.isNull(), F.lit("applied"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+        reason.alias("reason"),
+    )

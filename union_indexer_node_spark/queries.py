@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 169 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 170 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18 and
-# queries_r12's 6) and a 50-slot window, the
+# queries_r12's 7) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -142,6 +142,9 @@ _DEPRIORITIZED = [
     #    (cluster, dim, s_q, n) folded across halves == whole-corpus
     #    stats (exact integer sums); kmeans_from_suffstats derives the
     #    identical round(s/(n*quant),6) update
+    "ingest_follows_audit",  # BORN IN TAIL (r12); r13+ — dead-letter
+    #    audit of the follows dispatch (one labeled row per op,
+    #    every drop reason armed by the fixture)
     # ------------------------------------------------------------------
     # r13 ROTATION TRANCHE (scheduled): the r8-era staleness backlog
     # (the 30 entries in the "last green r8" section below, hitting

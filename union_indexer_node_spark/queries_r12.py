@@ -418,3 +418,81 @@ def sim_kmeans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in (0, 1)
     ]
     return kmeans_fold_suffstats(*halves)
+
+
+# Ingest dispatch AUDIT (round 12, BORN IN TAIL — r13+ tranche): the
+# dead-letter view of build_follows — every drop class the dispatch
+# performs silently (each matching a reference behavior or documented
+# divergence) becomes a labeled row. Fixture arms one op per reason
+# from event arithmetic; the oracle re-derives the labels from the
+# same arithmetic, so a dispatch-predicate drift (e.g. the NULL-action
+# corner) hash-mismatches here even though build_follows' own entry
+# only sees the surviving edges.
+@q(
+    "ingest_follows_audit",
+    """
+    SELECT event_id AS block_height,
+           CAST(0 AS INT) AS tx_idx, CAST(1 AS INT) AS op_idx,
+           CASE WHEN event_id % 7 IN (0, 1, 5) THEN 'follow'
+                WHEN event_id % 7 IN (2, 6) THEN 'community'
+                ELSE 'spk.follow' END AS family,
+           CASE WHEN event_id % 7 IN (0, 6) THEN 'applied'
+                ELSE 'dropped' END AS status,
+           CASE event_id % 7
+                WHEN 1 THEN 'spoofed_or_missing_follower'
+                WHEN 2 THEN 'non_follow_action'
+                WHEN 3 THEN 'missing_signer'
+                WHEN 4 THEN 'missing_following'
+                WHEN 5 THEN 'malformed_json'
+           END AS reason
+    FROM events
+    """,
+)
+def ingest_follows_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest.posts import follows_op_audit
+
+    e = tables.load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    fam = eid % 7
+    s = lambda c: c.cast("string")  # noqa: E731
+    ua = F.concat(F.lit("u"), s(uid % 20))
+    ub = F.concat(F.lit("u"), s((uid * 7 + 3) % 20))
+    cj = (
+        F.when(
+            fam == 0,
+            F.concat(
+                F.lit('{"follower":"'), ua, F.lit('","following":"'),
+                ub, F.lit('","what":["blog"]}'),
+            ),
+        )
+        .when(
+            fam == 1,  # spoof: claimed follower is NOT the signer
+            F.concat(
+                F.lit('{"follower":"'), ub, F.lit('","following":"'),
+                ua, F.lit('","what":["blog"]}'),
+            ),
+        )
+        .when(fam == 2, F.lit('{"action":"updateProps","community":"hive-1"}'))
+        .when(fam == 3, F.lit('{"did":"did:key:z7"}'))  # authless below
+        .when(fam == 4, F.concat(F.lit('{"following":"'), ub, F.lit('"}')))
+        .when(fam == 5, F.lit("{not json"))
+        .otherwise(F.lit('{"action":"subscribe","community":"hive-2"}'))
+    )
+    cj_id = (
+        F.when(fam.isin(0, 1, 5), F.lit("follow"))
+        .when(fam.isin(2, 6), F.lit("community"))
+        .otherwise(F.lit("spk.follow"))
+    )
+    auths = F.when(
+        fam == 3, F.array().cast("array<string>")
+    ).otherwise(F.array(ua))
+    ops = e.select(
+        eid.alias("block_height"),
+        F.lit(0).cast("int").alias("tx_idx"),
+        F.lit(1).cast("int").alias("op_idx"),
+        F.lit("custom_json").alias("op_type"),
+        cj_id.alias("custom_json_id"),
+        cj.alias("custom_json"),
+        auths.alias("required_posting_auths"),
+    )
+    return follows_op_audit(ops)

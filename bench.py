@@ -403,13 +403,39 @@ EXTRA_BENCH = {
 # ---------------------------------------------------------------------------
 ANCHOR_REPEATS = 5
 ANCHOR_REFERENCE_SEC = {
-    # pinned r12 (median of two same-day runs, reference host class)
+    # pinned r12 (median of two same-day runs, reference host class).
+    # TEN anchors on purpose: the first five are fast (0.16-0.29 s)
+    # and individually carry 5-10% scheduler/page-cache noise even at
+    # median-of-5 — a 5-anchor median inherited up to ~8% of it
+    # (measured between two otherwise-identical runs whose raw totals
+    # agreed to 0.2%). The second five are slower untouched plans
+    # (0.6-1.4 s) whose per-run noise is proportionally smaller; the
+    # median over all ten is what two same-day runs are expected to
+    # agree on within ~5%.
     "tpch_q1_pricing_summary": 0.29,
     "tpch_q6_forecast_revenue": 0.17,
     "w2_lww_latest_event": 0.28,
     "events_pivot_type_counts": 0.18,
     "lineitem_unpivot_measures": 0.17,
+    "j9_reply_closure": 0.60,
+    "tpch_q7_volume_shipping": 0.83,
+    "tpch_q8_market_share": 0.90,
+    "dedup_simhash": 1.05,
+    "x21_inverted_index_search": 1.37,
 }
+
+# Dead band: within it the host is the SAME class as the reference and
+# the factor is pinned to exactly 1.0 (normalized == raw). Measured
+# rationale (r12): consecutive same-host runs put the anchor median
+# anywhere in 0.83-1.27 while their raw 94-query totals agreed to
+# 0.2-6% — within a host class the "factor" is per-query scheduling
+# noise, not a recoverable scalar, and dividing by it ADDS variance.
+# The factor's real job is cross-class hosts, where its signal (2x+)
+# dwarfs that noise; outside the band the anchor median applies as-is.
+# This mechanizes the round-11 closing "rule for readers" (treat
+# same-class factors as 1, compare raw; reserve the factor for
+# cross-class hosts) inside the tool, so the reader rule is retired.
+ANCHOR_DEAD_BAND = (0.67, 1.5)
 
 # The synthetic-probe reference (diagnostics only since r12; history in
 # git: pinned 0.6 r6, re-pinned 0.48 r10 after the leak-pressure fix).
@@ -497,11 +523,13 @@ def main() -> None:
         for a, ref in ANCHOR_REFERENCE_SEC.items()
         if a in timings
     }
-    factor = (
+    anchor_median = (
         round(statistics.median(anchor_ratios.values()), 4)
         if anchor_ratios
         else probe_factor
     )
+    lo, hi = ANCHOR_DEAD_BAND
+    factor = anchor_median if not (lo <= anchor_median <= hi) else 1.0
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 4)
@@ -517,8 +545,10 @@ def main() -> None:
                 "sf": sf_val,
                 # workload self-calibration (r12): divide any raw
                 # number by calibration_factor (the anchor-set median
-                # ratio) before comparing across rounds
+                # ratio, dead-banded to 1.0 for same-class hosts)
+                # before comparing across rounds
                 "calibration_factor": factor,
+                "anchor_median": anchor_median,
                 "anchor_ratios": anchor_ratios,
                 # synthetic-probe diagnostics (no longer normalizing)
                 "probe_factor": probe_factor,
@@ -543,6 +573,7 @@ def main() -> None:
                 "unit": "sec",
                 "value_normalized": round(total / factor, 4),
                 "calibration_factor": factor,
+                "anchor_median": anchor_median,
                 "probe_factor": probe_factor,
                 "cal_pre": cal_pre,
                 "cal_post": cal_post,

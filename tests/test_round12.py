@@ -580,6 +580,41 @@ def test_keyset_pagination_matches_offset_and_default_unchanged(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_keyset_cursor_on_search_feed_recency_arm(spark):
+    """searchFeed's recency arm honors the same cursor; combining it
+    with the BM25 arm raises (a recency cursor has no meaning in a
+    score-ranked page)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.feeds import (
+        FeedSpec,
+        search_feed,
+    )
+
+    posts = tables.posts(spark, "/root/testdata/sf0.001")
+    term = "body"
+    p1 = search_feed(posts, term, FeedSpec(limit=5)).select(
+        "permlink", "created_at"
+    ).collect()
+    assert len(p1) == 5
+    tail = p1[-1]
+    via_offset = search_feed(
+        posts, term, FeedSpec(limit=5, skip=5)
+    ).select("permlink").collect()
+    via_cursor = search_feed(
+        posts,
+        term,
+        FeedSpec(limit=5, after=(tail["created_at"], tail["permlink"])),
+    ).select("permlink").collect()
+    assert [r[0] for r in via_cursor] == [r[0] for r in via_offset]
+    with pytest.raises(ValueError, match="recency arm"):
+        search_feed(
+            posts,
+            term,
+            FeedSpec(limit=5, after=(p1[0]["created_at"], "x")),
+            rank_by="bm25",
+        )
+
+
 def test_keyset_cursor_through_graphql(gate_service):
     """Serving surface: socialFeed(after:) pages through the gate
     fixture; omitting it is byte-identical to before the arg existed."""

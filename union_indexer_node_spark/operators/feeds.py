@@ -205,6 +205,14 @@ def search_feed(
     base = compile_feed_filter(spec)
     if base is not None:
         df = df.filter(base)
+    if spec.after is not None and rank_by == "bm25":
+        # a recency cursor has no meaning in a score-ranked page — the
+        # ambiguity must be the caller's to resolve, never silently
+        # one arm's
+        raise ValueError(
+            "keyset cursor (after=) applies to the recency arm only; "
+            "BM25-ranked pages paginate by skip/limit"
+        )
     if rank_by == "bm25" and terms:
         from ..pipelines.search import bm25_index, bm25_topk
 
@@ -239,6 +247,19 @@ def search_feed(
         if spec.skip:
             out = out.offset(spec.skip)
         return out.limit(spec.limit)
+    if spec.after is not None:
+        # same keyset semantics as social_feed (recency order)
+        c_ts, c_pl = spec.after
+        df = df.filter(
+            (F.col("created_at") < F.lit(c_ts))
+            | (
+                (F.col("created_at") == F.lit(c_ts))
+                & (F.col("permlink") > F.lit(c_pl))
+            )
+        )
+        return df.orderBy(
+            F.desc("created_at"), F.asc("permlink")
+        ).limit(spec.limit)
     df = df.orderBy(F.desc("created_at"), F.asc("permlink"))
     if spec.skip:
         df = df.offset(spec.skip)

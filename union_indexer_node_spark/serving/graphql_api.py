@@ -185,7 +185,8 @@ type Query {
   relatedFeed(author: String, permlink: String,
               pagination: PaginationOptions): FeedOutput
   searchFeed(searchTerm: String, pagination: PaginationOptions,
-             feedOptions: FeedOptions, rankBy: String): FeedOutput
+             feedOptions: FeedOptions, rankBy: String,
+             after: CursorInput): FeedOutput
   profile(id: String): Profile
   syncState: SyncState
   trendingTags(limit: Int): TrendingTags

@@ -615,6 +615,37 @@ def test_keyset_cursor_on_search_feed_recency_arm(spark):
         )
 
 
+def test_keyset_walk_enumerates_full_ordering_no_gaps_no_dups(spark):
+    """Walking socialFeed page by page via the cursor reconstructs the
+    ENTIRE ordered feed exactly — no row lost at a page boundary
+    (including timestamp-tie boundaries), none repeated — for several
+    page sizes, against the whole sf0.001 corpus."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.feeds import (
+        FeedSpec,
+        social_feed,
+    )
+
+    posts = tables.posts(spark, "/root/testdata/sf0.001")
+    full = social_feed(posts, FeedSpec(limit=10**9)).select(
+        "author", "permlink", "created_at"
+    ).collect()
+    assert len(full) > 100
+    for size in (7, 64):
+        walked: list[tuple] = []
+        cursor = None
+        while True:
+            page = social_feed(
+                posts, FeedSpec(limit=size, after=cursor)
+            ).select("author", "permlink", "created_at").collect()
+            walked.extend((r["author"], r["permlink"]) for r in page)
+            if len(page) < size:
+                break
+            tail = page[-1]
+            cursor = (tail["created_at"], tail["permlink"])
+        assert walked == [(r["author"], r["permlink"]) for r in full], size
+
+
 def test_keyset_cursor_through_graphql(gate_service):
     """Serving surface: socialFeed(after:) pages through the gate
     fixture; omitting it is byte-identical to before the arg existed."""

@@ -627,7 +627,11 @@ def test_keyset_walk_enumerates_full_ordering_no_gaps_no_dups(spark):
     )
 
     posts = tables.posts(spark, "/root/testdata/sf0.001")
-    full = social_feed(posts, FeedSpec(limit=10**9)).select(
+    # limit must be row-count-sized, NOT a huge sentinel: sort+limit
+    # compiles to TakeOrderedAndProject whose per-partition TopKSelector
+    # allocates O(k) up front — limit=1e9 OOMed the whole test JVM
+    n = posts.count()
+    full = social_feed(posts, FeedSpec(limit=n + 1)).select(
         "author", "permlink", "created_at"
     ).collect()
     assert len(full) > 100

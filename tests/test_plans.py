@@ -374,6 +374,8 @@ _BNLJ_ALLOWED = {
     # r12: the 1-row exact-count companion attached to the 1-row KMV
     # estimate (scalar pattern; dual plan dump counts it twice)
     "a_approx_distinct_users": 2,
+    # r12: Q11's group-vs-global-scalar HAVING (the q22 pattern)
+    "tpch_q11_important_stock_shape": 2,
 }
 
 

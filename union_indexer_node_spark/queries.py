@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 170 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 176 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18 and
-# queries_r12's 7) and a 50-slot window, the
+# queries_r12's 13) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -145,6 +145,15 @@ _DEPRIORITIZED = [
     "ingest_follows_audit",  # BORN IN TAIL (r12); r13+ — dead-letter
     #    audit of the follows dispatch (one labeled row per op,
     #    every drop reason armed by the fixture)
+    # TPC-H completion block (all BORN IN TAIL r12; r13+ — the six
+    # shapes that complete the 22-query suite; partsupp/shipmode
+    # absences adapted per the q21_shape precedent, documented inline)
+    "tpch_q12_shipmode_shape",
+    "tpch_q2_min_cost_supplier_shape",
+    "tpch_q9_profit_shape",
+    "tpch_q11_important_stock_shape",
+    "tpch_q16_supplier_cnt_shape",
+    "tpch_q20_part_promotion_shape",
     # ------------------------------------------------------------------
     # r13 ROTATION TRANCHE (scheduled): the r8-era staleness backlog
     # (the 30 entries in the "last green r8" section below, hitting

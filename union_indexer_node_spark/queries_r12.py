@@ -496,3 +496,346 @@ def ingest_follows_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         auths.alias("required_posting_auths"),
     )
     return follows_op_audit(ops)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block (round 12, all BORN IN TAIL — r13+): the six
+# query shapes the relational-depth suite was missing (Q2/Q9/Q11/Q12/
+# Q16/Q20). The testdata has no PARTSUPP table and lineitem carries no
+# shipmode/commit/receipt dates, so Q12 adapts its mode column and the
+# partsupp-dependent five adapt their cost/stock source to lineitem —
+# each entry is named *_shape and documents its substitution (the
+# tpch_q21_waiting_supplier_shape precedent). All arithmetic is
+# integer-exact (cents + whole-quantity quantization, the _CENTS /
+# _DISC_PCT discipline of the rest of the suite).
+# ---------------------------------------------------------------------------
+
+_QTY = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
+_CENTS_SQL = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC_SQL = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+
+
+# builders, not module constants: F.col needs an active context here
+def _qty_col():
+    return F.round(F.col("l_quantity"), 0).cast("long")
+
+
+def _cents_col():
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+
+def _disc_col():
+    return F.round(F.col("l_discount") * 100, 0).cast("long")
+
+
+# Q12 shape — shipmode priority: conditional aggregation after an
+# order join; ship_mode derived from l_linenumber parity (no
+# l_shipmode column exists).
+@q(
+    "tpch_q12_shipmode_shape",
+    """
+    SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'AIR' ELSE 'MAIL' END
+             AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12_shipmode_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, "l_orderkey")
+        .select(
+            F.when(F.col("l_linenumber") % 2 == 0, "AIR")
+            .otherwise("MAIL")
+            .alias("ship_mode"),
+            hi.cast("long").alias("_hi"),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum("_hi").cast("long").alias("high_line_count"),
+            (F.count(F.lit(1)) - F.sum("_hi"))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+# Q2 shape — minimum-cost supplier (correlated-min subquery): per
+# (part, supplier) "supply cost" = MIN line price cents (no partsupp);
+# keep region-scoped suppliers matching the part's minimum; the
+# classic agg-then-rejoin decorrelation, Q2's output ordering.
+@q(
+    "tpch_q2_min_cost_supplier_shape",
+    f"""
+    WITH c AS (
+      SELECT l_partkey, l_suppkey, MIN({_CENTS_SQL}) AS cost_q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c.l_partkey, c.l_suppkey, c.cost_q, s_name, n_name,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_q
+      FROM c JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'AFRICA'
+    ),
+    m AS (SELECT l_partkey, MIN(cost_q) AS mc FROM r GROUP BY 1)
+    SELECT r.l_partkey AS p_partkey, r.s_name, r.n_name,
+           CAST(r.cost_q AS BIGINT) AS cost_q, r.acctbal_q
+    FROM r JOIN m ON m.l_partkey = r.l_partkey AND r.cost_q = m.mc
+           JOIN part ON p_partkey = r.l_partkey
+    WHERE p_type = 'PROMO' AND p_size <= 10
+    ORDER BY acctbal_q DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents_col()).alias("cost_q")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AFRICA"
+    )
+    scoped = (
+        c.join(s, c["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "l_partkey", "l_suppkey", "cost_q", "s_name", "n_name",
+            F.round(F.col("s_acctbal") * 100, 0)
+            .cast("long")
+            .alias("acctbal_q"),
+        )
+    )
+    m = scoped.groupBy("l_partkey").agg(F.min("cost_q").alias("mc"))
+    p = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    return (
+        scoped.join(m, "l_partkey")
+        .filter(F.col("cost_q") == F.col("mc"))
+        .join(F.broadcast(p), "l_partkey", "left_semi")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.col("cost_q").cast("long").alias("cost_q"),
+            "acctbal_q",
+        )
+        .orderBy(
+            F.desc("acctbal_q"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# Q9 shape — product-type profit by nation and year: expression-heavy
+# amount (revenue minus quantity * unit cost), unit cost proxied by
+# p_retailprice cents (no ps_supplycost); the %color% name filter.
+@q(
+    "tpch_q9_profit_shape",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+           CAST(SUM({_CENTS_SQL} * (100 - {_DISC_SQL})
+                    - {_QTY} * CAST(ROUND(p_retailprice * 100, 0)
+                               AS BIGINT) * 100) AS BIGINT) AS profit_q
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("_retail_q"),
+    )
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    amount = _cents_col() * (100 - _disc_col()) - _qty_col() * F.col(
+        "_retail_q"
+    ) * 100
+    return (
+        li.join(p, "l_partkey")
+        .join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+            amount.alias("_a"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_a").cast("long").alias("profit_q"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# Q11 shape — important stock: per-part shipped value for one
+# nation's suppliers, kept where the part's share exceeds 0.1% of
+# that nation's total (Q11's group-vs-global-scalar HAVING); value =
+# price cents x whole quantity (no ps_availqty/supplycost).
+@q(
+    "tpch_q11_important_stock_shape",
+    f"""
+    WITH v AS (
+      SELECT l_partkey, SUM({_CENTS_SQL} * {_QTY}) AS value_q
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_0'
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(value_q) AS total FROM v)
+    SELECT l_partkey AS p_partkey, CAST(value_q AS BIGINT) AS value_q
+    FROM v, t WHERE value_q * 1000 > total
+    ORDER BY value_q DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_0"
+    ).select(F.col("n_nationkey").alias("s_nationkey"))
+    v = (
+        li.join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents_col() * _qty_col()).alias("value_q"))
+    )
+    t = v.agg(F.sum("value_q").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value_q") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_q").cast("long").alias("value_q"),
+        )
+        .orderBy(F.desc("value_q"), "p_partkey")
+    )
+
+
+# Q16 shape — supplier relationship count: DISTINCT suppliers per
+# (brand, type, size) over shipped lines (no partsupp), minus a
+# NOT-IN supplier exclusion set (every 13th supplier stands in for
+# the complaints filter) — the anti-join + count-distinct shape.
+@q(
+    "tpch_q16_supplier_cnt_shape",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type", "p_size"
+    )
+    excluded = tables.load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 13 == 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# Q20 shape — part-promotion suppliers: the nested-semi-join chain —
+# suppliers whose 1997 shipped quantity of a 'red%' part crosses a
+# threshold (no ps_availqty to halve), surfaced with their nation.
+@q(
+    "tpch_q20_part_promotion_shape",
+    f"""
+    WITH big AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM({_QTY}) > 60
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_part_promotion_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    reds = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    big = (
+        li.join(F.broadcast(reds), "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_qty_col()).alias("_sq"))
+        .filter(F.col("_sq") > 60)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return (
+        s.join(F.broadcast(big), "s_suppkey", "left_semi")
+        .join(F.broadcast(n), "s_nationkey")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -155,22 +155,21 @@ _DEPRIORITIZED = [
     "tpch_q16_supplier_cnt_shape",
     "tpch_q20_part_promotion_shape",
     # ------------------------------------------------------------------
-    # r13 ROTATION TRANCHE (scheduled): the r8-era staleness backlog
-    # (the 30 entries in the "last green r8" section below, hitting
-    # the staleness bound at r13 the same way the r7 group did at r12)
-    # PLUS the 6 r12 born-in-tail entries above
-    # (pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
-    # sketch_sample_quantiles, curation_remove_frequent_lines,
-    # sim_kmeans_incremental, ingest_follows_audit) — 36 scheduled
-    # ins. Funding arithmetic: after the r12 driver run, 16 entries
-    # are single-green (r12-only) and MUST STAY — the 14 r11-born
-    # tranche members plus a_approx_distinct_users and
-    # pipeline_diff_bm25_chain — while the 19 r7-era re-entries and
-    # the 15 r12 stays are multiply-green (34 fundable outs). 16 stays
-    # + 34 ins = 50, so TWO of the 36 wait a round in the tail:
-    # sim_kmeans_incremental and ingest_follows_audit (the youngest,
-    # one round less stale than the rest). Entries born in r13 go to
-    # the tail.
+    # r13 ROTATION TRANCHE (scheduled). Funding arithmetic after the
+    # r12 driver run: 16 entries are single-green (r12-only) and MUST
+    # STAY — the 14 r11-born tranche members plus
+    # a_approx_distinct_users and pipeline_diff_bm25_chain — while the
+    # 19 r7-era re-entries and the 15 r12 stays are multiply-green
+    # (34 fundable outs). 16 stays + 34 ins = 50. The 34 ins, in
+    # priority order: (1) all 30 r8-era entries in the "last green r8"
+    # section below (hitting the staleness bound at r13 exactly as the
+    # r7 group did at r12), then (2) the 4 OLDEST r12 born-in-tail
+    # entries (pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
+    # sketch_sample_quantiles, curation_remove_frequent_lines). The 8
+    # younger r12 tail-borns (sim_kmeans_incremental,
+    # ingest_follows_audit, the six tpch_*_shape completions) wait for
+    # r14 with the then-multiply-green r13 window as funding. Entries
+    # born in r13 go to the tail.
     # ------------------------------------------------------------------
     # Multiply-green backlog, last green r8 — r13 tranche candidates.
     # ------------------------------------------------------------------

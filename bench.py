@@ -197,6 +197,15 @@ BENCH_QUERIES = [
     "sketch_cm_heavy_hitters",
     "sketch_sample_quantiles",
     "sim_kmeans_incremental",
+    # round 12 third batch: the TPC-H completion shapes (Q2/Q9/Q11/
+    # Q12/Q16/Q20 adapted to the available tables) — the suite now
+    # benches all 22 TPC-H query shapes.
+    "tpch_q2_min_cost_supplier_shape",
+    "tpch_q9_profit_shape",
+    "tpch_q11_important_stock_shape",
+    "tpch_q12_shipmode_shape",
+    "tpch_q16_supplier_cnt_shape",
+    "tpch_q20_part_promotion_shape",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -59,7 +59,26 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[
         return errs
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+        # Dtype-parity gate (VERDICT r12 item 2): integer in one engine
+        # but float in the other means the oracle (or the query) changed
+        # the value's representation — e.g. DuckDB's SUM(BIGINT) returns
+        # HUGEINT, which pandas fetches as float64 and silently corrupts
+        # above 2^53. The driver hashes exact values, so tolerance
+        # compare here must NOT mask it.
+        a_int = pd.api.types.is_integer_dtype(a[c])
+        b_int = pd.api.types.is_integer_dtype(b[c])
+        a_flt = pd.api.types.is_float_dtype(a[c])
+        b_flt = pd.api.types.is_float_dtype(b[c])
+        if (a_int and b_flt) or (a_flt and b_int):
+            errs.append(
+                f"{name}.{c}: dtype parity violation — spark={a[c].dtype} "
+                f"duck={b[c].dtype}; an int-vs-float split means the two "
+                f"engines disagree on the column's type (driver hash "
+                f"WILL fail). CAST the oracle output (HUGEINT→BIGINT?) "
+                f"or fix the query."
+            )
+            continue
+        if a_flt or b_flt:
             av, bv = a[c].astype(float), b[c].astype(float)
             bad = [
                 i

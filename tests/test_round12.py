@@ -734,6 +734,10 @@ def test_follows_audit_applied_set_matches_build_follows(spark):
         op(8, "spk.follow", {"following": "b8"}, ["a8"]),  # no did
         op(9, "spk.follow", {"did": "did:key:z2"}, ["a9"]),  # applied
         op(10, "follow", "{not json", ["a10"]),           # malformed
+        op(11, "follow", {"follower": "a11", "following": "b11",
+                          "what": ["blog"]}, []),  # legacy, EMPTY auths:
+        #   (follower != auth) is NULL — must still be labeled a drop
+        #   (ADVICE r12: was mislabeled 'applied' with a NULL reason)
     ]
     schema = (
         "block_height long, block_timestamp timestamp, tx_idx int, "
@@ -745,10 +749,11 @@ def test_follows_audit_applied_set_matches_build_follows(spark):
     assert {h: a["status"] for h, a in audit.items()} == {
         1: "applied", 2: "dropped", 3: "dropped", 4: "dropped",
         5: "dropped", 6: "applied", 7: "dropped", 8: "dropped",
-        9: "applied", 10: "dropped",
+        9: "applied", 10: "dropped", 11: "dropped",
     }
     assert audit[2]["reason"] == "spoofed_or_missing_follower"
     assert audit[3]["reason"] == "spoofed_or_missing_follower"
+    assert audit[11]["reason"] == "spoofed_or_missing_follower"
     assert audit[4]["reason"] == "non_follow_action"
     assert audit[5]["reason"] == "non_follow_action"
     assert audit[7]["reason"] == "missing_signer"

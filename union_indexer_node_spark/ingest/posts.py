@@ -567,8 +567,17 @@ def follows_op_audit(ops: DataFrame) -> DataFrame:
             F.lit("malformed_json"),
         )
         .when(
+            # auth.isNull() must be explicit: a legacy op with EMPTY
+            # required_posting_auths makes (follower != auth) NULL,
+            # which would fall through every branch and mislabel the
+            # op 'applied' while build_follows' spoof guard drops it
+            # (ADVICE r12).
             is_legacy
-            & (F.col("cj.follower").isNull() | (F.col("cj.follower") != auth)),
+            & (
+                F.col("cj.follower").isNull()
+                | auth.isNull()
+                | (F.col("cj.follower") != auth)
+            ),
             F.lit("spoofed_or_missing_follower"),
         )
         .when(

@@ -37,6 +37,13 @@ def compile_args(args: Mapping[str, Any]) -> FeedSpec:
     if cur:
         import datetime as _dt
 
+        # CursorInput declares both fields nullable in SDL; a partial
+        # cursor is caller error and must be a clean validation error,
+        # not a KeyError (ADVICE r12)
+        if cur.get("created_at") is None or cur.get("permlink") is None:
+            raise ValueError(
+                "after cursor requires both created_at and permlink"
+            )
         ts = cur["created_at"]
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)

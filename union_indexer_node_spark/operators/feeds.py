@@ -289,6 +289,15 @@ def trending_feed(
     scalar). No window, no extra shuffle: one broadcast scalar + a
     map-side score expression + TakeOrderedAndProject. Ties break on
     permlink like the default arm."""
+    if spec.after is not None:
+        # mirror the search_feed BM25 arm (ADVICE r12): a recency
+        # keyset cursor has no meaning in a score-ranked page; silently
+        # degrading to skip/limit would hand the caller the wrong
+        # pagination semantics
+        raise ValueError(
+            "keyset cursor (after=) applies to recency-ordered feeds "
+            "only; trending pages paginate by skip/limit"
+        )
     key = "num_comments" if trending_by.lower() == "comments" else "payout"
     if key == "num_comments" and "num_comments" not in posts.columns:
         # stats.num_comments is an enrichment column (J3); when serving

@@ -121,111 +121,41 @@ _DEPRIORITIZED = [
     # finalized at 50. Enter with the r13 tranche. Locally
     # oracle-tested like every tail entry.
     # ------------------------------------------------------------------
-    "pipeline_diff_minhash_chain",  # BORN IN TAIL (r12); r13 tranche —
-    #    the corpus_diff -> update_minhash_index chain (VERDICT r11
-    #    item 7's dedup-layer half); its BM25 twin
-    #    pipeline_diff_bm25_chain is in-window r12
-    "sketch_cm_heavy_hitters",  # BORN IN TAIL (r12); r13 tranche —
-    #    Count-Min frequency sketch (d md5 rows x w counters,
-    #    mergeable, w small enough that collisions exercise the
-    #    min-over-rows estimator); exact companion in-row
-    "sketch_sample_quantiles",  # BORN IN TAIL (r12); r13 tranche —
-    #    bottom-k hash sampling (deterministic uniform sample without
-    #    replacement) + nearest-rank quantiles over the sample; the
-    #    bounded-state quantile sibling of KMV
-    "curation_remove_frequent_lines",  # BORN IN TAIL (r12); r13
-    #    tranche — corpus-wide boilerplate-line removal (RefinedWeb/
-    #    CCNet cut): distinct-(line, doc) vote, min_docs flag,
-    #    broadcast anti-join, byte-preserving rebuild
-    "sim_kmeans_incremental",  # BORN IN TAIL (r12); r13 tranche —
-    #    mini-batch k-means via mergeable suffstats: per-slice
-    #    (cluster, dim, s_q, n) folded across halves == whole-corpus
-    #    stats (exact integer sums); kmeans_from_suffstats derives the
-    #    identical round(s/(n*quant),6) update
-    "ingest_follows_audit",  # BORN IN TAIL (r12); r13+ — dead-letter
-    #    audit of the follows dispatch (one labeled row per op,
-    #    every drop reason armed by the fixture)
-    # TPC-H completion block (all BORN IN TAIL r12; r13+ — the six
-    # shapes that complete the 22-query suite; partsupp/shipmode
-    # absences adapted per the q21_shape precedent, documented inline)
-    "tpch_q12_shipmode_shape",
-    "tpch_q2_min_cost_supplier_shape",
-    "tpch_q9_profit_shape",
-    "tpch_q11_important_stock_shape",
-    "tpch_q16_supplier_cnt_shape",
-    "tpch_q20_part_promotion_shape",
+    # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
+    # item 3's done-criterion: every never-driver-checked entry gets a
+    # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,
+    # sketch_cm_heavy_hitters, sketch_sample_quantiles,
+    # curation_remove_frequent_lines, sim_kmeans_incremental,
+    # ingest_follows_audit, and the six TPC-H completions (q2/q9
+    # promoted to faithful forms per item 8; see the r13 rotation
+    # note below).
     # ------------------------------------------------------------------
-    # r13 ROTATION TRANCHE (scheduled). Funding arithmetic after the
-    # r12 driver run: 16 entries are single-green (r12-only) and MUST
-    # STAY — the 14 r11-born tranche members plus
-    # a_approx_distinct_users and pipeline_diff_bm25_chain — while the
-    # 19 r7-era re-entries and the 15 r12 stays are multiply-green
-    # (34 fundable outs). 16 stays + 34 ins = 50. The 34 ins, in
-    # priority order: (1) all 30 r8-era entries in the "last green r8"
-    # section below (hitting the staleness bound at r13 exactly as the
-    # r7 group did at r12), then (2) the 4 OLDEST r12 born-in-tail
-    # entries (pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
-    # sketch_sample_quantiles, curation_remove_frequent_lines). The 8
-    # younger r12 tail-borns (sim_kmeans_incremental,
-    # ingest_follows_audit, the six tpch_*_shape completions) wait for
-    # r14 with the then-multiply-green r13 window as funding. Entries
-    # born in r13 go to the tail.
-    # ------------------------------------------------------------------
-    # Multiply-green backlog, last green r8 — r13 tranche candidates.
-    # ------------------------------------------------------------------
-    "social_feed_by_app",  # green r2-r8 (seven consecutive); F-defaults
-    #    via f10_point_lookup, O1 sort+limit via tpch_q10 (in-window r11)
-    "f2_f3_f5_filter_combo",  # green r2-r8; same F-family reps
-    "a1_trending_tags",  # green r2-r8; explode+count top-k via
-    #    text_tfidf_topk (in-window)
-    "w1_leaderboard_rank",  # green r2-r8; rank window via text_tfidf_topk
-    #    (in-window)
-    "w4_feed_pagination",  # green r2-r8; sort+offset+limit via
-    #    tpch_q10/o5 (in-window r11)
-    "j4_follower_feed",  # green r2-r8; follows family via
-    #    ingest_follows_families (in-window)
-    "j9_reply_closure",  # green r2-r8; bounded-iteration family rep
-    #    dedup_lsh_incremental in-window; recursive-CTE oracle stays local
-    "a9_mention_notifications",  # green r2-r8; regexp-extract family;
-    #    the NFA keeps its unit fuzz tests
-    "dedup_minhash_signature",  # green r1-r3+r8; dedup reps
-    #    dedup_lsh_incremental + dedup_lsh_candidates (in-window r11)
-    "dedup_ngram_jaccard",  # green r1-r3+r8; same family
-    "sim_ivf_topk_label",  # green r1-r3+r8; sim reps sim_mmr_rerank +
-    #    sim_ivf_pq_adc (in-window r11)
-    "sim_pairwise_cosine",  # green r1-r3+r8; same family
-    "text_language_id",  # green r1/r2+r8; langid rep
-    #    text_language_consistency (in-window, strictly wider)
-    "text_fingerprint",  # green r1-r3+r8; token-explode family via
-    #    text_bpe_pair_counts + text_bpe_train_merges (in-window)
-    "o2_a8_trending_feed_payout",  # green r2-r8; max-anchor + sort
-    #    family via tpch_q10/o5 (in-window r11)
-    "a6_sign_counts_higher_order",  # green r1-r3+r8; HOF no-shuffle
-    #    shape unit-tested
-    "j11_chain_state_enrichment",  # green r2-r8; snapshot equi-join
-    #    shape via tpch_q10/q18 (in-window r11)
-    "setop_union_sources",  # green r2-r8; §2.7 rep setop_intersect_except
-    #    multiply-green, family noted in its r11 rotate-out entry
-    "temporal_asof_join",  # green r4-r8 (five consecutive); temporal
-    #    reps funnel/cohort/moving + temporal_range_join (in-window r11)
-    "dedup_cc_clusters",  # green r5-r8; iterative family via
-    #    dedup_lsh_incremental + text_bpe_train_merges; convergence
-    #    tests stay local
-    "stream_windowed_counts_batch_equivalence",  # green r5-r8;
-    #    streaming rep stream_passage_counts_incremental (in-window)
-    "pipeline_training_prep",  # green r5-r8; constituents in-window
-    #    (hash_split, budget_select)
-    "tpch_q6_forecast_revenue",  # green r6-r8; TPC-H reps q10/q18
-    #    (in-window r11)
-    "tpch_q7_volume_shipping",  # green r6-r8; same family
-    "tpch_q8_market_share",  # green r6-r8; same family
-    "tpch_q14_promo_effect",  # green r6-r8; same family
-    "tpch_q15_top_supplier",  # green r6-r8; same family
-    "tpch_q19_disjunctive_revenue",  # green r6-r8; same family
-    "tpch_q22_global_sales_opportunity",  # green r6-r8; anti-join +
-    #    scalar-subquery shape also in q21 (tail r11, multiply-green)
-    "w5_scd2_history",  # green r6-r8; windowed-history family via
-    #    temporal_moving_window_agg (in-window)
+    # ROUND 13 ROTATION — EXECUTED. Checked against the actual
+    # driver-green history (CORRECTNESS_r01..r12): the r12 window held
+    # 2 zero-green entries (the multimodal hash-fails), 12 single-green
+    # entries (BORN in-window in r12), and 36 multiply-green (the r12
+    # plan's "16 single-green stays" were in fact green r11 AND r12).
+    # Obligations: the 2 multimodal entries STAY (VERDICT r12 item 1 —
+    # the oracle BIGINT-cast fix needs a driver-green row, and
+    # zero-green entries can't rotate out anyway); ALL 12
+    # never-driver-checked tail-borns enter (item 3's done-criterion);
+    # all 30 r8-era backlog entries enter (staleness bound hit at r13
+    # as scheduled). 2 + 12 + 30 = 44, leaving 6 keep slots, chosen for
+    # maximum re-confirmation value: search_bm25_topk and
+    # sim_mmr_rerank (their operators change in r13 items 6/7),
+    # pipeline_diff_bm25_chain and sim_ivfpq_search (the two heaviest
+    # composed chains), a_approx_distinct_users (the re-oracled KMV the
+    # judge tracked), search_bm25_index_incremental (the streaming
+    # index whose BM25 stats path item 7 touches). The other 42
+    # r12-window entries rotate out ("Rotated out in ROUND 13" section
+    # at the end); 32 are multiply-green per the cadence rule; 10 are
+    # r12-born singles — a DOCUMENTED one-round exception forced by the
+    # arithmetic above (44 obligatory slots leave room to keep only 2
+    # of the 12 r12-borns). Their last driver-green is r12, so the
+    # staleness bound reaches them at r17; they are pre-named as the
+    # FRONT of the r14 tranche (with anything born in r13) so each
+    # becomes multiply-green well inside the bound, funded by the
+    # then-multiply-green r13 re-entries.
     # ------------------------------------------------------------------
     # Rotated out in round 10 (multiply-green; families in-window).
     # ------------------------------------------------------------------
@@ -426,6 +356,96 @@ _DEPRIORITIZED = [
     "dedup_lsh_incremental",  # green r9-r11; incremental-maintenance
     #    family via pipeline_diff_bm25_chain +
     #    search_bm25_index_incremental (in-window r12)
+    # ------------------------------------------------------------------
+    # Rotated out in ROUND 13 (see the rotation note at the top of this
+    # list for the funding arithmetic). First the 32 multiply-green:
+    # ------------------------------------------------------------------
+    "f4_regex_filter",  # green r2/r3/r7/r12; F-family regexp rep via
+    #    a9_mention_notifications (in-window r13) + wherefield units
+    "a2_distinct_authors_of_app",  # green r2/r3/r7/r12; distinct
+    #    family via a1_trending_tags (in-window r13)
+    "a5_score_zeroing",  # green r3-r7/r12; A-family conditional-agg
+    #    via a6_sign_counts_higher_order (in-window r13)
+    "x1_json_props_extract",  # green r2/r3/r7/r12; JSON family via
+    #    j11_chain_state_enrichment's props join (in-window r13)
+    "x2_detect_post_type",  # green r2/r3/r7/r12; X-scalar family via
+    #    text_fingerprint + social_feed_by_app (in-window r13)
+    "j2_parent_post_join",  # green r2/r3/r7/r12; self-join family via
+    #    j9_reply_closure + j4_follower_feed (in-window r13)
+    "j7_follows_overview",  # green r2/r3/r7/r12; follows family via
+    #    j4_follower_feed + ingest_follows_audit (in-window r13)
+    "training_negative_sample",  # green r11/r12; sampling family via
+    #    o6-style hash-order reps; no-cross-join plan pin stays
+    "a_approx_distinct_kmv",  # green r11/r12; KMV family via
+    #    a_approx_distinct_users (KEPT in-window r13)
+    "skew_salted_comment_counts",  # green r2-r7/r12; salted two-phase
+    #    agg keeps its plan tests; count family ubiquitous in-window
+    "pipeline_corpus_curation",  # green r3-r7/r12; composes operators
+    #    whose families re-enter r13 (quality gates, budget select)
+    "dedup_embedding_neardup",  # green r1/r3-r7/r12; banded near-dup
+    #    family via dedup_minhash_signature + dedup_ngram_jaccard
+    #    (in-window r13) + the two multimodal entries (stay)
+    "text_language_id_ngram",  # green r3-r7/r12; langid family via
+    #    text_language_id (in-window r13)
+    "text_vocab_topk_per_source",  # green r4-r7/r12; per-group top-k
+    #    via sim_ivf_topk_label + a1_trending_tags (in-window r13)
+    "sample_stratified",  # green r4-r7/r12; sampling family via
+    #    pipeline_training_prep's split (in-window r13)
+    "x21_index_incremental_update",  # green r4-r7/r12; incremental
+    #    index family via pipeline_diff_minhash_chain +
+    #    pipeline_diff_bm25_chain (both in-window r13)
+    "stream_dedup_batch_equivalence",  # green r4-r7/r12; streaming
+    #    equivalence family via stream_windowed_counts_batch_equivalence
+    #    (in-window r13)
+    "layout_zorder_key",  # green r11/r12; layout family keeps its
+    #    interleave-bits unit tests; no in-window dependency
+    "training_dsir_resample",  # green r11/r12; importance-resample
+    #    family via pipeline_training_prep (in-window r13)
+    "dedup_keep_best_quality",  # green r11/r12; canonical-keep family
+    #    via dedup_cc_clusters resolution (in-window r13)
+    "training_pack_next_fit",  # green r5-r7/r12; packing family keeps
+    #    unit tests; chunk family via pipeline_training_prep
+    "training_epoch_interleave",  # green r5-r7/r12; interleave family
+    #    keeps its determinism units
+    "ann_recall_eval",  # green r5-r7/r12; ANN eval family via
+    #    sim_ivfpq_search (KEPT) + sim_ivf_topk_label (in-window r13)
+    "stream_stream_join_attribution",  # green r5-r7/r12; interval/
+    #    temporal family via temporal_asof_join (in-window r13)
+    "training_temperature_resample",  # green r11/r12; resample family
+    #    via pipeline_training_prep (in-window r13)
+    "ingest_follows_families",  # green r8-r12 (five consecutive);
+    #    ingest dispatch family via ingest_follows_audit (in-window
+    #    r13, the strictly wider dead-letter view of the same ops)
+    "text_bpe_encode",  # green r11/r12; BPE family via text_fingerprint
+    #    (in-window r13); join-not-reencode plan pin stays
+    "search_rrf_fusion",  # green r11/r12; fusion family via
+    #    search_bm25_topk (KEPT in-window r13)
+    "multimodal_media_probe",  # green r11/r12; multimodal family via
+    #    the two Hamming-LSH entries (STAY in-window r13)
+    "sim_ivf_pq_adc",  # green r11/r12; PQ family via sim_ivfpq_search
+    #    (KEPT in-window r13, the composed superset)
+    "text_unigram_lm_train",  # green r11/r12; trainer-loop family via
+    #    sim_kmeans_incremental's suffstats loop (in-window r13)
+    "dedup_remove_duplicate_spans_maximal",  # green r11/r12; passage
+    #    family plan pins stay; dedup family broadly in-window r13
+    # ------------------------------------------------------------------
+    # ...then the 10 r12-born singles (the documented one-round
+    # exception; pre-named FRONT of the r14 tranche, staleness bound
+    # r17):
+    # ------------------------------------------------------------------
+    "text_unigram_encode",  # green r12; prebuilt bench arm stays
+    "text_unicode_scrub",  # green r12
+    "text_gopher_quality_gate",  # green r12
+    "pipeline_ccnet_buckets",  # green r12
+    "training_contamination_report",  # green r12
+    "graph_pagerank_quantized",  # green r12
+    "pipeline_corpus_diff",  # green r12; its two chain consumers
+    #    (diff->bm25, diff->minhash) are BOTH in-window r13
+    "curation_dedup_lines_within_doc",  # green r12; corpus-wide
+    #    sibling curation_remove_frequent_lines in-window r13
+    "stream_bm25_index_incremental",  # green r12; batch twin
+    #    search_bm25_index_incremental KEPT in-window r13
+    "feeds_decayed_trending",  # green r12
 ]
 
 

@@ -200,12 +200,12 @@ BENCH_QUERIES = [
     # round 12 third batch: the TPC-H completion shapes (Q2/Q9/Q11/
     # Q12/Q16/Q20 adapted to the available tables) — the suite now
     # benches all 22 TPC-H query shapes.
-    "tpch_q2_min_cost_supplier_shape",
-    "tpch_q9_profit_shape",
-    "tpch_q11_important_stock_shape",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit",
+    "tpch_q11_important_stock",
     "tpch_q12_shipmode_shape",
-    "tpch_q16_supplier_cnt_shape",
-    "tpch_q20_part_promotion_shape",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_promotion",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

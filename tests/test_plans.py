@@ -374,8 +374,16 @@ _BNLJ_ALLOWED = {
     # r12: the 1-row exact-count companion attached to the 1-row KMV
     # estimate (scalar pattern; dual plan dump counts it twice)
     "a_approx_distinct_users": 2,
-    # r12: Q11's group-vs-global-scalar HAVING (the q22 pattern)
-    "tpch_q11_important_stock_shape": 2,
+    # r13: the partsupp derivation joins each part row to the 1-row
+    # supplier COUNT scalar (tables.partsupp) — a broadcast-of-scalar
+    # per partsupp reference; q2 references partsupp twice after the
+    # min-cost self-agg rejoin, q11 adds its own group-vs-global-scalar
+    # HAVING (the q22 pattern) on top. Dual plan dump doubles each.
+    "tpch_q2_min_cost_supplier": 4,
+    "tpch_q9_profit": 2,
+    "tpch_q11_important_stock": 6,
+    "tpch_q16_supplier_cnt": 2,
+    "tpch_q20_part_promotion": 2,
 }
 
 

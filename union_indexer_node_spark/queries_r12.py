@@ -574,72 +574,79 @@ def tpch_q12_shipmode_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q2 shape — minimum-cost supplier (correlated-min subquery): per
-# (part, supplier) "supply cost" = MIN line price cents (no partsupp);
-# keep region-scoped suppliers matching the part's minimum; the
-# classic agg-then-rejoin decorrelation, Q2's output ordering.
+# Q2 FAITHFUL (promoted from the r12 `_shape` adaptation per VERDICT
+# r12 item 8): minimum-cost supplier over a real `partsupp` relation
+# (tables.partsupp — the deterministic 4-suppliers-per-part derivation
+# both engines reproduce bit-for-bit). Full TPC-H Q2 semantics: the
+# correlated MIN(ps_supplycost) subquery scoped to one region,
+# decorrelated as agg-then-rejoin (exactly what Catalyst does to the
+# correlated form); part predicate p_size + p_type LIKE; Q2's output
+# ordering + LIMIT 100. Only the spec columns our `part`/`supplier`
+# lack (p_mfgr, s_address, s_phone, s_comment) are absent.
 @q(
-    "tpch_q2_min_cost_supplier_shape",
+    "tpch_q2_min_cost_supplier",
     f"""
-    WITH c AS (
-      SELECT l_partkey, l_suppkey, MIN({_CENTS_SQL}) AS cost_q
-      FROM lineitem GROUP BY 1, 2
-    ),
+    WITH {tables.PARTSUPP_CTE.strip()},
     r AS (
-      SELECT c.l_partkey, c.l_suppkey, c.cost_q, s_name, n_name,
+      SELECT ps_partkey, ps_suppkey,
+             CAST(ROUND(ps_supplycost * 100, 0) AS BIGINT) AS cost_q,
+             s_name, n_name,
              CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_q
-      FROM c JOIN supplier ON s_suppkey = l_suppkey
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
              JOIN nation ON n_nationkey = s_nationkey
              JOIN region ON r_regionkey = n_regionkey
       WHERE r_name = 'AFRICA'
     ),
-    m AS (SELECT l_partkey, MIN(cost_q) AS mc FROM r GROUP BY 1)
-    SELECT r.l_partkey AS p_partkey, r.s_name, r.n_name,
-           CAST(r.cost_q AS BIGINT) AS cost_q, r.acctbal_q
-    FROM r JOIN m ON m.l_partkey = r.l_partkey AND r.cost_q = m.mc
-           JOIN part ON p_partkey = r.l_partkey
-    WHERE p_type = 'PROMO' AND p_size <= 10
+    m AS (SELECT ps_partkey, MIN(cost_q) AS mc FROM r GROUP BY 1)
+    SELECT r.acctbal_q, r.s_name, r.n_name,
+           r.ps_partkey AS p_partkey, r.cost_q
+    FROM r JOIN m ON m.ps_partkey = r.ps_partkey AND r.cost_q = m.mc
+           JOIN part ON p_partkey = r.ps_partkey
+    WHERE p_size <= 15 AND p_type LIKE '%O'
     ORDER BY acctbal_q DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
 )
-def tpch_q2_min_cost_supplier_shape(
+def tpch_q2_min_cost_supplier(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem")
-    c = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_cents_col()).alias("cost_q")
-    )
+    ps = tables.partsupp(spark, sf_dir)
     s = tables.load(spark, sf_dir, "supplier")
     n = tables.load(spark, sf_dir, "nation")
     r = tables.load(spark, sf_dir, "region").filter(
         F.col("r_name") == "AFRICA"
     )
     scoped = (
-        c.join(s, c["l_suppkey"] == s["s_suppkey"])
+        ps.join(s, ps["ps_suppkey"] == s["s_suppkey"])
         .join(n, s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(
-            "l_partkey", "l_suppkey", "cost_q", "s_name", "n_name",
+            "ps_partkey",
+            "ps_suppkey",
+            F.round(F.col("ps_supplycost") * 100, 0)
+            .cast("long")
+            .alias("cost_q"),
+            "s_name",
+            "n_name",
             F.round(F.col("s_acctbal") * 100, 0)
             .cast("long")
             .alias("acctbal_q"),
         )
     )
-    m = scoped.groupBy("l_partkey").agg(F.min("cost_q").alias("mc"))
+    m = scoped.groupBy("ps_partkey").agg(F.min("cost_q").alias("mc"))
     p = tables.load(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
-    ).select(F.col("p_partkey").alias("l_partkey"))
+        (F.col("p_size") <= 15) & F.col("p_type").like("%O")
+    ).select(F.col("p_partkey").alias("ps_partkey"))
     return (
-        scoped.join(m, "l_partkey")
+        scoped.join(m, "ps_partkey")
         .filter(F.col("cost_q") == F.col("mc"))
-        .join(F.broadcast(p), "l_partkey", "left_semi")
+        .join(F.broadcast(p), "ps_partkey", "left_semi")
         .select(
-            F.col("l_partkey").alias("p_partkey"),
+            "acctbal_q",
             "s_name",
             "n_name",
-            F.col("cost_q").cast("long").alias("cost_q"),
-            "acctbal_q",
+            F.col("ps_partkey").alias("p_partkey"),
+            "cost_q",
         )
         .orderBy(
             F.desc("acctbal_q"), "n_name", "s_name", "p_partkey"
@@ -648,18 +655,28 @@ def tpch_q2_min_cost_supplier_shape(
     )
 
 
-# Q9 shape — product-type profit by nation and year: expression-heavy
-# amount (revenue minus quantity * unit cost), unit cost proxied by
-# p_retailprice cents (no ps_supplycost); the %color% name filter.
+# Q9 FAITHFUL (promoted from the r12 `_shape` adaptation per VERDICT
+# r12 item 8): product-type profit by nation and year over the real
+# `partsupp` relation — amount = l_extendedprice*(1-l_discount) -
+# ps_supplycost*l_quantity, quantized to exact integer "basis cents"
+# (x1e4) in both engines; o_year from O_ORDERDATE via the orders join
+# (the spec's year source — the `_shape` used l_shipdate); the full
+# six-table join incl. the composite (l_partkey, l_suppkey) = partsupp
+# PK equi-join; the %color% p_name filter. Scale note: the only
+# non-broadcastable join is lineitem x orders on the order key (same
+# as real Q9); partsupp/part/supplier/nation broadcast.
 @q(
-    "tpch_q9_profit_shape",
+    "tpch_q9_profit",
     f"""
+    WITH {tables.PARTSUPP_CTE.strip()}
     SELECT n_name AS nation,
-           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
            CAST(SUM({_CENTS_SQL} * (100 - {_DISC_SQL})
-                    - {_QTY} * CAST(ROUND(p_retailprice * 100, 0)
+                    - {_QTY} * CAST(ROUND(ps_supplycost * 100, 0)
                                AS BIGINT) * 100) AS BIGINT) AS profit_q
     FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
@@ -667,16 +684,21 @@ def tpch_q2_min_cost_supplier_shape(
     GROUP BY 1, 2 ORDER BY nation, o_year DESC
     """,
 )
-def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    ps = tables.partsupp(spark, sf_dir).select(
+        F.col("ps_partkey").alias("l_partkey"),
+        F.col("ps_suppkey").alias("l_suppkey"),
+        F.round(F.col("ps_supplycost") * 100, 0)
+        .cast("long")
+        .alias("_cost_q"),
+    )
     p = tables.load(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
-    ).select(
-        F.col("p_partkey").alias("l_partkey"),
-        F.round(F.col("p_retailprice") * 100, 0)
-        .cast("long")
-        .alias("_retail_q"),
-    )
+    ).select(F.col("p_partkey").alias("l_partkey"))
     s = tables.load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
@@ -684,15 +706,17 @@ def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nationkey"), "n_name"
     )
     amount = _cents_col() * (100 - _disc_col()) - _qty_col() * F.col(
-        "_retail_q"
+        "_cost_q"
     ) * 100
     return (
-        li.join(p, "l_partkey")
+        li.join(F.broadcast(ps), ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(p), "l_partkey", "left_semi")
+        .join(o, "l_orderkey")
         .join(F.broadcast(s), "l_suppkey")
         .join(F.broadcast(n), "s_nationkey")
         .select(
             F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("int").alias("o_year"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
             amount.alias("_a"),
         )
         .groupBy("nation", "o_year")
@@ -701,132 +725,160 @@ def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q11 shape — important stock: per-part shipped value for one
-# nation's suppliers, kept where the part's share exceeds 0.1% of
-# that nation's total (Q11's group-vs-global-scalar HAVING); value =
-# price cents x whole quantity (no ps_availqty/supplycost).
+# Q11 FAITHFUL (promoted per VERDICT r12 item 8): important stock —
+# per-part inventory value SUM(ps_supplycost * ps_availqty) over the
+# real partsupp for one nation's suppliers, kept where the part's
+# share exceeds 0.1% of that nation's total (Q11's
+# group-vs-global-scalar HAVING). Value quantized as exact integer
+# cost-cents x availqty in both engines.
 @q(
-    "tpch_q11_important_stock_shape",
+    "tpch_q11_important_stock",
     f"""
-    WITH v AS (
-      SELECT l_partkey, SUM({_CENTS_SQL} * {_QTY}) AS value_q
-      FROM lineitem
-      JOIN supplier ON s_suppkey = l_suppkey
+    WITH {tables.PARTSUPP_CTE.strip()},
+    v AS (
+      SELECT ps_partkey,
+             SUM(CAST(ROUND(ps_supplycost * 100, 0) AS BIGINT)
+                 * ps_availqty) AS value_q
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation ON n_nationkey = s_nationkey
       WHERE n_name = 'NATION_0'
       GROUP BY 1
     ),
     t AS (SELECT SUM(value_q) AS total FROM v)
-    SELECT l_partkey AS p_partkey, CAST(value_q AS BIGINT) AS value_q
+    SELECT ps_partkey AS p_partkey, CAST(value_q AS BIGINT) AS value_q
     FROM v, t WHERE value_q * 1000 > total
     ORDER BY value_q DESC, p_partkey
     """,
 )
-def tpch_q11_important_stock_shape(
+def tpch_q11_important_stock(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem")
+    ps = tables.partsupp(spark, sf_dir)
     s = tables.load(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        F.col("s_suppkey").alias("ps_suppkey"), "s_nationkey"
     )
     n = tables.load(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_0"
     ).select(F.col("n_nationkey").alias("s_nationkey"))
+    cost_q = F.round(F.col("ps_supplycost") * 100, 0).cast("long")
     v = (
-        li.join(F.broadcast(s), "l_suppkey")
+        ps.join(F.broadcast(s), "ps_suppkey")
         .join(F.broadcast(n), "s_nationkey", "left_semi")
-        .groupBy("l_partkey")
-        .agg(F.sum(_cents_col() * _qty_col()).alias("value_q"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(cost_q * F.col("ps_availqty")).alias("value_q"))
     )
     t = v.agg(F.sum("value_q").alias("total"))
     return (
         v.crossJoin(F.broadcast(t))
         .filter(F.col("value_q") * 1000 > F.col("total"))
         .select(
-            F.col("l_partkey").alias("p_partkey"),
+            F.col("ps_partkey").alias("p_partkey"),
             F.col("value_q").cast("long").alias("value_q"),
         )
         .orderBy(F.desc("value_q"), "p_partkey")
     )
 
 
-# Q16 shape — supplier relationship count: DISTINCT suppliers per
-# (brand, type, size) over shipped lines (no partsupp), minus a
-# NOT-IN supplier exclusion set (every 13th supplier stands in for
-# the complaints filter) — the anti-join + count-distinct shape.
+# Q16 FAITHFUL (promoted per VERDICT r12 item 8): supplier
+# relationship count — DISTINCT suppliers per (brand, type, size)
+# over the real PARTSUPP relation (the spec's source — the `_shape`
+# counted shipped lines), with the brand exclusion, a p_type NOT LIKE,
+# the size IN-list, and the NOT-IN supplier exclusion (every 13th
+# supplier stands in for the complaints regex; our supplier table has
+# no s_comment).
 @q(
-    "tpch_q16_supplier_cnt_shape",
-    """
+    "tpch_q16_supplier_cnt",
+    f"""
+    WITH {tables.PARTSUPP_CTE.strip()}
     SELECT p_brand, p_type, p_size,
-           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem JOIN part ON p_partkey = l_partkey
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
     WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
       AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-      AND l_suppkey NOT IN
+      AND ps_suppkey NOT IN
           (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
     GROUP BY 1, 2, 3
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
 )
-def tpch_q16_supplier_cnt_shape(
+def tpch_q16_supplier_cnt(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem")
+    ps = tables.partsupp(spark, sf_dir)
     p = tables.load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("MEDIUM%")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     ).select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type", "p_size"
+        F.col("p_partkey").alias("ps_partkey"), "p_brand", "p_type", "p_size"
     )
     excluded = tables.load(spark, sf_dir, "supplier").filter(
         F.col("s_suppkey") % 13 == 0
-    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
     return (
-        li.join(F.broadcast(p), "l_partkey")
-        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        ps.join(F.broadcast(p), "ps_partkey")
+        .join(F.broadcast(excluded), "ps_suppkey", "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
-# Q20 shape — part-promotion suppliers: the nested-semi-join chain —
-# suppliers whose 1997 shipped quantity of a 'red%' part crosses a
-# threshold (no ps_availqty to halve), surfaced with their nation.
+# Q20 FAITHFUL (promoted per VERDICT r12 item 8): part-promotion
+# suppliers — the spec's nested chain over the real partsupp:
+# suppliers holding a partsupp row for a 'red%' part whose
+# ps_availqty exceeds HALF the 1997 shipped quantity of that exact
+# (part, supplier) pair (the correlated scalar subquery, decorrelated
+# as agg-then-join; pairs with no 1997 shipments drop, matching the
+# spec's NULL comparison), surfaced with their nation. The halving is
+# exact-integer: 2*ps_availqty > SUM(qty).
 @q(
-    "tpch_q20_part_promotion_shape",
+    "tpch_q20_part_promotion",
     f"""
-    WITH big AS (
-      SELECT l_suppkey
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE 'red%'
-        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    WITH {tables.PARTSUPP_CTE.strip()},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM({_QTY}) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_suppkey, l_partkey
-      HAVING SUM({_QTY}) > 60
+      GROUP BY 1, 2
+    ),
+    big AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND 2 * ps_availqty > sq
     )
     SELECT s_name, n_name
     FROM supplier JOIN nation ON n_nationkey = s_nationkey
-    WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+    WHERE s_suppkey IN (SELECT ps_suppkey FROM big)
     ORDER BY s_name
     """,
 )
-def tpch_q20_part_promotion_shape(
+def tpch_q20_part_promotion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum(_qty_col()).alias("_sq"))
     reds = tables.load(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
-    ).select(F.col("p_partkey").alias("l_partkey"))
+    ).select(F.col("p_partkey").alias("ps_partkey"))
     big = (
-        li.join(F.broadcast(reds), "l_partkey", "left_semi")
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_qty_col()).alias("_sq"))
-        .filter(F.col("_sq") > 60)
-        .select(F.col("l_suppkey").alias("s_suppkey"))
+        tables.partsupp(spark, sf_dir)
+        .join(F.broadcast(reds), "ps_partkey", "left_semi")
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(2 * F.col("ps_availqty") > F.col("_sq"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
         .distinct()
     )
     s = tables.load(spark, sf_dir, "supplier")

@@ -335,6 +335,80 @@ social_connections AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Derived relation: partsupp (TPC-H completion, round 13)
+# ---------------------------------------------------------------------------
+# The driver testdata has no partsupp.parquet, so TPC-H q2/q9/q11/q16/
+# q20 originally ran as adapted "shapes". This view derives a faithful
+# partsupp with pure integer arithmetic both engines reproduce
+# bit-for-bit (same rules as the domain views above):
+#   - 4 suppliers per part, dbgen-style: with S = COUNT(supplier) and
+#     0-based keys, ps_suppkey_i = (pk + pk//S + i*(S//4)) % S for
+#     i in 0..3. The i*(S//4) stride makes the 4 keys DISTINCT for
+#     every S divisible by 4 in the testdata (10 is not, but 2*4 < 10
+#     keeps them distinct there too); pk//S rotates the assignment per
+#     part-key epoch like dbgen's (partkey-1)/S term.
+#   - ps_supplycost in [1.00, 1000.00): cents are a fixed integer hash
+#     of the (part, supplier) key, divided by 100.0 — both engines
+#     perform the identical int arithmetic then the identical IEEE
+#     division, so the doubles are bit-equal.
+#   - ps_availqty in [1, 9999]: same construction.
+#
+# Scale note: partsupp is 4x|part| rows derived map-side from a scan of
+# part plus ONE broadcast scalar (the supplier count) — no shuffle, no
+# driver collect. At 100 TB the real table would be ingested instead;
+# every query below treats partsupp as an opaque relation, so swapping
+# the view for a real table changes nothing downstream.
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    pk = F.col("p_partkey")
+    sk = (
+        pk + F.expr("p_partkey div s_cnt") + F.col("i") * F.expr("s_cnt div 4")
+    ) % F.col("s_cnt")
+    pkey, skey = F.col("ps_partkey"), F.col("ps_suppkey")
+    cost_cents = (pkey * 7919 + skey * 104729) % 99900 + 100
+    avail = (pkey * 47 + skey * 13) % 9999 + 1
+    return (
+        p.join(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.array([F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(pk.alias("ps_partkey"), sk.cast("long").alias("ps_suppkey"))
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (cost_cents.cast("double") / 100.0).alias("ps_supplycost"),
+            avail.cast("long").alias("ps_availqty"),
+        )
+    )
+
+
+PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 7919 + ps_suppkey * 104729) % 99900 + 100
+              AS DOUBLE) / 100.0 AS ps_supplycost,
+         CAST((ps_partkey * 47 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)
+           AS ps_availqty
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + p_partkey // s.cnt + i.i * (s.cnt // 4)) % s.cnt
+             AS ps_suppkey
+    FROM part
+    CROSS JOIN (SELECT COUNT(*) AS cnt FROM supplier) s
+    CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+  )
+)
+"""
+
+
 def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
     """Register generic tables + domain views as temp views for spark.sql."""
     for n in GENERIC_TABLES:
@@ -342,6 +416,7 @@ def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
     posts(spark, sf_dir).createOrReplaceTempView("posts")
     follows(spark, sf_dir).createOrReplaceTempView("follows")
     social_connections(spark, sf_dir).createOrReplaceTempView("social_connections")
+    partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
 
 
 def oracle_with_domain(body_sql: str, *, recursive: bool = False) -> str:

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from tests.oracle_harness import compare
 
@@ -86,3 +88,165 @@ class TestCursorValidation:
         spec = FeedSpec(after=(datetime.datetime(2024, 1, 1), "p"))
         with pytest.raises(ValueError, match="recency-ordered feeds only"):
             trending_feed(posts, spec)
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 streaming soak for the r12-born mergeable-state family
+# (VERDICT r12 item 5): the KMV / Count-Min / bottom-k sketches and the
+# k-means sufficient statistics are mergeable but were only
+# batch-fold-tested. Here each is maintained ACROSS MICRO-BATCHES in a
+# foreachBatch stream (the test_round12 BM25/MinHash soak pattern) and
+# the stream-maintained state must byte-match the one-shot batch build
+# over the full corpus — the property that makes per-ingest-cycle
+# sketch maintenance O(batch) instead of O(corpus) at 100 TB.
+# ---------------------------------------------------------------------------
+
+SOAK_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _fingerprint(df):
+    cols = sorted(df.columns)
+    row = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return (
+        df.select(row.alias("h"))
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
+        .collect()[0][0]
+    )
+
+
+def test_stream_maintained_sketches_match_batch_builds_sf01(
+    spark, tmp_path
+):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.operators.sketches import (
+        bottomk_sample,
+        cm_merge,
+        cm_sketch,
+        kmv_sketch,
+        merge_kmv,
+        sample_quantiles,
+    )
+
+    K = 64
+    docs = tables.load(spark, SOAK_SF_DIR, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    # three disjoint micro-batches partitioning the corpus
+    src = str(tmp_path / "docs_stream")
+    for m in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def tokens(df):
+        return df.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("token"),
+        ).filter(F.col("token") != "")
+
+    state = {"kmv": None, "cm": None, "sample": None}
+
+    def merge_bottomk(a, b):
+        # union + re-rank under bottomk_sample's (hash, id) tiebreak —
+        # the KMV merge applied to whole sampled rows
+        w = Window.partitionBy("source").orderBy("_h", "doc_id")
+        return (
+            a.unionByName(b)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= K)
+            .drop("_r")
+        )
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.localCheckpoint()
+        kmv_b = kmv_sketch(batch, ["source"], "doc_id", k=K)
+        cm_b = cm_sketch(tokens(batch), "token", w=256, d=4)
+        smp_b = bottomk_sample(batch, ["source"], "doc_id", k=K)
+        if state["kmv"] is None:
+            state["kmv"], state["cm"], state["sample"] = kmv_b, cm_b, smp_b
+        else:
+            state["kmv"] = merge_kmv(state["kmv"], kmv_b, ["source"], k=K)
+            state["cm"] = cm_merge(state["cm"], cm_b)
+            state["sample"] = merge_bottomk(state["sample"], smp_b)
+        for key in ("kmv", "cm", "sample"):
+            state[key] = state[key].localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    assert _fingerprint(state["kmv"]) == _fingerprint(
+        kmv_sketch(docs, ["source"], "doc_id", k=K)
+    )
+    assert _fingerprint(state["cm"]) == _fingerprint(
+        cm_sketch(tokens(docs), "token", w=256, d=4)
+    )
+    batch_sample = bottomk_sample(docs, ["source"], "doc_id", k=K)
+    assert _fingerprint(state["sample"]) == _fingerprint(batch_sample)
+    # ...and the derived quantiles agree too (same sample rows in =>
+    # same nearest-rank selections out)
+    assert _fingerprint(
+        sample_quantiles(state["sample"], ["source"], "n_chars")
+    ) == _fingerprint(
+        sample_quantiles(batch_sample, ["source"], "n_chars")
+    )
+
+
+def test_stream_maintained_kmeans_suffstats_match_batch_sf01(
+    spark, tmp_path
+):
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.similarity import (
+        kmeans_fold_suffstats,
+        kmeans_from_suffstats,
+        kmeans_suffstats,
+    )
+    from union_indexer_node_spark.queries_r12 import _km_fixture_cents
+
+    cents = _km_fixture_cents()
+    emb = tables.load(spark, SOAK_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "emb_stream")
+    for m in (0, 1, 2):
+        emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {"stats": None}
+
+    def fold(batch_df, batch_id):
+        s = kmeans_suffstats(batch_df, cents)
+        state["stats"] = (
+            s if state["stats"] is None
+            else kmeans_fold_suffstats(state["stats"], s)
+        ).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    batch_stats = kmeans_suffstats(emb, cents)
+    assert _fingerprint(state["stats"]) == _fingerprint(batch_stats)
+    # the derived model is the SAME list the batch update produces
+    assert kmeans_from_suffstats(
+        state["stats"], cents
+    ) == kmeans_from_suffstats(batch_stats, cents)

@@ -90,6 +90,68 @@ class TestCursorValidation:
             trending_feed(posts, spec)
 
 
+class TestMMRBatchArm:
+    """VERDICT r12 item 6: the batch MMR arm must be pick-for-pick and
+    score-for-score equal to the serving arm, per query, and must plan
+    as ONE distributed pipeline (no per-step driver collects)."""
+
+    def test_batch_equals_serving_per_query(self, spark):
+        import pandas as pd
+
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.pipelines.similarity import (
+            mmr_rerank,
+            mmr_rerank_batch,
+        )
+
+        emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        qids = (0, 1, 7)
+        queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batch = (
+            mmr_rerank_batch(emb, queries, n_candidates=12, k=3, lam=0.7)
+            .toPandas()
+            .sort_values(["query_id", "pick_idx"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for qid in qids:
+            qv = emb.filter(F.col("vec_id") == qid).select(
+                "embedding"
+            ).head()[0]
+            s = mmr_rerank(
+                emb, list(qv), n_candidates=12, k=3, lam=0.7
+            ).toPandas()
+            s.insert(0, "query_id", qid)
+            rows.append(s)
+        serving = (
+            pd.concat(rows)
+            .sort_values(["query_id", "pick_idx"])
+            .reset_index(drop=True)
+        )
+        assert batch.equals(serving.astype(batch.dtypes.to_dict()))
+
+    def test_batch_plan_is_single_pipeline(self, spark):
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.pipelines.similarity import (
+            mmr_rerank_batch,
+        )
+
+        emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        df = mmr_rerank_batch(emb, queries)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one candidate window + one pandas group stage; the greedy
+        # loop must NOT appear as k joins/filters
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert "CartesianProduct" not in plan
+
+
 # ---------------------------------------------------------------------------
 # sf0.1 streaming soak for the r12-born mergeable-state family
 # (VERDICT r12 item 5): the KMV / Count-Min / bottom-k sketches and the

@@ -1094,6 +1094,13 @@ def mmr_rerank(
     documented re-rank depths (k <= ~50); thousands would hit codegen
     expression-size limits, at which point store picked ids in a
     broadcast frame instead.
+
+    SERVING-ONLY (VERDICT r12 item 6): the k bounded collects are the
+    right trade for one interactive query, but a batch composition
+    looping this over a query SET multiplies driver round trips by the
+    query count — use ``mmr_rerank_batch`` there (one applyInPandas
+    stage for every query group; pick-for-pick equal to this arm,
+    pinned by test_round13).
     """
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = (
@@ -1159,6 +1166,150 @@ def mmr_rerank(
         [(p[0], i + 1, p[2]) for i, p in enumerate(picked)],
         schema=out_schema,
     )
+
+
+def mmr_rerank_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 12,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """BATCH maximal-marginal-relevance: many queries in one plan, zero
+    driver round trips (VERDICT r12 item 6 — `mmr_rerank`'s k bounded
+    collects are fine on the serving path but must not leak into batch
+    compositions; this is the arm compositions use instead).
+
+    Two distributed stages:
+      1. candidate generation — `emb` x broadcast(`queries`) scored by
+         the module's cosine fold, per-query top-`n_candidates` via a
+         (rel DESC, id ASC) window. One shuffle (the window's
+         partitionBy query), corpus scanned once for ALL queries.
+      2. ONE `applyInPandas` over query groups — the inherently
+         sequential greedy loop runs where the group lives, k x n
+         arithmetic over n_candidates rows per group, never corpus
+         data and never on the driver.
+
+    Arithmetic parity with `mmr_rerank` (pinned by test): the pandas
+    side folds the dot/norm accumulators in the same left-to-right
+    IEEE-double order as the JVM `F.aggregate` fold, and reproduces
+    Spark's ROUND (BigDecimal of the shortest decimal repr, HALF_UP)
+    via ``Decimal(repr(x)).quantize``. Ties break on id in both arms.
+
+    Returns (query_id, id, pick_idx, mmr), pick_idx 1-based per query.
+    """
+    import pandas as pd
+
+    qv = F.col("_qv")
+    scored = (
+        emb.join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+                )
+            )
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine_sim(F.col(vec_col), qv), 6).alias("rel"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rel"), F.asc(id_col)
+    )
+    cand = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= n_candidates
+    )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        # Spark Round(double, 6): BigDecimal(Double.toString) HALF_UP.
+        # repr() is the same shortest round-trip decimal.
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def _cos(a, b) -> float:
+        # the F.aggregate fold, element order preserved
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    one_minus_lam = 1.0 - float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        qid = pdf[query_id_col].iloc[0]
+        ids = list(pdf[id_col])
+        vecs = [list(v) for v in pdf[vec_col]]
+        rels = [float(r) for r in pdf["rel"]]
+        picked: list[int] = []  # candidate indexes
+        out_rows = []
+        for step in range(min(k, len(ids))):
+            best_i, best_score = None, None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                if picked:
+                    maxsim = max(
+                        _round6(_cos(vecs[i], vecs[p])) for p in picked
+                    )
+                    score = _round6(
+                        float(lam) * rels[i] - one_minus_lam * maxsim
+                    )
+                else:
+                    score = rels[i]
+                # ties on id: candidates are pre-sorted by id within
+                # equal rel, and we keep the FIRST strict max
+                if best_score is None or score > best_score or (
+                    score == best_score and ids[i] < ids[best_i]
+                ):
+                    best_i, best_score = i, score
+            picked.append(best_i)
+            out_rows.append((qid, ids[best_i], step + 1, best_score))
+        return pd.DataFrame(
+            out_rows, columns=[query_id_col, id_col, "pick_idx", "mmr"]
+        )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            queries.schema[query_id_col],
+            emb.schema[id_col],
+            StructField("pick_idx", LongType(), False),
+            StructField("mmr", DoubleType(), True),
+        ]
+    )
+    return cand.groupBy(query_id_col).applyInPandas(greedy, out_schema)
 
 
 def kmeans_suffstats(

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 176 entries (ADVICE r9: this count is load-bearing — keep it in
-# lockstep with the @q registrations, including queries_r11's 18 and
-# queries_r12's 13) and a 50-slot window, the
+# with 177 entries (ADVICE r9: this count is load-bearing — keep it in
+# lockstep with the @q registrations, including queries_r11's 18,
+# queries_r12's 13 and queries_r13's 1) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -121,6 +121,16 @@ _DEPRIORITIZED = [
     # finalized at 50. Enter with the r13 tranche. Locally
     # oracle-tested like every tail entry.
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # BORN IN TAIL (r13): enter with the r14 tranche alongside the 10
+    # displaced r12-born singles. Locally oracle-tested like every
+    # tail entry.
+    # ------------------------------------------------------------------
+    "sim_mmr_rerank_batch",  # BORN IN TAIL (r13) — the
+    #    composition-safe batch MMR arm (one applyInPandas, zero
+    #    driver round trips); serving twin sim_mmr_rerank KEPT
+    #    in-window r13, batch==serving pinned by test + shared oracle
+    #    chain
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,
@@ -4054,3 +4064,4 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from . import queries_r11  # noqa: E402,F401
 from . import queries_r12  # noqa: E402,F401
+from . import queries_r13  # noqa: E402,F401

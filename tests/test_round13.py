@@ -152,6 +152,91 @@ class TestMMRBatchArm:
         assert "CartesianProduct" not in plan
 
 
+class TestBM25KeysetCursor:
+    """VERDICT r12 item 7: score-ranked deep pages get an opt-in
+    (score, created_at, permlink) keyset; walking the BM25 feed page by
+    page reconstructs the exact full ordering with no gap or dup at any
+    boundary (including equal-score boundaries); defaults unchanged."""
+
+    def _posts(self, spark):
+        from union_indexer_node_spark import tables
+
+        return tables.posts(spark, "/root/testdata/sf0.001")
+
+    def test_bm25_walk_full_ordering_no_gaps_no_dups(self, spark):
+        from union_indexer_node_spark.operators.feeds import (
+            FeedSpec,
+            search_feed,
+        )
+
+        posts = self._posts(spark)
+        term = "body"
+        n = posts.count()
+        full = search_feed(
+            posts, term, FeedSpec(limit=n + 1), rank_by="bm25",
+            with_score=True,
+        ).select("author", "permlink", "created_at", "score").collect()
+        assert len(full) > 50
+        # equal-score boundaries must exist for the walk to prove the
+        # tie arms; single-term BM25 over same-length docs yields them
+        scores = [r["score"] for r in full]
+        assert len(set(scores)) < len(scores)
+        for size in (7, 64):
+            walked: list[tuple] = []
+            cursor = None
+            while True:
+                page = search_feed(
+                    posts,
+                    term,
+                    FeedSpec(limit=size, after=cursor),
+                    rank_by="bm25",
+                    with_score=True,
+                ).select(
+                    "author", "permlink", "created_at", "score"
+                ).collect()
+                walked.extend((r["author"], r["permlink"]) for r in page)
+                if len(page) < size:
+                    break
+                tail = page[-1]
+                cursor = (
+                    tail["score"], tail["created_at"], tail["permlink"]
+                )
+            assert walked == [(r["author"], r["permlink"]) for r in full], size
+
+    def test_bm25_two_part_cursor_still_raises(self, spark):
+        import datetime
+
+        from union_indexer_node_spark.operators.feeds import (
+            FeedSpec,
+            search_feed,
+        )
+
+        posts = self._posts(spark)
+        with pytest.raises(ValueError, match="recency arm only"):
+            search_feed(
+                posts,
+                "the",
+                FeedSpec(limit=5, after=(datetime.datetime(2024, 1, 1), "x")),
+                rank_by="bm25",
+            )
+
+    def test_bm25_default_page_unchanged(self, spark):
+        """No cursor, no with_score: same rows and same schema as
+        before the r13 arm (no score column leaks)."""
+        from union_indexer_node_spark.operators.feeds import (
+            FeedSpec,
+            search_feed,
+        )
+
+        posts = self._posts(spark)
+        page = search_feed(
+            posts, "body", FeedSpec(limit=5, skip=5), rank_by="bm25"
+        )
+        assert "score" not in page.columns
+        assert "_key" not in page.columns
+        assert page.count() == 5
+
+
 # ---------------------------------------------------------------------------
 # sf0.1 streaming soak for the r12-born mergeable-state family
 # (VERDICT r12 item 5): the KMV / Count-Min / bottom-k sketches and the

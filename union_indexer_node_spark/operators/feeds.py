@@ -168,6 +168,7 @@ def search_feed(
     any_term: bool = False,
     rank_by: str = "recency",
     bm25_frames: tuple[DataFrame, DataFrame] | None = None,
+    with_score: bool = False,
 ) -> DataFrame:
     """searchFeed (resolvers/index.ts:199-216): Mongo $text over body,
     sorted by created_at (NOT text score — resolvers/index.ts:210-213),
@@ -195,6 +196,14 @@ def search_feed(
     before scoring, so idf/df reflect the SEARCHABLE subset and the
     top-k is computed after every feed filter applies.
 
+    BM25 deep pages (round 13, opt-in): ``spec.after`` may be a
+    3-tuple (score, created_at, permlink) — the last row of the
+    previous page — making score-ranked page N cost O(limit) like the
+    recency cursor (skip/limit reads and discards the whole sorted
+    prefix). Pass ``with_score=True`` to keep the ``score`` column so
+    the caller can build the next cursor; a 2-tuple cursor on the BM25
+    arm still raises (ambiguous), and defaults are byte-unchanged.
+
     v1 scan; see pipelines/search.py for the inverted-index scale
     path. skip/limit per the reference's pagination args."""
     terms = query_tokens(term)
@@ -205,13 +214,15 @@ def search_feed(
     base = compile_feed_filter(spec)
     if base is not None:
         df = df.filter(base)
-    if spec.after is not None and rank_by == "bm25":
+    if spec.after is not None and rank_by == "bm25" and len(spec.after) != 3:
         # a recency cursor has no meaning in a score-ranked page — the
         # ambiguity must be the caller's to resolve, never silently
-        # one arm's
+        # one arm's. Score-ranked deep pages get their own opt-in
+        # 3-part cursor below (VERDICT r12 item 7).
         raise ValueError(
-            "keyset cursor (after=) applies to the recency arm only; "
-            "BM25-ranked pages paginate by skip/limit"
+            "keyset cursor (created_at, permlink) applies to the "
+            "recency arm only; BM25-ranked pages paginate by "
+            "skip/limit or by a (score, created_at, permlink) cursor"
         )
     if rank_by == "bm25" and terms:
         from ..pipelines.search import bm25_index, bm25_topk
@@ -237,14 +248,32 @@ def search_feed(
             #          the advertised (created_at, permlink) order
             quantized=False,
         )
-        out = (
-            keyed.join(scored, "_key")
-            .orderBy(
-                F.desc("score"), F.desc("created_at"), F.asc("permlink")
+        joined = keyed.join(scored, "_key")
+        if spec.after is not None:
+            # opt-in (score, created_at, permlink) keyset for
+            # score-ranked deep pages (VERDICT r12 item 7 — the same
+            # O(limit)-per-page argument as the r12 recency cursor):
+            # the predicate prunes everything at or before the cursor
+            # BEFORE the sort, so the top-k heap is limit-sized on
+            # every page instead of skip+limit-sized. The score is a
+            # deterministic double of the same plan, so the equality
+            # arms are exact on replay; `skip` is ignored (the cursor
+            # IS the position), matching the recency-cursor contract.
+            c_s, c_ts, c_pl = spec.after
+            sc, ts, pl = F.col("score"), F.col("created_at"), F.col("permlink")
+            joined = joined.filter(
+                (sc < F.lit(float(c_s)))
+                | ((sc == F.lit(float(c_s))) & (ts < F.lit(c_ts)))
+                | (
+                    (sc == F.lit(float(c_s)))
+                    & (ts == F.lit(c_ts))
+                    & (pl > F.lit(c_pl))
+                )
             )
-            .drop("_key", "score")
-        )
-        if spec.skip:
+        out = joined.orderBy(
+            F.desc("score"), F.desc("created_at"), F.asc("permlink")
+        ).drop("_key", *([] if with_score else ["score"]))
+        if spec.skip and spec.after is None:
             out = out.offset(spec.skip)
         return out.limit(spec.limit)
     if spec.after is not None:

@@ -384,6 +384,11 @@ _BNLJ_ALLOWED = {
     "tpch_q11_important_stock": 6,
     "tpch_q16_supplier_cnt": 2,
     "tpch_q20_part_promotion": 2,
+    # r13: batch MMR scores the corpus against the BROADCAST query
+    # set — every (vector, query) pair is genuinely needed, the small
+    # side is the bounded query batch (the broadcast-of-small-anchor
+    # pattern, n_queries rows instead of 1). Dual plan dump doubles it.
+    "sim_mmr_rerank_batch": 2,
 }
 
 

@@ -237,6 +237,143 @@ class TestBM25KeysetCursor:
         assert page.count() == 5
 
 
+class TestKMVPairwiseOverlap:
+    """KMV set operations: pairwise Jaccard/intersection estimated from
+    sketches alone must (a) be exact when sketches are under-full,
+    (b) track the true overlap within the KMV error band when
+    saturated, and (c) commute with sketch merging (slice sketches
+    folded first give the same pair estimates)."""
+
+    def _sketch(self, spark, rows, k):
+        from union_indexer_node_spark.operators.sketches import kmv_sketch
+
+        df = spark.createDataFrame(rows, "g string, key long")
+        return kmv_sketch(df, ["g"], "key", k=k)
+
+    def test_underfull_is_exact(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            kmv_pairwise_overlap,
+        )
+
+        rows = [("a", i) for i in range(40)] + [
+            ("b", i) for i in range(20, 80)
+        ]
+        sk = self._sketch(spark, rows, k=256)
+        out = kmv_pairwise_overlap(sk, "g", k=256).collect()[0]
+        # under-full: the union sketch IS the union, the match count IS
+        # the intersection
+        assert out["union_est"] == 80
+        assert out["intersect_est"] == 20
+        assert out["jaccard_permille"] == 1000 * 20 // 80
+
+    def test_saturated_within_error_band(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            kmv_pairwise_overlap,
+        )
+
+        n, overlap, k = 5000, 2000, 256
+        rows = [("a", i) for i in range(n)] + [
+            ("b", i) for i in range(n - overlap, 2 * n - overlap)
+        ]
+        sk = self._sketch(spark, rows, k=k)
+        out = kmv_pairwise_overlap(sk, "g", k=k).collect()[0]
+        true_union = 2 * n - overlap
+        assert out["k_used"] == k  # really saturated
+        assert abs(out["union_est"] - true_union) / true_union < 0.2
+        assert abs(out["intersect_est"] - overlap) / overlap < 0.3
+
+    def test_commutes_with_slice_merge(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            kmv_pairwise_overlap,
+            kmv_sketch,
+            merge_kmv,
+        )
+
+        rows = [("a", i) for i in range(3000)] + [
+            ("b", i) for i in range(1500, 4500)
+        ]
+        df = spark.createDataFrame(rows, "g string, key long")
+        whole = kmv_sketch(df, ["g"], "key", k=128)
+        s1 = kmv_sketch(df.filter(F.col("key") % 2 == 0), ["g"], "key", k=128)
+        s2 = kmv_sketch(df.filter(F.col("key") % 2 == 1), ["g"], "key", k=128)
+        folded = merge_kmv(s1, s2, ["g"], k=128)
+        a = kmv_pairwise_overlap(whole, "g", k=128).collect()[0]
+        b = kmv_pairwise_overlap(folded, "g", k=128).collect()[0]
+        assert a.asDict() == b.asDict()
+
+
+def test_bm25_cursor_through_graphql(spark):
+    """Serving surface for the r13 BM25 cursor: searchFeed(rankBy:
+    "BM25") exposes Post.score (nullable SDL field), and a
+    CursorInput with a score component pages score-ranked results;
+    the walk reconstructs the one-shot ordering."""
+    import datetime
+
+    pytest.importorskip("graphql")
+    from union_indexer_node_spark.serving import GraphQLService
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    # tf ladder with a deliberate equal-score pair (p2a/p2b share tf
+    # and doc length; recency+permlink break the tie at the boundary)
+    for i, (pl, body) in enumerate(
+        [
+            ("p4", "alpha alpha alpha alpha pad"),
+            ("p3", "alpha alpha alpha pad pad"),
+            ("p2a", "alpha alpha pad pad pad"),
+            ("p2b", "alpha alpha pad pad pad"),
+            ("p1", "alpha pad pad pad pad"),
+        ]
+    ):
+        rows.append(
+            ("a", pl, "", "t", "t", body, base - datetime.timedelta(days=i))
+        )
+    posts = (
+        spark.createDataFrame(
+            rows,
+            "author string, permlink string, parent_author string, "
+            "parent_permlink string, title string, body string, "
+            "created_at timestamp",
+        )
+        .withColumn("flags", F.lit(None).cast("array<string>"))
+        .withColumn("TYPE", F.lit("HIVE"))
+    )
+    svc = GraphQLService(posts=posts)
+    walked = []
+    cursor_arg = ""
+    while True:
+        res = svc.execute(
+            f"""
+            query {{
+              searchFeed(searchTerm: "alpha", rankBy: "BM25",
+                         pagination: {{limit: 2}}{cursor_arg}) {{
+                items {{ permlink created_at score }}
+              }}
+            }}
+            """
+        )
+        assert "errors" not in res, res
+        items = res["data"]["searchFeed"]["items"]
+        walked.extend(i["permlink"] for i in items)
+        if len(items) < 2:
+            break
+        t = items[-1]
+        assert t["score"] is not None
+        cursor_arg = (
+            f', after: {{score: {t["score"]!r}, '
+            f'created_at: "{t["created_at"]}", '
+            f'permlink: "{t["permlink"]}"}}'
+        )
+    assert walked == ["p4", "p3", "p2a", "p2b", "p1"]
+    # recency arm unchanged: score resolves null, no error
+    res = svc.execute(
+        'query { searchFeed(searchTerm: "alpha", '
+        "pagination: {limit: 1}) { items { permlink score } } }"
+    )
+    assert "errors" not in res, res
+    assert res["data"]["searchFeed"]["items"][0]["score"] is None
+
+
 # ---------------------------------------------------------------------------
 # sf0.1 streaming soak for the r12-born mergeable-state family
 # (VERDICT r12 item 5): the KMV / Count-Min / bottom-k sketches and the

@@ -19,63 +19,64 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # r12 rotation (VERDICT r11 item 1): the 19 named r7-stale entries
-    "f4_regex_filter",
-    "a2_distinct_authors_of_app",
-    "x1_json_props_extract",
-    "x2_detect_post_type",
-    "j2_parent_post_join",
-    "j7_follows_overview",
-    "a5_score_zeroing",
-    "dedup_embedding_neardup",
-    "text_language_id_ngram",
-    "text_vocab_topk_per_source",
-    "sample_stratified",
-    "x21_index_incremental_update",
-    "stream_dedup_batch_equivalence",
-    "ann_recall_eval",
-    "training_pack_next_fit",
-    "training_epoch_interleave",
-    "stream_stream_join_attribution",
-    "pipeline_corpus_curation",
-    "skew_salted_comment_counts",
-    # the 14 r11 born-in-tail entries (zero driver signal until r12)
-    "text_unigram_encode",
-    "text_unicode_scrub",
-    "search_bm25_index_incremental",
-    "sim_ivfpq_search",
-    "text_gopher_quality_gate",
-    "pipeline_ccnet_buckets",
-    "training_contamination_report",
+    # r13 rotation (VERDICT r12 items 1/3/8; arithmetic documented at
+    # queries.py:_DEPRIORITIZED "ROUND 13 ROTATION"): the two zero-green
+    # multimodal entries proving the oracle BIGINT-cast fix
     "multimodal_dhash_near_dup",
     "multimodal_audio_fingerprint",
-    "graph_pagerank_quantized",
-    "pipeline_corpus_diff",
-    "curation_dedup_lines_within_doc",
-    "stream_bm25_index_incremental",
-    "feeds_decayed_trending",
-    # upgraded r12 (first round with a hash-checkable oracle) + the
-    # entry born in-window r12
-    "a_approx_distinct_users",
-    "pipeline_diff_bm25_chain",
-    # single-green (r11-only) entries holding their slot to become
-    # multiply-green
-    "training_negative_sample",
-    "a_approx_distinct_kmv",
-    "layout_zorder_key",
-    "training_dsir_resample",
-    "dedup_keep_best_quality",
-    "training_temperature_resample",
-    "text_bpe_encode",
+    # the 30 r8-era staleness re-entries
+    "social_feed_by_app",
+    "f2_f3_f5_filter_combo",
+    "a1_trending_tags",
+    "w1_leaderboard_rank",
+    "w4_feed_pagination",
+    "j4_follower_feed",
+    "j9_reply_closure",
+    "a9_mention_notifications",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "sim_ivf_topk_label",
+    "sim_pairwise_cosine",
+    "text_language_id",
+    "text_fingerprint",
+    "o2_a8_trending_feed_payout",
+    "a6_sign_counts_higher_order",
+    "j11_chain_state_enrichment",
+    "setop_union_sources",
+    "temporal_asof_join",
+    "dedup_cc_clusters",
+    "stream_windowed_counts_batch_equivalence",
+    "pipeline_training_prep",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "w5_scd2_history",
+    # the 12 never-driver-checked r12 tail-borns (item 3 done-criterion;
+    # q2/q9/q11/q16/q20 under their promoted faithful names)
+    "pipeline_diff_minhash_chain",
+    "sketch_cm_heavy_hitters",
+    "sketch_sample_quantiles",
+    "curation_remove_frequent_lines",
+    "sim_kmeans_incremental",
+    "ingest_follows_audit",
+    "tpch_q12_shipmode_shape",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_promotion",
+    # the 6 re-confirmation keeps (operators changing in r13 items 6/7,
+    # the two heaviest chains, the tracked KMV upgrade)
     "search_bm25_topk",
-    "search_rrf_fusion",
     "sim_mmr_rerank",
-    "multimodal_media_probe",
-    "sim_ivf_pq_adc",
-    "text_unigram_lm_train",
-    "dedup_remove_duplicate_spans_maximal",
-    # the ingest-dispatch anchor (follows code changed this round)
-    "ingest_follows_families",
+    "pipeline_diff_bm25_chain",
+    "sim_ivfpq_search",
+    "a_approx_distinct_users",
+    "search_bm25_index_incremental",
 ]
 
 

@@ -37,7 +37,7 @@ def compile_args(args: Mapping[str, Any]) -> FeedSpec:
     if cur:
         import datetime as _dt
 
-        # CursorInput declares both fields nullable in SDL; a partial
+        # CursorInput declares all fields nullable in SDL; a partial
         # cursor is caller error and must be a clean validation error,
         # not a KeyError (ADVICE r12)
         if cur.get("created_at") is None or cur.get("permlink") is None:
@@ -47,7 +47,12 @@ def compile_args(args: Mapping[str, Any]) -> FeedSpec:
         ts = cur["created_at"]
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)
-        after = (ts, cur["permlink"])
+        if cur.get("score") is not None:
+            # round-13 BM25 cursor: a score component makes the 3-part
+            # keyset the score-ranked search arm consumes
+            after = (float(cur["score"]), ts, cur["permlink"])
+        else:
+            after = (ts, cur["permlink"])
     spec = FeedSpec(
         where=where,
         or_where=args.get("or", {}),
@@ -113,6 +118,10 @@ def search_feed(posts: DataFrame, args: Mapping[str, Any]) -> DataFrame:
         args["term"],
         compile_args(args),
         rank_by=rank,
+        # BM25 pages carry their score so the caller can build the
+        # r13 (score, created_at, permlink) cursor; Post.score is a
+        # nullable SDL field, so recency-arm responses are unchanged
+        with_score=(rank == "bm25"),
     )
 
 

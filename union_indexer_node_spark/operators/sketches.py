@@ -325,3 +325,97 @@ def sample_quantiles(
             F.col(value_col).alias("quantile_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: pairwise overlap from sketches alone (round 13)
+# ---------------------------------------------------------------------------
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame, group_col: str, *, k: int = 256
+) -> DataFrame:
+    """Estimate the pairwise set overlap of every group pair from their
+    KMV sketches ALONE — no join over the underlying sets. The standard
+    KMV set-operation trick (Beyer et al.): for groups A and B, take
+    the k smallest hashes of the UNION of the two sketches (that is
+    exactly the KMV sketch of A ∪ B, by the merge argument); the
+    fraction of them present in BOTH input sketches is an unbiased
+    Jaccard estimate, and intersection ≈ jaccard · |A ∪ B|.
+
+    At 100 TB this is the cross-source overlap matrix without the
+    cross-source join: per-source sketches are k longs (built in one
+    pass, mergeable across slices), every pair is then estimated over
+    ≤ 2k rows — sources × sources pairs of k-row work instead of
+    corpus × corpus.
+
+    Input: sketch rows from ``kmv_sketch(df, [group_col], key, k=k)``
+    (columns group_col, _h, _r). Output, one row per unordered pair
+    (ga < gb), all exact integers so any engine reproduces it
+    bit-for-bit:
+      - ``j_num``/``k_used``: matched and total union-sketch slots;
+      - ``union_est``: the KMV estimator on the merged sketch
+        (under-full ⇒ exact union count);
+      - ``intersect_est`` = j_num·union_est div k_used;
+      - ``jaccard_permille`` = 1000·j_num div k_used.
+    """
+    g = F.col(group_col)
+    u = sketches.select(g.alias("_g"), "_h")
+    groups = u.select("_g").distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("ga"))
+        .join(F.broadcast(groups.select(F.col("_g").alias("gb"))))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    # union sketch per pair: hashes of either side, deduped, k smallest
+    cand = (
+        pairs.join(
+            u, (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb"))
+        )
+        .select("ga", "gb", "_h")
+        .distinct()
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("_h")
+    uk = cand.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    in_a = u.select(F.col("_g").alias("ga"), F.col("_h"), F.lit(1).alias("_ina"))
+    in_b = u.select(F.col("_g").alias("gb"), F.col("_h"), F.lit(1).alias("_inb"))
+    marked = (
+        uk.join(in_a, ["ga", "_h"], "left")
+        .join(in_b, ["gb", "_h"], "left")
+    )
+    per = marked.groupBy("ga", "gb").agg(
+        F.sum(
+            F.when(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("j_num"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_kth"),
+    )
+    numer = (k - 1) * _HASH_SPACE
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used")
+    ).otherwise(F.expr(f"{numer}L div _kth"))
+    return per.select(
+        "ga",
+        "gb",
+        "j_num",
+        "k_used",
+        union_est.cast("long").alias("union_est"),
+        (F.col("j_num") * union_est.cast("long"))
+        .cast("long")
+        .alias("_ie_num"),
+        (F.lit(1000) * F.col("j_num")).alias("_jp_num"),
+    ).select(
+        "ga",
+        "gb",
+        "j_num",
+        "k_used",
+        "union_est",
+        F.expr("_ie_num div k_used").cast("long").alias("intersect_est"),
+        F.expr("_jp_num div k_used").cast("long").alias("jaccard_permille"),
+    )

@@ -106,3 +106,102 @@ def sim_mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank_batch(
         emb, queries, n_candidates=12, k=3, lam=0.7
     )
+
+
+# KMV pairwise set-overlap (round 13): the sketch-family set-operation
+# completion — cross-source CONTENT overlap estimated from per-source
+# KMV sketches ALONE (Beyer et al.: the k smallest hashes of the merged
+# sketch ARE the union's sketch; the fraction present in both inputs
+# estimates Jaccard). The keyed set is word BIGRAMS, not unigrams: the
+# synthetic corpus shares one tiny vocabulary across sources (31
+# distinct tokens — unigram Jaccard is degenerately 1.0), while
+# per-source bigram sets run ~700 >> k=128, so the SATURATED estimator
+# and partial overlaps are what the oracle hash-checks, end to end in
+# exact integers.
+_KMV_OV_K = 128
+_KMV_OV_NUMER = (_KMV_OV_K - 1) * (1 << 48)
+
+
+@q(
+    "sketch_kmv_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT source, toks[i] || ' ' || toks[i+1] AS token
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                       AS i) s
+      WHERE len(toks) >= 2
+    ),
+    th AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h
+      FROM b
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM th) WHERE r <= {_KMV_OV_K}
+    ),
+    gs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM gs a, gs b WHERE a.source < b.source
+    ),
+    cand AS (
+      SELECT DISTINCT p.ga, p.gb, s.h
+      FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+    ),
+    uk AS (
+      SELECT ga, gb, h, r FROM (
+        SELECT ga, gb, h,
+               ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+        FROM cand) WHERE r <= {_KMV_OV_K}
+    ),
+    per AS (
+      SELECT uk.ga, uk.gb,
+             SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS j_num,
+             COUNT(*) AS k_used,
+             MAX(CASE WHEN uk.r = {_KMV_OV_K} THEN uk.h END) AS kth
+      FROM uk
+      LEFT JOIN sk sa ON sa.source = uk.ga AND sa.h = uk.h
+      LEFT JOIN sk sb ON sb.source = uk.gb AND sb.h = uk.h
+      GROUP BY 1, 2
+    )
+    SELECT ga, gb, CAST(j_num AS BIGINT) AS j_num,
+           CAST(k_used AS BIGINT) AS k_used,
+           CAST(ue AS BIGINT) AS union_est,
+           CAST((j_num * ue) // k_used AS BIGINT) AS intersect_est,
+           CAST((1000 * j_num) // k_used AS BIGINT) AS jaccard_permille
+    FROM (SELECT *, CASE WHEN k_used < {_KMV_OV_K} THEN k_used
+                         ELSE {_KMV_OV_NUMER} // kth END AS ue
+          FROM per)
+    """,
+)
+def sketch_kmv_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sketches import kmv_pairwise_overlap, kmv_sketch
+
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(_toks[i-1], ' ', _toks[i]))"
+    )
+    bigrams = (
+        d.select("source", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select("source", F.explode(bg).alias("token"))
+    )
+    sk = kmv_sketch(bigrams, ["source"], "token", k=_KMV_OV_K)
+    return kmv_pairwise_overlap(sk, "source", k=_KMV_OV_K)

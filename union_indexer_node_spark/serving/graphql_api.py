@@ -65,6 +65,7 @@ input PaginationOptions {
 input CursorInput {
   created_at: String
   permlink: String
+  score: Float
 }
 
 input FeedOptionsOR {
@@ -112,6 +113,7 @@ type Post {
   num_votes: Int
   payout: Float
   created_at: String
+  score: Float
 }
 
 type FeedOutput {

@@ -197,15 +197,23 @@ BENCH_QUERIES = [
     "sketch_cm_heavy_hitters",
     "sketch_sample_quantiles",
     "sim_kmeans_incremental",
-    # round 12 third batch: the TPC-H completion shapes (Q2/Q9/Q11/
-    # Q12/Q16/Q20 adapted to the available tables) — the suite now
-    # benches all 22 TPC-H query shapes.
+    # round 12 third batch: the TPC-H completion — the suite benches
+    # all 22 query shapes; r13 promoted Q2/Q9/Q11/Q16/Q20 to faithful
+    # forms over the derived partsupp (Q12 keeps its shipmode-column
+    # adaptation).
     "tpch_q2_min_cost_supplier",
     "tpch_q9_profit",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_shape",
     "tpch_q16_supplier_cnt",
     "tpch_q20_part_promotion",
+    # round 13: the composition-safe batch MMR (one applyInPandas over
+    # all query groups), the KMV pairwise-overlap matrix (190 source
+    # pairs from k=128 sketches alone), and the incremental
+    # connected-components fold (base solve + super-node batch fold).
+    "sim_mmr_rerank_batch",
+    "sketch_kmv_source_overlap",
+    "graph_cc_incremental",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -302,6 +302,86 @@ class TestKMVPairwiseOverlap:
         assert a.asDict() == b.asDict()
 
 
+class TestCCIncremental:
+    """Incremental connected components must land on EXACTLY the
+    labeling a from-scratch solve over the union edge set produces —
+    across merges of existing components, batch-born nodes, and
+    repeated folds."""
+
+    def _cc_pdf(self, df):
+        return (
+            df.toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+            .astype({"node": "int64", "cluster_id": "int64"})
+        )
+
+    def test_fold_equals_full_resolve(self, spark):
+        import random
+
+        from union_indexer_node_spark.pipelines.training import (
+            cc_incremental,
+            connected_components,
+        )
+
+        random.seed(7)
+        all_edges = [
+            (random.randrange(300), random.randrange(300))
+            for _ in range(400)
+        ]
+        old = spark.createDataFrame(all_edges[:250], "a long, b long")
+        new = spark.createDataFrame(all_edges[250:], "a long, b long")
+        full = spark.createDataFrame(all_edges, "a long, b long")
+        base = connected_components(old, "a", "b")
+        inc = self._cc_pdf(cc_incremental(base, new, "a", "b"))
+        ref = self._cc_pdf(connected_components(full, "a", "b"))
+        assert inc.equals(ref)
+
+    def test_three_fold_chain_and_born_nodes(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            cc_incremental,
+            connected_components,
+        )
+
+        # batch 1: two separate chains; batch 2: merges them + a brand
+        # new pair; batch 3: bridges the new pair into the big one
+        b1 = [(1, 2), (2, 3), (10, 11), (11, 12)]
+        b2 = [(3, 10), (100, 101)]
+        b3 = [(12, 100)]
+        labels = connected_components(
+            spark.createDataFrame(b1, "a long, b long"), "a", "b"
+        )
+        for batch in (b2, b3):
+            labels = cc_incremental(
+                labels, spark.createDataFrame(batch, "a long, b long"),
+                "a", "b",
+            )
+        ref = connected_components(
+            spark.createDataFrame(b1 + b2 + b3, "a long, b long"),
+            "a", "b",
+        )
+        assert self._cc_pdf(labels).equals(self._cc_pdf(ref))
+        # everything merged into min-id 1
+        assert set(self._cc_pdf(labels).cluster_id) == {1}
+
+    def test_same_component_edge_is_noop(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            cc_incremental,
+            connected_components,
+        )
+
+        base_edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "a long, b long"
+        )
+        labels = connected_components(base_edges, "a", "b")
+        out = cc_incremental(
+            labels,
+            spark.createDataFrame([(1, 3)], "a long, b long"),
+            "a", "b",
+        )
+        assert self._cc_pdf(out).equals(self._cc_pdf(labels))
+
+
 def test_bm25_cursor_through_graphql(spark):
     """Serving surface for the r13 BM25 cursor: searchFeed(rankBy:
     "BM25") exposes Post.score (nullable SDL field), and a

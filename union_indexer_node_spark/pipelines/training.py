@@ -655,6 +655,100 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
 
 
+def cc_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing connected-components
+    labeling without re-solving the whole graph — the
+    incremental-maintenance arm of `connected_components` (the
+    dedup-cluster analog of bm25_index_merge / update_minhash_index).
+
+    The stored labeling compresses every old component to a star
+    (node → min-member label), so the union graph's components are the
+    components of a SUPER-NODE graph: each new edge endpoint maps to
+    its existing cluster_id (unseen nodes map to themselves), and CC
+    runs over those mapped edges only — O(batch), not O(graph); at
+    typical batch sizes that solver takes `connected_components`'s
+    union-find driver arm (2 jobs, no fixpoint loop). Because every
+    old label IS the min of its members, min-label over super-nodes
+    equals min over all merged members, so the fold lands on exactly
+    the labeling a from-scratch solve over old ∪ new edges produces
+    (pinned by test and oracle).
+
+    The remap (old cluster_id → merged cluster_id) covers affected
+    components only — a tiny broadcast left join + coalesce over the
+    stored labels (map-side; on a cluster_id-bucketed store this is a
+    partition-pruned upsert) — and batch-born nodes append with their
+    solved labels.
+
+    Returns the updated (node, cluster_id) frame.
+    """
+    e = new_edges.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    )
+    batch_nodes = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+    )
+    # super-node of each batch endpoint: its stored label, else itself
+    sup = batch_nodes.join(labels, "node", "left").select(
+        "node",
+        F.coalesce("cluster_id", F.col("node")).alias("_sup"),
+    )
+    mapped = (
+        e.join(
+            sup.select(F.col("node").alias("_a"), F.col("_sup").alias("sa")),
+            "_a",
+        )
+        .join(
+            sup.select(F.col("node").alias("_b"), F.col("_sup").alias("sb")),
+            "_b",
+        )
+        .select("sa", "sb")
+    )
+    merged = connected_components(
+        mapped,
+        "sa",
+        "sb",
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )  # (node = super-node id, cluster_id = merged min label)
+    remap = merged.select(
+        F.col("node").alias("cluster_id"),
+        F.col("cluster_id").alias("_new"),
+    )
+    relabeled = labels.join(F.broadcast(remap), "cluster_id", "left").select(
+        "node",
+        F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"),
+    )
+    # batch-born nodes: not in the stored labels; their super-node is
+    # themselves, so `merged` already carries their final label
+    born = (
+        sup.join(labels, "node", "left_anti")
+        .join(
+            F.broadcast(
+                merged.select(
+                    F.col("node").alias("_sup"),
+                    F.col("cluster_id").alias("_new"),
+                )
+            ),
+            "_sup",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("_new", F.col("_sup")).alias("cluster_id")
+        )
+    )
+    return relabeled.unionByName(born)
+
+
 def pack_next_fit(
     df: DataFrame,
     len_col: str,

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 178 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 179 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 2) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 3) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -136,6 +136,11 @@ _DEPRIORITIZED = [
     #    Jaccard/intersection from per-source sketches alone, all 190
     #    source pairs saturated at k=128; sketch family sibling of
     #    a_approx_distinct_kmv (merge argument shared)
+    "graph_cc_incremental",  # BORN IN TAIL (r13) — incremental
+    #    connected components via super-node contraction (fold new
+    #    edges into a stored labeling, O(batch) solve + broadcast
+    #    remap); the dedup-cluster member of the diff->index
+    #    incremental-maintenance family; reach-CTE full-graph oracle
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,

@@ -205,3 +205,53 @@ def sketch_kmv_source_overlap(
     )
     sk = kmv_sketch(bigrams, ["source"], "token", k=_KMV_OV_K)
     return kmv_pairwise_overlap(sk, "source", k=_KMV_OV_K)
+
+
+# Incremental connected components (round 13): the dedup-cluster
+# analog of the diff->index chains — fold a batch of NEW edges into a
+# STORED labeling via the super-node contraction (each old component
+# is already a star around its min member, so CC over the mapped batch
+# edges alone reproduces the from-scratch solve over old ∪ new edges).
+# The entry solves the old 2/3 of a sparse events-derived graph with
+# connected_components, folds the remaining 1/3 with cc_incremental,
+# and the oracle recomputes components over the FULL edge set with the
+# reach recursive CTE — a fold bug (stale label, missed merge, lost
+# batch-born node) hash-mismatches.
+@q(
+    "graph_cc_incremental",
+    """
+    WITH RECURSIVE ed AS (
+      SELECT (user_id * 13) % 1999 AS a,
+             (user_id * 7 + event_id) % 1999 AS b
+      FROM events WHERE event_id % 37 = 0
+    ),
+    und AS (SELECT a AS s, b AS d FROM ed UNION SELECT b, a FROM ed),
+    reach(s, d) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d
+    )
+    SELECT CAST(s AS BIGINT) AS node,
+           CAST(MIN(d) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import cc_incremental, connected_components
+
+    e = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 37 == 0)
+        .select(
+            "event_id",
+            ((F.col("user_id") * 13) % 1999).alias("a"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 1999).alias("b"),
+        )
+    )
+    old = e.filter(F.col("event_id") % 3 != 0).select("a", "b")
+    new = e.filter(F.col("event_id") % 3 == 0).select("a", "b")
+    base = connected_components(old, "a", "b")
+    return cc_incremental(base, new, "a", "b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -389,6 +389,12 @@ _BNLJ_ALLOWED = {
     # side is the bounded query batch (the broadcast-of-small-anchor
     # pattern, n_queries rows instead of 1). Dual plan dump doubles it.
     "sim_mmr_rerank_batch": 2,
+    # r13: the unordered-pair enumeration (ga < gb over the DISTINCT
+    # group list — sources, bounded small by the operator's contract:
+    # a pairwise matrix is only meaningful for a bounded group count).
+    # All-pairs has no equi form; the per-pair sketch attach below it
+    # IS equi-joined. Referenced by both cand arms -> 2, dual dump -> 4.
+    "sketch_kmv_source_overlap": 4,
 }
 
 

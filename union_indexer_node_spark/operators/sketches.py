@@ -367,12 +367,18 @@ def kmv_pairwise_overlap(
         .join(F.broadcast(groups.select(F.col("_g").alias("gb"))))
         .filter(F.col("ga") < F.col("gb"))
     )
-    # union sketch per pair: hashes of either side, deduped, k smallest
+    # union sketch per pair: hashes of either side, deduped, k smallest.
+    # Two equi-joins unioned, NOT one OR-condition join — an OR join
+    # can only plan as a nested loop (groups² × groups·k comparisons);
+    # the equi-join form shuffles on the group key like any other join.
     cand = (
-        pairs.join(
-            u, (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb"))
-        )
+        pairs.join(u.select(F.col("_g").alias("ga"), "_h"), "ga")
         .select("ga", "gb", "_h")
+        .unionByName(
+            pairs.join(
+                u.select(F.col("_g").alias("gb"), "_h"), "gb"
+            ).select("ga", "gb", "_h")
+        )
         .distinct()
     )
     w = Window.partitionBy("ga", "gb").orderBy("_h")

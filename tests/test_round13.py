@@ -8,8 +8,9 @@ Covers (VERDICT r12 / ADVICE r12 work items):
 - ADVICE medium: follows_op_audit legacy empty-auth op must be labeled
   a drop (spoof), matching build_follows' fold exactly.
 - ADVICE low: partial keyset cursor -> clean ValueError.
-- ADVICE low: trending/related feeds reject a cursor instead of
-  silently degrading to skip/limit.
+- ADVICE low: trending_feed rejects a cursor instead of silently
+  degrading to skip/limit (related_feed takes no FeedSpec, so there is
+  no cursor to ignore there — the api wrapper passes limit only).
 """
 
 from __future__ import annotations
@@ -71,6 +72,45 @@ class TestCursorValidation:
         )
         assert spec.after is not None and spec.after[1] == "p1"
 
+    def test_score_cursor_on_recency_arms_clean_error(self, spark):
+        """A 3-part (score, ts, permlink) cursor aimed at ANY
+        recency-ordered arm must raise the clean validation error, not
+        a tuple-unpack crash (self-review r13): social_feed, and
+        search_feed's recency fallback — including rankBy=BM25 with a
+        term that tokenizes to nothing."""
+        import datetime
+
+        from union_indexer_node_spark.operators.feeds import (
+            FeedSpec,
+            search_feed,
+            social_feed,
+        )
+
+        posts = spark.createDataFrame(
+            [
+                (
+                    "a", "p", "", "c", "t", "body text",
+                    datetime.datetime(2024, 1, 1),
+                )
+            ],
+            "author string, permlink string, parent_author string, "
+            "parent_permlink string, title string, body string, "
+            "created_at timestamp",
+        ).withColumn("flags", F.lit(None).cast("array<string>")).withColumn(
+            "TYPE", F.lit("HIVE")
+        )
+        bad = FeedSpec(
+            after=(1.5, datetime.datetime(2024, 1, 1), "p")
+        )
+        with pytest.raises(ValueError, match="BM25-ranked search arm only"):
+            social_feed(posts, bad).collect()
+        with pytest.raises(ValueError, match="BM25-ranked search arm only"):
+            search_feed(posts, "body", bad).collect()
+        # rankBy=BM25 but the term tokenizes to nothing -> recency
+        # fallback must reject too, not crash
+        with pytest.raises(ValueError, match="BM25-ranked search arm only"):
+            search_feed(posts, "###", bad, rank_by="bm25").collect()
+
     def test_trending_feed_rejects_cursor(self, spark):
         import datetime
 
@@ -88,6 +128,56 @@ class TestCursorValidation:
         spec = FeedSpec(after=(datetime.datetime(2024, 1, 1), "p"))
         with pytest.raises(ValueError, match="recency-ordered feeds only"):
             trending_feed(posts, spec)
+
+
+class TestPartsuppDerivation:
+    """tables.partsupp: the derived relation both engines must agree on
+    bit-for-bit — PK uniqueness, cross-engine equality (incl. the IEEE
+    supplycost division), and the dbgen containment property
+    (every lineitem (partkey, suppkey) pair exists in partsupp) that
+    makes the faithful Q9/Q20 joins lossless."""
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_cross_engine_bit_equality_and_pk(self, spark, sf):
+        import duckdb
+
+        from union_indexer_node_spark import tables
+
+        d = f"/root/testdata/{sf}"
+        sp = (
+            tables.partsupp(spark, d)
+            .toPandas()
+            .sort_values(["ps_partkey", "ps_suppkey"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("part", "supplier", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        du = con.execute(
+            f"WITH {tables.PARTSUPP_CTE.strip()} SELECT * FROM partsupp "
+            "ORDER BY ps_partkey, ps_suppkey"
+        ).df()
+        assert len(sp) == len(du)
+        assert sp.duplicated(["ps_partkey", "ps_suppkey"]).sum() == 0
+        assert (sp.ps_suppkey.values == du.ps_suppkey.values).all()
+        # the division must produce the IDENTICAL double, not a close one
+        assert (sp.ps_supplycost.values == du.ps_supplycost.values).all()
+        assert (sp.ps_availqty.values == du.ps_availqty.values).all()
+
+    def test_lineitem_containment(self, spark):
+        from union_indexer_node_spark import tables
+
+        d = "/root/testdata/sf0.001"
+        ps = tables.partsupp(spark, d).select("ps_partkey", "ps_suppkey")
+        li = tables.load(spark, d, "lineitem").select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        ).distinct()
+        # dbgen property: lineitem pairs ⊆ partsupp
+        assert li.join(ps, ["ps_partkey", "ps_suppkey"], "left_anti").count() == 0
 
 
 class TestMMRBatchArm:

@@ -64,7 +64,24 @@ class FeedSpec:
     # table) and every page costs O(limit). When set, `skip` is
     # ignored — the cursor IS the position. None (the default) keeps
     # reference behavior byte-identical.
-    after: tuple[Any, str] | None = None
+    #
+    # Round 13: search_feed's BM25 arm additionally accepts a 3-tuple
+    # (score, created_at, permlink) — see _recency_cursor, which every
+    # recency-ordered arm calls so a score cursor aimed at the wrong
+    # arm fails with a clean ValueError, never a tuple-unpack crash.
+    after: tuple[Any, str] | tuple[float, Any, str] | None = None
+
+
+def _recency_cursor(spec: FeedSpec) -> tuple[Any, str]:
+    """Unpack spec.after for a recency-ordered arm, rejecting the
+    3-part BM25 score cursor with a clean validation error."""
+    if len(spec.after) != 2:
+        raise ValueError(
+            "a (score, created_at, permlink) cursor applies to the "
+            "BM25-ranked search arm only; recency-ordered pages take "
+            "(created_at, permlink)"
+        )
+    return spec.after
 
 
 def compile_feed_filter(spec: FeedSpec) -> Column | None:
@@ -133,7 +150,7 @@ def social_feed(
         # permlink ASC): older timestamp, or same timestamp with a
         # later permlink. The timestamp arm is sargable — it reaches
         # the parquet scan as a pushed filter.
-        c_ts, c_pl = spec.after
+        c_ts, c_pl = _recency_cursor(spec)
         df = df.filter(
             (F.col("created_at") < F.lit(c_ts))
             | (
@@ -278,7 +295,7 @@ def search_feed(
         return out.limit(spec.limit)
     if spec.after is not None:
         # same keyset semantics as social_feed (recency order)
-        c_ts, c_pl = spec.after
+        c_ts, c_pl = _recency_cursor(spec)
         df = df.filter(
             (F.col("created_at") < F.lit(c_ts))
             | (

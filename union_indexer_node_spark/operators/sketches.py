@@ -360,42 +360,46 @@ def kmv_pairwise_overlap(
       - ``jaccard_permille`` = 1000·j_num div k_used.
     """
     g = F.col(group_col)
-    u = sketches.select(g.alias("_g"), "_h")
+    # The caller usually hands an UNCACHED sketch whose lineage is a
+    # corpus-scale scan (tokenize + distinct + window); this function
+    # references it from several plan branches, so pin it once —
+    # groups·k rows of state — instead of replaying that lineage per
+    # branch (the connected_components/mmr localCheckpoint idiom).
+    u = sketches.select(g.alias("_g"), "_h").localCheckpoint()
     groups = u.select("_g").distinct()
     pairs = (
         groups.select(F.col("_g").alias("ga"))
         .join(F.broadcast(groups.select(F.col("_g").alias("gb"))))
         .filter(F.col("ga") < F.col("gb"))
     )
-    # union sketch per pair: hashes of either side, deduped, k smallest.
-    # Two equi-joins unioned, NOT one OR-condition join — an OR join
-    # can only plan as a nested loop (groups² × groups·k comparisons);
-    # the equi-join form shuffles on the group key like any other join.
+    # union sketch per pair: hashes of either side, k smallest. Two
+    # equi-joins unioned, NOT one OR-condition join — an OR join can
+    # only plan as a nested loop (groups² × groups·k comparisons); the
+    # equi-join form shuffles on the group key like any other join.
+    # Each arm carries its membership marker, so the dedup groupBy
+    # below ALSO answers "present in which side(s)" — no extra
+    # membership joins afterwards.
     cand = (
         pairs.join(u.select(F.col("_g").alias("ga"), "_h"), "ga")
-        .select("ga", "gb", "_h")
+        .select("ga", "gb", "_h", F.lit(1).alias("_ina"), F.lit(0).alias("_inb"))
         .unionByName(
-            pairs.join(
-                u.select(F.col("_g").alias("gb"), "_h"), "gb"
-            ).select("ga", "gb", "_h")
+            pairs.join(u.select(F.col("_g").alias("gb"), "_h"), "gb")
+            .select("ga", "gb", "_h", F.lit(0).alias("_ina"), F.lit(1).alias("_inb"))
         )
-        .distinct()
+        .groupBy("ga", "gb", "_h")
+        .agg(
+            F.max("_ina").alias("_ina"),
+            F.max("_inb").alias("_inb"),
+        )
     )
     w = Window.partitionBy("ga", "gb").orderBy("_h")
     uk = cand.withColumn("_r", F.row_number().over(w)).filter(
         F.col("_r") <= k
     )
-    in_a = u.select(F.col("_g").alias("ga"), F.col("_h"), F.lit(1).alias("_ina"))
-    in_b = u.select(F.col("_g").alias("gb"), F.col("_h"), F.lit(1).alias("_inb"))
-    marked = (
-        uk.join(in_a, ["ga", "_h"], "left")
-        .join(in_b, ["gb", "_h"], "left")
-    )
-    per = marked.groupBy("ga", "gb").agg(
+    per = uk.groupBy("ga", "gb").agg(
         F.sum(
-            F.when(
-                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
-            ).otherwise(0)
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1)
+            .otherwise(0)
         )
         .cast("long")
         .alias("j_num"),

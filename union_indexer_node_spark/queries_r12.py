@@ -662,9 +662,12 @@ def tpch_q2_min_cost_supplier(
 # (x1e4) in both engines; o_year from O_ORDERDATE via the orders join
 # (the spec's year source — the `_shape` used l_shipdate); the full
 # six-table join incl. the composite (l_partkey, l_suppkey) = partsupp
-# PK equi-join; the %color% p_name filter. Scale note: the only
-# non-broadcastable join is lineitem x orders on the order key (same
-# as real Q9); partsupp/part/supplier/nation broadcast.
+# PK equi-join; the %color% p_name filter. The partsupp join is
+# LOSSLESS like the spec's: tables.partsupp closes the dbgen
+# containment (lineitem pairs ⊆ partsupp) by construction, pinned by
+# TestPartsuppDerivation. Scale note: the only non-broadcastable join
+# is lineitem x orders on the order key (same as real Q9);
+# partsupp/part/supplier/nation broadcast.
 @q(
     "tpch_q9_profit",
     f"""

@@ -214,6 +214,15 @@ BENCH_QUERIES = [
     "sim_mmr_rerank_batch",
     "sketch_kmv_source_overlap",
     "graph_cc_incremental",
+    # round 13 (second tranche): dictionary phrase tagging (per-length
+    # gram enumeration + one broadcast equi-join) and first-occurrence
+    # bigram novelty (map-side within-doc dedup, skew-safe groupBy-MIN
+    # first-seer, exchange-reusing rejoin).
+    "curation_keyword_tag",
+    "curation_ngram_novelty",
+    # round 13: Hilbert layout key — directly comparable to
+    # layout_zorder_key (same columns, same bits, same row count).
+    "layout_hilbert_key",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -704,3 +704,197 @@ def test_stream_maintained_kmeans_suffstats_match_batch_sf01(
     assert kmeans_from_suffstats(
         state["stats"], cents
     ) == kmeans_from_suffstats(batch_stats, cents)
+
+
+class TestKeywordTag:
+    """Dictionary phrase tagging: FlashText semantics via per-length
+    gram enumeration + ONE broadcast equi-join."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _dict(self, spark, rows):
+        return spark.createDataFrame(rows, "tag string, phrase string")
+
+    def test_overlapping_occurrences_counted(self, spark):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        docs = self._docs(spark, [(1, "batch batch batch")])
+        d = self._dict(spark, [("rep", "batch batch")])
+        out = keyword_tag(docs, d, "text", "doc_id").collect()
+        assert len(out) == 1
+        assert out[0]["n_matches"] == 2  # positions 1 and 2 overlap
+        assert out[0]["first_pos"] == 1
+
+    def test_same_tag_phrases_aggregate(self, spark):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        docs = self._docs(spark, [(1, "sort merge join uses hash join")])
+        d = self._dict(
+            spark, [("joins", "hash join"), ("joins", "sort merge join")]
+        )
+        row = keyword_tag(docs, d, "text", "doc_id").collect()[0]
+        # one trigram match at pos 1 + one bigram match at pos 5
+        assert row["n_matches"] == 2
+        assert row["first_pos"] == 1
+
+    def test_word_boundary_and_case_fold(self, spark):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        docs = self._docs(
+            spark, [(1, "sparkling water"), (2, "SPARK rules"), (3, None)]
+        )
+        d = self._dict(spark, [("eng", "spark")])
+        out = {r["doc_id"]: r for r in
+               keyword_tag(docs, d, "text", "doc_id").collect()}
+        assert set(out) == {2}  # substring of 'sparkling' must NOT hit
+        assert out[2]["n_matches"] == 1 and out[2]["first_pos"] == 1
+
+    def test_empty_dictionary_raises(self, spark):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        docs = self._docs(spark, [(1, "x")])
+        d = self._dict(spark, [("t", "!!!")])  # tokenizes to nothing
+        with pytest.raises(ValueError, match="dictionary"):
+            keyword_tag(docs, d, "text", "doc_id")
+
+    def test_plan_is_broadcast_join_no_cartesian(self, spark):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        docs = self._docs(spark, [(1, "hash join")])
+        d = self._dict(spark, [("j", "hash join"), ("e", "spark")])
+        plan = keyword_tag(
+            docs, d, "text", "doc_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestNgramNovelty:
+    """First-occurrence bigram novelty permille."""
+
+    def _run(self, spark, rows, n=2):
+        from union_indexer_node_spark.pipelines.curation import ngram_novelty
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in ngram_novelty(df, "text", "doc_id", n=n).collect()
+        }
+
+    def test_hand_computed_fractions(self, spark):
+        out = self._run(
+            spark, [(1, "a b c"), (2, "a b c d"), (3, "q r")]
+        )
+        # doc1 first: both grams novel
+        assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+        assert out[1]["novelty_permille"] == 1000
+        # doc2: 'a b','b c' seen in doc1; only 'c d' novel -> 333‰ floor
+        assert (out[2]["n_grams"], out[2]["n_novel"]) == (3, 1)
+        assert out[2]["novelty_permille"] == 333
+        # doc3 disjoint vocabulary: fully novel
+        assert out[3]["novelty_permille"] == 1000
+
+    def test_within_doc_repeats_counted_once(self, spark):
+        out = self._run(spark, [(1, "x y x y x y")])
+        # distinct grams: 'x y', 'y x' — not 5 positional grams
+        assert out[1]["n_grams"] == 2
+
+    def test_short_docs_absent(self, spark):
+        out = self._run(spark, [(1, "solo"), (2, ""), (3, "a b")])
+        assert set(out) == {3}
+
+    def test_tie_goes_to_smaller_id_only(self, spark):
+        out = self._run(spark, [(5, "m n"), (9, "m n")])
+        assert out[5]["n_novel"] == 1
+        assert out[9]["n_novel"] == 0
+        assert out[9]["novelty_permille"] == 0
+
+
+class TestHilbertKey:
+    """Hilbert layout key: canonical xy2d walk, linear projection
+    chain (never one nested expression)."""
+
+    @staticmethod
+    def _xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def _grid(self, spark, bits):
+        from union_indexer_node_spark.pipelines.layout import (
+            hilbert_key_frame,
+        )
+
+        n = 1 << bits
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        return {
+            (r["x"], r["y"]): r["hval"]
+            for r in hilbert_key_frame(
+                grid, F.col("x"), F.col("y"), bits=bits
+            ).collect()
+        }
+
+    def test_matches_reference_walk(self, spark):
+        for bits in (1, 3):
+            n = 1 << bits
+            ref = {
+                (x, y): self._xy2d(n, x, y)
+                for x in range(n)
+                for y in range(n)
+            }
+            assert self._grid(spark, bits) == ref
+
+    def test_consecutive_cells_are_grid_adjacent(self, spark):
+        # THE Hilbert property (and what Morton lacks): walking the key
+        # order never jumps — every step moves one grid cell.
+        out = self._grid(spark, 3)
+        by_d = {d: xy for xy, d in out.items()}
+        assert sorted(by_d) == list(range(64))
+        for d in range(63):
+            (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+    def test_plan_is_linear_not_exploded(self, spark):
+        from union_indexer_node_spark.pipelines.layout import (
+            hilbert_key_frame,
+        )
+
+        df = spark.range(4).select(
+            F.col("id").alias("x"), (F.col("id") * 3).alias("y")
+        )
+        keyed = hilbert_key_frame(df, F.col("x"), F.col("y"), bits=16)
+        # the optimized plan must stay bounded: a collapsed nested
+        # expression would be ~3^16 nodes and a multi-MB string
+        plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 2_000_000, len(plan)
+        assert "UDF" not in plan
+
+    def test_wrap_mask_contract(self, spark):
+        from union_indexer_node_spark.pipelines.layout import (
+            hilbert_key_frame,
+        )
+
+        n = 1 << 3
+        df = spark.createDataFrame(
+            [(1 + n, 2), (1, 2 + 2 * n)], "x long, y long"
+        )
+        vals = [
+            r["hval"]
+            for r in hilbert_key_frame(
+                df, F.col("x"), F.col("y"), bits=3
+            ).collect()
+        ]
+        assert vals[0] == vals[1] == self._xy2d(n, 1, 2)

@@ -409,3 +409,167 @@ def remove_frequent_lines(
         .cast("long")
         .alias("n_removed_lines"),
     )
+
+
+def keyword_tag(
+    df: DataFrame,
+    dictionary: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    tag_col: str = "tag",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Dictionary phrase tagging — FlashText/Aho–Corasick SEMANTICS
+    (find every occurrence of every dictionary phrase in every
+    document, word-boundary exact, case-folded) expressed as Spark
+    relational algebra instead of an automaton: a PII term list, a
+    topic taxonomy, or a blocklist applied to a pre-training corpus is
+    exactly this operator.
+
+    Design (the scale shape): phrases normalize through the shared
+    ``tokens()`` contract; documents enumerate token n-grams ONCE PER
+    DISTINCT PHRASE LENGTH (map-side ``transform``/``slice`` HOFs —
+    dictionary lengths are metadata, typically {1,2,3}), and matching
+    is a BROADCAST equi-join gram == normalized phrase — never a
+    ``contains`` theta-join (that would be a BNLJ over corpus ×
+    dictionary) and never a per-row loop over the dictionary (that
+    re-scans every document |dict| times). Occurrences count
+    OVERLAPPING matches ("batch batch batch" has two "batch batch"
+    hits) because gram enumeration is exhaustive. One shuffle total:
+    the final (doc, tag) aggregation.
+
+    The distinct-lengths ``collect`` is dictionary METADATA (≤ max
+    phrase token count rows), the same bounded-scalar class as the BPE
+    merge table. Dictionaries too large to broadcast (>~100 MB of
+    phrases) would switch the join hint, not the shape.
+
+    Returns (id, tag, n_matches, first_pos) — 1-based token position
+    of the earliest match; docs with no matches are absent (tag rows
+    are facts, not a dense matrix).
+    """
+    d = dictionary.select(
+        F.col(tag_col).alias("_tag"),
+        tokens(F.coalesce(F.col(phrase_col), F.lit(""))).alias("_ptoks"),
+    ).filter(F.size("_ptoks") >= 1)
+    d = d.select(
+        "_tag",
+        F.array_join("_ptoks", " ").alias("_pnorm"),
+        F.size("_ptoks").alias("_plen"),
+    )
+    lengths = sorted(
+        r["_plen"] for r in d.select("_plen").distinct().collect()
+    )
+    if not lengths:
+        raise ValueError("keyword_tag: dictionary has no tokenizable phrases")
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    grams = None
+    for length in lengths:
+        g = (
+            toks.filter(F.size("_toks") >= length)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(_toks) - {length} + 1),"
+                        f" i -> struct(i AS pos,"
+                        f" array_join(slice(_toks, i, {length}), ' ')"
+                        f" AS gram))"
+                    )
+                ).alias("_g"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("_g.pos").cast("long").alias("_pos"),
+                F.col("_g.gram").alias("_gram"),
+            )
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    # a gram of L tokens equals a normalized phrase only when the
+    # phrase also has L tokens (space-joined identity), so the single
+    # string key is a complete join condition across lengths
+    matched = grams.join(
+        F.broadcast(d), grams["_gram"] == d["_pnorm"], "inner"
+    )
+    return (
+        matched.groupBy(F.col(id_col), F.col("_tag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("_pos").alias("first_pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_tag").alias(tag_col),
+            "n_matches",
+            "first_pos",
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """First-occurrence n-gram novelty scoring — for each document,
+    the fraction of its DISTINCT token n-grams that no smaller-id
+    document contains (ids are the corpus's ingest order, so this is
+    "how much of this page is new text"). The data-selection
+    literature uses exactly this signal to down-weight near-template
+    pages that per-document quality scores miss: a page can be fluent,
+    long, and 95 % previously-seen.
+
+    Distinct from the dedup family: near-dup operators DECIDE
+    (keep/drop on a threshold); novelty SCORES every document on a
+    continuous scale, feeding sampling weights. Complements
+    ``training_contamination_report`` (overlap vs a benchmark set —
+    this is overlap vs the corpus's own past).
+
+    Scale shape: within-doc gram dedup is a map-side
+    ``array_distinct`` (zero shuffle — the hot boilerplate gram
+    collapses before it ever moves); the first-seer per gram is a
+    map-side-combining groupBy MIN (skew-safe where a window MIN over
+    the gram partition would sort a hot gram's rows on one task);
+    grams rejoin the per-gram minimum on the SAME gram hash
+    partitioning (AQE reuses the exchange) and fold to one row per
+    document. Integer permille output so every engine agrees exactly.
+
+    Returns (id, n_grams, n_novel, novelty_permille); docs with fewer
+    than ``n`` tokens have no grams and are absent.
+    """
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n} + 1),"
+                    f" i -> array_join(slice(_toks, i, {n}), ' '))"
+                )
+            )
+        ).alias("_gram"),
+    )
+    firsts = grams.groupBy("_gram").agg(F.min(F.col(id_col)).alias("_first"))
+    return (
+        grams.join(firsts, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille", F.expr("(1000 * n_novel) div n_grams")
+        )
+    )

@@ -1,5 +1,5 @@
-"""Data-layout operators: Z-order (Morton) clustering keys for
-multi-dimensional data skipping.
+"""Data-layout operators: Z-order (Morton) and Hilbert clustering keys
+for multi-dimensional data skipping.
 
 At 100 TB the scan is the query cost, and single-column layouts only
 prune one predicate. Writing a table range-partitioned + sorted by the
@@ -71,3 +71,84 @@ def zorder_layout(
         *([n_files] if n_files else []), F.col("_z")
     )
     return parts.sortWithinPartitions("_z")
+
+
+def hilbert_key_frame(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    *,
+    bits: int = 16,
+    out: str = "hval",
+) -> DataFrame:
+    """Hilbert-curve index of two non-negative integer columns (order
+    2^bits, the canonical xy2d walk) — the better-locality sibling of
+    ``zorder_key``: consecutive Hilbert cells are always grid-adjacent
+    (Morton order jumps at power-of-two boundaries), so files covering
+    a compact key range cover a compact RECTANGLE-ish region and
+    min/max footer pruning stays tight for range predicates on both
+    columns.
+
+    Why a FRAME transformer where zorder_key is a Column: each of the
+    ``bits`` levels rewrites (x, y) from BOTH previous values (the
+    reflect-and-swap rotation), so a single nested Column expression
+    would reference each prior level twice and blow up ~3^bits nodes
+    at Catalyst level. One ``withColumns`` per level keeps the plan a
+    linear chain of projections — CollapseProject declines to inline
+    an alias referenced more than once — and every level is still pure
+    map-side long arithmetic inside whole-stage codegen (no UDF, no
+    shuffle; working columns are dropped on exit).
+
+    Values above 2^bits wrap via masking, same contract as zorder_key.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("hilbert bits must be in [1, 31]")
+    n = 1 << bits
+    mask = n - 1
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    df = df.withColumns(
+        {
+            "_hx": x_col.cast("long").bitwiseAND(F.lit(mask)),
+            "_hy": y_col.cast("long").bitwiseAND(F.lit(mask)),
+            "_hd": zero,
+        }
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = F.when(x.bitwiseAND(F.lit(s)) != 0, one).otherwise(zero)
+        ry = F.when(y.bitwiseAND(F.lit(s)) != 0, one).otherwise(zero)
+        nd = d + F.lit(s).cast("long") * F.lit(s).cast("long") * (
+            (rx * F.lit(3)).bitwiseXOR(ry)
+        )
+        # rotation: reflect through n-1 when rx==1, then swap (ry==0)
+        nx = F.when(
+            ry == zero,
+            F.when(rx == one, F.lit(n - 1).cast("long") - y).otherwise(y),
+        ).otherwise(x)
+        ny = F.when(
+            ry == zero,
+            F.when(rx == one, F.lit(n - 1).cast("long") - x).otherwise(x),
+        ).otherwise(y)
+        df = df.withColumns({"_hd": nd, "_hx": nx, "_hy": ny})
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_layout(
+    df: DataFrame,
+    x_name: str,
+    y_name: str,
+    *,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Placement pass over the Hilbert key — same shape as
+    ``zorder_layout`` (one range exchange + within-partition sort)."""
+    keyed = hilbert_key_frame(
+        df, F.col(x_name), F.col(y_name), bits=bits, out="_h"
+    )
+    parts = keyed.repartitionByRange(
+        *([n_files] if n_files else []), F.col("_h")
+    )
+    return parts.sortWithinPartitions("_h")

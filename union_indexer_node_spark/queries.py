@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 179 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 182 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 3) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 6) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -141,6 +141,23 @@ _DEPRIORITIZED = [
     #    edges into a stored labeling, O(batch) solve + broadcast
     #    remap); the dedup-cluster member of the diff->index
     #    incremental-maintenance family; reach-CTE full-graph oracle
+    "curation_keyword_tag",  # BORN IN TAIL (r13) — dictionary phrase
+    #    tagging (FlashText semantics: per-length gram enumeration +
+    #    ONE broadcast equi-join, overlapping occurrences counted);
+    #    the PII-term-list / topic-taxonomy / blocklist application
+    #    operator; lateral-position oracle over a 6-phrase fixture
+    #    dictionary incl. a trigram and a never-matching phrase
+    "curation_ngram_novelty",  # BORN IN TAIL (r13) — first-occurrence
+    #    bigram novelty permille per document (overlap vs the corpus's
+    #    OWN past — the continuous data-selection signal; cf.
+    #    training_contamination_report = overlap vs a benchmark set);
+    #    map-side within-doc gram dedup, skew-safe groupBy-MIN
+    #    first-seer, exchange-reusing rejoin
+    "layout_hilbert_key",  # BORN IN TAIL (r13) — Hilbert clustering
+    #    key, the better-locality sibling of layout_zorder_key
+    #    (in-window family rep): consecutive cells always
+    #    grid-adjacent; level-chain projections (never one nested
+    #    expression — ~3^16 Catalyst nodes); level-chain CTE oracle
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,

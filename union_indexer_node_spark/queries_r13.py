@@ -255,3 +255,169 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+# Dictionary phrase tagging (round 13): FlashText/Aho–Corasick
+# semantics — every occurrence of every dictionary phrase
+# (word-boundary exact, case-folded, overlapping counted) — as
+# per-length gram enumeration + ONE broadcast equi-join, never a
+# contains-BNLJ. The fixture dictionary mixes single words, two
+# bigrams, a trigram (exercising three distinct gram passes) and a
+# never-matching phrase (absence must agree cross-engine).
+_KW_DICT = (
+    ("engine", "spark"),
+    ("engine", "vector"),
+    ("join_algo", "hash join"),
+    ("join_algo", "sort merge join"),
+    ("scan_op", "table scan"),
+    ("absent", "quantum flux"),
+)
+_KW_DICT_VALUES = ", ".join(f"('{t}', '{p}')" for t, p in _KW_DICT)
+_ORACLE_TOKS = (
+    "list_filter(string_split_regex(lower(coalesce({col}, '')),"
+    " '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@q(
+    "curation_keyword_tag",
+    f"""
+    WITH dict(tag, phrase) AS (VALUES {_KW_DICT_VALUES}),
+    dn AS (
+      SELECT tag,
+             array_to_string({_ORACLE_TOKS.format(col="phrase")}, ' ')
+               AS pnorm,
+             len({_ORACLE_TOKS.format(col="phrase")}) AS plen
+      FROM dict
+    ),
+    t AS (
+      SELECT doc_id, {_ORACLE_TOKS.format(col="text")} AS toks
+      FROM documents
+    ),
+    m AS (
+      -- match positions as a per-(doc, phrase) lambda filter: DuckDB's
+      -- binder can't resolve a LATERAL (or an unnest projection)
+      -- correlated to TWO from-items, but a list lambda binds both
+      SELECT t.doc_id, d.tag,
+             list_filter(generate_series(1, len(t.toks) - d.plen + 1),
+               i -> array_to_string(t.toks[i : i + d.plen - 1], ' ')
+                      = d.pnorm) AS ps
+      FROM t, dn d
+    )
+    SELECT doc_id, tag, CAST(SUM(len(ps)) AS BIGINT) AS n_matches,
+           CAST(MIN(ps[1]) AS BIGINT) AS first_pos
+    FROM m WHERE len(ps) > 0
+    GROUP BY doc_id, tag
+    """,
+)
+def curation_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import keyword_tag
+
+    d = tables.load(spark, sf_dir, "documents")
+    dictionary = spark.createDataFrame(
+        list(_KW_DICT), "tag string, phrase string"
+    )
+    return keyword_tag(d, dictionary, "text", "doc_id")
+
+
+# First-occurrence n-gram novelty (round 13): per-document fraction of
+# distinct bigrams unseen in any smaller-id document — the continuous
+# "how much of this page is new text" curation signal (contamination
+# measures overlap vs a benchmark; this is overlap vs the corpus's own
+# past). Integer permille so both engines agree bit-for-bit.
+@q(
+    "curation_ngram_novelty",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_TOKS.format(col="text")} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2)
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000 * SUM(CASE WHEN f.first_doc = g.doc_id
+                                 THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS novelty_permille
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import ngram_novelty
+
+    d = tables.load(spark, sf_dir, "documents")
+    return ngram_novelty(d, "text", "doc_id", n=2)
+
+
+def _hilbert_oracle_sql(bits: int) -> str:
+    """Level-chain CTE mirror of hilbert_key_frame: one CTE per curve
+    level, each rewriting (x, y, d) from the previous — the same
+    linear-projection shape the Spark side uses (a single nested
+    expression would explode in either engine)."""
+    n = 1 << bits
+    mask = n - 1
+    parts = [
+        f"""h{bits} AS (
+      SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+             CAST(l_partkey AS BIGINT) & {mask} AS x,
+             CAST(l_suppkey AS BIGINT) & {mask} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem)"""
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        parts.append(
+            f"""h{level} AS (
+      SELECT l_orderkey, l_linenumber,
+             d + CAST({s * s} AS BIGINT)
+                 * xor(3 * CASE WHEN (x & {s}) != 0 THEN 1 ELSE 0 END,
+                       CASE WHEN (y & {s}) != 0 THEN 1 ELSE 0 END) AS d,
+             CASE WHEN (y & {s}) = 0
+                  THEN CASE WHEN (x & {s}) != 0 THEN {n - 1} - y
+                       ELSE y END
+                  ELSE x END AS x,
+             CASE WHEN (y & {s}) = 0
+                  THEN CASE WHEN (x & {s}) != 0 THEN {n - 1} - x
+                       ELSE x END
+                  ELSE y END AS y
+      FROM h{level + 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hval"
+        "\n    FROM h0"
+    )
+
+
+# Hilbert clustering key (round 13): the better-locality sibling of
+# layout_zorder_key — consecutive Hilbert cells are always
+# grid-adjacent, so a file covering a compact key range covers a
+# compact 2-D region and footer min/max pruning stays tight for range
+# predicates on BOTH columns. Same (l_partkey, l_suppkey, 16-bit)
+# frame as the Morton entry so the two layouts are directly
+# comparable. The level-chain construction (16 withColumns
+# projections, never one nested expression) is itself the point: the
+# naive Column form is ~3^16 Catalyst nodes.
+@q("layout_hilbert_key", _hilbert_oracle_sql(16))
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.layout import hilbert_key_frame
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return hilbert_key_frame(
+        li, F.col("l_partkey"), F.col("l_suppkey"), bits=16, out="hval"
+    ).drop("l_partkey", "l_suppkey")

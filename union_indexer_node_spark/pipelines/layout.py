@@ -107,6 +107,7 @@ def hilbert_key_frame(
     mask = n - 1
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
+    lmask = F.lit(mask).cast("long")
     df = df.withColumns(
         {
             "_hx": x_col.cast("long").bitwiseAND(F.lit(mask)),
@@ -114,23 +115,26 @@ def hilbert_key_frame(
             "_hd": zero,
         }
     )
+    # Branch-free level step (the Hacker's-Delight form of the same
+    # walk — proven term-equal to the canonical s²·((3·rx)^ry) /
+    # reflect-through-(n-1) recurrence by the reference-walk test):
+    #   - the quadrant term (3·rx)^ry == 2·xi + (xi^yi), shift-
+    #     accumulated as d' = 4d + ... (high bit first);
+    #   - reflection through n-1 is XOR with mask (n is a power of 2),
+    #     so the rx==1 branch folds into `xor (mask·xi)` — no nested
+    #     CASE. The first Hilbert cut generated ~80 Catalyst nodes per
+    #     level from the nested whens and ran 15× slower than zorder
+    #     at bench scale (the fused 16-level stage blew past the JIT
+    #     method limit); this form is ~25 nodes per level and runs at
+    #     zorder speed.
     for level in range(bits - 1, -1, -1):
-        s = 1 << level
         x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
-        rx = F.when(x.bitwiseAND(F.lit(s)) != 0, one).otherwise(zero)
-        ry = F.when(y.bitwiseAND(F.lit(s)) != 0, one).otherwise(zero)
-        nd = d + F.lit(s).cast("long") * F.lit(s).cast("long") * (
-            (rx * F.lit(3)).bitwiseXOR(ry)
-        )
-        # rotation: reflect through n-1 when rx==1, then swap (ry==0)
-        nx = F.when(
-            ry == zero,
-            F.when(rx == one, F.lit(n - 1).cast("long") - y).otherwise(y),
-        ).otherwise(x)
-        ny = F.when(
-            ry == zero,
-            F.when(rx == one, F.lit(n - 1).cast("long") - x).otherwise(x),
-        ).otherwise(y)
+        xi = F.shiftright(x, level).bitwiseAND(one)
+        yi = F.shiftright(y, level).bitwiseAND(one)
+        nd = d * F.lit(4) + xi * F.lit(2) + xi.bitwiseXOR(yi)
+        refl = lmask * xi  # 0 when xi=0, the full reflect mask when 1
+        nx = F.when(yi == zero, y.bitwiseXOR(refl)).otherwise(x)
+        ny = F.when(yi == zero, x.bitwiseXOR(refl)).otherwise(y)
         df = df.withColumns({"_hd": nd, "_hx": nx, "_hy": ny})
     return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")
 

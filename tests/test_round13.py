@@ -898,3 +898,104 @@ class TestHilbertKey:
             ).collect()
         ]
         assert vals[0] == vals[1] == self._xy2d(n, 1, 2)
+
+
+class TestR13ReviewFixes:
+    """Regression pins for the round-13 self-review findings."""
+
+    def test_mmr_batch_survives_zero_vector_and_matches_serving(
+        self, spark
+    ):
+        # a zero-magnitude embedding used to raise ZeroDivisionError in
+        # the pandas cosine (the JVM arm yields NaN) and sort to the
+        # WRONG end (pandas puts NaN last, Spark's desc puts it first)
+        from union_indexer_node_spark.pipelines.similarity import (
+            mmr_rerank,
+            mmr_rerank_batch,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # degenerate
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.5, 0.5, 0.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        serving = [
+            (r["vec_id"], r["pick_idx"])
+            for r in mmr_rerank(
+                emb, [1.0, 0.0, 0.0], n_candidates=5, k=3, lam=0.7
+            ).collect()
+        ]
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        batch = [
+            (r["vec_id"], r["pick_idx"])
+            for r in mmr_rerank_batch(
+                emb, queries, n_candidates=5, k=3, lam=0.7
+            ).collect()
+        ]
+        assert sorted(batch, key=lambda t: t[1]) == sorted(
+            serving, key=lambda t: t[1]
+        )
+
+    def test_bm25_arm_rejects_termless_search(self, spark, sf_dir):
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.operators.feeds import (
+            FeedSpec,
+            search_feed,
+        )
+
+        posts = tables.posts(spark, sf_dir)
+        with pytest.raises(ValueError, match="tokenizes to no terms"):
+            search_feed(
+                posts, "!!!", FeedSpec(limit=5), rank_by="bm25"
+            )
+        # the recency arm still serves termless searches
+        assert (
+            search_feed(posts, "!!!", FeedSpec(limit=5)).count() == 5
+        )
+
+    def test_kmv_pairwise_derived_k_matches_explicit(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            kmv_pairwise_overlap,
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(f"g{i % 3}", f"k{j}") for i in range(3) for j in range(i * 40, i * 40 + 60)],
+            "g string, key string",
+        )
+        sk = kmv_sketch(df, ["g"], "key", k=16)
+        explicit = sorted(
+            map(tuple, kmv_pairwise_overlap(sk, "g", k=16).collect())
+        )
+        derived = sorted(
+            map(tuple, kmv_pairwise_overlap(sk, "g").collect())
+        )
+        assert derived == explicit
+
+    def test_keyword_tag_single_corpus_scan(self, spark, tmp_path):
+        from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "hash join beats sort merge join")],
+            "doc_id long, text string",
+        ).write.parquet(p)
+        docs = spark.read.parquet(p)
+        d = spark.createDataFrame(
+            [("a", "join"), ("b", "hash join"), ("c", "sort merge join")],
+            "tag string, phrase string",
+        )
+        out = keyword_tag(docs, d, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one corpus scan for all three phrase lengths (a per-length
+        # union would show three file scans of docs.parquet)
+        assert plan.count("docs.parquet") <= 1, plan
+        got = {(r["tag"], r["n_matches"]) for r in out.collect()}
+        assert got == {("a", 2), ("b", 1), ("c", 1)}

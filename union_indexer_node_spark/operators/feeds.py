@@ -231,6 +231,19 @@ def search_feed(
     base = compile_feed_filter(spec)
     if base is not None:
         df = df.filter(base)
+    if rank_by == "bm25" and not terms:
+        # A term that tokenizes to nothing ("!!!") used to fall through
+        # to the recency arm SILENTLY, which breaks both r13 contracts:
+        # with_score has no score column to expose, and the recency
+        # page would reject the 3-part cursor the caller was told to
+        # build (while a 2-part cursor is rejected above it). The
+        # ambiguity is the caller's to resolve, same policy as the
+        # cursor/arm mismatches below.
+        raise ValueError(
+            "searchTerm tokenizes to no terms; the BM25 arm needs at "
+            "least one [a-z0-9]+ token — use the recency arm for "
+            "termless feeds"
+        )
     if spec.after is not None and rank_by == "bm25" and len(spec.after) != 3:
         # a recency cursor has no meaning in a score-ranked page — the
         # ambiguity must be the caller's to resolve, never silently
@@ -241,7 +254,7 @@ def search_feed(
             "recency arm only; BM25-ranked pages paginate by "
             "skip/limit or by a (score, created_at, permlink) cursor"
         )
-    if rank_by == "bm25" and terms:
+    if rank_by == "bm25":
         from ..pipelines.search import bm25_index, bm25_topk
 
         key = F.concat_ws("/", F.col("author"), F.col("permlink"))

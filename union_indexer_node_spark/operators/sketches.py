@@ -333,7 +333,7 @@ def sample_quantiles(
 
 
 def kmv_pairwise_overlap(
-    sketches: DataFrame, group_col: str, *, k: int = 256
+    sketches: DataFrame, group_col: str, *, k: int | None = None
 ) -> DataFrame:
     """Estimate the pairwise set overlap of every group pair from their
     KMV sketches ALONE — no join over the underlying sets. The standard
@@ -350,7 +350,18 @@ def kmv_pairwise_overlap(
     corpus × corpus.
 
     Input: sketch rows from ``kmv_sketch(df, [group_col], key, k=k)``
-    (columns group_col, _h, _r). Output, one row per unordered pair
+    (columns group_col, _h, _r). ``k`` must be the k the sketches were
+    BUILT with: a larger k would treat rank-truncated sketches as
+    complete (estimates silently biased low and mislabeled exact), a
+    smaller one is just a worse estimator. The default ``k=None``
+    derives it as max(_r) over the input — one bounded-scalar action —
+    which is provably safe in both regimes: if any group saturated,
+    max(_r) IS the build k; if every group is under-full, every sketch
+    is its group's complete hash set and ANY pair-k gives valid
+    (bottom-k of a complete union) estimates. Pass k explicitly only
+    to skip that scalar job when the build k is at hand.
+
+    Output, one row per unordered pair
     (ga < gb), all exact integers so any engine reproduces it
     bit-for-bit:
       - ``j_num``/``k_used``: matched and total union-sketch slots;
@@ -366,6 +377,10 @@ def kmv_pairwise_overlap(
     # groups·k rows of state — instead of replaying that lineage per
     # branch (the connected_components/mmr localCheckpoint idiom).
     u = sketches.select(g.alias("_g"), "_h").localCheckpoint()
+    if k is None:
+        k = sketches.agg(F.max("_r")).collect()[0][0]
+        if k is None:
+            raise ValueError("kmv_pairwise_overlap: empty sketch input")
     groups = u.select("_g").distinct()
     pairs = (
         groups.select(F.col("_g").alias("ga"))

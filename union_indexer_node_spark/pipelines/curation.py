@@ -428,9 +428,10 @@ def keyword_tag(
     exactly this operator.
 
     Design (the scale shape): phrases normalize through the shared
-    ``tokens()`` contract; documents enumerate token n-grams ONCE PER
-    DISTINCT PHRASE LENGTH (map-side ``transform``/``slice`` HOFs —
-    dictionary lengths are metadata, typically {1,2,3}), and matching
+    ``tokens()`` contract; documents enumerate the n-grams of every
+    DISTINCT phrase length in ONE corpus scan (one flatten-of-
+    transforms projection + one explode — a per-length union would
+    re-read and re-tokenize the corpus |lengths| times), and matching
     is a BROADCAST equi-join gram == normalized phrase — never a
     ``contains`` theta-join (that would be a BNLJ over corpus ×
     dictionary) and never a per-row loop over the dictionary (that
@@ -466,28 +467,30 @@ def keyword_tag(
         F.col(id_col),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
-    grams = None
-    for length in lengths:
-        g = (
-            toks.filter(F.size("_toks") >= length)
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(_toks) - {length} + 1),"
-                        f" i -> struct(i AS pos,"
-                        f" array_join(slice(_toks, i, {length}), ' ')"
-                        f" AS gram))"
-                    )
-                ).alias("_g"),
-            )
-            .select(
-                F.col(id_col),
-                F.col("_g.pos").cast("long").alias("_pos"),
-                F.col("_g.gram").alias("_gram"),
-            )
+    # ALL lengths from one scan: a per-length union would re-read and
+    # re-tokenize the corpus once per distinct length. Each arm guards
+    # its positions with filter-over-sequence(1, size) rather than
+    # sequence(1, size-L+1) because Spark's sequence DESCENDS when
+    # stop < start ([1,0] for a too-short doc, inventing positions).
+    arms_sql = ", ".join(
+        f"transform(filter(sequence(1, size(_toks)),"
+        f" i -> i <= size(_toks) - {length} + 1),"
+        f" i -> struct(i AS pos,"
+        f" array_join(slice(_toks, i, {length}), ' ') AS gram))"
+        for length in lengths
+    )
+    grams = (
+        toks.filter(F.size("_toks") >= min(lengths))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"flatten(array({arms_sql}))")).alias("_g"),
         )
-        grams = g if grams is None else grams.unionByName(g)
+        .select(
+            F.col(id_col),
+            F.col("_g.pos").cast("long").alias("_pos"),
+            F.col("_g.gram").alias("_gram"),
+        )
+    )
     # a gram of L tokens equals a normalized phrase only when the
     # phrase also has L tokens (space-joined identity), so the single
     # string key is a complete join condition across lengths

@@ -42,7 +42,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not an error) for a zero-magnitude side: under Spark 4's
+    default ANSI mode a plain division throws DIVIDE_BY_ZERO, so ONE
+    degenerate embedding anywhere in the corpus would kill every
+    similarity job. NULL is the honest value ("no similarity signal")
+    and sorts LAST under every desc ranking in this module, so
+    zero vectors simply never win a top-k slot."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -1151,7 +1157,11 @@ def mmr_rerank(
         if not top:
             break
         r = top[0]
-        picked.append((r[0], list(r[1]), float(r[2])))
+        # mmr is NULL when the pick's rel (or every picked-sim) is a
+        # zero-vector NULL — keep it NULL, float(None) would raise
+        picked.append(
+            (r[0], list(r[1]), None if r[2] is None else float(r[2]))
+        )
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     id_type = emb.schema[id_col].dataType
@@ -1232,16 +1242,21 @@ def mmr_rerank_batch(
 
     from decimal import ROUND_HALF_UP, Decimal
 
+    import math
+
     def _round6(x: float) -> float:
-        # Spark Round(double, 6): BigDecimal(Double.toString) HALF_UP.
-        # repr() is the same shortest round-trip decimal.
+        # Spark Round(double, 6): BigDecimal(Double.toString) HALF_UP;
+        # NaN/Infinity pass through unchanged (Spark's Round returns
+        # non-finite doubles as-is; Decimal.quantize would raise).
+        if not math.isfinite(x):
+            return x
         return float(
             Decimal(repr(x)).quantize(
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
         )
 
-    def _cos(a, b) -> float:
+    def _cos(a, b):
         # the F.aggregate fold, element order preserved
         dot = 0.0
         na = 0.0
@@ -1252,16 +1267,30 @@ def mmr_rerank_batch(
             nb += float(y) * float(y)
         for x, y in zip(a, b):
             dot += float(x) * float(y)
-        import math
-
-        return dot / (math.sqrt(na) * math.sqrt(nb))
+        denom = math.sqrt(na) * math.sqrt(nb)
+        if denom == 0.0:
+            # mirror cosine_sim's try_divide: a zero-magnitude vector
+            # is NULL, never a ZeroDivisionError that kills the job
+            return None
+        return dot / denom
 
     one_minus_lam = 1.0 - float(lam)
 
+    def _desc_key(v) -> float:
+        # Spark's desc puts NULLs LAST; a JVM-side NULL rel reaches
+        # this pandas group as NaN through Arrow, so both spellings
+        # map to -inf for ordering (finite inputs can never produce a
+        # true -inf cosine, so the mapping is exact).
+        if v is None or math.isnan(v):
+            return float("-inf")
+        return v
+
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["rel", id_col], ascending=[False, True]
-        ).reset_index(drop=True)
+        pdf = pdf.assign(
+            _sk=[_desc_key(float(r)) for r in pdf["rel"]]
+        ).sort_values(["_sk", id_col], ascending=[False, True]).reset_index(
+            drop=True
+        )
         qid = pdf[query_id_col].iloc[0]
         ids = list(pdf[id_col])
         vecs = [list(v) for v in pdf[vec_col]]
@@ -1270,24 +1299,40 @@ def mmr_rerank_batch(
         out_rows = []
         for step in range(min(k, len(ids))):
             best_i, best_score = None, None
+            best_key = None
             for i in range(len(ids)):
                 if i in picked:
                     continue
+                ri = rels[i]
+                ri = None if math.isnan(ri) else ri  # Arrow NULL
                 if picked:
-                    maxsim = max(
-                        _round6(_cos(vecs[i], vecs[p])) for p in picked
-                    )
-                    score = _round6(
-                        float(lam) * rels[i] - one_minus_lam * maxsim
+                    # greatest() skips NULL sims; all-NULL => NULL,
+                    # and NULL propagates through the score arithmetic
+                    sims = [
+                        s
+                        for s in (
+                            _cos(vecs[i], vecs[p]) for p in picked
+                        )
+                        if s is not None
+                    ]
+                    maxsim = max(_round6(s) for s in sims) if sims else None
+                    score = (
+                        None
+                        if ri is None or maxsim is None
+                        else _round6(
+                            float(lam) * ri - one_minus_lam * maxsim
+                        )
                     )
                 else:
-                    score = rels[i]
+                    score = ri
+                skey = _desc_key(score)
                 # ties on id: candidates are pre-sorted by id within
-                # equal rel, and we keep the FIRST strict max
-                if best_score is None or score > best_score or (
-                    score == best_score and ids[i] < ids[best_i]
+                # equal rel, and we keep the FIRST strict max (keys,
+                # not raw scores — NULL must compare like Spark's desc)
+                if best_key is None or skey > best_key or (
+                    skey == best_key and ids[i] < ids[best_i]
                 ):
-                    best_i, best_score = i, score
+                    best_i, best_score, best_key = i, score, skey
             picked.append(best_i)
             out_rows.append((qid, ids[best_i], step + 1, best_score))
         return pd.DataFrame(

@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     # round 13: Hilbert layout key — directly comparable to
     # layout_zorder_key (same columns, same bits, same row count).
     "layout_hilbert_key",
+    # round 13: measured LSH banding recall on the 1/3 sample — the
+    # eval-budget cost a pipeline pays to tune (k, bands).
+    "dedup_lsh_recall_eval",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -999,3 +999,49 @@ class TestR13ReviewFixes:
         assert plan.count("docs.parquet") <= 1, plan
         got = {(r["tag"], r["n_matches"]) for r in out.collect()}
         assert got == {("a", 2), ("b", 1), ("c", 1)}
+
+
+class TestLSHRecallEval:
+    """Measured banding recall vs exact Jaccard, by similarity band."""
+
+    def test_hand_built_bands_and_sampling(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import lsh_recall_eval
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base.replace("kappa", "lambda")  # high-J neighbor
+        rows = [
+            (0, base),
+            (3, near),            # in sample (mod 3), J(base, near) high
+            (6, "one two three four five six seven eight nine ten"),
+            (7, base),            # OUT of sample — must not join pairs
+            (9, base + " extra"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["band_lo"]: r
+            for r in lsh_recall_eval(
+                df, "text", "doc_id", sample_mod=3
+            ).collect()
+        }
+        # every in-sample pair that shares a shingle involves docs
+        # {0, 3, 9} only; doc 7 (base verbatim, id % 3 != 0) is outside
+        # the sample so no J=1000 pair exists
+        n_pairs = sum(r["n_pairs"] for r in out.values())
+        assert n_pairs == 3  # (0,3), (0,9), (3,9)
+        top = max(out)
+        assert out[top]["recall_permille"] == 1000
+        for r in out.values():
+            assert 0 <= r["n_caught"] <= r["n_pairs"]
+
+    def test_no_cartesian_in_plan(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import lsh_recall_eval
+
+        df = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        plan = lsh_recall_eval(
+            df, "text", "doc_id", sample_mod=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan

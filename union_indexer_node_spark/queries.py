@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 182 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 183 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 6) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 7) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -158,6 +158,12 @@ _DEPRIORITIZED = [
     #    (in-window family rep): consecutive cells always
     #    grid-adjacent; level-chain projections (never one nested
     #    expression — ~3^16 Catalyst nodes); level-chain CTE oracle
+    "dedup_lsh_recall_eval",  # BORN IN TAIL (r13) — measured
+    #    MinHash-LSH banding recall vs exact shingle Jaccard by
+    #    similarity band on a deterministic 1/3 sample (the dedup
+    #    sibling of ann_recall_eval, in-window r12/r13 family rep);
+    #    shared-shingle equi-join ground truth, never all-pairs;
+    #    full-protocol replay oracle
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,

@@ -421,3 +421,105 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_key_frame(
         li, F.col("l_partkey"), F.col("l_suppkey"), bits=16, out="hval"
     ).drop("l_partkey", "l_suppkey")
+
+
+# LSH recall evaluation (round 13): the dedup-family sibling of
+# ann_recall_eval — MEASURED banding recall vs exact shingle Jaccard
+# by similarity band, on a deterministic 1/3 document sample (the
+# banding S-curve was previously only unit-tested against its closed
+# form). Ground truth enumerates shared-shingle pairs via equi-join
+# (a no-shared-shingle pair has Jaccard 0 — never an all-pairs cross
+# join); both populations are digest-canonicalized identically. The
+# oracle replays the whole protocol: the sample, the md5 minhash
+# windows, the 4-band keys, the 200-cap bucket window and the exact
+# integer Jaccard bands.
+@q(
+    "dedup_lsh_recall_eval",
+    """
+    WITH sdoc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM sdoc GROUP BY md5(text)
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM sdoc WHERE doc_id IN (SELECT doc_id FROM canon)
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      )) AS s
+      FROM toks
+    ),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+      SELECT i.a, i.b,
+             (1000 * i.i) // (sa.n + sb.n - i.i) AS jp
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a
+      JOIN sz sb ON sb.doc_id = i.b
+    ),
+    hashed AS (
+      SELECT doc_id, md5(s) || md5(s || '#') AS hx FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        min(substr(hx,  1, 8)) h0, min(substr(hx,  9, 8)) h1,
+        min(substr(hx, 17, 8)) h2, min(substr(hx, 25, 8)) h3,
+        min(substr(hx, 33, 8)) h4, min(substr(hx, 41, 8)) h5,
+        min(substr(hx, 49, 8)) h6, min(substr(hx, 57, 8)) h7
+      FROM hashed GROUP BY doc_id
+    ),
+    bands_all AS (
+      SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, band_idx, band_key FROM (
+        SELECT doc_id, band_idx, band_key,
+               COUNT(*) OVER (PARTITION BY band_idx, band_key) AS m
+        FROM bands_all
+      ) WHERE m <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT CAST(band_lo AS BIGINT) AS band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           CAST((1000 * SUM(caught)) // COUNT(*) AS BIGINT)
+             AS recall_permille
+    FROM (
+      SELECT CASE WHEN t.jp >= 900 THEN 900
+                  WHEN t.jp >= 700 THEN 700
+                  WHEN t.jp >= 500 THEN 500
+                  WHEN t.jp >= 300 THEN 300
+                  ELSE 0 END AS band_lo,
+             CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth t
+      LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+    )
+    GROUP BY band_lo
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import lsh_recall_eval
+
+    d = tables.load(spark, sf_dir, "documents")
+    return lsh_recall_eval(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=3, sample_mod=3
+    )

@@ -106,9 +106,12 @@ class TestCursorValidation:
             social_feed(posts, bad).collect()
         with pytest.raises(ValueError, match="BM25-ranked search arm only"):
             search_feed(posts, "body", bad).collect()
-        # rankBy=BM25 but the term tokenizes to nothing -> recency
-        # fallback must reject too, not crash
-        with pytest.raises(ValueError, match="BM25-ranked search arm only"):
+        # rankBy=BM25 but the term tokenizes to nothing: the silent
+        # recency fallback is gone (self-review r13 — it served pages
+        # that ignored with_score and rejected BOTH cursor shapes with
+        # a misleading arm message); the arm now rejects the termless
+        # search itself, before any cursor logic
+        with pytest.raises(ValueError, match="tokenizes to no terms"):
             search_feed(posts, "###", bad, rank_by="bm25").collect()
 
     def test_trending_feed_rejects_cursor(self, spark):
@@ -1045,3 +1048,77 @@ class TestLSHRecallEval:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hilbert_layout_plans_one_range_exchange(spark):
+    # placement parity with zorder_layout: one range exchange + sort
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.layout import hilbert_layout
+
+    li = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    out = hilbert_layout(li, "l_partkey", "l_suppkey", n_files=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan
+    assert "Sort" in plan
+
+
+class TestR13ReviewFixesSecondPass:
+    """Second self-review pass: NaN-vs-NULL ordering in batch MMR and
+    the derived-k floor in KMV pairwise overlap."""
+
+    def test_mmr_batch_matches_serving_with_nan_component(self, spark):
+        # a TRUE NaN component (corrupt upstream normalization) must
+        # rank FIRST under desc (Spark: NaN > everything), while a
+        # NULL rel (zero vector) ranks LAST — both arms must agree
+        from union_indexer_node_spark.pipelines.similarity import (
+            mmr_rerank,
+            mmr_rerank_batch,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [float("nan"), 1.0, 0.0]),  # true NaN rel
+            (3, [0.0, 0.0, 0.0]),           # NULL rel (zero vector)
+            (4, [0.5, 0.5, 0.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        serving = {
+            r["pick_idx"]: r["vec_id"]
+            for r in mmr_rerank(
+                emb, [1.0, 0.0, 0.0], n_candidates=5, k=3, lam=0.7
+            ).collect()
+        }
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])],
+            "query_id long, query_vec array<double>",
+        )
+        batch = {
+            r["pick_idx"]: r["vec_id"]
+            for r in mmr_rerank_batch(
+                emb, queries, n_candidates=5, k=3, lam=0.7
+            ).collect()
+        }
+        assert batch == serving
+        assert serving[1] == 2  # the NaN row outranks everything
+
+    def test_kmv_derived_k_floors_at_two(self, spark):
+        # single-hash groups used to derive k=1, whose "estimator"
+        # (k-1)*SPACE/kth is identically 0 — union_est=0 next to
+        # jaccard_permille=1000, a self-contradictory row
+        from union_indexer_node_spark.operators.sketches import (
+            kmv_pairwise_overlap,
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "samekey"), ("b", "samekey")], "g string, key string"
+        )
+        sk = kmv_sketch(df, ["g"], "key", k=64)
+        row = kmv_pairwise_overlap(sk, "g").collect()[0]
+        assert row["jaccard_permille"] == 1000
+        assert row["union_est"] == 1
+        assert row["intersect_est"] == 1

@@ -376,11 +376,19 @@ def kmv_pairwise_overlap(
     # references it from several plan branches, so pin it once —
     # groups·k rows of state — instead of replaying that lineage per
     # branch (the connected_components/mmr localCheckpoint idiom).
-    u = sketches.select(g.alias("_g"), "_h").localCheckpoint()
+    u = sketches.select(g.alias("_g"), "_h", "_r").localCheckpoint()
     if k is None:
-        k = sketches.agg(F.max("_r")).collect()[0][0]
+        # derive from the CHECKPOINTED frame — the original sketch
+        # lineage is a corpus-scale scan and must not replay for a
+        # scalar; floor at 2 because a k=1 "estimator" degenerates to
+        # (k-1)·SPACE/kth = 0 (with k=2 a disjoint single-hash pair
+        # yields a real, if coarse, estimate instead of a
+        # self-contradictory union_est=0 next to jaccard=1000)
+        k = u.agg(F.max("_r")).collect()[0][0]
         if k is None:
             raise ValueError("kmv_pairwise_overlap: empty sketch input")
+        k = max(int(k), 2)
+    u = u.drop("_r")
     groups = u.select("_g").distinct()
     pairs = (
         groups.select(F.col("_g").alias("ga"))

@@ -1265,14 +1265,18 @@ def lsh_recall_eval(
     jaccard_permille (1000·|∩| div |∪|, integer-exact).
     """
     sample = df.filter(F.col(id_col) % sample_mod == 0)
-    canon = _digest_canonicals(sample, text_col, id_col)
+    # canonicalize ONCE and hand the canonical frame to the candidate
+    # generator with unique_text_first=False — the default would run a
+    # second, identical digest groupBy + tokenize pass over the sample
+    canon = _digest_canonicals(sample, text_col, id_col).localCheckpoint()
     shd = canon.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
-        ).alias("_s"),
+        # shingles_from_tokens already array_distincts per doc
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias(
+            "_s"
+        ),
     )
     inter = (
         shd.alias("x")
@@ -1298,7 +1302,13 @@ def lsh_recall_eval(
             band_lo
         )
     cand = lsh_candidate_pairs(
-        sample, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n
+        canon,
+        text_col,
+        id_col,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+        unique_text_first=False,
     ).withColumn("_c", F.lit(1))
     return (
         truth.withColumn("_lo", band_lo)

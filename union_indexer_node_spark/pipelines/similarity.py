@@ -1236,8 +1236,14 @@ def mmr_rerank_batch(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("rel"), F.asc(id_col)
     )
-    cand = scored.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= n_candidates
+    # _rnull rides into the pandas group because Arrow renders BOTH a
+    # JVM NULL rel (zero-magnitude vector) and a true NaN rel (corrupt
+    # component) as float64 NaN — indistinguishable without the flag,
+    # and they sort at OPPOSITE ends of Spark's desc order
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_candidates)
+        .withColumn("_rnull", F.col("rel").isNull())
     )
 
     from decimal import ROUND_HALF_UP, Decimal
@@ -1277,24 +1283,32 @@ def mmr_rerank_batch(
     one_minus_lam = 1.0 - float(lam)
 
     def _desc_key(v) -> float:
-        # Spark's desc puts NULLs LAST; a JVM-side NULL rel reaches
-        # this pandas group as NaN through Arrow, so both spellings
-        # map to -inf for ordering (finite inputs can never produce a
-        # true -inf cosine, so the mapping is exact).
-        if v is None or math.isnan(v):
+        # Spark's desc order, reproduced: NULL sorts LAST (-inf here),
+        # NaN sorts FIRST — Spark treats NaN as greater than every
+        # double (+inf here). Exact, because finite inputs can never
+        # produce a true ±inf cosine.
+        if v is None:
             return float("-inf")
+        if math.isnan(v):
+            return float("inf")
         return v
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.assign(
-            _sk=[_desc_key(float(r)) for r in pdf["rel"]]
+            _sk=[
+                _desc_key(None if isnull else float(r))
+                for r, isnull in zip(pdf["rel"], pdf["_rnull"])
+            ]
         ).sort_values(["_sk", id_col], ascending=[False, True]).reset_index(
             drop=True
         )
         qid = pdf[query_id_col].iloc[0]
         ids = list(pdf[id_col])
         vecs = [list(v) for v in pdf[vec_col]]
-        rels = [float(r) for r in pdf["rel"]]
+        rels = [
+            None if isnull else float(r)
+            for r, isnull in zip(pdf["rel"], pdf["_rnull"])
+        ]
         picked: list[int] = []  # candidate indexes
         out_rows = []
         for step in range(min(k, len(ids))):
@@ -1303,11 +1317,12 @@ def mmr_rerank_batch(
             for i in range(len(ids)):
                 if i in picked:
                     continue
-                ri = rels[i]
-                ri = None if math.isnan(ri) else ri  # Arrow NULL
+                ri = rels[i]  # None = JVM NULL; may be a true NaN
                 if picked:
                     # greatest() skips NULL sims; all-NULL => NULL,
-                    # and NULL propagates through the score arithmetic
+                    # and NULL propagates through the score arithmetic.
+                    # A true-NaN sim stays in and WINS the max, like
+                    # Spark's NaN-is-greatest ordering.
                     sims = [
                         s
                         for s in (
@@ -1315,7 +1330,11 @@ def mmr_rerank_batch(
                         )
                         if s is not None
                     ]
-                    maxsim = max(_round6(s) for s in sims) if sims else None
+                    maxsim = (
+                        max((_round6(s) for s in sims), key=_desc_key)
+                        if sims
+                        else None
+                    )
                     score = (
                         None
                         if ri is None or maxsim is None

@@ -217,7 +217,7 @@ BENCH_QUERIES = [
     # round 13 (second tranche): dictionary phrase tagging (per-length
     # gram enumeration + one broadcast equi-join) and first-occurrence
     # bigram novelty (map-side within-doc dedup, skew-safe groupBy-MIN
-    # first-seer, exchange-reusing rejoin).
+    # first-seer, skew-safe-over-window rejoin).
     "curation_keyword_tag",
     "curation_ngram_novelty",
     # round 13: Hilbert layout key — directly comparable to

@@ -536,11 +536,14 @@ def ngram_novelty(
     Scale shape: within-doc gram dedup is a map-side
     ``array_distinct`` (zero shuffle — the hot boilerplate gram
     collapses before it ever moves); the first-seer per gram is a
-    map-side-combining groupBy MIN (skew-safe where a window MIN over
-    the gram partition would sort a hot gram's rows on one task);
-    grams rejoin the per-gram minimum on the SAME gram hash
-    partitioning (AQE reuses the exchange) and fold to one row per
-    document. Integer permille output so every engine agrees exactly.
+    map-side-combining groupBy MIN, deliberately NOT a window MIN over
+    the gram partition: the window form saves one exchange (measured —
+    Catalyst does not reuse the gram exchange across the agg and join
+    branches) but serializes a hot gram's every row through one task,
+    while the groupBy partially aggregates map-side and the rejoin
+    streams. Skew safety is worth one exchange of (doc, gram) rows at
+    corpus scale. Integer permille output so every engine agrees
+    exactly.
 
     Returns (id, n_grams, n_novel, novelty_permille); docs with fewer
     than ``n`` tokens have no grams and are absent.

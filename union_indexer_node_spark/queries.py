@@ -152,7 +152,7 @@ _DEPRIORITIZED = [
     #    OWN past — the continuous data-selection signal; cf.
     #    training_contamination_report = overlap vs a benchmark set);
     #    map-side within-doc gram dedup, skew-safe groupBy-MIN
-    #    first-seer, exchange-reusing rejoin
+    #    first-seer, skew-safe-over-window rejoin
     "layout_hilbert_key",  # BORN IN TAIL (r13) — Hilbert clustering
     #    key, the better-locality sibling of layout_zorder_key
     #    (in-window family rep): consecutive cells always

@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     # round 13: measured LSH banding recall on the 1/3 sample — the
     # eval-budget cost a pipeline pays to tune (k, bands).
     "dedup_lsh_recall_eval",
+    # round 13: HRW shard assignment — 8 md5 scores + one array argmax
+    # per row, a pure codegen-throughput probe like the zorder key.
+    "training_rendezvous_shard",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -1122,3 +1122,57 @@ class TestR13ReviewFixesSecondPass:
         assert row["jaccard_permille"] == 1000
         assert row["union_est"] == 1
         assert row["intersect_est"] == 1
+
+
+class TestRendezvousShard:
+    """HRW sharding: uniform-ish spread, and THE property — resharding
+    n -> n+1 moves only the keys won by the new shard."""
+
+    def test_reshard_moves_only_to_the_new_shard(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            rendezvous_shard,
+        )
+
+        df = spark.range(0, 2000).select(F.col("id").alias("k"))
+        s8 = {r["k"]: r["shard"] for r in
+              rendezvous_shard(df, "k", n_shards=8).collect()}
+        s9 = {r["k"]: r["shard"] for r in
+              rendezvous_shard(df, "k", n_shards=9).collect()}
+        moved = {k for k in s8 if s8[k] != s9[k]}
+        # every moved key lands on the NEW shard; nothing reshuffles
+        # among the old 8
+        assert all(s9[k] == 8 for k in moved)
+        # expected 1/9 of keys move; allow a generous band
+        assert 0.05 < len(moved) / len(s8) < 0.20, len(moved)
+        # modulus sharding would remap ~8/9 — the motivation
+        mod_moved = sum(1 for k in s8 if k % 8 != k % 9)
+        assert mod_moved / len(s8) > 0.8
+
+    def test_spread_and_determinism(self, spark):
+        from collections import Counter
+
+        from union_indexer_node_spark.pipelines.training import (
+            rendezvous_shard,
+        )
+
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        a = {r["k"]: r["shard"] for r in
+             rendezvous_shard(df, "k", n_shards=8).collect()}
+        b = {r["k"]: r["shard"] for r in
+             rendezvous_shard(df, "k", n_shards=8).collect()}
+        assert a == b
+        counts = Counter(a.values())
+        assert set(counts) == set(range(8))
+        assert max(counts.values()) < 3 * min(counts.values())
+
+    def test_rejects_zero_shards(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            rendezvous_shard,
+        )
+
+        with pytest.raises(ValueError):
+            rendezvous_shard(
+                spark.range(1).select(F.col("id").alias("k")),
+                "k",
+                n_shards=0,
+            )

@@ -1443,3 +1443,49 @@ def dsir_resample(
             & (F.col("score_q").cast("double") >= F.col("thr"))
         ).alias("kept"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    out: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    RESHARD-STABLE alternative to `write_training_shards`' modulus
+    bucket: every key scores each shard by md5(key '#' shard) and
+    lands on the argmax. Growing n_shards to n+1 moves EXACTLY the
+    keys whose new shard wins the argmax — an expected 1/(n+1) of the
+    corpus, every one of them moving TO the new shard — where a
+    modulus bucket remaps ~n/(n+1) of all keys. At 100 TB that is the
+    difference between an incremental top-up copy and rewriting the
+    exported corpus; the same property gives stable cache/worker
+    affinity as a training fleet scales.
+
+    Pure map-side: the scores are n_shards md5 expressions per row
+    folded through one array argmax (lexicographic struct max — md5
+    hex compares as the numeric hash), no shuffle, no UDF, no driver
+    state. n_shards is plan metadata (one struct literal per shard),
+    the same budget class as the zorder bit unroll; thousands of
+    shards would want the explode+window form instead.
+
+    Ties are impossible in practice (equal md5 of distinct inputs) but
+    break deterministically toward the LOWER shard id via the struct's
+    second field (shard DESC in the max → negated id).
+    """
+    if n_shards < 1:
+        raise ValueError("rendezvous_shard needs n_shards >= 1")
+    key = F.col(id_col).cast("string")
+    scored = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(key, F.lit(f"#{s}"))).alias("h"),
+                F.lit(-s).cast("long").alias("negshard"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn(
+        out, (-F.array_max(scored)["negshard"]).cast("long")
+    )

@@ -523,3 +523,30 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_eval(
         d, "text", "doc_id", k=8, bands=4, shingle_n=3, sample_mod=3
     )
+
+
+# Rendezvous (HRW) sharding (round 13): the reshard-stable shard
+# assignment — growing n shards to n+1 moves an expected 1/(n+1) of
+# keys, every one TO the new shard (a modulus bucket remaps ~n/(n+1)
+# of the corpus — the difference between an incremental top-up copy
+# and rewriting the export at 100 TB). Pure map-side argmax over
+# per-shard md5 scores; the oracle replays the argmax with a window.
+@q(
+    "training_rendezvous_shard",
+    """
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM (
+      SELECT doc_id, s AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(s AS VARCHAR)) DESC, s
+             ) AS r
+      FROM documents, (SELECT unnest(generate_series(0, 7)) AS s)
+    ) WHERE r = 1
+    """,
+)
+def training_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import rendezvous_shard
+
+    d = tables.load(spark, sf_dir, "documents")
+    return rendezvous_shard(d, "doc_id", n_shards=8).select("doc_id", "shard")

@@ -1176,3 +1176,131 @@ class TestRendezvousShard:
                 "k",
                 n_shards=0,
             )
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the r13 curation/sharding operators vs pure-Python
+# references, over adversarial token material (unicode, punctuation
+# runs, case, empty docs). Small example counts — each example spins
+# Spark jobs.
+# ---------------------------------------------------------------------------
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_tokens(text):
+    return [t for t in _re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+_WORDS = ["spark", "join", "hash", "Batch", "a1", "ß", "-", "!!", "ω9"]
+_doc_st = st.lists(st.sampled_from(_WORDS), max_size=12).map(" ".join)
+_phrase_st = st.lists(
+    st.sampled_from(["spark", "join", "hash", "batch", "a1"]),
+    min_size=1,
+    max_size=3,
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_doc_st, min_size=1, max_size=5),
+    phrases=st.lists(_phrase_st, min_size=1, max_size=4, unique=True),
+)
+def test_keyword_tag_matches_python_reference(spark, texts, phrases):
+    from union_indexer_node_spark.pipelines.curation import keyword_tag
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    d = spark.createDataFrame(
+        [(f"t{j}", p) for j, p in enumerate(phrases)],
+        "tag string, phrase string",
+    )
+    got = {
+        (r["doc_id"], r["tag"]): (r["n_matches"], r["first_pos"])
+        for r in keyword_tag(docs, d, "text", "doc_id").collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        for j, p in enumerate(phrases):
+            ptoks = _py_tokens(p)
+            hits = [
+                pos + 1
+                for pos in range(len(toks) - len(ptoks) + 1)
+                if toks[pos : pos + len(ptoks)] == ptoks
+            ]
+            if hits:
+                key = (i, f"t{j}")
+                prev = want.get(key)
+                want[key] = (
+                    (prev[0] + len(hits), min(prev[1], hits[0]))
+                    if prev
+                    else (len(hits), hits[0])
+                )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_doc_st, min_size=1, max_size=6))
+def test_ngram_novelty_matches_python_reference(spark, texts):
+    from union_indexer_node_spark.pipelines.curation import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_permille"])
+        for r in ngram_novelty(docs, "text", "doc_id", n=2).collect()
+    }
+    gram_sets = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        if len(toks) >= 2:
+            gram_sets[i] = {
+                (toks[p], toks[p + 1]) for p in range(len(toks) - 1)
+            }
+    first = {}
+    for i in sorted(gram_sets):
+        for g in gram_sets[i]:
+            first.setdefault(g, i)
+    want = {}
+    for i, gs in gram_sets.items():
+        nov = sum(1 for g in gs if first[g] == i)
+        want[i] = (len(gs), nov, (1000 * nov) // len(gs))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+def test_rendezvous_matches_python_md5_argmax(spark, keys, n_shards):
+    import hashlib
+
+    from union_indexer_node_spark.pipelines.training import rendezvous_shard
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["shard"]
+        for r in rendezvous_shard(df, "k", n_shards=n_shards).collect()
+    }
+    want = {
+        k: max(
+            range(n_shards),
+            key=lambda s: (
+                hashlib.md5(f"{k}#{s}".encode()).hexdigest(),
+                -s,
+            ),
+        )
+        for k in keys
+    }
+    assert got == want

@@ -1105,10 +1105,13 @@ class TestR13ReviewFixesSecondPass:
         assert batch == serving
         assert serving[1] == 2  # the NaN row outranks everything
 
-    def test_kmv_derived_k_floors_at_two(self, spark):
+    def test_kmv_derived_single_rank_raises_explicit_k_exact(self, spark):
         # single-hash groups used to derive k=1, whose "estimator"
         # (k-1)*SPACE/kth is identically 0 — union_est=0 next to
-        # jaccard_permille=1000, a self-contradictory row
+        # jaccard_permille=1000, a self-contradictory row. Derivation
+        # can't tell a saturated k=1 BUILD (unestimable) from tiny
+        # complete sketches (exact), so it refuses; the caller who
+        # knows the build k passes it and gets the exact arm.
         from union_indexer_node_spark.operators.sketches import (
             kmv_pairwise_overlap,
             kmv_sketch,
@@ -1118,7 +1121,9 @@ class TestR13ReviewFixesSecondPass:
             [("a", "samekey"), ("b", "samekey")], "g string, key string"
         )
         sk = kmv_sketch(df, ["g"], "key", k=64)
-        row = kmv_pairwise_overlap(sk, "g").collect()[0]
+        with pytest.raises(ValueError, match="single rank"):
+            kmv_pairwise_overlap(sk, "g")
+        row = kmv_pairwise_overlap(sk, "g", k=64).collect()[0]
         assert row["jaccard_permille"] == 1000
         assert row["union_est"] == 1
         assert row["intersect_est"] == 1
@@ -1233,13 +1238,8 @@ def test_keyword_tag_matches_python_reference(spark, texts, phrases):
                 if toks[pos : pos + len(ptoks)] == ptoks
             ]
             if hits:
-                key = (i, f"t{j}")
-                prev = want.get(key)
-                want[key] = (
-                    (prev[0] + len(hits), min(prev[1], hits[0]))
-                    if prev
-                    else (len(hits), hits[0])
-                )
+                # unique phrases => unique tags => each key visited once
+                want[(i, f"t{j}")] = (len(hits), hits[0])
     assert got == want
 
 

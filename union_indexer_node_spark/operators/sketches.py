@@ -355,11 +355,13 @@ def kmv_pairwise_overlap(
     complete (estimates silently biased low and mislabeled exact), a
     smaller one is just a worse estimator. The default ``k=None``
     derives it as max(_r) over the input — one bounded-scalar action —
-    which is provably safe in both regimes: if any group saturated,
-    max(_r) IS the build k; if every group is under-full, every sketch
-    is its group's complete hash set and ANY pair-k gives valid
-    (bottom-k of a complete union) estimates. Pass k explicitly only
-    to skip that scalar job when the build k is at hand.
+    which is safe in both regimes: if any group saturated, max(_r) IS
+    the build k; if every group is under-full, every sketch is its
+    group's complete hash set and ANY pair-k gives valid (bottom-k of
+    a complete union) estimates. A derived k of 1 raises: a saturated
+    k=1 build keeps only each group's minimum hash, from which no pair
+    statistic beyond min-equality is recoverable. Pass k explicitly
+    only to skip that scalar job when the build k is at hand.
 
     Output, one row per unordered pair
     (ga < gb), all exact integers so any engine reproduces it
@@ -376,19 +378,26 @@ def kmv_pairwise_overlap(
     # references it from several plan branches, so pin it once —
     # groups·k rows of state — instead of replaying that lineage per
     # branch (the connected_components/mmr localCheckpoint idiom).
-    u = sketches.select(g.alias("_g"), "_h", "_r").localCheckpoint()
+    cols = ["_h"] if k is not None else ["_h", "_r"]
+    u = sketches.select(g.alias("_g"), *cols).localCheckpoint()
     if k is None:
         # derive from the CHECKPOINTED frame — the original sketch
         # lineage is a corpus-scale scan and must not replay for a
-        # scalar; floor at 2 because a k=1 "estimator" degenerates to
-        # (k-1)·SPACE/kth = 0 (with k=2 a disjoint single-hash pair
-        # yields a real, if coarse, estimate instead of a
-        # self-contradictory union_est=0 next to jaccard=1000)
+        # scalar. k=1 is rejected, not floored: a saturated k=1 build
+        # retains only each group's minimum hash, so NO pair statistic
+        # beyond "same min or not" is recoverable — flooring to 2
+        # would feed the estimator a rank-truncated frame dressed up
+        # as a complete bottom-2 union sketch (biased, mislabeled).
         k = u.agg(F.max("_r")).collect()[0][0]
         if k is None:
             raise ValueError("kmv_pairwise_overlap: empty sketch input")
-        k = max(int(k), 2)
-    u = u.drop("_r")
+        k = int(k)
+        if k < 2:
+            raise ValueError(
+                "kmv_pairwise_overlap: sketches carry a single rank "
+                "(k=1 build) — pair estimation needs a k >= 2 build"
+            )
+        u = u.drop("_r")
     groups = u.select("_g").distinct()
     pairs = (
         groups.select(F.col("_g").alias("ga"))

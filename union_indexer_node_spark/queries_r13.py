@@ -548,5 +548,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import rendezvous_shard
 
-    d = tables.load(spark, sf_dir, "documents")
-    return rendezvous_shard(d, "doc_id", n_shards=8).select("doc_id", "shard")
+    # distinct() makes the entry share the oracle's per-KEY framing
+    # explicitly (the window replay collapses duplicate ids, while the
+    # operator itself is per-row — a duplicated id would row-count-
+    # mismatch without this even though every assignment agrees)
+    keys = tables.load(spark, sf_dir, "documents").select("doc_id").distinct()
+    return rendezvous_shard(keys, "doc_id", n_shards=8).select(
+        "doc_id", "shard"
+    )

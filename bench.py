@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     # round 13: HRW shard assignment — 8 md5 scores + one array argmax
     # per row, a pure codegen-throughput probe like the zorder key.
     "training_rendezvous_shard",
+    # round 13: dense-grid LOCF gap fill — grid explode + one LOCF
+    # window per key over the 1/25 user subset.
+    "temporal_gap_fill",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -1304,3 +1304,46 @@ def test_rendezvous_matches_python_md5_argmax(spark, keys, n_shards):
         for k in keys
     }
     assert got == want
+
+
+class TestGapFill:
+    """Dense time-grid LOCF gap filling."""
+
+    def _run(self, spark, rows, gran="hour"):
+        import datetime as _dt
+
+        from union_indexer_node_spark.operators.temporal import gap_fill
+
+        df = spark.createDataFrame(
+            [
+                (k, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h), v)
+                for k, h, v in rows
+            ],
+            "k long, ts timestamp, value double",
+        )
+        return gap_fill(df, "ts", "k", "value", granularity=gran).collect()
+
+    def test_gaps_filled_with_last_value(self, spark):
+        out = sorted(
+            self._run(spark, [(1, 0, 1.0), (1, 3, 2.5), (1, 0, 0.5)]),
+            key=lambda r: r["bucket"],
+        )
+        # hours 0..3 all present; 0 sums both events (150 cents)
+        assert [r["bucket"][-5:] for r in out] == [
+            "00:00", "01:00", "02:00", "03:00"
+        ]
+        assert [r["value_cents"] for r in out] == [150, 150, 150, 250]
+        assert [r["observed"] for r in out] == [True, False, False, True]
+
+    def test_per_key_spans_are_independent(self, spark):
+        out = self._run(spark, [(1, 0, 1.0), (1, 2, 1.0), (2, 5, 3.0)])
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        assert len(by_key[1]) == 3  # hours 0,1,2
+        assert len(by_key[2]) == 1  # its own single-bucket span
+        assert by_key[2][0]["observed"]
+
+    def test_variable_width_granularity_rejected(self, spark):
+        with pytest.raises(ValueError, match="fixed-width"):
+            self._run(spark, [(1, 0, 1.0)], gran="month")

@@ -372,3 +372,78 @@ def moving_window_agg(
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum("value_cents").over(w).alias("sum_trailing_cents"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Dense time-grid gap filling with last-observation-carried-forward
+    — the missing member of the hypertable family (`time_rollup` folds
+    observed buckets; dashboards and downstream window math need the
+    EMPTY buckets present, holding the last known value). For each key,
+    every ``granularity`` bucket between its first and last observation
+    exists in the output; buckets with no events carry the previous
+    bucket's value and ``observed = false``.
+
+    Values fold as integer cents (the sketch/TPC-H quantization
+    contract) so the fill is bit-identical cross-engine.
+
+    Scale shape: observed buckets are a map-side-combining groupBy;
+    per-key spans are a second tiny aggregate; the grid generates
+    map-side from each span row (``sequence(min, max, interval)`` — one
+    array per key, bounded by the key's own time range, never a global
+    calendar cross join); the LOCF is one window per key ordered by
+    bucket — the partition is the key's grid, which is exactly the
+    state a per-key fill needs to see. Fixed-width granularities only
+    (minute/hour/day/week): a month step has no fixed interval width,
+    and a variable-step sequence would disagree across engines.
+
+    Returns (key, bucket string, value_cents, observed); the first
+    bucket of every key is observed by construction, so value_cents is
+    never NULL.
+    """
+    widths = {"minute": "minute", "hour": "hour", "day": "day", "week": "week"}
+    if granularity.lower() not in widths:
+        raise ValueError(
+            f"gap_fill supports fixed-width granularities {sorted(widths)}"
+        )
+    gran = widths[granularity.lower()]
+    fmt = {
+        "minute": "yyyy-MM-dd HH:mm",
+        "hour": "yyyy-MM-dd HH:00",
+        "day": "yyyy-MM-dd",
+        "week": "yyyy-MM-dd",
+    }[gran]
+    bucket = F.date_trunc(gran, F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    obs = (
+        df.select(F.col(key_col), bucket.alias("_b"), cents.alias("_c"))
+        .groupBy(key_col, "_b")
+        .agg(F.sum("_c").cast("long").alias("_v"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.expr(f"sequence(_mn, _mx, interval 1 {gran})")
+        ).alias("_b"),
+    )
+    dense = grid.join(obs, [key_col, "_b"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col(key_col),
+        F.date_format(F.col("_b"), fmt).alias("bucket"),
+        F.last("_v", ignorenulls=True).over(w).alias("value_cents"),
+        F.col("_v").isNotNull().alias("observed"),
+    )

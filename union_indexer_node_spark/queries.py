@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 184 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 185 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 8) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 9) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,12 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "temporal_gap_fill",  # BORN IN TAIL (r13) — dense time-grid LOCF
+    #    gap filling (every bucket between a key's first/last
+    #    observation present, empty ones carrying the last value);
+    #    hypertable-family completion beside temporal_time_rollup
+    #    (in-window family rep r4/r9); per-key sequence grid, never a
+    #    global calendar cross join; IGNORE-NULLS window oracle
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,

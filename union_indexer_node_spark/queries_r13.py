@@ -556,3 +556,51 @@ def training_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_shard(keys, "doc_id", n_shards=8).select(
         "doc_id", "shard"
     )
+
+
+# Time-grid gap filling with LOCF (round 13): the hypertable-family
+# completion — every hour between a user's first and last event exists
+# in the output, empty buckets carrying the last observed value
+# (dashboards and window math need the empty buckets PRESENT; the
+# rollup entry folds only observed ones). Integer-cents values; the
+# oracle replays grid + LOCF with generate_series and IGNORE NULLS.
+@q(
+    "temporal_gap_fill",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE user_id % 25 = 0
+    ),
+    obs AS (
+      SELECT user_id, b, CAST(SUM(c) AS BIGINT) AS v
+      FROM e GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+      FROM span
+    ),
+    d AS (
+      SELECT g.user_id, g.b, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b
+    )
+    SELECT user_id, strftime(b, '%Y-%m-%d %H:00') AS bucket,
+           CAST(LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS value_cents,
+           v IS NOT NULL AS observed
+    FROM d
+    """,
+)
+def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import gap_fill
+
+    e = tables.load(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    return gap_fill(e, "ts", "user_id", "value", granularity="hour")

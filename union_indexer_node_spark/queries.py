@@ -211,6 +211,30 @@ _DEPRIORITIZED = [
     # becomes multiply-green well inside the bound, funded by the
     # then-multiply-green r13 re-entries.
     # ------------------------------------------------------------------
+    # ROUND 14 ROTATION — PRE-NAMED (write the executed note in r14
+    # against CORRECTNESS_r13.json). Obligations:
+    # (a) the 10 displaced r12-born SINGLES (driver-green r12 only;
+    #     pre-named in r13 as the FRONT of this tranche — the exact
+    #     names sit at the bottom of the "Rotated out in ROUND 13"
+    #     section: text_unigram_encode, text_unicode_scrub,
+    #     text_gopher_quality_gate, pipeline_ccnet_buckets,
+    #     training_contamination_report, graph_pagerank_quantized,
+    #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
+    #     stream_bm25_index_incremental, feeds_decayed_trending) plus
+    #     the 9 never-driver-checked r13-borns
+    #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
+    #     graph_cc_incremental, curation_keyword_tag,
+    #     curation_ngram_novelty, layout_hilbert_key,
+    #     dedup_lsh_recall_eval, training_rendezvous_shard,
+    #     temporal_gap_fill);
+    # (b) the "rotated out in round 10" tranche directly below — last
+    #     driver-green r9, the oldest on the books — re-enters under
+    #     the staleness rule (20 entries).
+    # 19 + 20 = 39 ins; funding comes from the r13 window's then-
+    # multiply-green re-entries. As in r13, the arithmetic will
+    # displace some r13-window singles for one round — document the
+    # exception and pre-name them as the front of the r15 tranche.
+    # ------------------------------------------------------------------
     # Rotated out in round 10 (multiply-green; families in-window).
     # ------------------------------------------------------------------
     "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps q10/q18

@@ -1347,3 +1347,59 @@ class TestGapFill:
     def test_variable_width_granularity_rejected(self, spark):
         with pytest.raises(ValueError, match="fixed-width"):
             self._run(spark, [(1, 0, 1.0)], gran="month")
+
+
+class TestTriangleCount:
+    """triangle_count (pipelines/training.py): per-node triangle
+    participation via degree-ordered orientation."""
+
+    def _counts(self, spark, edges):
+        from union_indexer_node_spark.pipelines.training import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        out = triangle_count(df, "a", "b").collect()
+        return {r["node"]: r["tri_cnt"] for r in out}
+
+    def _expected(self, edges):
+        import itertools
+
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({n for e in und for n in e})
+        cnt: dict = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (a, c), (b, c)} <= und:
+                for n in (a, b, c):
+                    cnt[n] = cnt.get(n, 0) + 1
+        return cnt
+
+    def test_k4_plus_hub_matches_brute_force(self, spark):
+        # K4 on 1..4 (4 triangles, 3 per node) plus a hub wired to all
+        # of them (6 more, one per K4 edge) — the skew shape the
+        # degree orientation exists for; duplicate, reversed, and
+        # self-loop edges exercise canonicalization
+        k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        hub = [(100, x) for x in range(1, 5)]
+        noise = [(2, 1), (1, 1), (100, 100), (1, 2), (4, 100)]
+        edges = k4 + hub + noise
+        assert self._counts(spark, edges) == self._expected(edges)
+
+    def test_triangle_free_graph_is_empty(self, spark):
+        # a path and a 4-cycle have no triangles
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13), (13, 10)]
+        assert self._counts(spark, edges) == {}
+
+    def test_two_disjoint_triangles(self, spark):
+        edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (9, 7)]
+        assert self._counts(spark, edges) == {n: 1 for n in (1, 2, 3, 7, 8, 9)}
+
+    def test_plan_has_no_cartesian(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+        plan = triangle_count(df, "a", "b")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

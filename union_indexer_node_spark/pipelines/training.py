@@ -749,6 +749,92 @@ def cc_incremental(
     return relabeled.unionByName(born)
 
 
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    — the local-clustering primitive beside `pagerank_quantized`
+    (centrality) and `connected_components` (reachability). Returns
+    (node, tri_cnt) for every node in at least one triangle.
+
+    Physical strategy is degree-ordered orientation (compact-forward /
+    the MapReduce node-iterator++): canonicalize and dedup the edge
+    list, then orient every edge from its (degree, id)-smaller endpoint
+    to the larger. Each node's OUT-degree is then O(sqrt(m)) no matter
+    how skewed the raw degree distribution is — a hub with 10M
+    followers contributes wedges bounded by the orientation, not
+    deg^2, which is the difference between an unrunnable join and a
+    routine one on a social graph at 100 TB. Wedges enumerate with ONE
+    equi-self-join of the oriented list on its source (residual
+    predicate orders the two out-neighbors so each wedge appears
+    once), closed by ONE equi-join back against the oriented list.
+    Every join is a hash/sort-merge equi-join on node keys — never a
+    cartesian — and the only other shuffles are the dedup and the
+    degree aggregate. Counting explodes each triangle into its three
+    corners and folds with a partial-aggregating groupBy.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("_x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("_y"),
+        )
+        .filter(F.col("_x") != F.col("_y"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("_x").alias("node"))
+        .union(canon.select(F.col("_y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnsRenamed({"node": "_x", "_deg": "_dx"}), "_x")
+        .join(deg.withColumnsRenamed({"node": "_y", "_deg": "_dy"}), "_y")
+    )
+    # orient low (degree, id) -> high; carry the dst's (degree, id) so
+    # the wedge self-join can order out-neighbors without a global rank
+    # (a row_number over all nodes would serialize on one partition)
+    x_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y"))
+    )
+    oriented = with_deg.select(
+        F.when(x_first, F.col("_x")).otherwise(F.col("_y")).alias("src"),
+        F.when(x_first, F.col("_y")).otherwise(F.col("_x")).alias("dst"),
+        F.when(x_first, F.col("_dy")).otherwise(F.col("_dx")).alias("ddeg"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddeg") < F.col("e2.ddeg"))
+            | (
+                (F.col("e1.ddeg") == F.col("e2.ddeg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("_u"),
+        F.col("e1.dst").alias("_v"),
+        F.col("e2.dst").alias("_w"),
+    )
+    # the closing edge (v, w) is oriented exactly as the wedge ordered
+    # its out-neighbors — by (degree, id) — so one equi-join closes it
+    closing = oriented.select(
+        F.col("src").alias("_v"), F.col("dst").alias("_w")
+    )
+    tri = wedges.join(closing, ["_v", "_w"])
+    corners = (
+        tri.select(F.col("_u").alias("node"))
+        .union(tri.select(F.col("_v").alias("node")))
+        .union(tri.select(F.col("_w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("tri_cnt")
+    )
+
+
 def pack_next_fit(
     df: DataFrame,
     len_col: str,

@@ -604,3 +604,53 @@ def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 25 == 0
     )
     return gap_fill(e, "ts", "user_id", "value", granularity="hour")
+
+
+# Triangle counting (round 13): per-node triangle participation — the
+# local-clustering / community-density primitive beside
+# graph_pagerank_quantized (centrality) and dedup_cc_clusters
+# (reachability). The engine runs degree-ordered orientation
+# (compact-forward): oriented out-degrees are O(sqrt(m)) under any
+# skew, so hub wedges never explode. The oracle enumerates the same
+# triangle set from the canonical a<b<c edge ordering — orientation
+# changes the enumeration order, never the set. Graph: md5-derived
+# Erdos-Renyi-ish edges over 1997 nodes from event ids, so both
+# engines build the identical graph (the pagerank entry's pattern).
+@q(
+    "graph_triangle_count",
+    """
+    WITH ed AS (
+      SELECT DISTINCT LEAST(sx, dx) AS u, GREATEST(sx, dx) AS v
+      FROM (
+        SELECT CAST(('0x' || substr(hx, 1, 6)) AS BIGINT) % 1997 AS sx,
+               CAST(('0x' || substr(hx, 7, 6)) AS BIGINT) % 1997 AS dx
+        FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM events)
+      ) WHERE sx <> dx
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.u = e1.v
+      JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import triangle_count
+
+    e = tables.load(spark, sf_dir, "events")
+    hx = F.md5(F.col("event_id").cast("string"))
+    edges = e.select(
+        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 1997).alias(
+            "sx"
+        ),
+        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 1997).alias(
+            "dx"
+        ),
+    ).filter(F.col("sx") != F.col("dx"))
+    return triangle_count(edges, "sx", "dx")

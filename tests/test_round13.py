@@ -1403,3 +1403,58 @@ class TestTriangleCount:
         plan = triangle_count(df, "a", "b")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestHllSketch:
+    """Explicit-register HLL (operators/sketches.py): MAX-mergeable
+    fixed-size distinct sketch with an integer estimator."""
+
+    def _regs(self, spark, rows):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(rows, "g string, k string")
+        return hll_registers(df, ["g"], "k")
+
+    def test_merge_of_slices_equals_whole(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_merge,
+        )
+
+        rows = [("g", f"key-{i}") for i in range(3000)]
+        a = self._regs(spark, rows[:1300])
+        b = self._regs(spark, rows[1300:])
+        merged = {
+            (r["bucket"], r["rho"])
+            for r in hll_merge(a, b, ["g"]).collect()
+        }
+        whole = {
+            (r["bucket"], r["rho"]) for r in self._regs(spark, rows).collect()
+        }
+        assert merged == whole
+
+    def test_duplicates_absorbed_without_predistinct(self, spark):
+        once = self._regs(spark, [("g", f"k{i}") for i in range(500)])
+        thrice = self._regs(
+            spark, [("g", f"k{i}") for i in range(500)] * 3
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, thrice.collect())
+        )
+
+    def test_estimate_within_sketch_error_band(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        n = 5000
+        regs = self._regs(spark, [("g", f"key-{i}") for i in range(n)])
+        row = hll_estimate(regs, ["g"]).collect()[0]
+        # m=256 -> stderr ~6.5%; 4 sigma for a deterministic test
+        assert abs(row["est_distinct"] - n) < 0.26 * n
+        assert 0 <= row["n_zero"] < 256
+
+    def test_register_state_is_bounded(self, spark):
+        regs = self._regs(spark, [("g", f"key-{i}") for i in range(20000)])
+        assert regs.count() <= 256

@@ -2,8 +2,10 @@
 
 The reference serves a handful of distinct-count surfaces (tag and
 author distincts under A2/A3) and Spark's own approx_count_distinct
-covers the HLL++ use case — but an HLL sketch can never be
-oracle-checked (engine sketch encodings differ), which is why the
+covers the HLL++ use case — but an ENGINE-INTERNAL HLL sketch can
+never be oracle-checked (private encodings differ; the explicit
+md5-register HLL at the bottom of this module can, and is), which is
+why the
 registry's `a_approx_distinct_users` entry was a rows-only check until
 round 12 replaced its estimator with the global KMV below (the
 registry now carries zero permanently-unhashed entries — VERDICT r11
@@ -460,4 +462,93 @@ def kmv_pairwise_overlap(
         "union_est",
         F.expr("_ie_num div k_used").cast("long").alias("intersect_est"),
         F.expr("_jp_num div k_used").cast("long").alias("jaccard_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit-register HyperLogLog (round 13). The module docstring's
+# "HLL can never be oracle-checked" holds for ENGINE-INTERNAL sketches
+# (approx_count_distinct's HLL++ encoding is Spark-private); these
+# registers are built explicitly from the same md5 hash as KMV, so
+# every engine computes the identical state and integer estimate.
+# KMV keeps k ROWS per group (state ∝ k longs, merge = re-rank);
+# HLL keeps m fixed REGISTERS per group (state = m bytes, merge =
+# element-wise MAX — idempotent, commutative, associative: the
+# cheapest possible foreachBatch fold, and duplicate keys never need
+# a pre-distinct because MAX absorbs them map-side).
+# Registers use the hash's top 8 bits as the bucket and the rho
+# (leading-zero count + 1) of the remaining 40; rho derives from
+# floor(log2(suffix)) — exact for powers of two in IEEE double, and
+# >1000x the double's error margin from any boundary elsewhere, so
+# Spark and DuckDB agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_SUFFIX_BITS = _HASH_BITS - _HLL_P
+# alpha_m * m^2, scaled by 2^(SUFFIX_BITS+1) to make the harmonic-mean
+# division pure integer: est = _HLL_ALPHA_NUM // sum(2^(SB+1-rho))
+_HLL_ALPHA_NUM = round(
+    0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * (1 << (_HLL_SUFFIX_BITS + 1))
+)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group HLL register state: (group..., bucket, rho) with one
+    row per NON-EMPTY bucket (at most m=256 per group). groupBy.max is
+    map-side-combining, so the shuffle carries <= m rows per group no
+    matter how many input rows or duplicate keys feed it."""
+    h = kmv_hash(F.col(key_col))
+    suffix = h % (1 << _HLL_SUFFIX_BITS)
+    rho = F.when(suffix == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(_HLL_SUFFIX_BITS)
+        - F.floor(F.log2(suffix.cast("double"))).cast("long")
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, _HLL_SUFFIX_BITS).cast("long").alias("bucket"),
+            rho.cast("long").alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold two register frames: element-wise MAX per (group, bucket)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Integer raw-HLL estimate per group from register state:
+    est = alpha_m * m^2 / sum_j 2^(-M_j), with empty buckets at
+    M_j = 0. All arithmetic is integer (the alpha numerator is
+    pre-scaled by 2^(SUFFIX_BITS+1)), so the oracle replays it
+    exactly. Emits n_zero (empty-register count) so a consumer can
+    apply linear counting in the small range if it wants to."""
+    sb1 = _HLL_SUFFIX_BITS + 1
+    per = registers.groupBy(*group_cols).agg(
+        # SQL-form shiftleft takes a column shift amount (the Python
+        # wrapper accepts only int literals)
+        F.sum(F.expr(f"shiftleft(1L, {sb1} - rho)")).alias("_hsum"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    # empty buckets contribute 2^(sb1 - 0) each
+    with_total = per.withColumn(
+        "_total",
+        F.col("_hsum") + (F.lit(_HLL_M) - F.col("_nb")) * F.lit(1 << sb1),
+    )
+    return with_total.select(
+        *group_cols,
+        # integer div: the alpha numerator is ~1.04e17 > 2^53, so a
+        # double division would corrupt the quotient
+        F.expr(f"{_HLL_ALPHA_NUM}L div _total").alias("est_distinct"),
+        (F.lit(_HLL_M) - F.col("_nb")).cast("long").alias("n_zero"),
     )

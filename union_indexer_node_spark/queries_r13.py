@@ -654,3 +654,81 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("sx") != F.col("dx"))
     return triangle_count(edges, "sx", "dx")
+
+
+# Explicit-register HyperLogLog (round 13): the fixed-size,
+# MAX-mergeable member of the sketch family (KMV = k rows, merge by
+# re-rank; CM = counter grid, merge by +; HLL = 256 registers, merge
+# by element-wise MAX — the cheapest fold of the three, and duplicate
+# keys are absorbed map-side because MAX is idempotent). Registers
+# build from the same md5 48-bit hash as KMV, so the estimate is pure
+# integer arithmetic and the oracle replays it bit-for-bit — the
+# "engine HLL encodings can never be oracle-checked" objection applies
+# to approx_count_distinct's private state, not to explicit registers.
+# Keyspace: per-source trigram vocabulary (~20-40x the register count
+# at sf0.01 — the raw-estimate regime, no small-range correction).
+from .operators.sketches import _HLL_ALPHA_NUM as _HLL_AN  # noqa: E402
+
+_HLL_SFX = 1 << 40
+
+
+@q(
+    "sketch_hll_distinct",
+    f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
+                       AS i) s
+      WHERE len(toks) >= 3
+    ),
+    h AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS hv
+      FROM g
+    ),
+    r AS (
+      SELECT source, hv >> 40 AS bucket,
+             MAX(CASE WHEN hv % {_HLL_SFX} = 0 THEN 41
+                 ELSE 40 - CAST(floor(log2(CAST(hv % {_HLL_SFX} AS DOUBLE)))
+                                AS BIGINT) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT source,
+             SUM(CAST(1 AS BIGINT) << (41 - rho)) AS hsum,
+             COUNT(*) AS nb
+      FROM r GROUP BY 1
+    )
+    SELECT source,
+           CAST({_HLL_AN} // (hsum + (256 - nb) * (CAST(1 AS BIGINT) << 41))
+                AS BIGINT) AS est_distinct,
+           CAST(256 - nb AS BIGINT) AS n_zero
+    FROM per
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_estimate, hll_registers
+
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    tg = F.expr(
+        "transform(sequence(2, size(_toks) - 1), "
+        "i -> concat(_toks[i-2], ' ', _toks[i-1], ' ', _toks[i]))"
+    )
+    trigrams = (
+        d.select("source", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select("source", F.explode(tg).alias("token"))
+    )
+    regs = hll_registers(trigrams, ["source"], "token")
+    return hll_estimate(regs, ["source"])

@@ -1458,3 +1458,116 @@ class TestHllSketch:
     def test_register_state_is_bounded(self, spark):
         regs = self._regs(spark, [("g", f"key-{i}") for i in range(20000)])
         assert regs.count() <= 256
+
+
+class TestCanonicalUrl:
+    """canonical_url / url_dedup (pipelines/curation.py)."""
+
+    CASES = [
+        # (messy, canonical)
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&q=1#frag",
+         "https://example.com/A/b?q=1"),
+        ("http://example.com:80/path", "http://example.com/path"),
+        ("http://example.com:8080/path", "http://example.com:8080/path"),
+        ("https://example.com:80/path", "https://example.com:80/path"),
+        ("https://host.com///", "https://host.com"),
+        ("https://host.com/p?fbclid=abc&gclid=1&utm_medium=m",
+         "https://host.com/p"),
+        ("https://host.com/p?b=2&utm_a=1&a=1", "https://host.com/p?b=2&a=1"),
+        ("ftp://Files.example.com/Data", "ftp://files.example.com/Data"),
+        ("https://www.host.com/p#only-frag", "https://www.host.com/p"
+         .replace("www.", "")),
+    ]
+
+    def test_hand_written_cases(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            canonical_url,
+        )
+
+        df = spark.createDataFrame(
+            [(m,) for m, _ in self.CASES], "url string"
+        )
+        got = [
+            r["c"]
+            for r in df.select(
+                canonical_url(F.col("url")).alias("c")
+            ).collect()
+        ]
+        assert got == [c for _, c in self.CASES]
+
+    def test_dedup_keeps_min_id_and_counts(self, spark):
+        from union_indexer_node_spark.pipelines.curation import url_dedup
+
+        rows = [
+            (1, "https://a.com/x?utm_source=1"),
+            (2, "https://WWW.A.com/x/"),
+            (3, "https://a.com/y"),
+        ]
+        df = spark.createDataFrame(rows, "id long, url string")
+        out = {
+            r["canonical_url"]: (r["keeper_id"], r["n_dups"])
+            for r in url_dedup(df, "url", "id").collect()
+        }
+        assert out == {
+            "https://a.com/x": (1, 2),
+            "https://a.com/y": (3, 1),
+        }
+
+
+class TestTokenEntropy:
+    """token_entropy (pipelines/textstats.py)."""
+
+    def _run(self, spark, rows):
+        from union_indexer_node_spark.pipelines.textstats import (
+            token_entropy,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["n_tokens"], r["entropy_permille"])
+            for r in token_entropy(df, "text", "doc_id").collect()
+        }
+
+    def test_degenerate_and_uniform(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "spam spam spam spam"),        # H = 0
+                (2, "a b c d e f g h"),            # uniform 8 -> 3.0 bits
+                (3, "one"),                        # single token -> 0
+                (4, "  . , !"),                    # no tokens -> absent
+            ],
+        )
+        assert out[1] == (4, 0)
+        assert out[2] == (8, 3000)
+        assert out[3] == (1, 0)
+        assert 4 not in out
+
+    def test_hand_computed_mixed(self, spark):
+        import math
+
+        text = "x x x y y z"  # counts 3,2,1 of n=6
+        n = 6
+        h = -(3 / n * math.log2(3 / n) + 2 / n * math.log2(2 / n)
+              + 1 / n * math.log2(1 / n))
+        out = self._run(spark, [(1, text)])
+        assert out[1][0] == 6
+        assert abs(out[1][1] - h * 1000) <= 1
+
+    def test_partitioning_invariant(self, spark):
+        # per-term integer rounding makes the fold associative: the
+        # same doc split across many partitions folds to the same value
+        rows = [(1, " ".join(f"w{i % 37}" for i in range(500)))]
+        one = self._run(spark, rows)
+        df = spark.createDataFrame(rows * 1, "doc_id long, text string")
+        from union_indexer_node_spark.pipelines.textstats import (
+            token_entropy,
+        )
+
+        many = {
+            r["doc_id"]: (r["n_tokens"], r["entropy_permille"])
+            for r in token_entropy(
+                df.repartition(16), "text", "doc_id"
+            ).collect()
+        }
+        assert one == many

@@ -579,3 +579,74 @@ def ngram_novelty(
             "novelty_permille", F.expr("(1000 * n_novel) div n_grams")
         )
     )
+
+
+_TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for identity comparison — the CommonCrawl-
+    style key under exact URL dedup and frontier dedup: lowercase
+    scheme and host, strip a leading ``www.``, drop the scheme's
+    default port (:80 http / :443 https) but keep explicit non-default
+    ports, strip trailing slashes from the path, drop tracking
+    parameters (utm_*, fbclid, gclid, msclkid, ref, ref_src) while
+    preserving the order of the rest, and drop the fragment.
+
+    Pure map-side expression built from regexp_extract/replace and a
+    higher-order filter over the split query string — no UDF, stays
+    inside whole-stage codegen, and every piece has an exact DuckDB
+    equivalent so dedup built on it is oracle-checkable.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+    )
+    host = F.regexp_replace(
+        F.lower(F.substring_index(hostport, ":", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Exact URL dedup on the canonical form: one row per canonical
+    URL with the smallest id as the keeper and the duplicate count.
+    One map-side canonicalization + one partially-aggregated groupBy —
+    shuffle bytes ∝ distinct canonical URLs, never pages; the id-min
+    keeper rule needs no window and no secondary sort."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )

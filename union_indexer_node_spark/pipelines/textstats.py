@@ -1218,3 +1218,57 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df_t", "tfidf_q")
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon token entropy in integer permille-bits —
+    the distribution-shape quality signal the ratio features miss: a
+    page that repeats one template line has high length and fine
+    punctuation ratios but near-zero entropy, while natural prose at
+    the same length sits near log2(vocab).
+
+    Determinism across engines is the design constraint: H =
+    (n*log2(n) - sum_t c_t*log2(c_t)) / n is a float SUM whose
+    addition order differs between engines, so each TERM is rounded to
+    an integer (x1e4) BEFORE summing — integer addition is associative,
+    so Spark's partial aggregates and DuckDB's single pass produce the
+    identical total, and the final permille division is integer too.
+    (floor/round of c*log2(c): exact for powers of two in IEEE, and
+    >1000x the double error margin from any boundary elsewhere — the
+    hll_registers argument.)
+
+    Shape: tokenize -> explode -> (id, token) count -> per-id fold.
+    Shuffle rows ∝ corpus tokens, the same class as TF-IDF/BM25
+    builds; both aggregates partial-combine map-side.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    counts = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .select("_id", F.explode("_toks").alias("_tok"))
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    term = F.round(
+        F.col("_c").cast("double") * F.log2(F.col("_c").cast("double")) * 1e4,
+        0,
+    ).cast("long")
+    per = counts.groupBy("_id").agg(
+        F.sum("_c").alias("_n"), F.sum(term).alias("_tsum")
+    )
+    n = F.col("_n").cast("double")
+    ntotal = F.round(n * F.log2(n) * 1e4, 0).cast("long")
+    return (
+        per.withColumn("_e4", ntotal - F.col("_tsum"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            # integer div keeps the permille exact in every engine
+            F.expr("(1000 * _e4) div (_n * 10000)").alias(
+                "entropy_permille"
+            ),
+        )
+    )

@@ -732,3 +732,98 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = hll_registers(trigrams, ["source"], "token")
     return hll_estimate(regs, ["source"])
+
+
+# URL canonicalization + exact URL dedup (round 13): the CommonCrawl-
+# frontier identity operator — scheme/host case folding, www. strip,
+# default-port drop, trailing-slash strip, tracking-param removal
+# (order-preserving), fragment drop. The fixture builds messy URLs
+# from doc_id arithmetic (mixed-case scheme/host, www variants,
+# matching default ports, trailing slashes, utm_/fbclid noise,
+# fragments); the oracle is INDEPENDENT — it derives each URL's
+# canonical form from the same arithmetic directly instead of
+# replaying the regex pipeline, so a canonicalizer bug cannot cancel
+# itself out of the comparison.
+@q(
+    "curation_url_dedup",
+    """
+    SELECT 'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END
+             || '://example.com/Page/' || CAST(doc_id % 101 AS VARCHAR)
+             || '?q=spark' AS canonical_url,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import url_dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "https").otherwise("HTTP")
+    www = (
+        F.when(did % 4 == 0, "WWW.").when(did % 4 == 1, "www.").otherwise("")
+    )
+    port = F.when(
+        did % 5 == 0, F.when(did % 2 == 0, ":443").otherwise(":80")
+    ).otherwise("")
+    trail = F.when(did % 7 == 0, "/").otherwise("")
+    frag = F.when(did % 6 == 0, "#ref").otherwise("")
+    messy = F.concat(
+        scheme,
+        F.lit("://"),
+        www,
+        F.lit("Example.COM"),
+        port,
+        F.lit("/Page/"),
+        (did % 101).cast("string"),
+        trail,
+        F.lit("?utm_source=feed&q=spark&fbclid="),
+        did.cast("string"),
+        frag,
+    )
+    return url_dedup(d.select("doc_id", messy.alias("url")), "url", "doc_id")
+
+
+# Token-entropy quality signal (round 13): the distribution-shape
+# member of the text-quality family (quality_features measures
+# ratios, repetition_stats measures adjacency, entropy measures the
+# whole histogram). Per-term rounding to integer 1e-4 units BEFORE
+# the sum makes the float fold associative — Spark partial aggregates
+# and DuckDB's single pass land on the identical integer, and the
+# permille projection is integer division in both engines.
+@q(
+    "text_token_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 1)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      -- CAST the SUMs here: DuckDB SUM(BIGINT) is HUGEINT, which
+      -- pandas renders as float64 — the r12 dtype-parity lesson
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(c * log2(c) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS tsum
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST((1000 * (CAST(ROUND(n * log2(n) * 10000, 0) AS BIGINT)
+                         - tsum)) // (n * 10000) AS BIGINT)
+             AS entropy_permille
+    FROM per
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.textstats import token_entropy
+
+    d = tables.load(spark, sf_dir, "documents")
+    return token_entropy(d, "text", "doc_id")

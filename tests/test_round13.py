@@ -1571,3 +1571,39 @@ class TestTokenEntropy:
             ).collect()
         }
         assert one == many
+
+
+class TestMultiprobeRecall:
+    """probe_masks / multiprobe_recall (pipelines/ann_lsh.py)."""
+
+    def test_mask_enumeration(self):
+        from union_indexer_node_spark.pipelines.ann_lsh import probe_masks
+
+        m2 = probe_masks(8, 2)
+        assert len(m2) == 1 + 8 + 28
+        assert m2[0] == (0, 0)
+        assert {pc for _, pc in m2} == {0, 1, 2}
+        # every mask unique, popcount honest
+        assert len({m for m, _ in m2}) == len(m2)
+        assert all(bin(m).count("1") == pc for m, pc in m2)
+
+    def test_recall_and_candidates_monotone_in_radius(self, spark):
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.oracle_common import _ANN_PLANES
+        from union_indexer_node_spark.pipelines.ann_lsh import (
+            multiprobe_recall,
+        )
+
+        emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") % 29 == 0)
+        rows = multiprobe_recall(
+            emb, queries, _ANN_PLANES, k=5, radii=(0, 1, 2)
+        ).collect()
+        assert [r["radius"] for r in rows] == [0, 1, 2]
+        cands = [r["cand_pairs"] for r in rows]
+        recalls = [r["recall_permille"] for r in rows]
+        assert cands == sorted(cands)
+        assert recalls == sorted(recalls)
+        assert all(0 <= x <= 1000 for x in recalls)
+        # radius-2 must probe strictly more than the exact bucket
+        assert cands[2] > cands[0]

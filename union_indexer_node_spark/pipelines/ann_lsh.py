@@ -208,3 +208,124 @@ def recall_at_k(
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def probe_masks(n_bits: int, max_radius: int) -> list[tuple[int, int]]:
+    """All XOR masks of popcount <= max_radius over n_bits, with their
+    popcount: the multiprobe neighborhood of any bucket. Deterministic
+    enumeration order (radius-major, then numeric)."""
+    from itertools import combinations
+
+    masks = [(0, 0)]
+    for r in range(1, max_radius + 1):
+        masks.extend(
+            (sum(1 << j for j in flip), r)
+            for flip in combinations(range(n_bits), r)
+        )
+    return masks
+
+
+def multiprobe_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    radii: tuple[int, ...] = (0, 1, 2),
+) -> DataFrame:
+    """Measured recall@k and candidate volume per multiprobe radius —
+    the eval that justifies (or kills) each extra probe ring before
+    anyone pays for it at corpus scale. Returns one row per radius:
+    (radius, n_queries, cand_pairs, recall_permille).
+
+    One corpus scan serves every radius: the query side explodes into
+    its full radius-max probe neighborhood with each probe carrying
+    its mask popcount, the bucket equi-join attaches candidates ONCE
+    (a pair reached via mask m has Hamming distance exactly
+    popcount(m), so per-radius membership is a filter, not a new
+    join), and the per-radius top-k windows run over the tiny
+    candidate set. The exact baseline is brute_topk_batch with the
+    same rounded-sim/id tie-break, so rank sets compare exactly.
+    """
+    from .similarity import cosine_sim
+
+    max_r = max(radii)
+    masks = probe_masks(len(planes), max_r)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(F.col(vec_col), planes).alias("_qb"),
+    )
+    mask_arr = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(pc).alias("pc"))
+            for m, pc in masks
+        ]
+    )
+    probes = q.select(
+        "q_id", "q_vec", F.explode(mask_arr).alias("_mk"), F.col("_qb")
+    ).select(
+        "q_id",
+        "q_vec",
+        F.col("_qb").bitwiseXOR(F.col("_mk.m")).alias("_pb"),
+        F.col("_mk.pc").alias("_pc"),
+    )
+    sig = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(F.col(vec_col), planes).alias("_b"),
+    )
+    pairs = sig.join(
+        F.broadcast(probes), sig["_b"] == probes["_pb"]
+    ).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+        "_pc",
+    )
+    exact = brute_topk_batch(
+        emb, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("q_id", F.col(id_col), F.lit(1).alias("_ex"))
+    from pyspark.sql import Window
+
+    # every radius is served by the ONE candidate set: explode the
+    # radius list over it (tiny — |probed pairs| x |radii|), mark
+    # exact-topk membership with an equi left join, rank per
+    # (radius, query), and fold to one row per radius. No driver
+    # collects anywhere; the only non-equi join is the 1-row query
+    # count scalar attached at the end (allowlisted scalar pattern).
+    exploded = pairs.select(
+        "q_id",
+        id_col,
+        "sim",
+        "_pc",
+        F.explode(F.array(*[F.lit(r) for r in radii])).alias("radius"),
+    ).filter(F.col("_pc") <= F.col("radius"))
+    marked = exploded.join(exact, ["q_id", id_col], "left")
+    w = Window.partitionBy("radius", "q_id").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    ranked = marked.withColumn("_rk", F.row_number().over(w))
+    per_radius = ranked.groupBy("radius").agg(
+        F.count(F.lit(1)).cast("long").alias("cand_pairs"),
+        F.sum(
+            F.when((F.col("_rk") <= k) & (F.col("_ex") == 1), 1).otherwise(0)
+        ).alias("_hits"),
+    )
+    nq = queries.select(
+        F.count_distinct(F.col(id_col)).cast("long").alias("_nq")
+    )
+    return (
+        per_radius.crossJoin(F.broadcast(nq))
+        .select(
+            F.col("radius").cast("long").alias("radius"),
+            F.col("_nq").alias("n_queries"),
+            "cand_pairs",
+            F.expr(f"(1000 * _hits) div ({k} * _nq)").alias(
+                "recall_permille"
+            ),
+        )
+        .orderBy("radius")
+    )

@@ -827,3 +827,95 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return token_entropy(d, "text", "doc_id")
+
+
+# Multiprobe LSH recall curve (round 13): measured recall@10 AND
+# candidate volume per probe radius (0 = exact bucket, 1 = +8
+# Hamming-1 rings, 2 = +28 Hamming-2) — the eval that prices each
+# extra ring before a deployment pays for it. One corpus scan serves
+# all radii: the query side explodes into its radius-2 probe
+# neighborhood with each probe carrying its mask popcount (a pair
+# reached via mask m sits at Hamming distance exactly popcount(m)),
+# so per-radius membership is a filter over one equi-join's output.
+# Eval-family sibling of ann_recall_eval / dedup_lsh_recall_eval.
+from .oracle_common import _ANN_PLANES as _PLANES_R13  # noqa: E402
+from .oracle_common import _bucket_sql as _bsql_r13  # noqa: E402
+from .pipelines.ann_lsh import probe_masks as _probe_masks  # noqa: E402
+
+_MP_MASKS_SQL = ", ".join(f"({m}, {pc})" for m, pc in _probe_masks(8, 2))
+
+
+@q(
+    "ann_multiprobe_recall",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_bsql_r13('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, bucket AS qb
+      FROM sig WHERE vec_id % 83 = 0
+    ),
+    mk AS (SELECT * FROM (VALUES {_MP_MASKS_SQL}) AS t(m, pc)),
+    probes AS (SELECT q_id, q_vec, xor(qb, m) AS pb, pc FROM q, mk),
+    pairs AS (
+      SELECT p.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                          CAST(p.q_vec AS DOUBLE[])), 6)
+               AS sim,
+             p.pc
+      FROM sig s JOIN probes p ON s.bucket = p.pb
+    ),
+    exact_pairs AS (
+      SELECT q.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                          CAST(q.q_vec AS DOUBLE[])), 6)
+               AS sim
+      FROM sig s, q
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM exact_pairs
+      ) WHERE rank <= 10
+    ),
+    radii AS (SELECT unnest([0, 1, 2]) AS radius),
+    lsh AS (
+      SELECT radius, q_id, vec_id FROM (
+        SELECT r.radius, p.q_id, p.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY r.radius, p.q_id
+                                  ORDER BY p.sim DESC, p.vec_id) AS rank
+        FROM radii r JOIN pairs p ON p.pc <= r.radius
+      ) WHERE rank <= 10
+    ),
+    cand AS (
+      SELECT r.radius, COUNT(*) AS c
+      FROM radii r JOIN pairs p ON p.pc <= r.radius GROUP BY 1
+    ),
+    hits AS (
+      SELECT l.radius, COUNT(*) AS h
+      FROM lsh l JOIN exact x
+        ON x.q_id = l.q_id AND x.vec_id = l.vec_id
+      GROUP BY 1
+    ),
+    nq AS (SELECT COUNT(*) AS n FROM q)
+    SELECT r.radius AS radius, nq.n AS n_queries,
+           COALESCE(c.c, 0) AS cand_pairs,
+           CAST(1000 * COALESCE(h.h, 0) // (10 * nq.n) AS BIGINT)
+             AS recall_permille
+    FROM radii r
+    CROSS JOIN nq
+    LEFT JOIN cand c ON c.radius = r.radius
+    LEFT JOIN hits h ON h.radius = r.radius
+    """,
+)
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.ann_lsh import multiprobe_recall
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 83 == 0)
+    return multiprobe_recall(
+        emb, queries, _PLANES_R13, k=10, radii=(0, 1, 2)
+    )

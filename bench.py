@@ -232,6 +232,22 @@ BENCH_QUERIES = [
     # round 13: dense-grid LOCF gap fill — grid explode + one LOCF
     # window per key over the 1/25 user subset.
     "temporal_gap_fill",
+    # round 13: degree-oriented triangle counting — the wedge
+    # self-join is the cost driver; orientation caps it at sf0.1's
+    # ~97k-edge near-dense graph.
+    "graph_triangle_count",
+    # round 13: explicit-register HLL over per-source trigrams — an
+    # explode-heavy hash + two map-side-combining aggregates.
+    "sketch_hll_distinct",
+    # round 13: URL canonicalization + dedup — regex/codegen
+    # throughput probe plus one distinct-sized combine.
+    "curation_url_dedup",
+    # round 13: token entropy — tokenize/explode + two partial aggs;
+    # the associative integer-fold pattern under bench load.
+    "text_token_entropy",
+    # round 13: multiprobe recall pricing — one corpus scan feeding
+    # 3 radius filters + brute baseline on 7 queries.
+    "ann_multiprobe_recall",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

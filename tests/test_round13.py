@@ -579,6 +579,9 @@ def test_stream_maintained_sketches_match_batch_builds_sf01(
         bottomk_sample,
         cm_merge,
         cm_sketch,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
         kmv_sketch,
         merge_kmv,
         sample_quantiles,
@@ -603,7 +606,7 @@ def test_stream_maintained_sketches_match_batch_builds_sf01(
             ).alias("token"),
         ).filter(F.col("token") != "")
 
-    state = {"kmv": None, "cm": None, "sample": None}
+    state = {"kmv": None, "cm": None, "sample": None, "hll": None}
 
     def merge_bottomk(a, b):
         # union + re-rank under bottomk_sample's (hash, id) tiebreak —
@@ -621,13 +624,16 @@ def test_stream_maintained_sketches_match_batch_builds_sf01(
         kmv_b = kmv_sketch(batch, ["source"], "doc_id", k=K)
         cm_b = cm_sketch(tokens(batch), "token", w=256, d=4)
         smp_b = bottomk_sample(batch, ["source"], "doc_id", k=K)
+        hll_b = hll_registers(tokens(batch), ["source"], "token")
         if state["kmv"] is None:
             state["kmv"], state["cm"], state["sample"] = kmv_b, cm_b, smp_b
+            state["hll"] = hll_b
         else:
             state["kmv"] = merge_kmv(state["kmv"], kmv_b, ["source"], k=K)
             state["cm"] = cm_merge(state["cm"], cm_b)
             state["sample"] = merge_bottomk(state["sample"], smp_b)
-        for key in ("kmv", "cm", "sample"):
+            state["hll"] = hll_merge(state["hll"], hll_b, ["source"])
+        for key in ("kmv", "cm", "sample", "hll"):
             state[key] = state[key].localCheckpoint()
 
     stream = (
@@ -650,6 +656,13 @@ def test_stream_maintained_sketches_match_batch_builds_sf01(
     )
     batch_sample = bottomk_sample(docs, ["source"], "doc_id", k=K)
     assert _fingerprint(state["sample"]) == _fingerprint(batch_sample)
+    # HLL: MAX-merged register state equals the whole-corpus build,
+    # so the derived estimates agree by construction too
+    batch_hll = hll_registers(tokens(docs), ["source"], "token")
+    assert _fingerprint(state["hll"]) == _fingerprint(batch_hll)
+    assert _fingerprint(
+        hll_estimate(state["hll"], ["source"])
+    ) == _fingerprint(hll_estimate(batch_hll, ["source"]))
     # ...and the derived quantiles agree too (same sample rows in =>
     # same nearest-rank selections out)
     assert _fingerprint(

@@ -1575,3 +1575,32 @@ def rendezvous_shard(
     return df.withColumn(
         out, (-F.array_max(scored)["negshard"]).cast("long")
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    cluster_col: str,
+    *,
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the md5 permille draw
+    comes from the CLUSTER label, not the row id, so every member of a
+    duplicate/near-duplicate cluster lands in the same split. This is
+    the guard `hash_split` cannot give — an id-keyed draw puts ~2 of
+    every 100 duplicate pairs on opposite sides of the train/test
+    fence, which is exactly the eval contamination decontamination
+    exists to prevent. The cluster label is whatever identity the
+    caller already computed (exact md5 text identity, MinHash CC
+    cluster, semantic cluster): the draw itself stays map-side, no
+    extra shuffle beyond what the clustering already paid.
+    """
+    from .dedup import md5_bucket
+
+    bucket = md5_bucket(F.col(cluster_col).cast("string"), 1000)
+    return df.withColumn("_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("_bucket") < test_permille, "test")
+        .when(F.col("_bucket") < test_permille + val_permille, "val")
+        .otherwise("train"),
+    ).drop("_bucket")

@@ -919,3 +919,52 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiprobe_recall(
         emb, queries, _PLANES_R13, k=10, radii=(0, 1, 2)
     )
+
+
+# Leakage-safe split (round 13): split assignment drawn from the
+# duplicate-cluster representative instead of the row id — members of
+# a dup cluster can never straddle train/test (the contamination an
+# id-keyed draw commits for ~2% of dup pairs and decontamination then
+# has to mop up). Fixture plants exact duplicates (every 4th doc
+# re-ingested under a new id); identity is exact md5 of the text,
+# rep = min member id (groupBy-min + equi-join — the skew-safe form),
+# draw = hash_split's md5 permille buckets on the rep.
+@q(
+    "training_cluster_split",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    cl AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_rep
+      FROM all_docs
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN b < 10 THEN 'test'
+                WHEN b < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, cluster_rep,
+             CAST(('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)),
+                                     1, 8))::UBIGINT AS BIGINT) % 1000 AS b
+      FROM cl
+    )
+    """,
+)
+def training_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.training import cluster_split
+
+    base = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    all_docs = base.unionByName(dups)
+    keyed = all_docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+    reps = keyed.groupBy("_h").agg(F.min("doc_id").alias("cluster_rep"))
+    labeled = keyed.join(reps, "_h")
+    return cluster_split(labeled, "cluster_rep").select(
+        "doc_id", "cluster_rep", "split"
+    )

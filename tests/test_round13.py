@@ -1673,3 +1673,118 @@ class TestClusterSplit:
             val_permille=500, test_permille=500,
         ).collect()
         assert {r["split"] for r in out} <= {"val", "test"}
+
+
+class TestOhlcRollup:
+    """ohlc_rollup (operators/temporal.py)."""
+
+    def _run(self, spark, rows, gran="hour"):
+        from union_indexer_node_spark.operators.temporal import ohlc_rollup
+
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, seq long, v double"
+        )
+        out = ohlc_rollup(df, "ts", "k", "v", "seq", granularity=gran)
+        return {
+            (r["k"], r["bucket"]): (
+                r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n_obs"]
+            )
+            for r in out.collect()
+        }
+
+    def test_hand_computed_candle(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 9)
+        rows = [
+            (1, t + dt.timedelta(minutes=5), 1, 3.00),
+            (1, t + dt.timedelta(minutes=20), 2, 7.50),
+            (1, t + dt.timedelta(minutes=40), 3, 1.25),
+            (1, t + dt.timedelta(minutes=55), 4, 4.00),
+            (1, t + dt.timedelta(hours=2), 5, 9.99),  # separate bucket
+        ]
+        out = self._run(spark, rows)
+        assert out[(1, "2024-01-01 09:00")] == (300, 750, 125, 400, 4)
+        assert out[(1, "2024-01-01 11:00")] == (999, 999, 999, 999, 1)
+
+    def test_tied_timestamps_break_on_seq(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 9)
+        rows = [
+            (1, t, 2, 5.00),
+            (1, t, 1, 2.00),  # same ts, lower seq -> the open
+            (1, t, 3, 8.00),  # same ts, highest seq -> the close
+        ]
+        out = self._run(spark, rows)
+        assert out[(1, "2024-01-01 09:00")] == (200, 800, 200, 800, 3)
+
+    def test_keys_independent(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 9)
+        rows = [(1, t, 1, 1.0), (2, t, 2, 9.0)]
+        out = self._run(spark, rows)
+        assert out[(1, "2024-01-01 09:00")][0] == 100
+        assert out[(2, "2024-01-01 09:00")][0] == 900
+
+
+class TestContainmentProbe:
+    """containment_probe (pipelines/dedup.py): directed quote/excerpt
+    detection from a shingle equi-join."""
+
+    def _run(self, spark, probes, corpus, **kw):
+        from union_indexer_node_spark.pipelines.dedup import (
+            containment_probe,
+        )
+
+        p = spark.createDataFrame(probes, "doc_id long, text string")
+        c = spark.createDataFrame(corpus, "doc_id long, text string")
+        return {
+            (r["probe_id"], r["corpus_id"]): r["containment_permille"]
+            for r in containment_probe(p, c, "text", "doc_id", **kw).collect()
+        }
+
+    def test_excerpt_fully_contained_asymmetric(self, spark):
+        corpus = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+        probes = [(100, "beta gamma delta epsilon")]  # 2 shingles, both in 1
+        out = self._run(
+            spark, probes, corpus, min_containment_permille=500
+        )
+        assert out == {(100, 1): 1000}
+
+    def test_unrelated_below_threshold(self, spark):
+        corpus = [(1, "alpha beta gamma delta epsilon zeta")]
+        probes = [(100, "one two three four five six")]
+        assert self._run(spark, probes, corpus) == {}
+
+    def test_partial_containment_permille(self, spark):
+        # probe has 4 shingles; exactly 2 appear in the corpus doc
+        corpus = [(1, "a b c d x y z w q")]
+        probes = [(100, "a b c d e f")]  # shingles: abc bcd cde def
+        out = self._run(
+            spark, probes, corpus, min_containment_permille=100
+        )
+        assert out == {(100, 1): 500}
+
+    def test_hot_cap_only_undercounts(self, spark):
+        # the same shingle in 3 corpus docs with hot_cap=2: dropped
+        # from postings -> containment undercounted, never invented
+        corpus = [
+            (1, "a b c d e"),
+            (2, "a b c q r"),
+            (3, "a b c s t"),
+        ]
+        probes = [(100, "a b c d e")]
+        capped = self._run(
+            spark, probes, corpus, hot_cap=2, min_containment_permille=0
+        )
+        uncapped = self._run(
+            spark, probes, corpus, hot_cap=100, min_containment_permille=0
+        )
+        assert uncapped[(100, 1)] == 1000
+        # 'a b c' (df=3) dropped: 2 of 3 probe shingles remain findable
+        assert capped[(100, 1)] == 666
+        assert all(
+            capped[k] <= uncapped.get(k, 0) for k in capped
+        )

@@ -447,3 +447,56 @@ def gap_fill(
         F.last("_v", ignorenulls=True).over(w).alias("value_cents"),
         F.col("_v").isNotNull().alias("observed"),
     )
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    seq_col: str,
+    *,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Candlestick downsampling: per (key, time bucket) open / high /
+    low / close in integer cents plus the observation count — the
+    hypertable rollup whose open/close need ORDER, not just extrema.
+
+    One groupBy does all five aggregates in a single shuffle with full
+    map-side partial aggregation: open/close ride min/max over a
+    (ts, seq, value) struct — lexicographic struct comparison makes
+    "value at the earliest (ts, seq)" an ordinary commutative min, so
+    no window, no sort, no second pass. ``seq_col`` is the mandatory
+    tie-breaker: bucket boundaries on tied timestamps would otherwise
+    be engine-dependent (the sessionize lesson). The oracle derives
+    open/close INDEPENDENTLY via ordered first()/last() aggregates, so
+    the struct-ordering trick is checked against a different
+    formulation rather than mirrored.
+    """
+    fmt = {
+        "day": "yyyy-MM-dd",
+        "hour": "yyyy-MM-dd HH:00",
+        "minute": "yyyy-MM-dd HH:mm",
+    }[granularity.lower()]
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    ordered = F.struct(
+        F.col(ts_col), F.col(seq_col), cents.alias("_c")
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.date_format(
+                F.date_trunc(granularity, F.col(ts_col)), fmt
+            ).alias("bucket"),
+            ordered.alias("_o"),
+            cents.alias("_cents"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min("_o")["_c"].alias("open_c"),
+            F.max("_cents").alias("high_c"),
+            F.min("_cents").alias("low_c"),
+            F.max("_o")["_c"].alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )

@@ -1322,3 +1322,84 @@ def lsh_recall_eval(
             "recall_permille", F.expr("(1000 * n_caught) div n_pairs")
         )
     )
+
+
+def containment_probe(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    min_containment_permille: int = 600,
+    hot_cap: int = 200,
+) -> DataFrame:
+    """Directed asymmetric near-dup detection: for each PROBE document,
+    find corpus documents that CONTAIN it — containment(A in B) =
+    |sh(A) ∩ sh(B)| / |sh(A)| — the quote/excerpt/subset relation that
+    symmetric Jaccard misses (a 12-token excerpt of a 400-token page
+    has Jaccard ~0.03 but containment 1.0).
+
+    Scale shape is the directed-probe form, not all-pairs: the probe
+    side (new ingests, a benchmark set, suspected quotes) explodes to
+    its distinct shingles and equi-joins the corpus shingle postings;
+    |sh(A) ∩ sh(B)| falls straight out of the join as a (a, b) count —
+    no array_intersect, no second verification pass, exact by
+    construction. Corpus postings drop shingles appearing in more than
+    ``hot_cap`` documents (the LSH bucket_cap argument: a stop-shingle
+    pairs everything with everything and carries no identity signal) —
+    containment can only be UNDERcounted by the cap, never invented;
+    the threshold is applied after the division, integer permille.
+    Probe-side shingle sizes are counted BEFORE the cap so the
+    denominator is honest.
+    """
+    def _sh(frame: DataFrame, out_id: str) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias(out_id),
+                tokens(F.col(text_col)).alias("_toks"),
+            )
+            .select(
+                out_id,
+                F.explode(
+                    shingles_from_tokens(F.col("_toks"), shingle_n)
+                ).alias("_sh"),
+            )
+            .distinct()
+        )
+
+    sh_p = _sh(probe, "probe_id")
+    sizes = sh_p.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_shingles")
+    )
+    sh_c = _sh(corpus, "corpus_id")
+    hot = (
+        sh_c.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > hot_cap)
+        .select("_sh")
+    )
+    cold = sh_c.join(F.broadcast(hot), "_sh", "left_anti")
+    shared = (
+        sh_p.join(cold, "_sh")
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "probe_id")
+        .withColumn(
+            "containment_permille",
+            F.expr("(1000 * n_shared) div n_probe_shingles"),
+        )
+        .filter(
+            F.col("containment_permille") >= min_containment_permille
+        )
+        .select(
+            "probe_id",
+            "corpus_id",
+            "n_shared",
+            "n_probe_shingles",
+            "containment_permille",
+        )
+    )

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 191 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 193 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 15) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 17) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,18 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "temporal_ohlc_rollup",  # BORN IN TAIL (r13) — candlestick
+    #    open/high/low/close per (key, bucket): open/close ride
+    #    min/max over a (ts, seq, cents) struct so order-dependent
+    #    aggregates stay one commutative shuffle (no window); oracle
+    #    derives open/close INDEPENDENTLY via ordered first()/last();
+    #    hypertable sibling of temporal_time_rollup / temporal_gap_fill
+    "dedup_containment_probe",  # BORN IN TAIL (r13) — directed
+    #    asymmetric containment (quote/excerpt detection): probe
+    #    shingles equi-join hot-capped corpus postings, the
+    #    intersection IS the join count (exact, no verify pass);
+    #    cap only undercounts (tested); dedup sibling of
+    #    dedup_ngram_jaccard / dedup_cross_source_overlap
     "training_cluster_split",  # BORN IN TAIL (r13) — leakage-safe
     #    train/val/test split: the md5 permille draw keys on the
     #    dup-cluster representative so duplicate pairs can never
@@ -255,7 +267,7 @@ _DEPRIORITIZED = [
     #     training_contamination_report, graph_pagerank_quantized,
     #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
     #     stream_bm25_index_incremental, feeds_decayed_trending) plus
-    #     the 15 never-driver-checked r13-borns
+    #     the 17 never-driver-checked r13-borns
     #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
     #     graph_cc_incremental, curation_keyword_tag,
     #     curation_ngram_novelty, layout_hilbert_key,
@@ -263,11 +275,12 @@ _DEPRIORITIZED = [
     #     temporal_gap_fill, graph_triangle_count,
     #     sketch_hll_distinct, curation_url_dedup,
     #     text_token_entropy, ann_multiprobe_recall,
-    #     training_cluster_split);
+    #     training_cluster_split, temporal_ohlc_rollup,
+    #     dedup_containment_probe);
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 25 + 20 = 45 ins; funding comes from the r13 window's then-
+    # 27 + 20 = 47 ins; funding comes from the r13 window's then-
     # multiply-green re-entries. As in r13, the arithmetic will
     # displace some r13-window singles for one round — document the
     # exception and pre-name them as the front of the r15 tranche.

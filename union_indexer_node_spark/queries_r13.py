@@ -968,3 +968,122 @@ def training_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(labeled, "cluster_rep").select(
         "doc_id", "cluster_rep", "split"
     )
+
+
+# OHLC candlestick rollup (round 13): the hypertable downsample whose
+# open/close need ORDER within the bucket, not just extrema. The
+# engine rides min/max over a (ts, seq, cents) struct — lexicographic
+# struct comparison turns "value at the earliest tick" into an
+# ordinary commutative aggregate (one shuffle, full map-side partial
+# agg, no window); the oracle derives open/close INDEPENDENTLY with
+# ordered first()/last() aggregates, so the struct trick is checked
+# against a different formulation. event_id breaks timestamp ties.
+@q(
+    "temporal_ohlc_rollup",
+    """
+    SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+             AS bucket,
+           FIRST(c ORDER BY ts, event_id) AS open_c,
+           MAX(c) AS high_c,
+           MIN(c) AS low_c,
+           LAST(c ORDER BY ts, event_id) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE user_id % 10 = 3
+    )
+    GROUP BY 1, 2
+    """,
+)
+def temporal_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import ohlc_rollup
+
+    e = tables.load(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 3
+    )
+    return ohlc_rollup(
+        e, "ts", "user_id", "value", "event_id", granularity="hour"
+    )
+
+
+# Directed containment probe (round 13): the asymmetric relation
+# symmetric Jaccard misses — a 12-token excerpt of a 400-token page
+# has Jaccard ~0.03 but containment 1.0. Scale shape is the directed
+# probe (new ingests vs corpus), not all-pairs: probe shingles
+# equi-join the hot-capped corpus postings and |sh(A) ∩ sh(B)| falls
+# straight out of the join as a count — exact by construction, no
+# verify pass. Fixture plants 12-token excerpts of every 5th doc
+# under new ids; each must surface its source at 1000 permille.
+@q(
+    "dedup_containment_probe",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    probe AS (
+      SELECT doc_id + 1000000 AS probe_id, toks[1:12] AS ptoks
+      FROM base WHERE doc_id % 5 = 0 AND len(toks) >= 12
+    ),
+    shp AS (
+      SELECT DISTINCT probe_id,
+             ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2] AS sh
+      FROM probe, LATERAL (SELECT unnest(generate_series(1,
+                             len(ptoks) - 2)) AS i) s
+    ),
+    sizes AS (
+      SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_probe_shingles
+      FROM shp GROUP BY 1
+    ),
+    shc AS (
+      SELECT DISTINCT doc_id AS corpus_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, LATERAL (SELECT unnest(generate_series(1,
+                            len(toks) - 2)) AS i) s
+      WHERE len(toks) >= 3
+    ),
+    cold AS (
+      SELECT corpus_id, sh FROM (
+        SELECT corpus_id, sh,
+               COUNT(*) OVER (PARTITION BY sh) AS df
+        FROM shc
+      ) WHERE df <= 200
+    ),
+    shared AS (
+      SELECT p.probe_id, c.corpus_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM shp p JOIN cold c ON c.sh = p.sh
+      WHERE p.probe_id <> c.corpus_id
+      GROUP BY 1, 2
+    )
+    SELECT s.probe_id, s.corpus_id, s.n_shared, z.n_probe_shingles,
+           CAST((1000 * s.n_shared) // z.n_probe_shingles AS BIGINT)
+             AS containment_permille
+    FROM shared s JOIN sizes z USING (probe_id)
+    WHERE (1000 * s.n_shared) // z.n_probe_shingles >= 600
+    """,
+)
+def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import containment_probe, tokens
+
+    base = tables.load(spark, sf_dir, "documents")
+    t = base.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    probe = (
+        t.filter((F.col("doc_id") % 5 == 0) & (F.size("_toks") >= 12))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice("_toks", 1, 12), " ").alias("text"),
+        )
+    )
+    return containment_probe(
+        probe,
+        base,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        min_containment_permille=600,
+        hot_cap=200,
+    )

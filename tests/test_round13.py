@@ -1788,3 +1788,65 @@ class TestContainmentProbe:
         assert all(
             capped[k] <= uncapped.get(k, 0) for k in capped
         )
+
+
+class TestWeightedReservoir:
+    """weighted_bottomk (operators/sketches.py): A-ES weighted sample
+    without replacement."""
+
+    def test_inclusion_tracks_weight(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            weighted_bottomk,
+        )
+
+        # 300 groups, each {heavy w=9, light w=1}, k=1: heavy should
+        # win ~90% of groups (deterministic md5 draws; 4-sigma band)
+        rows = []
+        for g in range(300):
+            rows.append((g, g * 2, 9.0))
+            rows.append((g, g * 2 + 1, 1.0))
+        df = spark.createDataFrame(rows, "g long, id long, w double")
+        out = weighted_bottomk(df, ["g"], "id", "w", k=1).collect()
+        heavy_wins = sum(1 for r in out if r["id"] % 2 == 0)
+        assert len(out) == 300
+        assert 248 <= heavy_wins <= 295  # E=270, sigma~5.2
+
+    def test_slice_merge_equals_whole(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            weighted_bottomk,
+        )
+
+        rows = [(0, i, float(1 + i % 7)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g long, id long, w double")
+        whole = {
+            r["id"]
+            for r in weighted_bottomk(df, ["g"], "id", "w", k=20).collect()
+        }
+        a = weighted_bottomk(
+            df.filter(F.col("id") % 2 == 0), ["g"], "id", "w", k=20
+        )
+        b = weighted_bottomk(
+            df.filter(F.col("id") % 2 == 1), ["g"], "id", "w", k=20
+        )
+        from pyspark.sql import Window as W
+
+        u = a.unionByName(b)
+        w_ = W.partitionBy("g").orderBy(F.desc("_wk"), "id")
+        merged = {
+            r["id"]
+            for r in u.withColumn("_r", F.row_number().over(w_))
+            .filter(F.col("_r") <= 20)
+            .collect()
+        }
+        assert merged == whole
+
+    def test_nonpositive_weight_raises(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            weighted_bottomk,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1, 2.0), (0, 2, 0.0)], "g long, id long, w double"
+        )
+        with pytest.raises(Exception, match="non-positive weight"):
+            weighted_bottomk(df, ["g"], "id", "w", k=5).collect()

@@ -552,3 +552,53 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         F.expr(f"{_HLL_ALPHA_NUM}L div _total").alias("est_distinct"),
         (F.lit(_HLL_M) - F.col("_nb")).cast("long").alias("n_zero"),
     )
+
+
+def weighted_bottomk(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group weighted sample WITHOUT replacement of (up to) k rows
+    (Efraimidis–Spirakis A-ES): each row draws u from the md5 hash of
+    its id and ranks by ln(u)/w — keeping the k largest is distributed
+    as keeping the k largest u^(1/w), so inclusion probability tracks
+    weight exactly, deterministically, on any engine. The log form
+    avoids u^(1/w) underflow for large weights.
+
+    Same mergeability as bottomk_sample: two slices' samples union +
+    re-rank to the whole input's sample (the selection key is a pure
+    row function), so per-day weighted samples fold without rescanning
+    — the 100 TB property. The rank key is rounded to 1e-12 before
+    comparison (engine libm ln differs in the last ulp; the rounding
+    grid is ~4 orders coarser) with the id as the final tie-break.
+
+    Weights must be strictly positive: non-positive weights have no
+    sampling interpretation and raise at plan-build time via an ANSI
+    assert expression on the first offending row.
+    """
+    h = kmv_hash(F.col(id_col))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_HASH_SPACE))
+    w_ok = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_bottomk: non-positive weight for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    key = F.round(F.log(u) / w_ok, 12).alias("_wk")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_wk"), F.col(id_col)
+    )
+    return (
+        df.select("*", key)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

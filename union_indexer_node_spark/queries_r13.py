@@ -7,7 +7,7 @@ driver window with the r14 tranche).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
@@ -1086,4 +1086,50 @@ def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         min_containment_permille=600,
         hot_cap=200,
+    )
+
+
+# Weighted reservoir sample (round 13): Efraimidis–Spirakis A-ES
+# bottom-k — per-group sample WITHOUT replacement whose inclusion
+# probability tracks the weight column, deterministically (u from the
+# shared md5 hash, rank by round(ln(u)/w, 12), id tie-break). The
+# weighted sibling of sketch_sample_quantiles' uniform bottom-k and
+# sample_weighted_bernoulli's with-replacement rates; mergeable like
+# KMV (union + re-rank). Weights: n_chars (longer docs likelier).
+@q(
+    "sample_weighted_reservoir",
+    """
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(ln((CAST(('0x' || substr(
+                          md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                          AS BIGINT) + 1) / 281474976710656.0)
+                          / CAST(n_chars AS DOUBLE), 12) DESC,
+                        doc_id
+             ) AS rk
+      FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 16
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import weighted_bottomk
+
+    d = tables.load(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    out = weighted_bottomk(
+        d.select("source", "doc_id", "n_chars"),
+        ["source"],
+        "doc_id",
+        "n_chars",
+        k=16,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("_wk"), "doc_id")
+    return out.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rk"),
     )

@@ -1850,3 +1850,37 @@ class TestWeightedReservoir:
         )
         with pytest.raises(Exception, match="non-positive weight"):
             weighted_bottomk(df, ["g"], "id", "w", k=5).collect()
+
+
+class TestReferentialAudit:
+    """referential_audit (pipelines/curation.py)."""
+
+    def test_orphans_nulls_and_clean_relation(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            referential_audit,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None), (5, 20)],
+            "id long, fk long",
+        )
+        parent = spark.createDataFrame(
+            [(10,), (20,), (20,)], "pk long"  # duplicated parent key
+        )
+        out = {
+            r["relation"]: (r["n_rows"], r["n_null_fk"], r["n_orphans"])
+            for r in referential_audit(
+                [("c->p", child, "fk", parent, "pk")]
+            ).collect()
+        }
+        # fk=20 twice against a DUPLICATED parent key must count each
+        # child row once (anti-join, not join)
+        assert out == {"c->p": (5, 1, 1)}
+
+    def test_empty_relations_raise(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            referential_audit,
+        )
+
+        with pytest.raises(ValueError):
+            referential_audit([])

@@ -650,3 +650,54 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit (column_profile's relational
+    sibling): for each named (child, fk) -> (parent, pk) relation,
+    count child rows, NULL foreign keys, and ORPHANS (non-NULL fk with
+    no matching parent) — the join-health report a pipeline gates
+    ingest on before a silent left join turns orphans into NULLs
+    downstream.
+
+    ``relations`` is a list of (name, child_df, fk_col, parent_df,
+    pk_col). Each relation costs one left_anti join against the
+    DISTINCT parent keys (shuffle bytes ∝ child keys + distinct parent
+    keys, never parent rows) plus one aggregate; the per-relation
+    one-row results union into the report. Orphan counting must be
+    anti-join, not left-join-count: a duplicated parent key would
+    double-count child rows under a join.
+    """
+    if not relations:
+        raise ValueError("referential_audit requires at least one relation")
+    out = None
+    for name, child, fk, parent, pk in relations:
+        keys = child.select(F.col(fk).alias("_fk"))
+        nn = keys.filter(F.col("_fk").isNotNull())
+        pkeys = parent.select(F.col(pk).alias("_fk")).distinct()
+        orphans = nn.join(pkeys, "_fk", "left_anti")
+        row = (
+            keys.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_fk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_fk"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 194 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 195 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 18) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 19) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,11 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "quality_referential_audit",  # BORN IN TAIL (r13) — per-relation
+    #    (child.fk -> parent.pk) row/NULL/orphan counts via left_anti
+    #    against DISTINCT parent keys (a join would double-count under
+    #    duplicated parents — tested); data-quality sibling of
+    #    pipeline_column_profile
     "sample_weighted_reservoir",  # BORN IN TAIL (r13) — A-ES
     #    weighted bottom-k per group (inclusion ∝ weight, without
     #    replacement, mergeable union+re-rank); rank by
@@ -272,7 +277,7 @@ _DEPRIORITIZED = [
     #     training_contamination_report, graph_pagerank_quantized,
     #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
     #     stream_bm25_index_incremental, feeds_decayed_trending) plus
-    #     the 18 never-driver-checked r13-borns
+    #     the 19 never-driver-checked r13-borns
     #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
     #     graph_cc_incremental, curation_keyword_tag,
     #     curation_ngram_novelty, layout_hilbert_key,
@@ -281,11 +286,12 @@ _DEPRIORITIZED = [
     #     sketch_hll_distinct, curation_url_dedup,
     #     text_token_entropy, ann_multiprobe_recall,
     #     training_cluster_split, temporal_ohlc_rollup,
-    #     dedup_containment_probe, sample_weighted_reservoir);
+    #     dedup_containment_probe, sample_weighted_reservoir,
+    #     quality_referential_audit);
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 28 + 20 = 48 ins; funding comes from the r13 window's then-
+    # 29 + 20 = 49 ins; funding comes from the r13 window's then-
     # multiply-green re-entries. As in r13, the arithmetic will
     # displace some r13-window singles for one round — document the
     # exception and pre-name them as the front of the r15 tranche.

@@ -1133,3 +1133,60 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# Referential-integrity audit (round 13): column_profile's relational
+# sibling — per (child.fk -> parent.pk) relation: row count, NULL fks,
+# and ORPHANS via left_anti against the DISTINCT parent keys (a join
+# would double-count children under duplicated parent keys). The
+# fixture plants orphans by shrinking the parent side (customers with
+# c_custkey % 7 = 0 "lost"), alongside the intact lineitem -> orders
+# relation as the healthy control.
+@q(
+    "quality_referential_audit",
+    """
+    WITH parent AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    r1 AS (
+      SELECT 'orders.custkey->customer' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                            AND o_custkey NOT IN (SELECT c_custkey
+                                                  FROM parent)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM orders
+    ),
+    op AS (SELECT DISTINCT o_orderkey FROM orders),
+    r2 AS (
+      SELECT 'lineitem.orderkey->orders' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                            AND l_orderkey NOT IN (SELECT o_orderkey
+                                                   FROM op)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """,
+)
+def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import referential_audit
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 != 0
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    return referential_audit(
+        [
+            ("orders.custkey->customer", orders, "o_custkey", cust,
+             "c_custkey"),
+            ("lineitem.orderkey->orders", li, "l_orderkey", orders,
+             "o_orderkey"),
+        ]
+    )

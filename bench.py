@@ -248,6 +248,21 @@ BENCH_QUERIES = [
     # round 13: multiprobe recall pricing — one corpus scan feeding
     # 3 radius filters + brute baseline on 7 queries.
     "ann_multiprobe_recall",
+    # round 13: leakage-safe split — exact-dup identity groupBy + join
+    # + map-side cluster-keyed draw.
+    "training_cluster_split",
+    # round 13: OHLC struct-extrema rollup — one shuffle for five
+    # order-dependent aggregates over the 1/10 user subset.
+    "temporal_ohlc_rollup",
+    # round 13: directed containment probe — probe-shingle explode +
+    # hot-capped posting equi-join.
+    "dedup_containment_probe",
+    # round 13: A-ES weighted reservoir — md5 draw + ln key + one
+    # per-group rank window.
+    "sample_weighted_reservoir",
+    # round 13: referential audit — two left_anti orphan scans over
+    # orders/lineitem.
+    "quality_referential_audit",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

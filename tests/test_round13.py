@@ -1884,3 +1884,73 @@ class TestReferentialAudit:
 
         with pytest.raises(ValueError):
             referential_audit([])
+
+
+_scheme_st = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_host_st = st.sampled_from(
+    ["Example.COM", "www.Example.com", "WWW.host.io", "a.b.c.net"]
+)
+_port_st = st.sampled_from(["", ":80", ":443", ":8080"])
+_path_st = st.sampled_from(["", "/", "/A/b", "/A/b/", "/x//", "/p.q"])
+_query_st = st.lists(
+    st.sampled_from(
+        ["q=1", "utm_source=x", "fbclid=7", "a=b", "ref=z", "z="]
+    ),
+    max_size=4,
+).map(lambda ps: "?" + "&".join(ps) if ps else "")
+_frag_st = st.sampled_from(["", "#f", "#a/b?c"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    parts=st.tuples(
+        _scheme_st, _host_st, _port_st, _path_st, _query_st, _frag_st
+    )
+)
+def test_canonical_url_idempotent_and_scrubbed(spark, parts):
+    from union_indexer_node_spark.pipelines.curation import canonical_url
+
+    url = "{}://{}{}{}{}{}".format(*parts)
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    row = once.select(
+        "c", canonical_url(F.col("c")).alias("c2")
+    ).collect()[0]
+    # idempotent: canonicalizing a canonical URL is the identity
+    assert row["c"] == row["c2"]
+    # no tracking params, no fragments, no www., lowercase scheme+host
+    c = row["c"]
+    assert "#" not in c and "utm_" not in c and "fbclid" not in c
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0].split("?", 1)[0]
+    assert host == host.lower() and not host.startswith("www.")
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_doc_st, min_size=1, max_size=6))
+def test_token_entropy_matches_python_reference(spark, texts):
+    import math
+
+    from union_indexer_node_spark.pipelines.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_permille"])
+        for r in token_entropy(docs, "text", "doc_id").collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        if not toks:
+            continue
+        n = len(toks)
+        counts = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        tsum = sum(round(c * math.log2(c) * 10000) for c in counts.values())
+        e4 = round(n * math.log2(n) * 10000) - tsum
+        want[i] = (n, (1000 * e4) // (n * 10000))
+    assert got == want

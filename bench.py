@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     # round 13: referential audit — two left_anti orphan scans over
     # orders/lineitem.
     "quality_referential_audit",
+    # round 13: exact prefix-filter similarity join — postings build +
+    # prefix self-join + postings-domain verify (~2.6s warm at sf0.1;
+    # the price of zero recall loss vs banding).
+    "dedup_prefix_filter_join",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -1954,3 +1954,84 @@ def test_token_entropy_matches_python_reference(spark, texts):
         e4 = round(n * math.log2(n) * 10000) - tsum
         want[i] = (n, (1000 * e4) // (n * 10000))
     assert got == want
+
+
+class TestPrefixFilterJoin:
+    """prefix_filter_join (pipelines/dedup.py): exact threshold
+    set-similarity join — completeness is the whole point."""
+
+    def _brute(self, rows, t, n=3):
+        def sh(text):
+            toks = _py_tokens(text)
+            return {
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            }
+
+        sets = {i: sh(t_) for i, t_ in rows}
+        out = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                j = round(inter / (len(sets[a] | sets[b])), 6)
+                if j >= t:
+                    out[(a, b)] = j
+        return out
+
+    def _spark(self, spark, rows, tp):
+        from union_indexer_node_spark.pipelines.dedup import (
+            prefix_filter_join,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in prefix_filter_join(
+                df, "text", "doc_id", threshold_permille=tp
+            ).collect()
+        }
+
+    def test_near_dup_family_complete(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "alpha beta gamma delta epsilon zeta theta"),  # ~0.67
+            (3, "alpha beta gamma delta epsilon"),             # subset
+            (4, "one two three four five six seven"),          # unrelated
+            (5, "one two three four five six seven"),          # exact dup
+        ]
+        got = self._spark(spark, rows, 500)
+        want = self._brute(rows, 0.5)
+        assert got == want
+        assert (4, 5) in got and got[(4, 5)] == 1.0
+
+    def test_threshold_excludes_weak_pairs(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d x y z w q r"),  # small overlap
+        ]
+        got = self._spark(spark, rows, 900)
+        assert got == self._brute(rows, 0.9) == {}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold", "gray"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_prefix_filter_join_matches_brute_force(spark, texts):
+    # tiny vocab -> dense overlaps: the adversarial case for prefix
+    # completeness (hot shingles, many boundary-threshold pairs)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    tc = TestPrefixFilterJoin()
+    assert tc._spark(spark, rows, 400) == tc._brute(rows, 0.4)

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 195 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 196 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 19) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 20) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,12 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "dedup_prefix_filter_join",  # BORN IN TAIL (r13) — EXACT
+    #    threshold set-similarity self-join (AllPairs/PPJoin prefix
+    #    filtering): zero recall loss, candidates from rarity-ordered
+    #    prefix postings, verification in the postings domain (all
+    #    equi-joins); INDEPENDENT all-pairs oracle + brute-force
+    #    property test; exact sibling of dedup_lsh_candidates
     "quality_referential_audit",  # BORN IN TAIL (r13) — per-relation
     #    (child.fk -> parent.pk) row/NULL/orphan counts via left_anti
     #    against DISTINCT parent keys (a join would double-count under
@@ -277,7 +283,7 @@ _DEPRIORITIZED = [
     #     training_contamination_report, graph_pagerank_quantized,
     #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
     #     stream_bm25_index_incremental, feeds_decayed_trending) plus
-    #     the 19 never-driver-checked r13-borns
+    #     the 20 never-driver-checked r13-borns
     #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
     #     graph_cc_incremental, curation_keyword_tag,
     #     curation_ngram_novelty, layout_hilbert_key,
@@ -287,11 +293,11 @@ _DEPRIORITIZED = [
     #     text_token_entropy, ann_multiprobe_recall,
     #     training_cluster_split, temporal_ohlc_rollup,
     #     dedup_containment_probe, sample_weighted_reservoir,
-    #     quality_referential_audit);
+    #     quality_referential_audit, dedup_prefix_filter_join);
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 29 + 20 = 49 ins; funding comes from the r13 window's then-
+    # 30 + 20 = 50 ins; funding comes from the r13 window's then-
     # multiply-green re-entries. As in r13, the arithmetic will
     # displace some r13-window singles for one round — document the
     # exception and pre-name them as the front of the r15 tranche.

@@ -1190,3 +1190,74 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              "o_orderkey"),
         ]
     )
+
+
+# Exact set-similarity join via prefix filtering (round 13): AllPairs
+# /PPJoin — every pair with shingle Jaccard >= 0.5, NO recall loss
+# (the guarantee LSH banding trades for speed; dedup_lsh_recall_eval
+# MEASURES that loss, this operator eliminates it). Candidates come
+# from an equi-join of global-rarity-ordered PREFIX shingles only —
+# complete by the pigeonhole bound, fanning out on rare (low-df)
+# keys by construction. The oracle is INDEPENDENT: it computes
+# all-pairs Jaccard with no prefix machinery, so an unsound prefix
+# bound (a missed pair) can never cancel out of the comparison.
+# Fixture: half the corpus plus planted 80%-truncations (J ~ 0.8).
+@q(
+    "dedup_prefix_filter_join",
+    """
+    WITH td AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    all_docs AS (
+      SELECT doc_id, toks FROM td
+      UNION ALL
+      SELECT doc_id + 2000000, toks[1:(4 * len(toks)) // 5] FROM td
+      WHERE doc_id % 6 = 0 AND (4 * len(toks)) // 5 >= 3
+    ),
+    shset AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS sh
+      FROM all_docs WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM shset a JOIN shset b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import prefix_filter_join, tokens
+
+    base = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    t = base.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    planted = (
+        t.filter(
+            (F.col("doc_id") % 6 == 0)
+            & (F.expr("(4 * size(_toks)) div 5") >= 3)
+        )
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    "_toks", 1, F.expr("(4 * size(_toks)) div 5")
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = base.select("doc_id", "text").unionByName(planted)
+    return prefix_filter_join(
+        corpus, "text", "doc_id", threshold_permille=500, shingle_n=3
+    )

@@ -1977,9 +1977,11 @@ class TestPrefixFilterJoin:
                 if not sets[a] or not sets[b]:
                     continue
                 inter = len(sets[a] & sets[b])
-                j = round(inter / (len(sets[a] | sets[b])), 6)
+                j = inter / len(sets[a] | sets[b])
+                # unrounded threshold, rounded display — the engine's
+                # boundary semantics (prefix bound holds for true J)
                 if j >= t:
-                    out[(a, b)] = j
+                    out[(a, b)] = round(j, 6)
         return out
 
     def _spark(self, spark, rows, tp):
@@ -2035,3 +2037,82 @@ def test_prefix_filter_join_matches_brute_force(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     tc = TestPrefixFilterJoin()
     assert tc._spark(spark, rows, 400) == tc._brute(rows, 0.4)
+
+
+class TestReviewFixesR13Session2:
+    """Regression pins for the continuation-session review findings."""
+
+    def test_non_absolute_urls_pass_through(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            canonical_url,
+            url_dedup,
+        )
+
+        raw = [
+            "mailto:a@b.com",
+            "javascript:void(0)",
+            "example.com/x?a=1",
+            "relative/path?a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in raw], "url string")
+        got = [
+            r["c"]
+            for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+        ]
+        assert got == raw  # identity, never a shared degenerate key
+        ids = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(raw)], "id long, url string"
+        )
+        assert url_dedup(ids, "url", "id").count() == 4
+
+    def test_hll_null_keys_are_no_observation(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        clean = [("g", f"k{i}") for i in range(2000)]
+        dirty = clean + [("g", None)] * 3
+        r_clean = hll_registers(
+            spark.createDataFrame(clean, "g string, k string"), ["g"], "k"
+        )
+        r_dirty = hll_registers(
+            spark.createDataFrame(dirty, "g string, k string"), ["g"], "k"
+        )
+        assert sorted(map(tuple, r_clean.collect())) == sorted(
+            map(tuple, r_dirty.collect())
+        )
+        e = hll_estimate(r_dirty, ["g"]).collect()[0]
+        assert abs(e["est_distinct"] - 2000) < 0.26 * 2000
+
+    def test_multiprobe_emits_empty_radius_rows(self, spark):
+        from union_indexer_node_spark.oracle_common import _ANN_PLANES
+        from union_indexer_node_spark.pipelines.ann_lsh import (
+            multiprobe_recall,
+        )
+
+        # corpus and queries engineered into distant buckets: corpus
+        # vectors all-positive, query all-negative -> opposite signs
+        # on most hyperplanes; radius 0 can catch nothing
+        corpus = spark.createDataFrame(
+            [(i, [1.0] * 64) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(100, [-1.0] * 64)], "vec_id long, embedding array<double>"
+        )
+        rows = multiprobe_recall(
+            corpus, queries, _ANN_PLANES, k=3, radii=(0, 1)
+        ).collect()
+        assert [r["radius"] for r in rows] == [0, 1]
+        assert rows[0]["cand_pairs"] == 0
+        assert rows[0]["recall_permille"] == 0
+
+    def test_ohlc_rejects_variable_width_granularity(self, spark):
+        from union_indexer_node_spark.operators.temporal import ohlc_rollup
+
+        df = spark.createDataFrame(
+            [], "k long, ts timestamp, seq long, v double"
+        )
+        with pytest.raises(ValueError, match="fixed-width"):
+            ohlc_rollup(df, "ts", "k", "v", "seq", granularity="month")

@@ -499,7 +499,14 @@ def hll_registers(
     """Per-group HLL register state: (group..., bucket, rho) with one
     row per NON-EMPTY bucket (at most m=256 per group). groupBy.max is
     map-side-combining, so the shuffle carries <= m rows per group no
-    matter how many input rows or duplicate keys feed it."""
+    matter how many input rows or duplicate keys feed it.
+
+    NULL keys are excluded up front: md5(NULL) is NULL, and a
+    (bucket=NULL, rho=NULL) register row would inflate the estimate's
+    non-empty-bucket count without contributing a harmonic term
+    (review r13: three NULLs among 2000 keys biased the estimate
+    +4.5%). A NULL is "no observation" — the KMV distinct semantics."""
+    df = df.filter(F.col(key_col).isNotNull())
     h = kmv_hash(F.col(key_col))
     suffix = h % (1 << _HLL_SUFFIX_BITS)
     rho = F.when(suffix == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(

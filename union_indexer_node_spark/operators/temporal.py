@@ -473,11 +473,17 @@ def ohlc_rollup(
     the struct-ordering trick is checked against a different
     formulation rather than mirrored.
     """
-    fmt = {
+    fmts = {
         "day": "yyyy-MM-dd",
         "hour": "yyyy-MM-dd HH:00",
         "minute": "yyyy-MM-dd HH:mm",
-    }[granularity.lower()]
+    }
+    if granularity.lower() not in fmts:
+        raise ValueError(
+            "ohlc_rollup supports fixed-width granularities "
+            f"{sorted(fmts)}; got {granularity!r}"
+        )
+    fmt = fmts[granularity.lower()]
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     ordered = F.struct(
         F.col(ts_col), F.col(seq_col), cents.alias("_c")

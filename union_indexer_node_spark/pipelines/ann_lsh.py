@@ -317,15 +317,28 @@ def multiprobe_recall(
     nq = queries.select(
         F.count_distinct(F.col(id_col)).cast("long").alias("_nq")
     )
+    # LEFT join from the radii list, not per_radius alone: a radius
+    # whose probe rings catch NO candidates must still report its
+    # (cand 0, recall 0) row — the documented one-row-per-radius
+    # contract, and what the oracle's COALESCE emits (review r13).
+    radii_df = (
+        queries.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(r) for r in radii])).alias("radius")
+        )
+    )
     return (
-        per_radius.crossJoin(F.broadcast(nq))
+        radii_df.join(per_radius, "radius", "left")
+        .crossJoin(F.broadcast(nq))
         .select(
             F.col("radius").cast("long").alias("radius"),
             F.col("_nq").alias("n_queries"),
-            "cand_pairs",
-            F.expr(f"(1000 * _hits) div ({k} * _nq)").alias(
-                "recall_permille"
+            F.coalesce("cand_pairs", F.lit(0)).cast("long").alias(
+                "cand_pairs"
             ),
+            F.expr(
+                f"(1000 * coalesce(_hits, 0)) div ({k} * _nq)"
+            ).alias("recall_permille"),
         )
         .orderBy("radius")
     )

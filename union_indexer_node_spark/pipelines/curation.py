@@ -623,7 +623,7 @@ def canonical_url(url: Column) -> Column:
         lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
     )
     qs = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -631,6 +631,15 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    # non-absolute inputs (mailto:, javascript:, relative paths,
+    # scheme-less hosts) pass through AS THEMSELVES: canonicalizing
+    # them would collapse every unparseable URL onto the shared
+    # degenerate '://...' key and url_dedup would then merge unrelated
+    # documents (review r13); NULL is no better — NULL keys group
+    # together under groupBy. Identity keeps distinct inputs distinct.
+    return F.when(
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), canon
+    ).otherwise(url)
 
 
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:

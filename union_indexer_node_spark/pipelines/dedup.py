@@ -1379,7 +1379,11 @@ def containment_probe(
         .filter(F.col("_df") > hot_cap)
         .select("_sh")
     )
-    cold = sh_c.join(F.broadcast(hot), "_sh", "left_anti")
+    # NO broadcast hint: the stop-shingle set grows with vocabulary
+    # (web-scale corpora push it past driver memory) — let Catalyst
+    # pick the join strategy from its size stats (review r13; the
+    # lsh_candidates bucket cap makes the same call)
+    cold = sh_c.join(hot, "_sh", "left_anti")
     shared = (
         sh_p.join(cold, "_sh")
         .filter(F.col("probe_id") != F.col("corpus_id"))
@@ -1489,14 +1493,17 @@ def prefix_filter_join(
     )
     sz_a = sizes.withColumnsRenamed({"_id": "a", "_n": "_na"})
     sz_b = sizes.withColumnsRenamed({"_id": "b", "_n": "_nb"})
-    jac = F.round(
-        F.col("_ni").cast("double")
-        / (F.col("_na") + F.col("_nb") - F.col("_ni")),
-        6,
+    ratio = F.col("_ni").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_ni")
     )
+    # threshold on the UNROUNDED ratio: the prefix bound guarantees
+    # candidacy only for true J >= t, so filtering on ROUND(j, 6)
+    # would admit pairs at J in [t - 5e-7, t) that the candidate
+    # generator is allowed to miss — a pinhole in the exactness
+    # guarantee (review r13). The displayed jaccard stays rounded.
     return (
         inter.join(sz_a, "a")
         .join(sz_b, "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= t / 1000.0)
+        .filter(ratio >= t / 1000.0)
+        .select("a", "b", F.round(ratio, 6).alias("jaccard"))
     )

@@ -297,10 +297,16 @@ _DEPRIORITIZED = [
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 30 + 20 = 50 ins; funding comes from the r13 window's then-
-    # multiply-green re-entries. As in r13, the arithmetic will
-    # displace some r13-window singles for one round — document the
-    # exception and pre-name them as the front of the r15 tranche.
+    # 30 + 20 = 50 ins — the continuation session's tail-borns filled
+    # the window EXACTLY: zero keep slots remain, so every r13-window
+    # entry rotates out (all then multiply-green except the displaced
+    # singles rule below). As in r13, the arithmetic displaces the
+    # r13-window singles for one round — document the exception and
+    # pre-name them as the front of the r15 tranche. If r14 births
+    # any in-window entries, defer the YOUNGEST of the r9-era
+    # staleness tranche (they re-enter r15 at bound+1 — one-round
+    # documented slack, the r13 precedent) rather than skipping
+    # never-driver-checked entries.
     # ------------------------------------------------------------------
     # Rotated out in round 10 (multiply-green; families in-window).
     # ------------------------------------------------------------------

@@ -1230,9 +1230,12 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (len(a.sh) + len(b.sh)
                     - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
     FROM shset a JOIN shset b ON a.doc_id < b.doc_id
-    WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / (len(a.sh) + len(b.sh)
-                   - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+    -- UNROUNDED threshold, matching the engine: the prefix bound is
+    -- complete for true J >= t; a rounded filter would demand pairs
+    -- at J in [t - 5e-7, t) the generator may legitimately miss
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh)
+             - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     # prefix self-join + postings-domain verify (~2.6s warm at sf0.1;
     # the price of zero recall loss vs banding).
     "dedup_prefix_filter_join",
+    # round 13: blocked thresholded-Levenshtein fuzzy match — banded
+    # O(n*k) verify over token-window blocks.
+    "dedup_fuzzy_edit_match",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -663,6 +663,15 @@ def test_stream_maintained_sketches_match_batch_builds_sf01(
     assert _fingerprint(
         hll_estimate(state["hll"], ["source"])
     ) == _fingerprint(hll_estimate(batch_hll, ["source"]))
+    # ...and a REPLAYED micro-batch is absorbed: MAX-merge is
+    # idempotent, so an at-least-once sink delivery cannot corrupt
+    # the registers (the property +-merge sketches like CM lack)
+    replay = hll_registers(
+        tokens(docs.filter(F.col("doc_id") % 3 == 0)), ["source"], "token"
+    )
+    assert _fingerprint(
+        hll_merge(state["hll"], replay, ["source"])
+    ) == _fingerprint(batch_hll)
     # ...and the derived quantiles agree too (same sample rows in =>
     # same nearest-rank selections out)
     assert _fingerprint(
@@ -2116,3 +2125,43 @@ class TestReviewFixesR13Session2:
         )
         with pytest.raises(ValueError, match="fixed-width"):
             ohlc_rollup(df, "ts", "k", "v", "seq", granularity="month")
+
+
+class TestFuzzyEditMatch:
+    """fuzzy_edit_match (pipelines/dedup.py): blocked thresholded
+    Levenshtein."""
+
+    def _run(self, spark, rows, max_edits=3):
+        from union_indexer_node_spark.pipelines.dedup import (
+            fuzzy_edit_match,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, blk string"
+        )
+        return {
+            (r["a"], r["b"]): r["edit_distance"]
+            for r in fuzzy_edit_match(
+                df, "text", "doc_id", ["blk"], max_edits=max_edits
+            ).collect()
+        }
+
+    def test_exact_distances_within_block(self, spark):
+        rows = [
+            (1, "kitten", "k"),
+            (2, "sitting", "k"),   # classic distance 3
+            (3, "kitten!", "k"),   # distance 1
+            (4, "kitten", "other"),  # right text, wrong block
+        ]
+        out = self._run(spark, rows, max_edits=3)
+        assert out == {(1, 2): 3, (1, 3): 1, (2, 3): 3}
+
+    def test_beyond_threshold_excluded(self, spark):
+        rows = [(1, "aaaaaaaa", "k"), (2, "bbbbbbbb", "k")]
+        assert self._run(spark, rows, max_edits=3) == {}
+
+    def test_length_prune_consistent_with_threshold(self, spark):
+        # len diff 5 > max_edits 3: pruned before any cell work, and
+        # correctly so (length delta lower-bounds edit distance)
+        rows = [(1, "abc", "k"), (2, "abcdefgh", "k")]
+        assert self._run(spark, rows, max_edits=3) == {}

@@ -1507,3 +1507,62 @@ def prefix_filter_join(
         .filter(ratio >= t / 1000.0)
         .select("a", "b", F.round(ratio, 6).alias("jaccard"))
     )
+
+
+def fuzzy_edit_match(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    *,
+    max_edits: int = 4,
+) -> DataFrame:
+    """Character-level fuzzy matching (the entity-resolution member of
+    the dedup family — token/shingle similarity can't see one-char
+    typos, OCR noise, or truncated bylines): pairs within the same
+    BLOCK whose Levenshtein distance is <= ``max_edits``, with the
+    exact distance. Returns (a, b, edit_distance).
+
+    Scale shape is classic blocking + bounded verify: candidates come
+    from an equi-join on the caller's blocking key(s) — recall is
+    exactly what the blocking admits, the caller's documented trade
+    (a token-window key survives edits outside the window; a
+    phonetic/sorted-neighborhood key survives others). Verification
+    uses Spark's THRESHOLDED levenshtein: the banded O(n·max_edits)
+    algorithm instead of the full O(n^2) matrix, and pairs beyond the
+    bound cost only the early-exit. A length pre-filter
+    (|len(a) - len(b)| <= max_edits, a provable lower bound on edit
+    distance) drops hopeless pairs before any cell work.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = keyed.select(
+        *block_cols,
+        F.col("_id").alias("a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    b = keyed.select(
+        *block_cols,
+        F.col("_id").alias("b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    pairs = (
+        a.join(b, block_cols)
+        .filter(F.col("a") < F.col("b"))
+        # |len diff| is a lower bound on edit distance: free prune
+        .filter(
+            F.abs(F.col("_la") - F.col("_lb")) <= max_edits
+        )
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_edits)
+    return (
+        pairs.select("a", "b", dist.alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)  # -1 = beyond threshold
+        .select("a", "b", F.col("edit_distance").cast("long"))
+    )

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 196 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 197 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 20) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 21) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,11 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "dedup_fuzzy_edit_match",  # BORN IN TAIL (r13) — character-level
+    #    fuzzy matching (blocked + THRESHOLDED Levenshtein, banded
+    #    O(n*k) with early exit; |len|-delta lower-bound prune);
+    #    entity-resolution sibling of dedup_ngram_jaccard — token
+    #    similarity can't see one-char typos/OCR noise
     "dedup_prefix_filter_join",  # BORN IN TAIL (r13) — EXACT
     #    threshold set-similarity self-join (AllPairs/PPJoin prefix
     #    filtering): zero recall loss, candidates from rarity-ordered
@@ -283,7 +288,7 @@ _DEPRIORITIZED = [
     #     training_contamination_report, graph_pagerank_quantized,
     #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
     #     stream_bm25_index_incremental, feeds_decayed_trending) plus
-    #     the 20 never-driver-checked r13-borns
+    #     the 21 never-driver-checked r13-borns
     #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
     #     graph_cc_incremental, curation_keyword_tag,
     #     curation_ngram_novelty, layout_hilbert_key,
@@ -293,20 +298,21 @@ _DEPRIORITIZED = [
     #     text_token_entropy, ann_multiprobe_recall,
     #     training_cluster_split, temporal_ohlc_rollup,
     #     dedup_containment_probe, sample_weighted_reservoir,
-    #     quality_referential_audit, dedup_prefix_filter_join);
+    #     quality_referential_audit, dedup_prefix_filter_join,
+    #     dedup_fuzzy_edit_match);
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 30 + 20 = 50 ins — the continuation session's tail-borns filled
-    # the window EXACTLY: zero keep slots remain, so every r13-window
-    # entry rotates out (all then multiply-green except the displaced
-    # singles rule below). As in r13, the arithmetic displaces the
-    # r13-window singles for one round — document the exception and
-    # pre-name them as the front of the r15 tranche. If r14 births
-    # any in-window entries, defer the YOUNGEST of the r9-era
-    # staleness tranche (they re-enter r15 at bound+1 — one-round
-    # documented slack, the r13 precedent) rather than skipping
-    # never-driver-checked entries.
+    # 31 + 20 = 51 ins against 50 slots — the continuation session's
+    # tail-borns OVERFLOWED the window by one: defer the YOUNGEST of
+    # the r9-era staleness tranche (w3_first_event_per_user, green
+    # r1/r2+r8/r9 — it re-enters r15 at bound+1, one-round documented
+    # slack, the r13 displaced-singles precedent) rather than skipping
+    # a never-driver-checked entry. Every r13-window entry rotates
+    # out (all then multiply-green except the displaced singles rule
+    # below); pre-name those singles as the front of the r15 tranche.
+    # If r14 births in-window entries, extend the same deferral to the
+    # next-youngest of the r9 tranche.
     # ------------------------------------------------------------------
     # Rotated out in round 10 (multiply-green; families in-window).
     # ------------------------------------------------------------------

@@ -1264,3 +1264,62 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_join(
         corpus, "text", "doc_id", threshold_permille=500, shingle_n=3
     )
+
+
+# Character-level fuzzy matching (round 13): the entity-resolution
+# member of the dedup family — shingle similarity can't see one-char
+# typos or clipped prefixes. Blocking key = word tokens 2..5 (chosen
+# to survive the planted mutation: dropping the first CHARACTER
+# mutates only token 1, appending ' zz' only adds a token); verify =
+# thresholded Levenshtein (banded O(n*k), -1 beyond the bound) after
+# the |len| - |len| <= k lower-bound prune. Fixture plants mutants of
+# every 9th doc: first char dropped + ' zz' appended (distance <= 4).
+@q(
+    "dedup_fuzzy_edit_match",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    all_docs AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 3000000, substr(text, 2) || ' zz' FROM base
+      WHERE doc_id % 9 = 0 AND length(text) > 40
+    ),
+    keyed AS (
+      SELECT doc_id, text, length(text) AS len,
+             array_to_string(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')[2:5], ' ') AS blk
+      FROM all_docs
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.len - b.len) <= 4
+    WHERE levenshtein(a.text, b.text) <= 4
+    """,
+)
+def dedup_fuzzy_edit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.dedup import fuzzy_edit_match, tokens
+
+    base = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    mutants = base.filter(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") > 40)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.expr("substr(text, 2)"), F.lit(" zz")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(mutants)
+    blk = F.array_join(
+        F.slice(tokens(F.col("text")), 2, 4), " "
+    ).alias("blk")
+    return fuzzy_edit_match(
+        corpus.select("doc_id", "text", blk),
+        "text",
+        "doc_id",
+        ["blk"],
+        max_edits=4,
+    )

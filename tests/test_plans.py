@@ -389,10 +389,6 @@ _BNLJ_ALLOWED = {
     # side is the bounded query batch (the broadcast-of-small-anchor
     # pattern, n_queries rows instead of 1). Dual plan dump doubles it.
     "sim_mmr_rerank_batch": 2,
-    # r13: the referential audit attaches each relation's 1-row orphan
-    # count scalar to its 1-row base aggregate (2 relations, dual dump
-    # doubles each)
-    "quality_referential_audit": 4,
     # r13: the multiprobe recall eval carries the same brute-force
     # baseline crossJoin as ann_recall_eval plus the 1-row query-count
     # scalar attached to the per-radius rows (dual dump doubles both)

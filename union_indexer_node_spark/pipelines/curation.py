@@ -672,34 +672,38 @@ def referential_audit(
     downstream.
 
     ``relations`` is a list of (name, child_df, fk_col, parent_df,
-    pk_col). Each relation costs one left_anti join against the
-    DISTINCT parent keys (shuffle bytes ∝ child keys + distinct parent
-    keys, never parent rows) plus one aggregate; the per-relation
-    one-row results union into the report. Orphan counting must be
-    anti-join, not left-join-count: a duplicated parent key would
-    double-count child rows under a join.
+    pk_col). Each relation is ONE pass: a left join against the
+    DISTINCT parent keys (deduped, so a duplicated parent key can
+    never double-count a child — the bug a naive join-count commits)
+    feeds a single aggregate computing all three counts at once —
+    one child scan, shuffle bytes ∝ child keys + distinct parent
+    keys, never parent rows. A NULL fk joins nothing and is counted
+    from its own indicator, never as an orphan.
     """
     if not relations:
         raise ValueError("referential_audit requires at least one relation")
     out = None
     for name, child, fk, parent, pk in relations:
         keys = child.select(F.col(fk).alias("_fk"))
-        nn = keys.filter(F.col("_fk").isNotNull())
-        pkeys = parent.select(F.col(pk).alias("_fk")).distinct()
-        orphans = nn.join(pkeys, "_fk", "left_anti")
+        pkeys = (
+            parent.select(F.col(pk).alias("_fk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         row = (
-            keys.agg(
+            keys.join(pkeys, "_fk", "left")
+            .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
                 F.sum(
-                    F.when(F.col("_fk").isNull(), 1).otherwise(0)
-                ).cast("long").alias("n_null_fk"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    orphans.agg(
-                        F.count(F.lit(1)).cast("long").alias("n_orphans")
-                    )
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
                 )
+                .cast("long")
+                .alias("n_orphans"),
             )
             .select(
                 F.lit(name).alias("relation"),

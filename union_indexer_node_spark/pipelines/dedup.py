@@ -1368,7 +1368,13 @@ def containment_probe(
             .distinct()
         )
 
-    sh_p = _sh(probe, "probe_id")
+    # probe postings are read twice (sizes + the join) and the probe
+    # side is small by contract — materialize once. Corpus postings
+    # are deliberately NOT checkpointed: at corpus scale a second
+    # column-pruned scan is cheaper than materializing corpus-sized
+    # postings, and a production deployment maintains them as an
+    # index (the bm25_index pattern) rather than deriving them inline.
+    sh_p = _sh(probe, "probe_id").localCheckpoint()
     sizes = sh_p.groupBy("probe_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_probe_shingles")
     )

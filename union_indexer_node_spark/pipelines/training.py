@@ -773,6 +773,11 @@ def triangle_count(
     degree aggregate. Counting explodes each triangle into its three
     corners and folds with a partial-aggregating groupBy.
     """
+    # materialize the canonical edge list ONCE: the degree aggregate
+    # and the degree-attach joins both read it, and without the
+    # checkpoint each consumer re-runs the dedup shuffle from the
+    # source (measured: the full plan re-computed the oriented
+    # subtree 3x — 88 exchanges at sf0.001 vs 8 after)
     canon = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("_x"),
@@ -780,6 +785,7 @@ def triangle_count(
         )
         .filter(F.col("_x") != F.col("_y"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("_x").alias("node"))
@@ -797,11 +803,13 @@ def triangle_count(
     x_first = (F.col("_dx") < F.col("_dy")) | (
         (F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y"))
     )
+    # three consumers (both wedge sides + the closing join) read the
+    # oriented list — materialize it, don't re-derive it per consumer
     oriented = with_deg.select(
         F.when(x_first, F.col("_x")).otherwise(F.col("_y")).alias("src"),
         F.when(x_first, F.col("_y")).otherwise(F.col("_x")).alias("dst"),
         F.when(x_first, F.col("_dy")).otherwise(F.col("_dx")).alias("ddeg"),
-    )
+    ).localCheckpoint()
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(

@@ -962,9 +962,16 @@ def training_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     all_docs = base.unionByName(dups)
-    keyed = all_docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
-    reps = keyed.groupBy("_h").agg(F.min("doc_id").alias("cluster_rep"))
-    labeled = keyed.join(reps, "_h")
+    # window MIN over the digest, not aggregate-then-join: md5-text
+    # clusters are tiny by construction (no skew hazard), so the
+    # window form's one scan + one shuffle beats re-deriving the
+    # keyed frame on both join sides (the exact_dedup shape)
+    labeled = all_docs.select(
+        "doc_id", F.md5(F.col("text")).alias("_h")
+    ).withColumn(
+        "cluster_rep",
+        F.min("doc_id").over(Window.partitionBy("_h")),
+    )
     return cluster_split(labeled, "cluster_rep").select(
         "doc_id", "cluster_rep", "split"
     )

@@ -2165,3 +2165,63 @@ class TestFuzzyEditMatch:
         # correctly so (length delta lower-bounds edit distance)
         rows = [(1, "abc", "k"), (2, "abcdefgh", "k")]
         assert self._run(spark, rows, max_edits=3) == {}
+
+
+class TestReviewFixesR13Session2b:
+    """Second-pass review pins: empty-child audit zeros, empty-
+    authority URL pass-through, NULL-fk salting result parity."""
+
+    def test_empty_child_reports_zeros_not_null(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            referential_audit,
+        )
+
+        child = spark.createDataFrame([], "id long, fk long")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        row = referential_audit(
+            [("c->p", child, "fk", parent, "pk")]
+        ).collect()[0]
+        assert (row["n_rows"], row["n_null_fk"], row["n_orphans"]) == (
+            0,
+            0,
+            0,
+        )
+
+    def test_empty_authority_urls_stay_distinct(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            canonical_url,
+        )
+
+        raw = ["file:///etc/a", "file:///var/b", "file://host/etc/a"]
+        df = spark.createDataFrame([(u,) for u in raw], "url string")
+        got = [
+            r["c"]
+            for r in df.select(
+                canonical_url(F.col("url")).alias("c")
+            ).collect()
+        ]
+        # empty-authority forms pass through; the real-host form
+        # canonicalizes
+        assert got == ["file:///etc/a", "file:///var/b", "file://host/etc/a"]
+
+    def test_null_fk_salting_preserves_counts(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            referential_audit,
+        )
+
+        child = spark.createDataFrame(
+            [(i, None if i % 2 == 0 else i % 5) for i in range(40)],
+            "id long, fk long",
+        ).repartition(8)
+        parent = spark.createDataFrame([(0,), (1,), (2,)], "pk long")
+        row = referential_audit(
+            [("c->p", child, "fk", parent, "pk")]
+        ).collect()[0]
+        # 20 NULLs (even i); odd i carry fk = i%5 cycling
+        # {1,3,0,2,4}: values 0/1/2 match the parent set, values 3
+        # (i=3,13,23,33) and 4 (i=9,19,29,39) are orphaned -> 8
+        assert (row["n_rows"], row["n_null_fk"], row["n_orphans"]) == (
+            40,
+            20,
+            8,
+        )

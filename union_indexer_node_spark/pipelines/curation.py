@@ -637,8 +637,12 @@ def canonical_url(url: Column) -> Column:
     # degenerate '://...' key and url_dedup would then merge unrelated
     # documents (review r13); NULL is no better — NULL keys group
     # together under groupBy. Identity keeps distinct inputs distinct.
+    # the guard also demands a NON-EMPTY authority: 'file:///etc/a'
+    # matches 'scheme://' but its hostport extraction is empty, so the
+    # canon branch would fold every empty-authority URL onto the bare
+    # 'scheme://' key — the same collapse, one level down (review r13)
     return F.when(
-        url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), canon
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]"), canon
     ).otherwise(url)
 
 
@@ -684,23 +688,50 @@ def referential_audit(
         raise ValueError("referential_audit requires at least one relation")
     out = None
     for name, child, fk, parent, pk in relations:
-        keys = child.select(F.col(fk).alias("_fk"))
+        # the join key is prefix-tagged and NULL fks are SALTED by
+        # partition id: a raw left join would hash every NULL fk to
+        # one reducer — and a 50%-null fk column is exactly the dirty
+        # data this audit exists to find. The salt changes only
+        # placement, never a match (parent keys all carry the 'v:'
+        # prefix). Keys must be same-typed on both sides (string-cast
+        # equality).
+        jk = F.when(
+            F.col("_fk").isNull(),
+            F.concat(F.lit("n:"), F.spark_partition_id().cast("string")),
+        ).otherwise(F.concat(F.lit("v:"), F.col("_fk").cast("string")))
+        keys = child.select(F.col(fk).alias("_fk")).withColumn("_jk", jk)
         pkeys = (
-            parent.select(F.col(pk).alias("_fk"))
+            parent.select(
+                F.concat(
+                    F.lit("v:"), F.col(pk).cast("string")
+                ).alias("_jk")
+            )
+            .where(F.col("_jk").isNotNull())
             .distinct()
             .withColumn("_hit", F.lit(1))
         )
         row = (
-            keys.join(pkeys, "_fk", "left")
+            keys.join(pkeys, "_jk", "left")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+                # coalesce: SUM over an EMPTY child is NULL, and a
+                # downstream n_orphans == 0 gate must not see NULL
+                # for a clean empty batch (review r13)
+                F.coalesce(
+                    F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_null_fk"),
-                F.sum(
-                    F.when(
-                        F.col("_fk").isNotNull() & F.col("_hit").isNull(), 1
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_fk").isNotNull()
+                            & F.col("_hit").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_orphans"),

@@ -777,7 +777,7 @@ def triangle_count(
     # and the degree-attach joins both read it, and without the
     # checkpoint each consumer re-runs the dedup shuffle from the
     # source (measured: the full plan re-computed the oriented
-    # subtree 3x — 88 exchanges at sf0.001 vs 8 after)
+    # subtree 3x — 88 exchanges at sf0.001 vs 7 after)
     canon = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("_x"),

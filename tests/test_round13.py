@@ -2225,3 +2225,54 @@ class TestReviewFixesR13Session2b:
             20,
             8,
         )
+
+
+class TestHllRollupLattice:
+    """hll_rollup (operators/sketches.py): registers built at the
+    finest grain serve every coarser grain by MAX-folding."""
+
+    def _keyed(self, spark):
+        rows = []
+        for d in range(4):
+            for h in range(6):
+                for i in range(40):
+                    rows.append(
+                        (f"d{d}", f"d{d}h{h}", f"key-{(d * 311 + h * 37 + i) % 900}")
+                    )
+        return spark.createDataFrame(rows, "day string, hour string, key string")
+
+    def test_hour_to_day_equals_direct_daily(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_registers,
+            hll_rollup,
+        )
+
+        keyed = self._keyed(spark)
+        hourly = hll_registers(keyed, ["day", "hour"], "key")
+        rolled = {
+            tuple(r)
+            for r in hll_rollup(hourly, ["day"]).collect()
+        }
+        direct = {
+            tuple(r)
+            for r in hll_registers(keyed, ["day"], "key").collect()
+        }
+        assert rolled == direct
+
+    def test_chain_to_global_equals_direct(self, spark):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+            hll_rollup,
+        )
+
+        keyed = self._keyed(spark)
+        hourly = hll_registers(keyed, ["day", "hour"], "key")
+        via_day = hll_rollup(hll_rollup(hourly, ["day"]), [])
+        direct = hll_registers(keyed, [], "key")
+        assert sorted(map(tuple, via_day.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = hll_estimate(via_day, []).collect()[0]
+        # 900 possible keys, dense coverage -> estimate in band
+        assert abs(est["est_distinct"] - 900) < 0.3 * 900

@@ -609,3 +609,20 @@ def weighted_bottomk(
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
+
+
+def hll_rollup(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate register state to a COARSER grain: MAX(rho) per
+    (coarse group, bucket). Because MAX is associative and idempotent,
+    registers built once at the finest grain (hour, say) roll up to
+    any coarser grain (day, month, global) WITHOUT rescanning the
+    source — the sketch lattice that makes distinct-count dashboards
+    affordable at 100 TB: materialize m longs per finest cell, serve
+    every ancestor cell by folding registers (tested: hour→day equals
+    a direct daily build, and the chain hour→day→global equals the
+    direct global build). ``group_cols`` must be a subset of the
+    register frame's group columns."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -1330,3 +1330,69 @@ def dedup_fuzzy_edit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["blk"],
         max_edits=4,
     )
+
+
+# HLL sketch lattice (round 13): daily distinct (user, event_type)
+# estimates derived by ROLLING UP hourly register state — never
+# rescanning events — the property that makes sketch dashboards
+# affordable (materialize registers at the finest grain once, serve
+# every coarser grain by MAX-folding; associativity tested through
+# the hour -> day -> global chain). The oracle builds daily registers
+# directly: MAX over (day, bucket) of hourly maxima IS the direct
+# daily maximum — the identity under check. Small-range regime on
+# this fixture (~270 keys/day vs m=256): the raw estimate is biased
+# high and n_zero says so — emitted, not hidden; the entry pins the
+# lattice identity, not small-range accuracy (KMV serves that).
+@q(
+    "sketch_hll_rollup",
+    f"""
+    WITH h AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                      || event_type), 1, 12))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv >> 40 AS bucket,
+             MAX(CASE WHEN hv % {_HLL_SFX} = 0 THEN 41
+                 ELSE 40 - CAST(floor(log2(CAST(hv % {_HLL_SFX}
+                                               AS DOUBLE)))
+                                AS BIGINT) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT day,
+             SUM(CAST(1 AS BIGINT) << (41 - rho)) AS hsum,
+             COUNT(*) AS nb
+      FROM r GROUP BY 1
+    )
+    SELECT day,
+           CAST({_HLL_AN} // (hsum + (256 - nb) * (CAST(1 AS BIGINT) << 41))
+                AS BIGINT) AS est_distinct,
+           CAST(256 - nb AS BIGINT) AS n_zero
+    FROM per
+    """,
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_rollup,
+    )
+
+    e = tables.load(spark, sf_dir, "events")
+    keyed = e.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH"
+        ).alias("hour"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        ).alias("key"),
+    )
+    hourly = hll_registers(keyed, ["day", "hour"], "key")
+    daily = hll_rollup(hourly, ["day"])
+    return hll_estimate(daily, ["day"])

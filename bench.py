@@ -270,6 +270,9 @@ BENCH_QUERIES = [
     # round 13: blocked thresholded-Levenshtein fuzzy match — banded
     # O(n*k) verify over token-window blocks.
     "dedup_fuzzy_edit_match",
+    # round 13: HLL lattice — hourly register build + MAX-fold to
+    # daily + integer estimates, one events scan.
+    "sketch_hll_rollup",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

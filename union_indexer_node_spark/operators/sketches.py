@@ -525,12 +525,10 @@ def hll_registers(
 
 
 def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Fold two register frames: element-wise MAX per (group, bucket)."""
-    return (
-        a.unionByName(b)
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    """Fold two register frames: element-wise MAX per (group, bucket)
+    — the two-frame convenience over `hll_rollup`, which owns the
+    MAX-fold so merge and grain-rollup can never diverge."""
+    return hll_rollup(a.unionByName(b), group_cols)
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

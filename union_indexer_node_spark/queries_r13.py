@@ -1347,11 +1347,16 @@ def dedup_fuzzy_edit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hll_rollup",
     f"""
     WITH h AS (
+      -- NULL keys are "no observation" (hll_registers filters them
+      -- up front; a NULL register row would deflate the empty-bucket
+      -- term) — mirror the exclusion or the parity gate flips on the
+      -- first NULL-bearing fixture
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
                                       || event_type), 1, 12))
                   AS BIGINT) AS hv
       FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     r AS (
       SELECT day, hv >> 40 AS bucket,

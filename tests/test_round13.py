@@ -2285,3 +2285,45 @@ class TestHllRollupLattice:
             }
         )
         assert abs(est["est_distinct"] - truth) < 0.3 * truth
+
+
+class TestSourceScorecard:
+    """source_scorecard (pipelines/curation.py)."""
+
+    def test_hand_computed_report(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            source_scorecard,
+        )
+
+        rows = [
+            (1, "a b c d e f g h", "s1"),      # uniform 8 -> 3000
+            (2, "a b c d e f g h", "s1"),      # exact dup of 1
+            (3, "spam spam spam spam", "s1"),  # entropy 0
+            (4, "x " * 60, "s2"),              # long, entropy 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["source"]: (
+                r["n_docs"],
+                r["dup_permille"],
+                r["mean_entropy_permille"],
+                r["short_permille"],
+                r["mean_chars"],
+            )
+            for r in source_scorecard(df, "text", "doc_id", "source").collect()
+        }
+        # s1: 3 docs, 2 distinct -> dup 333; entropies 3000,3000,0 -> 2000
+        assert out["s1"] == (3, 333, 2000, 1000, 16)  # 49 chars div 3
+        # s2: 1 doc, 120 chars (trailing space), no dups, entropy 0
+        assert out["s2"] == (1, 0, 0, 0, 120)
+
+    def test_source_with_no_tokens_reports_zero_entropy(self, spark):
+        from union_indexer_node_spark.pipelines.curation import (
+            source_scorecard,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "... !!!", "s")], "doc_id long, text string, source string"
+        )
+        row = source_scorecard(df, "text", "doc_id", "source").collect()[0]
+        assert row["mean_entropy_permille"] == 0 and row["n_docs"] == 1

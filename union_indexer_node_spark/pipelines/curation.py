@@ -745,3 +745,60 @@ def referential_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def source_scorecard(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Per-source corpus scorecard — the one-page report an ingest
+    gate or a data lead reads before admitting a crawl slice: doc
+    count, exact-duplicate rate, mean token entropy (template spam
+    scores near zero), short-doc rate, and mean length. Every column
+    is integer permille/count arithmetic so the report is
+    reproducible on any engine and any partitioning.
+
+    Two passes over the slice (the entropy fold needs the tokenized
+    explode; the digest/length stats are one map-side aggregate) and
+    one broadcast-sized join on source — the report frame is
+    |sources| rows. Composes token_entropy; duplicate rate counts
+    distinct text digests, the exact_dedup identity.
+    """
+    from .textstats import token_entropy
+
+    base = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).cast("long").alias("_nd"),
+        F.sum(
+            F.when(F.length(text_col) < 100, 1).otherwise(0)
+        ).cast("long").alias("_short"),
+        F.sum(F.length(text_col)).cast("long").alias("_chars"),
+    )
+    ent = (
+        token_entropy(df, text_col, id_col)
+        .join(
+            df.select(
+                F.col(id_col), F.col(source_col).alias("source")
+            ),
+            id_col,
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("entropy_permille").cast("long").alias("_se"),
+            F.count(F.lit(1)).cast("long").alias("_ne"),
+        )
+    )
+    return (
+        base.join(ent, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(1000 * (n_docs - _nd)) div n_docs").alias(
+                "dup_permille"
+            ),
+            F.expr(
+                "coalesce(_se div _ne, 0)"
+            ).cast("long").alias("mean_entropy_permille"),
+            F.expr("(1000 * _short) div n_docs").alias("short_permille"),
+            F.expr("_chars div n_docs").alias("mean_chars"),
+        )
+    )

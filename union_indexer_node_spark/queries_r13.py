@@ -1401,3 +1401,80 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = hll_registers(keyed, ["day", "hour"], "key")
     daily = hll_rollup(hourly, ["day"])
     return hll_estimate(daily, ["day"])
+
+
+# Per-source scorecard (round 13): the composition capstone — the
+# one-page report an ingest gate reads per crawl slice, every column
+# integer permille/count so it reproduces on any engine and any
+# partitioning: doc count, exact-dup rate (planted: every 4th doc
+# re-ingested under a new id), mean token entropy, short-doc rate,
+# mean length. Composes token_entropy + the exact_dedup digest
+# identity; report frame is |sources| rows.
+@q(
+    "pipeline_source_scorecard",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM documents
+      WHERE doc_id % 4 = 0
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM all_docs
+    ),
+    c AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 1)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(c * log2(c) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS tsum
+      FROM c GROUP BY 1
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST((1000 * (CAST(ROUND(n * log2(n) * 10000, 0) AS BIGINT)
+                           - tsum)) // (n * 10000) AS BIGINT) AS ep
+      FROM per
+    ),
+    es AS (
+      SELECT d.source, CAST(SUM(e.ep) AS BIGINT) AS se,
+             CAST(COUNT(*) AS BIGINT) AS ne
+      FROM e JOIN all_docs d USING (doc_id) GROUP BY 1
+    ),
+    bs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS shorts,
+             CAST(SUM(length(text)) AS BIGINT) AS chars
+      FROM all_docs GROUP BY 1
+    )
+    SELECT bs.source, bs.n_docs,
+           CAST((1000 * (bs.n_docs - bs.nd)) // bs.n_docs AS BIGINT)
+             AS dup_permille,
+           CAST(COALESCE(es.se // es.ne, 0) AS BIGINT)
+             AS mean_entropy_permille,
+           CAST((1000 * bs.shorts) // bs.n_docs AS BIGINT)
+             AS short_permille,
+           CAST(bs.chars // bs.n_docs AS BIGINT) AS mean_chars
+    FROM bs LEFT JOIN es ON es.source = bs.source
+    """,
+)
+def pipeline_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.curation import source_scorecard
+
+    base = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    dups = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    return source_scorecard(
+        base.unionByName(dups), "text", "doc_id", "source"
+    )

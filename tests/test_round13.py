@@ -2327,3 +2327,58 @@ class TestSourceScorecard:
         )
         row = source_scorecard(df, "text", "doc_id", "source").collect()[0]
         assert row["mean_entropy_permille"] == 0 and row["n_docs"] == 1
+
+
+class TestAsofTolerance:
+    """asof_join(tolerance_seconds=): pandas merge_asof staleness
+    semantics, default arm byte-unchanged."""
+
+    def _run(self, spark, tol):
+        import datetime as dt
+
+        from union_indexer_node_spark.operators.temporal import asof_join
+
+        t = dt.datetime(2024, 1, 1, 12)
+        left = spark.createDataFrame(
+            [(1, t), (1, t + dt.timedelta(hours=3))], "k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t - dt.timedelta(minutes=30), 7.0)],
+            "k long, ts timestamp, v double",
+        )
+        return {
+            r["ts"]: r["asof_v"]
+            for r in asof_join(
+                left, right, ["k"], payload=["v"], tolerance_seconds=tol
+            ).collect()
+        }
+
+    def test_stale_match_nulled_fresh_kept(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 12)
+        out = self._run(spark, 3600)
+        assert out[t] == 7.0                                  # 30 min old
+        assert out[t + dt.timedelta(hours=3)] is None         # 3.5 h old
+
+    def test_no_tolerance_keeps_everything(self, spark):
+        import datetime as dt
+
+        from union_indexer_node_spark.operators.temporal import asof_join
+
+        t = dt.datetime(2024, 1, 1, 12)
+        left = spark.createDataFrame(
+            [(1, t + dt.timedelta(hours=3))], "k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t, 7.0)], "k long, ts timestamp, v double"
+        )
+        row = asof_join(left, right, ["k"], payload=["v"]).collect()[0]
+        assert row["asof_v"] == 7.0
+
+    def test_boundary_is_inclusive(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 12)
+        out = self._run(spark, 1800)  # match exactly tol old
+        assert out[t] == 7.0

@@ -34,21 +34,38 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload: list[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Point-in-time join: for every left row, the payload of the LATEST
     right row with right_ts <= left_ts within the same key group (the
     inclusive-`>=` semantics of DuckDB/kdb ASOF JOIN).
 
+    ``tolerance_seconds`` (pandas merge_asof semantics, opt-in — the
+    default plan is byte-unchanged): a match older than
+    left_ts - tolerance is nulled out. A quote from last Tuesday is
+    not a price, an attribution click from last month is not a
+    campaign touch — staleness bounds are what make as-of reads safe
+    on gappy keys. Implemented by carrying the matched right timestamp
+    through the same LOCF window and gating the payload on it — still
+    one shuffle, no extra join.
+
     Right rows must be unique per (key, ts) — pre-aggregate with an LWW
     window otherwise, or the tie winner is engine-dependent.
     """
     lcols = [c for c in left.columns if c not in on and c != left_ts]
+    # the matched right timestamp rides along only when a tolerance
+    # needs to inspect it (keeps the default plan byte-identical)
+    tol_payload = ["__mts"] if tolerance_seconds is not None else []
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        *[
+            F.lit(None).cast(right.schema[right_ts].dataType).alias("_r___mts")
+            for _ in tol_payload
+        ],
     )
     r_tagged = right.select(
         *on,
@@ -56,6 +73,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in payload],
+        *[F.col(right_ts).alias("_r___mts") for _ in tol_payload],
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts => inclusive match
@@ -68,14 +86,26 @@ def asof_join(
         "*",
         *[
             F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload
+            for c in payload + tol_payload
         ],
     )
+    if tolerance_seconds is not None:
+        fresh = F.col("_f___mts") >= F.col("_ts") - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        out_payload = [
+            F.when(fresh, F.col(f"_f_{c}")).alias(f"asof_{c}")
+            for c in payload
+        ]
+    else:
+        out_payload = [
+            F.col(f"_f_{c}").alias(f"asof_{c}") for c in payload
+        ]
     return filled.filter(F.col("_is_left") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(f"asof_{c}") for c in payload],
+        *out_payload,
     )
 
 

@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 199 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 200 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13 and queries_r13's 23) and a 50-slot window, the
+# queries_r12's 13 and queries_r13's 24) and a 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
 # (every entry whose last driver-green is ≥3 rounds old) plus anything
@@ -169,6 +169,12 @@ _DEPRIORITIZED = [
     #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
     #    argmax over per-shard md5 scores; window-argmax oracle;
     #    export-family sibling of write_training_shards
+    "temporal_asof_tolerance",  # BORN IN TAIL (r13) — as-of join
+    #    with a staleness bound (pandas merge_asof tolerance): the
+    #    matched right timestamp rides the same LOCF window and gates
+    #    the payload — one shuffle, no extra join, default arm
+    #    byte-unchanged; oracle = DuckDB NATIVE ASOF + CASE (different
+    #    formulation); temporal sibling of temporal_asof_join
     "pipeline_source_scorecard",  # BORN IN TAIL (r13) — the
     #    composition capstone: per-source one-page report (doc count,
     #    exact-dup permille, mean token entropy, short-doc rate, mean
@@ -300,7 +306,7 @@ _DEPRIORITIZED = [
     #     training_contamination_report, graph_pagerank_quantized,
     #     pipeline_corpus_diff, curation_dedup_lines_within_doc,
     #     stream_bm25_index_incremental, feeds_decayed_trending) plus
-    #     the 23 never-driver-checked r13-borns
+    #     the 24 never-driver-checked r13-borns
     #     (sim_mmr_rerank_batch, sketch_kmv_source_overlap,
     #     graph_cc_incremental, curation_keyword_tag,
     #     curation_ngram_novelty, layout_hilbert_key,
@@ -312,17 +318,18 @@ _DEPRIORITIZED = [
     #     dedup_containment_probe, sample_weighted_reservoir,
     #     quality_referential_audit, dedup_prefix_filter_join,
     #     dedup_fuzzy_edit_match, sketch_hll_rollup,
-    #     pipeline_source_scorecard);
+    #     pipeline_source_scorecard, temporal_asof_tolerance);
     # (b) the "rotated out in round 10" tranche directly below — last
     #     driver-green r9, the oldest on the books — re-enters under
     #     the staleness rule (20 entries).
-    # 33 + 20 = 53 ins against 50 slots — the continuation session's
-    # tail-borns OVERFLOWED the window by three: defer the three
+    # 34 + 20 = 54 ins against 50 slots — the continuation session's
+    # tail-borns OVERFLOWED the window by four: defer the four
     # YOUNGEST of the r9-era staleness tranche
     # (w3_first_event_per_user, o6_related_feed_sample,
-    # x21_search_feed — all green r1-r3+r8/r9; they re-enter r15 at
-    # bound+1, one-round documented slack, the r13 displaced-singles
-    # precedent) rather than skipping a never-driver-checked entry.
+    # x21_search_feed, x21_inverted_index_search — all green
+    # r1-r3/r4+r8/r9; they re-enter r15 at bound+1, one-round
+    # documented slack, the r13 displaced-singles precedent) rather
+    # than skipping a never-driver-checked entry.
     # Every r13-window entry rotates out (all then multiply-green
     # except the displaced singles rule below); pre-name those singles
     # as the front of the r15 tranche. If r14 births in-window

@@ -1478,3 +1478,62 @@ def pipeline_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_scorecard(
         base.unionByName(dups), "text", "doc_id", "source"
     )
+
+
+# As-of join with staleness tolerance (round 13): the pandas
+# merge_asof(tolerance=) semantics — a click from last month is not a
+# campaign touch; matches older than left_ts - 1h null out. The
+# engine carries the matched right timestamp through the same LOCF
+# window (one shuffle, no extra join, default arm byte-unchanged);
+# the oracle uses DuckDB's NATIVE ASOF JOIN with a CASE staleness
+# gate — a different formulation agreeing on the answer.
+@q(
+    "temporal_asof_tolerance",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), c0 AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'click'
+    ), c AS (
+      SELECT user_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM c0
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.ts, p.event_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN ROUND(c.value, 2) END AS asof_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def temporal_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    e = tables.load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks_raw = e.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        clicks_raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        payload=["value"],
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("asof_value"), 2).alias("asof_value"),
+    )

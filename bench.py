@@ -273,6 +273,12 @@ BENCH_QUERIES = [
     # round 13: HLL lattice — hourly register build + MAX-fold to
     # daily + integer estimates, one events scan.
     "sketch_hll_rollup",
+    # round 13: per-source scorecard — tokenize/entropy pass + digest
+    # stats pass + |sources|-row join.
+    "pipeline_source_scorecard",
+    # round 13: as-of with staleness bound — same one-shuffle LOCF
+    # window as the default arm plus the timestamp gate.
+    "temporal_asof_tolerance",
 ]
 
 # --- split-phase bench entries ---------------------------------------------

@@ -2382,3 +2382,77 @@ class TestAsofTolerance:
         t = dt.datetime(2024, 1, 1, 12)
         out = self._run(spark, 1800)  # match exactly tol old
         assert out[t] == 7.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=99),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    tol=st.sampled_from([None, 30, 120]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    """Third formulation: the union+LOCF-window as-of (engine) and
+    DuckDB's native ASOF (oracle) both also agree with pandas
+    merge_asof on random fixtures, tolerance included."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from union_indexer_node_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), i) for i, s in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), float(v)) for s, v in rights],
+        "k long, ts timestamp, v double",
+    )
+    kw = {"tolerance_seconds": tol} if tol is not None else {}
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(ldf, rdf, ["k"], payload=["v"], **kw).collect()
+    }
+    lp = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(seconds=s) for s in lefts],
+            "lid": range(len(lefts)),
+        }
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        {
+            # explicit datetime dtype: an EMPTY list would otherwise
+            # infer float64 and merge_asof rejects the key mismatch
+            "ts": pd.to_datetime(
+                [t0 + dt.timedelta(seconds=s) for s, _ in rights]
+            ),
+            "v": pd.array([float(v) for _, v in rights], dtype="float64"),
+        }
+    ).sort_values("ts")
+    merged = pd.merge_asof(
+        lp,
+        rp,
+        on="ts",
+        direction="backward",
+        **(
+            {"tolerance": pd.Timedelta(seconds=tol)}
+            if tol is not None
+            else {}
+        ),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want

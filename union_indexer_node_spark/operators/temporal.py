@@ -45,35 +45,47 @@ def asof_join(
     left_ts - tolerance is nulled out. A quote from last Tuesday is
     not a price, an attribution click from last month is not a
     campaign touch — staleness bounds are what make as-of reads safe
-    on gappy keys. Implemented by carrying the matched right timestamp
-    through the same LOCF window and gating the payload on it — still
-    one shuffle, no extra join.
+    on gappy keys. The whole right row (matched timestamp + payload)
+    rides the LOCF window as one packed struct, so the gate and the
+    value always come from the SAME row — still one shuffle, no extra
+    join. A NULL payload field on the matched row stays NULL (row
+    semantics, as pandas merge_asof), never backfilled from an older
+    row.
 
     Right rows must be unique per (key, ts) — pre-aggregate with an LWW
     window otherwise, or the tie winner is engine-dependent.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = [c for c in left.columns if c not in on and c != left_ts]
-    # the matched right timestamp rides along only when a tolerance
-    # needs to inspect it (keeps the default plan byte-identical)
-    tol_payload = ["__mts"] if tolerance_seconds is not None else []
+    # the payload rides as ONE PACKED STRUCT per right row, never as
+    # independent columns: per-column last(ignorenulls) would fill a
+    # NULL field of the latest row from an OLDER row — "latest
+    # non-null value" instead of the promised "payload of the latest
+    # row" (and, with a tolerance, certify a stale value fresh by a
+    # different row's timestamp — review r13). The struct itself is
+    # non-null exactly on right rows, so one LOCF picks the whole
+    # latest row atomically, matched timestamp included.
+    pack_type = StructType(
+        [StructField("__mts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
-        *[
-            F.lit(None).cast(right.schema[right_ts].dataType).alias("_r___mts")
-            for _ in tol_payload
-        ],
+        F.lit(None).cast(pack_type).alias("_r_pack"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        *[F.col(right_ts).alias("_r___mts") for _ in tol_payload],
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c) for c in payload],
+        ).alias("_r_pack"),
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts => inclusive match
@@ -84,22 +96,19 @@ def asof_join(
     )
     filled = u.select(
         "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload + tol_payload
-        ],
+        F.last(F.col("_r_pack"), ignorenulls=True).over(w).alias("_f_pack"),
     )
     if tolerance_seconds is not None:
-        fresh = F.col("_f___mts") >= F.col("_ts") - F.expr(
+        fresh = F.col("_f_pack")["__mts"] >= F.col("_ts") - F.expr(
             f"INTERVAL {int(tolerance_seconds)} SECONDS"
         )
         out_payload = [
-            F.when(fresh, F.col(f"_f_{c}")).alias(f"asof_{c}")
+            F.when(fresh, F.col("_f_pack")[c]).alias(f"asof_{c}")
             for c in payload
         ]
     else:
         out_payload = [
-            F.col(f"_f_{c}").alias(f"asof_{c}") for c in payload
+            F.col("_f_pack")[c].alias(f"asof_{c}") for c in payload
         ]
     return filled.filter(F.col("_is_left") == 1).select(
         *on,

@@ -759,9 +759,10 @@ def source_scorecard(
 
     Two passes over the slice (the entropy fold needs the tokenized
     explode; the digest/length stats are one map-side aggregate) and
-    one broadcast-sized join on source — the report frame is
-    |sources| rows. Composes token_entropy; duplicate rate counts
-    distinct text digests, the exact_dedup identity.
+    one |sources|-row join — the source column RIDES the entropy
+    aggregation keys (token_entropy's carry_cols), so no |docs|-row
+    join re-attaches it. Composes token_entropy; duplicate rate
+    counts distinct text digests, the exact_dedup identity.
     """
     from .textstats import token_entropy
 
@@ -774,14 +775,8 @@ def source_scorecard(
         F.sum(F.length(text_col)).cast("long").alias("_chars"),
     )
     ent = (
-        token_entropy(df, text_col, id_col)
-        .join(
-            df.select(
-                F.col(id_col), F.col(source_col).alias("source")
-            ),
-            id_col,
-        )
-        .groupBy("source")
+        token_entropy(df, text_col, id_col, carry_cols=(source_col,))
+        .groupBy(F.col(source_col).alias("source"))
         .agg(
             F.sum("entropy_permille").cast("long").alias("_se"),
             F.count(F.lit(1)).cast("long").alias("_ne"),

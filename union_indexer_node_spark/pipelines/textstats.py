@@ -1220,7 +1220,12 @@ def tfidf_topk(
     )
 
 
-def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document Shannon token entropy in integer permille-bits —
     the distribution-shape quality signal the ratio features miss: a
     page that repeats one template line has high length and fine
@@ -1240,23 +1245,31 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Shape: tokenize -> explode -> (id, token) count -> per-id fold.
     Shuffle rows ∝ corpus tokens, the same class as TF-IDF/BM25
     builds; both aggregates partial-combine map-side.
+
+    ``carry_cols`` ride the aggregation keys (they must be
+    functionally dependent on ``id_col`` — a doc's source, shard,
+    language) so a consumer like source_scorecard needs no
+    |docs|-row join to re-attach them afterwards.
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: x != "",
     )
+    carry = list(carry_cols)
     counts = (
-        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        df.select(
+            F.col(id_col).alias("_id"), *carry, toks.alias("_toks")
+        )
         .filter(F.size("_toks") >= 1)
-        .select("_id", F.explode("_toks").alias("_tok"))
-        .groupBy("_id", "_tok")
+        .select("_id", *carry, F.explode("_toks").alias("_tok"))
+        .groupBy("_id", *carry, "_tok")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     term = F.round(
         F.col("_c").cast("double") * F.log2(F.col("_c").cast("double")) * 1e4,
         0,
     ).cast("long")
-    per = counts.groupBy("_id").agg(
+    per = counts.groupBy("_id", *carry).agg(
         F.sum("_c").alias("_n"), F.sum(term).alias("_tsum")
     )
     n = F.col("_n").cast("double")
@@ -1265,6 +1278,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         per.withColumn("_e4", ntotal - F.col("_tsum"))
         .select(
             F.col("_id").alias(id_col),
+            *carry,
             F.col("_n").cast("long").alias("n_tokens"),
             # integer div keeps the permille exact in every engine
             F.expr("(1000 * _e4) div (_n * 10000)").alias(

@@ -1512,18 +1512,21 @@ def pipeline_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temporal_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import asof_join
+    from .operators.windows import lww_latest
 
     e = tables.load(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    clicks_raw = e.filter(F.col("event_type") == "click")
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    clicks = (
-        clicks_raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "ts", "value")
-    )
+    # the same LWW tie-break the sibling temporal_asof_join uses — one
+    # implementation, so the two arms can never diverge on tied clicks
+    clicks = lww_latest(
+        e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        [F.col("event_id")],
+    ).select("user_id", "ts", "value")
     out = asof_join(
         purchases,
         clicks,

@@ -2392,7 +2392,11 @@ class TestAsofTolerance:
     rights=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=500),
-            st.integers(min_value=1, max_value=99),
+            # None payloads pin ROW semantics: the value of the
+            # matched row, never a backfill from an older one
+            st.one_of(
+                st.none(), st.integers(min_value=1, max_value=99)
+            ),
         ),
         min_size=0,
         max_size=12,
@@ -2403,7 +2407,8 @@ class TestAsofTolerance:
 def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
     """Third formulation: the union+LOCF-window as-of (engine) and
     DuckDB's native ASOF (oracle) both also agree with pandas
-    merge_asof on random fixtures, tolerance included."""
+    merge_asof on random fixtures, tolerance and NULL payloads
+    included."""
     import datetime as dt
 
     import pandas as pd
@@ -2416,7 +2421,11 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
         "k long, ts timestamp, lid long",
     )
     rdf = spark.createDataFrame(
-        [(1, t0 + dt.timedelta(seconds=s), float(v)) for s, v in rights],
+        [
+            (1, t0 + dt.timedelta(seconds=s),
+             None if v is None else float(v))
+            for s, v in rights
+        ],
         "k long, ts timestamp, v double",
     )
     kw = {"tolerance_seconds": tol} if tol is not None else {}
@@ -2437,7 +2446,10 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
             "ts": pd.to_datetime(
                 [t0 + dt.timedelta(seconds=s) for s, _ in rights]
             ),
-            "v": pd.array([float(v) for _, v in rights], dtype="float64"),
+            "v": pd.array(
+                [None if v is None else float(v) for _, v in rights],
+                dtype="float64",
+            ),
         }
     ).sort_values("ts")
     merged = pd.merge_asof(

@@ -2468,3 +2468,56 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # key
+            st.integers(min_value=0, max_value=400_000),  # seconds
+            st.integers(min_value=-500, max_value=500),   # cents
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    days=st.sampled_from([1, 3]),
+)
+def test_moving_window_agg_matches_brute_force(spark, events, days):
+    """Independent O(n^2) reference for the trailing RANGE frame:
+    every row's count/sum over [ts - days, ts] inclusive, equal-ts
+    peers included (RANGE semantics)."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators.temporal import (
+        moving_window_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(seconds=s), c / 100.0) for k, s, c in events
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = sorted(
+        (r["k"], r["ts"], r["n_trailing"], r["sum_trailing_cents"])
+        for r in moving_window_agg(df, "k", "ts", "v", days=days).collect()
+    )
+    win = days * 86_400
+    want = sorted(
+        (
+            k,
+            t0 + dt.timedelta(seconds=s),
+            sum(
+                1
+                for k2, s2, _ in events
+                if k2 == k and s - win <= s2 <= s
+            ),
+            sum(
+                c2
+                for k2, s2, c2 in events
+                if k2 == k and s - win <= s2 <= s
+            ),
+        )
+        for k, s, c in events
+    )
+    assert got == want

@@ -2521,3 +2521,55 @@ def test_moving_window_agg_matches_brute_force(spark, events, days):
         for k, s, c in events
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),         # key
+            st.integers(min_value=0, max_value=20_000),    # seconds
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    gap_min=st.sampled_from([5, 30]),
+)
+def test_sessionize_matches_brute_force(spark, events, gap_min):
+    """Independent Python reference: sort a key's events, cut where
+    the gap STRICTLY exceeds the threshold (a gap of exactly
+    gap_minutes stays in-session), emit (start, end, n) per session."""
+    import datetime as dt
+
+    from union_indexer_node_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(k, t0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    got = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(
+            df, "k", "ts", gap_minutes=gap_min, tiebreak_col="eid"
+        ).collect()
+    )
+    gap_s = gap_min * 60
+    want = []
+    for k in {k for k, _ in events}:
+        ts = sorted(s for k2, s in events if k2 == k)
+        sessions = [[ts[0]]]
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap_s:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        for sess in sessions:
+            want.append(
+                (
+                    k,
+                    t0 + dt.timedelta(seconds=sess[0]),
+                    t0 + dt.timedelta(seconds=sess[-1]),
+                    len(sess),
+                )
+            )
+    assert got == sorted(want)

@@ -260,8 +260,8 @@ BENCH_QUERIES = [
     # round 13: A-ES weighted reservoir — md5 draw + ln key + one
     # per-group rank window.
     "sample_weighted_reservoir",
-    # round 13: referential audit — two left_anti orphan scans over
-    # orders/lineitem.
+    # round 13: referential audit — two NULL-salted left-join+indicator
+    # orphan scans over orders/lineitem.
     "quality_referential_audit",
     # round 13: exact prefix-filter similarity join — postings build +
     # prefix self-join + postings-domain verify (~2.6s warm at sf0.1;

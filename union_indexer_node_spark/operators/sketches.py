@@ -584,6 +584,15 @@ def weighted_bottomk(
     Weights must be strictly positive: non-positive weights have no
     sampling interpretation and raise at plan-build time via an ANSI
     assert expression on the first offending row.
+
+    Return contract: the input columns PLUS ``_wk`` (double) — the
+    rounded A-ES rank key round(ln(u)/w, 12). ``_wk`` is part of the
+    API, not leakage: it is exactly what a caller needs to (a) merge
+    two slices' samples (union + re-rank by ``_wk`` desc, id
+    tie-break — recomputing it would rescan nothing but re-deriving
+    it is needless work) and (b) emit a deterministic per-group rank,
+    as sample_weighted_reservoir does (ADVICE r13: previously
+    undocumented, now pinned by a test asserting its presence).
     """
     h = kmv_hash(F.col(id_col))
     u = (h + F.lit(1)).cast("double") / F.lit(float(_HASH_SPACE))

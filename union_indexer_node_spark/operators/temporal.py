@@ -53,9 +53,19 @@ def asof_join(
     row.
 
     Right rows must be unique per (key, ts) — pre-aggregate with an LWW
-    window otherwise, or the tie winner is engine-dependent.
+    window otherwise, or the tie winner is engine-dependent. Payload
+    columns may not be named ``__mts``: the matched right timestamp
+    rides the packed struct under that name, and a colliding payload
+    field would silently corrupt the tolerance gate (ADVICE r13 —
+    guarded below).
     """
     from pyspark.sql.types import StructField, StructType
+
+    if "__mts" in payload:
+        raise ValueError(
+            "asof_join: payload column '__mts' collides with the internal "
+            "matched-timestamp struct field; rename it before the join"
+        )
 
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     # the payload rides as ONE PACKED STRUCT per right row, never as

@@ -248,6 +248,14 @@ def multiprobe_recall(
     join), and the per-radius top-k windows run over the tiny
     candidate set. The exact baseline is brute_topk_batch with the
     same rounded-sim/id tie-break, so rank sets compare exactly.
+
+    ``queries`` must be SMALL (an eval sample, not a corpus): the
+    probe side is explicitly broadcast — |queries| x |masks| rows,
+    each carrying the full query vector — and the brute baseline is
+    |queries| x |corpus| by definition. That is the contract of every
+    recall eval here (brute_topk_batch documents the same bound); at
+    scale you price probe rings on a few hundred sampled queries,
+    never the full query log (ADVICE r13: contract now explicit).
     """
     from .similarity import cosine_sim
 

@@ -581,7 +581,14 @@ def ngram_novelty(
     )
 
 
-_TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)="
+# (?i): tracking params arrive in any case ('UTM_Source=', 'Fbclid=');
+# (=|$): a valueless 'fbclid' (no '=') is still a tracking param. Both
+# were survivable before (ADVICE r13); the name-boundary alternation
+# keeps 'refresh=1' / 'reference=x' untouched ('ref' must be followed
+# by '=' or end-of-param, never a letter).
+_TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)"
+)
 
 
 def canonical_url(url: Column) -> Column:
@@ -590,8 +597,9 @@ def canonical_url(url: Column) -> Column:
     scheme and host, strip a leading ``www.``, drop the scheme's
     default port (:80 http / :443 https) but keep explicit non-default
     ports, strip trailing slashes from the path, drop tracking
-    parameters (utm_*, fbclid, gclid, msclkid, ref, ref_src) while
-    preserving the order of the rest, and drop the fragment.
+    parameters (utm_*, fbclid, gclid, msclkid, ref, ref_src —
+    case-insensitively, with or without a '=value') while preserving
+    the order of the rest, and drop the fragment.
 
     Pure map-side expression built from regexp_extract/replace and a
     higher-order filter over the split query string — no UDF, stays

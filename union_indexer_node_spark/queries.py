@@ -122,144 +122,10 @@ _DEPRIORITIZED = [
     # oracle-tested like every tail entry.
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r13): enter with the r14 tranche alongside the 10
-    # displaced r12-born singles. Locally oracle-tested like every
-    # tail entry.
+    # BORN IN TAIL (r13): ALL 24 ENTERED THE WINDOW in r14 (VERDICT
+    # r13 item 1's done-criterion: the never-driver-checked count
+    # drops 24 -> 0). Names in the ROUND 14 ROTATION note below.
     # ------------------------------------------------------------------
-    "sim_mmr_rerank_batch",  # BORN IN TAIL (r13) — the
-    #    composition-safe batch MMR arm (one applyInPandas, zero
-    #    driver round trips); serving twin sim_mmr_rerank KEPT
-    #    in-window r13, batch==serving pinned by test + shared oracle
-    #    chain
-    "sketch_kmv_source_overlap",  # BORN IN TAIL (r13) — KMV pairwise
-    #    set operations (Beyer et al.): cross-source bigram-content
-    #    Jaccard/intersection from per-source sketches alone, all 190
-    #    source pairs saturated at k=128; sketch family sibling of
-    #    a_approx_distinct_kmv (merge argument shared)
-    "graph_cc_incremental",  # BORN IN TAIL (r13) — incremental
-    #    connected components via super-node contraction (fold new
-    #    edges into a stored labeling, O(batch) solve + broadcast
-    #    remap); the dedup-cluster member of the diff->index
-    #    incremental-maintenance family; reach-CTE full-graph oracle
-    "curation_keyword_tag",  # BORN IN TAIL (r13) — dictionary phrase
-    #    tagging (FlashText semantics: per-length gram enumeration +
-    #    ONE broadcast equi-join, overlapping occurrences counted);
-    #    the PII-term-list / topic-taxonomy / blocklist application
-    #    operator; lateral-position oracle over a 6-phrase fixture
-    #    dictionary incl. a trigram and a never-matching phrase
-    "curation_ngram_novelty",  # BORN IN TAIL (r13) — first-occurrence
-    #    bigram novelty permille per document (overlap vs the corpus's
-    #    OWN past — the continuous data-selection signal; cf.
-    #    training_contamination_report = overlap vs a benchmark set);
-    #    map-side within-doc gram dedup, skew-safe groupBy-MIN
-    #    first-seer, skew-safe-over-window rejoin
-    "layout_hilbert_key",  # BORN IN TAIL (r13) — Hilbert clustering
-    #    key, the better-locality sibling of layout_zorder_key
-    #    (in-window family rep): consecutive cells always
-    #    grid-adjacent; level-chain projections (never one nested
-    #    expression — ~3^16 Catalyst nodes); level-chain CTE oracle
-    "dedup_lsh_recall_eval",  # BORN IN TAIL (r13) — measured
-    #    MinHash-LSH banding recall vs exact shingle Jaccard by
-    #    similarity band on a deterministic 1/3 sample (the dedup
-    #    sibling of ann_recall_eval, in-window r12/r13 family rep);
-    #    shared-shingle equi-join ground truth, never all-pairs;
-    #    full-protocol replay oracle
-    "training_rendezvous_shard",  # BORN IN TAIL (r13) — rendezvous
-    #    (HRW) shard assignment: reshard n->n+1 moves 1/(n+1) of keys,
-    #    all TO the new shard (modulus remaps ~n/(n+1)); pure map-side
-    #    argmax over per-shard md5 scores; window-argmax oracle;
-    #    export-family sibling of write_training_shards
-    "temporal_asof_tolerance",  # BORN IN TAIL (r13) — as-of join
-    #    with a staleness bound (pandas merge_asof tolerance): the
-    #    matched right timestamp rides the same LOCF window and gates
-    #    the payload — one shuffle, no extra join, default arm
-    #    byte-unchanged; oracle = DuckDB NATIVE ASOF + CASE (different
-    #    formulation); temporal sibling of temporal_asof_join
-    "pipeline_source_scorecard",  # BORN IN TAIL (r13) — the
-    #    composition capstone: per-source one-page report (doc count,
-    #    exact-dup permille, mean token entropy, short-doc rate, mean
-    #    length), every column integer permille/count so the report
-    #    reproduces on any engine/partitioning; composes token_entropy
-    #    + the exact_dedup digest identity; |sources| report rows
-    "sketch_hll_rollup",  # BORN IN TAIL (r13) — the sketch LATTICE:
-    #    daily distinct estimates derived by MAX-folding hourly HLL
-    #    registers, never rescanning events (hour->day == direct-day
-    #    and the hour->day->global chain == direct-global, both
-    #    tested); small-range regime documented, n_zero emitted;
-    #    sibling of sketch_hll_distinct
-    "dedup_fuzzy_edit_match",  # BORN IN TAIL (r13) — character-level
-    #    fuzzy matching (blocked + THRESHOLDED Levenshtein, banded
-    #    O(n*k) with early exit; |len|-delta lower-bound prune);
-    #    entity-resolution sibling of dedup_ngram_jaccard — token
-    #    similarity can't see one-char typos/OCR noise
-    "dedup_prefix_filter_join",  # BORN IN TAIL (r13) — EXACT
-    #    threshold set-similarity self-join (AllPairs/PPJoin prefix
-    #    filtering): zero recall loss, candidates from rarity-ordered
-    #    prefix postings, verification in the postings domain (all
-    #    equi-joins); INDEPENDENT all-pairs oracle + brute-force
-    #    property test; exact sibling of dedup_lsh_candidates
-    "quality_referential_audit",  # BORN IN TAIL (r13) — per-relation
-    #    (child.fk -> parent.pk) row/NULL/orphan counts via left_anti
-    #    against DISTINCT parent keys (a join would double-count under
-    #    duplicated parents — tested); data-quality sibling of
-    #    pipeline_column_profile
-    "sample_weighted_reservoir",  # BORN IN TAIL (r13) — A-ES
-    #    weighted bottom-k per group (inclusion ∝ weight, without
-    #    replacement, mergeable union+re-rank); rank by
-    #    round(ln(u)/w, 12) from the shared md5 draw; sampling
-    #    sibling of sample_weighted_bernoulli / sketch_sample_quantiles
-    "temporal_ohlc_rollup",  # BORN IN TAIL (r13) — candlestick
-    #    open/high/low/close per (key, bucket): open/close ride
-    #    min/max over a (ts, seq, cents) struct so order-dependent
-    #    aggregates stay one commutative shuffle (no window); oracle
-    #    derives open/close INDEPENDENTLY via ordered first()/last();
-    #    hypertable sibling of temporal_time_rollup / temporal_gap_fill
-    "dedup_containment_probe",  # BORN IN TAIL (r13) — directed
-    #    asymmetric containment (quote/excerpt detection): probe
-    #    shingles equi-join hot-capped corpus postings, the
-    #    intersection IS the join count (exact, no verify pass);
-    #    cap only undercounts (tested); dedup sibling of
-    #    dedup_ngram_jaccard / dedup_cross_source_overlap
-    "training_cluster_split",  # BORN IN TAIL (r13) — leakage-safe
-    #    train/val/test split: the md5 permille draw keys on the
-    #    dup-cluster representative so duplicate pairs can never
-    #    straddle train/test (tested contrast: the id-keyed draw DOES
-    #    leak the planted pairs); split-family sibling of
-    #    training_hash_split / training_decontaminate
-    "ann_multiprobe_recall",  # BORN IN TAIL (r13) — measured
-    #    recall@10 + candidate volume per multiprobe radius (0/1/2)
-    #    from ONE corpus scan (probe masks carry popcount, per-radius
-    #    membership is a filter); fully distributed, no driver
-    #    collects; eval sibling of ann_recall_eval /
-    #    dedup_lsh_recall_eval
-    "curation_url_dedup",  # BORN IN TAIL (r13) — CommonCrawl-style
-    #    URL canonicalization (case fold, www./default-port/fragment/
-    #    trailing-slash strip, order-preserving tracking-param removal)
-    #    + exact dedup on the canonical form; INDEPENDENT oracle
-    #    derives the canonical from the fixture arithmetic, never the
-    #    regex pipeline; curation-family sibling of dedup_exact
-    "text_token_entropy",  # BORN IN TAIL (r13) — per-doc Shannon token
-    #    entropy in integer permille-bits; per-term 1e-4 rounding
-    #    BEFORE the sum makes the float fold associative (partition-
-    #    invariant, oracle-exact); text-quality-family sibling of
-    #    text_quality_features / text_repetition_stats
-    "sketch_hll_distinct",  # BORN IN TAIL (r13) — explicit-register
-    #    HyperLogLog per-source distinct estimate: 256 registers from
-    #    the shared md5 48-bit hash, element-wise-MAX merge (duplicate
-    #    keys absorbed map-side), pure-integer estimator the oracle
-    #    replays bit-for-bit; sketch-family sibling of
-    #    a_approx_distinct_kmv / sketch_cm_heavy_hitters
-    "graph_triangle_count",  # BORN IN TAIL (r13) — per-node triangle
-    #    participation via degree-ordered orientation (compact-forward:
-    #    oriented out-degree O(sqrt(m)) under any hub skew, all
-    #    equi-joins); graph-family sibling of graph_pagerank_quantized
-    #    / graph_cc_incremental; canonical a<b<c enumeration oracle
-    "temporal_gap_fill",  # BORN IN TAIL (r13) — dense time-grid LOCF
-    #    gap filling (every bucket between a key's first/last
-    #    observation present, empty ones carrying the last value);
-    #    hypertable-family completion beside temporal_time_rollup
-    #    (in-window family rep r4/r9); per-key sequence grid, never a
-    #    global calendar cross join; IGNORE-NULLS window oracle
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
     # green CORRECTNESS_r13 row): pipeline_diff_minhash_chain,
@@ -296,8 +162,47 @@ _DEPRIORITIZED = [
     # becomes multiply-green well inside the bound, funded by the
     # then-multiply-green r13 re-entries.
     # ------------------------------------------------------------------
-    # ROUND 14 ROTATION — PRE-NAMED (write the executed note in r14
-    # against CORRECTNESS_r13.json). Obligations:
+    # ROUND 14 ROTATION — EXECUTED exactly as pre-named (checked
+    # against CORRECTNESS_r13.json: 50/50 green, zero err, so every
+    # planned rotate-out is driver-green r13 and eligible).
+    # The window is now: 10 displaced r12-born singles + 24 r13-borns
+    # (never driver-checked until now) + 16 r9-era staleness
+    # re-entries = 50. The 4 youngest r9-era entries stay deferred to
+    # r15 as planned (top of the round-10 section below). All 50
+    # r13-window entries rotated out ("Rotated out in ROUND 14"
+    # section at the end): 36 multiply-green, 14 r13-singles (the 2
+    # multimodal re-proves + the 12 r12-tail-borns whose first green
+    # was r13) — the same documented one-round displacement exception
+    # as r13, pre-named as the FRONT of the r15 tranche.
+    # ------------------------------------------------------------------
+    # ROUND 15 ROTATION — PRE-NAMED. Obligations, priority order:
+    # (a) any r14 tail-borns (never driver-checked — at most 3 were
+    #     allowed this round per VERDICT r13 item 2; actual births are
+    #     marked BORN IN TAIL (r14) below);
+    # (b) the 14 displaced r13-singles (front of the tranche:
+    #     multimodal_dhash_near_dup, multimodal_audio_fingerprint,
+    #     pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
+    #     sketch_sample_quantiles, curation_remove_frequent_lines,
+    #     sim_kmeans_incremental, ingest_follows_audit,
+    #     tpch_q12_shipmode_shape, tpch_q2_min_cost_supplier,
+    #     tpch_q9_profit, tpch_q11_important_stock,
+    #     tpch_q16_supplier_cnt, tpch_q20_part_promotion);
+    # (c) the 4 deferred r9-era entries (w3_first_event_per_user,
+    #     o6_related_feed_sample, x21_search_feed,
+    #     x21_inverted_index_search — at bound+1, must not slip again);
+    # (d) fill the remaining slots with the OLDEST staleness tranche:
+    #     the r10-era "Rotated out in ROUND 11" section (29 entries,
+    #     last green r10 — 5 rounds stale at r15, older than the
+    #     r11-era tranche the r12 section's note nominally dated r15).
+    # Capacity arithmetic (honest): 200 entries / 50 slots / ~4-round
+    # bound is SATURATED — (b)+(c)+(d) = 47 leaves 3 slots for (a),
+    # and the 35-entry r11-era tranche slides to r16 (6 rounds stale
+    # by then). The only lever that restores the bound is what VERDICT
+    # r13 item 2 prescribes: near-zero births until every tranche is
+    # multiply-green. r14 held births to ONE (fuzzy_blocking_recall_
+    # eval, VERDICT item 6) to start draining.
+    # ------------------------------------------------------------------
+    # Original r14 pre-naming (kept for the audit trail). Obligations:
     # (a) the 10 displaced r12-born SINGLES (driver-green r12 only;
     #     pre-named in r13 as the FRONT of this tranche — the exact
     #     names sit at the bottom of the "Rotated out in ROUND 13"
@@ -336,44 +241,19 @@ _DEPRIORITIZED = [
     # entries, extend the same deferral to the next-youngest of the
     # r9 tranche.
     # ------------------------------------------------------------------
-    # Rotated out in round 10 (multiply-green; families in-window).
+    # Rotated out in round 10. r14 re-entered 16 of the 20 under the
+    # staleness rule; these 4 (the youngest of the tranche) are the
+    # DOCUMENTED r14 deferrals — they re-enter r15 at bound+1 (r15
+    # obligation (c) in the pre-named note above).
     # ------------------------------------------------------------------
-    "tpch_q1_pricing_summary",  # green r1-r4+r9; TPC-H reps q10/q18
-    #    (in-window r11); scalar-agg via a7 (in-window r11)
-    "tpch_q4_order_priority",  # green r4+r9; same family
-    "dedup_exact",  # green r1-r4+r9; dedup reps dedup_lsh_incremental +
-    #    dedup_keep_best_quality (in-window r11)
-    "dedup_simhash",  # green r1-r4+r9; same family
-    "f1_tag_membership",  # green r1-r4+r9; F-family rep f10_point_lookup
-    #    (in-window r11); array membership unit-tested in wherefield
-    "j1_children_join",  # green r1-r4+r9; children/agg-join shape via
-    #    j3_num_comments_per_post (in-window r11)
-    "sim_cosine_topk",  # green r1-r4+r9; sim reps sim_mmr_rerank +
-    #    sim_ivf_pq_adc (in-window r11)
-    "text_quality_features",  # green r1-r4+r9; text reps
-    #    text_quality_classifier + text_unigram_lm_train (in-window r11)
-    "x21_inverted_index_search",  # green r1-r4+r9; search rep
-    #    search_substring_trigram + search_bm25_topk (in-window r11)
-    "x21_search_feed",  # green r1/r2+r8/r9; same search family
-    "o6_related_feed_sample",  # green r1-r3+r8/r9; O-family rep
-    #    sample_weighted_bernoulli + o5 (in-window r11)
-    "w3_first_event_per_user",  # green r1/r2+r8/r9; window family via
-    #    temporal_moving_window_agg + events_pivot_type_counts (in-window)
-    "text_bpe_token_count",  # green r3/r4+r9; BPE family
-    #    text_bpe_pair_counts + text_bpe_encode (in-window r11)
-    "ann_lsh_topk",  # green r3/r4+r9; ANN family (recall tests local)
-    "training_token_budget",  # green r7-r9; training reps
-    #    training_budget_select (in-window)
-    "sim_truncate_renorm",  # green r7-r9; sim family as above
-    "text_lm_quality_sampled",  # green r7-r9; char-LM family via
-    #    training_dsir_resample (in-window r11)
-    "sim_kmeans_clusters",  # green r7-r9; centroid family via
-    #    sim_ivf_pq_adc codebooks (in-window r11); iterative-loop family
-    #    via dedup_lsh_incremental + text_bpe_train_merges
-    "j4_follower_feed_did",  # green r2/r3+r8/r9; follows family via
-    #    ingest_follows_families (in-window)
-    "temporal_time_rollup",  # green r4+r9; temporal reps
-    #    funnel/cohort/moving + temporal_range_join (in-window r11)
+    "x21_inverted_index_search",  # green r1-r4+r9; DEFERRED to r15;
+    #    search rep search_bm25_topk (in-window r13)
+    "x21_search_feed",  # green r1/r2+r8/r9; DEFERRED to r15; same
+    #    search family
+    "o6_related_feed_sample",  # green r1-r3+r8/r9; DEFERRED to r15;
+    #    O-family rep o5/sample reps in recent windows
+    "w3_first_event_per_user",  # green r1/r2+r8/r9; DEFERRED to r15;
+    #    window family via temporal entries (in-window r14)
     # ------------------------------------------------------------------
     # Rotated out in ROUND 11 under the cadence rule: these 29 fund the
     # 25 rotate-ins (13 r6-stale + 10 r10 born-in-tail + 2 rejoins) and
@@ -612,19 +492,101 @@ _DEPRIORITIZED = [
     # exception; pre-named FRONT of the r14 tranche, staleness bound
     # r17):
     # ------------------------------------------------------------------
-    "text_unigram_encode",  # green r12; prebuilt bench arm stays
-    "text_unicode_scrub",  # green r12
-    "text_gopher_quality_gate",  # green r12
-    "pipeline_ccnet_buckets",  # green r12
-    "training_contamination_report",  # green r12
-    "graph_pagerank_quantized",  # green r12
-    "pipeline_corpus_diff",  # green r12; its two chain consumers
-    #    (diff->bm25, diff->minhash) are BOTH in-window r13
-    "curation_dedup_lines_within_doc",  # green r12; corpus-wide
-    #    sibling curation_remove_frequent_lines in-window r13
-    "stream_bm25_index_incremental",  # green r12; batch twin
-    #    search_bm25_index_incremental KEPT in-window r13
-    "feeds_decayed_trending",  # green r12
+    # ------------------------------------------------------------------
+    # Rotated out in ROUND 14 (the full r13 window, all driver-green in
+    # CORRECTNESS_r13's 50/50 record). First the 36 multiply-green
+    # (r13 plus at least one earlier round), families in-window:
+    # ------------------------------------------------------------------
+    "social_feed_by_app",  # green r12/r13 (+earlier as flagship);
+    #    F/O flagship shape via f1_tag_membership (in-window r14)
+    "f2_f3_f5_filter_combo",  # green r7/r12/r13; F-family combo via
+    #    f1_tag_membership + the wherefield grid units
+    "a1_trending_tags",  # green r2/r3/r7/r12/r13; A-family via
+    #    tpch_q1_pricing_summary aggregates (in-window r14)
+    "w1_leaderboard_rank",  # green r7/r12/r13; rank-window family via
+    #    sample_weighted_reservoir's rank window (in-window r14)
+    "w4_feed_pagination",  # green r2/r3/r7/r12/r13; keyset-cursor
+    #    family keeps its full-walk gap/dup local tests
+    "j4_follower_feed",  # green r7/r12/r13; semi-join family via
+    #    j4_follower_feed_did (in-window r14, the DID arm)
+    "j9_reply_closure",  # green r7/r12/r13; iterative fixpoint family
+    #    via graph_cc_incremental (in-window r14)
+    "a9_mention_notifications",  # green r7/r12/r13; regex/explode
+    #    family via text_quality_features (in-window r14)
+    "dedup_minhash_signature",  # green r7/r12/r13; MinHash family via
+    #    dedup_lsh_recall_eval + dedup_simhash (in-window r14)
+    "dedup_ngram_jaccard",  # green r2-r4/r7/r12/r13; verify-join
+    #    family via dedup_prefix_filter_join + dedup_containment_probe
+    #    (in-window r14)
+    "sim_ivf_topk_label",  # green r7/r12/r13; IVF family via
+    #    ann_multiprobe_recall + sim_cosine_topk (in-window r14)
+    "sim_pairwise_cosine",  # green r7/r12/r13; cosine family via
+    #    sim_cosine_topk (in-window r14)
+    "text_language_id",  # green r7/r12/r13; langid family via
+    #    text_quality_features (in-window r14 sibling signals)
+    "text_fingerprint",  # green r7/r12/r13; rolling-hash family via
+    #    dedup_fuzzy_edit_match blocks (in-window r14)
+    "o2_a8_trending_feed_payout",  # green r7/r12/r13; max-anchored
+    #    window family via temporal_ohlc_rollup (in-window r14)
+    "a6_sign_counts_higher_order",  # green r7/r12/r13; HOF-agg family
+    #    via text_token_entropy's fold (in-window r14)
+    "j11_chain_state_enrichment",  # green r7/r12/r13; snapshot-join
+    #    family via tpch joins (in-window r14)
+    "setop_union_sources",  # green r7/r12/r13; set-op family keeps
+    #    unit coverage; union shape ubiquitous in-window
+    "a_approx_distinct_users",  # green r12(hash)/r13; KMV family via
+    #    sketch_kmv_source_overlap (in-window r14)
+    "temporal_asof_join",  # green r12/r13; as-of family via
+    #    temporal_asof_tolerance (in-window r14, the superset arm)
+    "dedup_cc_clusters",  # green r7/r12/r13; CC family via
+    #    graph_cc_incremental (in-window r14)
+    "stream_windowed_counts_batch_equivalence",  # green r12/r13;
+    #    streaming-equivalence family via the r14 cc-incremental soak
+    #    (test_round14) + stream units
+    "pipeline_training_prep",  # green r12/r13; composition family via
+    #    pipeline_source_scorecard (in-window r14)
+    "tpch_q6_forecast_revenue",  # green r5/r6/r12/r13; TPC-H scalar
+    #    family via tpch_q1/q4 (in-window r14)
+    "tpch_q7_volume_shipping",  # green r5/r6/r12/r13; same family
+    "tpch_q8_market_share",  # green r5/r6/r12/r13; same family
+    "tpch_q14_promo_effect",  # green r5/r6/r12/r13; same family
+    "tpch_q15_top_supplier",  # green r5/r6/r12/r13; same family
+    "tpch_q19_disjunctive_revenue",  # green r5/r6/r12/r13; same family
+    "tpch_q22_global_sales_opportunity",  # green r6/r12/r13; same
+    #    family
+    "w5_scd2_history",  # green r6/r12/r13; SCD2/window family via
+    #    temporal_time_rollup (in-window r14)
+    "search_bm25_topk",  # green r10-r13 (four consecutive); BM25
+    #    family keeps prebuilt bench arm + local oracle battery
+    "sim_mmr_rerank",  # green r11-r13; MMR family via
+    #    sim_mmr_rerank_batch (in-window r14, the batch twin)
+    "search_bm25_index_incremental",  # green r12/r13; incremental
+    #    index family keeps foreachBatch soaks local
+    "sim_ivfpq_search",  # green r12/r13; PQ family via
+    #    ann_multiprobe_recall + prebuilt bench arm
+    "pipeline_diff_bm25_chain",  # green r12/r13; diff-chain family
+    #    keeps local oracle; incremental family via graph_cc_incremental
+    # ------------------------------------------------------------------
+    # ...then the 14 r13-singles (first driver-green r13; the same
+    # documented one-round displacement exception as r13's 10 — they
+    # are pre-named as the FRONT of the r15 tranche, staleness bound
+    # r17, see the ROUND 15 pre-naming above):
+    # ------------------------------------------------------------------
+    "multimodal_dhash_near_dup",  # green r13 (the r12 oracle-dtype
+    #    fix's proof row)
+    "multimodal_audio_fingerprint",  # green r13 (same)
+    "pipeline_diff_minhash_chain",  # green r13
+    "sketch_cm_heavy_hitters",  # green r13
+    "sketch_sample_quantiles",  # green r13
+    "curation_remove_frequent_lines",  # green r13
+    "sim_kmeans_incremental",  # green r13
+    "ingest_follows_audit",  # green r13
+    "tpch_q12_shipmode_shape",  # green r13
+    "tpch_q2_min_cost_supplier",  # green r13
+    "tpch_q9_profit",  # green r13
+    "tpch_q11_important_stock",  # green r13
+    "tpch_q16_supplier_cnt",  # green r13
+    "tpch_q20_part_promotion",  # green r13
 ]
 
 

@@ -1144,8 +1144,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Referential-integrity audit (round 13): column_profile's relational
 # sibling — per (child.fk -> parent.pk) relation: row count, NULL fks,
-# and ORPHANS via left_anti against the DISTINCT parent keys (a join
-# would double-count children under duplicated parent keys). The
+# and ORPHANS via a NULL-salted LEFT join against the DISTINCT parent
+# keys with a hit indicator feeding one aggregate (the distinct
+# pre-pass is what stops duplicated parent keys double-counting
+# children; ADVICE r13 fixed the stale 'left_anti' wording here). The
 # fixture plants orphans by shrinking the parent side (customers with
 # c_custkey % 7 = 0 "lost"), alongside the intact lineitem -> orders
 # relation as the healthy control.

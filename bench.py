@@ -93,7 +93,7 @@ BENCH_QUERIES = [
     # round 8 second batch: passage-level dedup (one digest shuffle)
     # and the exists/not-exists fact self-probe TPC-H shape.
     "dedup_shared_passages",
-    "tpch_q21_waiting_supplier_shape",
+    "tpch_q21_waiting_supplier",  # r14: promoted faithful form
     # round 8 third batch: per-chunk langid rollup and the constructed
     # PNG header probe through the Arrow mapInPandas stage.
     "text_language_consistency",
@@ -204,7 +204,7 @@ BENCH_QUERIES = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_profit",
     "tpch_q11_important_stock",
-    "tpch_q12_shipmode_shape",
+    "tpch_q12_shipmode",  # r14: promoted faithful form
     "tpch_q16_supplier_cnt",
     "tpch_q20_part_promotion",
     # round 13: the composition-safe batch MMR (one applyInPandas over
@@ -279,7 +279,73 @@ BENCH_QUERIES = [
     # round 13: as-of with staleness bound — same one-shuffle LOCF
     # window as the default arm plus the timestamp gate.
     "temporal_asof_tolerance",
+    # round 14: blocking-key recall pricing for fuzzy edit matching —
+    # brute-within-sample truth (bucket-pair equi keys) + two blocked
+    # candidate joins + the report fold.
+    "fuzzy_blocking_recall_eval",
+    # round 14 (VERDICT r13 item 3): the two inline-index dedup entries
+    # get split-phase arms against the warmup-persisted posting table —
+    # the amortized join cost a deployment pays; the composed entries
+    # above stay unchanged as the oracle-checked plans.
+    "prefix_filter_join_prebuilt",
+    "containment_probe_prebuilt",
 ]
+
+# --- bench-entry cost classes (VERDICT r13 item 7) --------------------------
+# The BASELINE.md taxonomy, mechanized: per-class subtotals let
+# cross-round drift triage start from comparable pools (class-3 sf0.1
+# numbers mean little individually — the taxonomy says so — but their
+# POOL total is stable). Class 2 = the entry pays an inline artifact
+# build a deployment amortizes (most have a *_prebuilt twin); class 3 =
+# iterative / trainer-loop / localCheckpoint-chain / mapInPandas-at-5k /
+# composed-eval-with-brute-baseline shapes whose wall clock is k fixed
+# overheads, not data. Everything else is class 1 (query-only).
+CLASS_INDEX_BUILD = {
+    "trigram_index_build",
+    "x21_inverted_index_search",
+    "dedup_lsh_incremental",
+    "text_unigram_encode",
+    "text_bpe_encode",
+    "sim_ivfpq_search",
+    "search_bm25_topk",
+    "search_rrf_fusion",
+    "pipeline_diff_bm25_chain",
+    "dedup_prefix_filter_join",
+    "dedup_containment_probe",
+}
+# (pipeline_diff_minhash_chain is a CORRECTNESS-only registry entry —
+# not benched, so it takes no class; review r14 removed its stale
+# listing here.)
+CLASS_ITERATIVE = {
+    "sim_kmeans_clusters",
+    "sim_kmeans_incremental",
+    "dedup_semantic_flags",
+    "dedup_cc_clusters",
+    "graph_cc_incremental",
+    "graph_triangle_count",
+    "j9_reply_closure",
+    "text_bpe_train_merges",
+    "text_unigram_lm_train",
+    "sim_mmr_rerank",
+    "training_pack_next_fit",
+    "multimodal_png_probe",
+    "multimodal_media_probe",
+    "dedup_lsh_recall_eval",
+    "ann_multiprobe_recall",
+    "fuzzy_blocking_recall_eval",
+}
+
+
+def class_subtotals(timings: dict) -> dict:
+    out = {"query_only": 0.0, "index_build": 0.0, "iterative": 0.0}
+    for n, t in timings.items():
+        if n in CLASS_INDEX_BUILD:
+            out["index_build"] += t
+        elif n in CLASS_ITERATIVE:
+            out["iterative"] += t
+        else:
+            out["query_only"] += t
+    return {k: round(v, 4) for k, v in out.items()}
 
 # --- split-phase bench entries ---------------------------------------------
 # The correctness registry's search_substring_trigram composes posting
@@ -448,12 +514,125 @@ def _bench_ivfpq_search_prebuilt(spark, sf_dir):
     )
 
 
+_SHINGLE_POSTINGS_STATE: dict = {}
+
+
+def _shingle_postings_prebuilt(spark, sf_dir):
+    """The deployment-shape index state for the two set-similarity
+    entries, built + persisted ONCE per sf_dir outside any timed
+    region (VERDICT r13 item 3): the prefix self-join's FULL AllPairs
+    index triple (postings, prefix, sizes — measurement showed the
+    df-ordered prefix derivation, not the raw posting table, is the
+    composed entry's fixed cost) and the containment probe's
+    PRE-CAPPED corpus postings (the stop-shingle drop is index
+    maintenance, not per-probe work). Fixtures mirror the registry
+    entries exactly."""
+    if sf_dir not in _SHINGLE_POSTINGS_STATE:
+        from pyspark.sql import functions as F
+
+        from union_indexer_node_spark import tables
+        from union_indexer_node_spark.pipelines.dedup import (
+            drop_hot_shingles,
+            prefix_filter_index,
+            shingle_postings,
+            tokens,
+        )
+
+        docs = tables.load(spark, sf_dir, "documents")
+        # prefix_filter_join fixture: evens + 4/5-truncated plants
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        t = base.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        planted = t.filter(
+            (F.col("doc_id") % 6 == 0)
+            & (F.expr("(4 * size(_toks)) div 5") >= 3)
+        ).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(
+                F.slice("_toks", 1, F.expr("(4 * size(_toks)) div 5")), " "
+            ).alias("text"),
+        )
+        corpus = base.select("doc_id", "text").unionByName(planted)
+        index = prefix_filter_index(
+            corpus, "text", "doc_id", threshold_permille=500, shingle_n=3
+        )
+        index = tuple(f.persist() for f in index)
+        for f in index:
+            f.count()
+        # containment_probe fixture: the raw documents corpus,
+        # pre-capped at the entry's hot_cap=200
+        contain_post = (
+            drop_hot_shingles(
+                shingle_postings(docs, "text", "doc_id", shingle_n=3),
+                hot_cap=200,
+            )
+            .withColumnRenamed("_id", "corpus_id")
+            .persist()
+        )
+        contain_post.count()
+        _SHINGLE_POSTINGS_STATE[sf_dir] = (corpus, index, contain_post)
+    return _SHINGLE_POSTINGS_STATE[sf_dir]
+
+
+def _bench_prefix_filter_join_prebuilt(spark, sf_dir):
+    """The exact threshold self-join against the PREBUILT AllPairs
+    index (postings + prefix + sizes) — candidate generation +
+    postings-domain verification only, the amortizable per-batch
+    cost."""
+    from union_indexer_node_spark.pipelines.dedup import prefix_filter_join
+
+    corpus, index, _ = _shingle_postings_prebuilt(spark, sf_dir)
+    return prefix_filter_join(
+        corpus,
+        "text",
+        "doc_id",
+        threshold_permille=500,
+        shingle_n=3,
+        index=index,
+    )
+
+
+def _bench_containment_probe_prebuilt(spark, sf_dir):
+    """The directed containment probe against the PREBUILT PRE-CAPPED
+    corpus postings — per-request cost only (probe explode + the
+    intersection equi-join; the stop-shingle drop happened at index
+    build), the serving shape."""
+    from pyspark.sql import functions as F
+
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.dedup import (
+        containment_probe,
+        tokens,
+    )
+
+    _, _, contain_post = _shingle_postings_prebuilt(spark, sf_dir)
+    docs = tables.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    probe = t.filter(
+        (F.col("doc_id") % 5 == 0) & (F.size("_toks") >= 12)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice("_toks", 1, 12), " ").alias("text"),
+    )
+    return containment_probe(
+        probe,
+        docs,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        min_containment_permille=600,
+        hot_cap=None,  # postings are pre-capped at build (cap 200)
+        corpus_postings=contain_post,
+    )
+
+
 EXTRA_BENCH = {
     "trigram_index_build": _bench_trigram_build,
     "search_substring_query": _bench_search_query,
     "searchfeed_bm25_query": _bench_searchfeed_bm25_query,
     "unigram_encode_prebuilt": _bench_unigram_encode_prebuilt,
     "ivfpq_search_prebuilt": _bench_ivfpq_search_prebuilt,
+    "prefix_filter_join_prebuilt": _bench_prefix_filter_join_prebuilt,
+    "containment_probe_prebuilt": _bench_containment_probe_prebuilt,
 }
 
 
@@ -628,6 +807,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 4)
+    subtotals = class_subtotals(timings)
     # detailed per-query line first (for humans / the judge reading the
     # full log) ...
     print(
@@ -650,6 +830,11 @@ def main() -> None:
                 "calibration_pre_sec": cal_pre,
                 "calibration_post_sec": cal_post,
                 "value_normalized": round(total / factor, 4),
+                # per-class subtotals (r14, VERDICT r13 item 7):
+                # cross-round drift triage starts from comparable
+                # pools — class-3 entries' individual sf0.1 numbers
+                # are fixed-overhead noise, their pool total is not
+                "class_subtotals": subtotals,
                 "queries_normalized": {
                     n: round(t / factor, 4) for n, t in timings.items()
                 },
@@ -673,6 +858,7 @@ def main() -> None:
                 "cal_pre": cal_pre,
                 "cal_post": cal_post,
                 "n_queries": len(timings),
+                "class_subtotals": subtotals,
                 "sf": sf_val,
             }
         )

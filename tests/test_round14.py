@@ -19,6 +19,90 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+SOAK_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _fingerprint(df):
+    cols = sorted(df.columns)
+    row = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return (
+        df.select(row.alias("h"))
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
+        .collect()[0][0]
+    )
+
+
+def test_stream_maintained_cc_labels_match_scratch_solve_sf01(
+    spark, tmp_path
+):
+    """VERDICT r13 item 5: cc_incremental had batch fold-equality tests
+    but no foreachBatch soak. Here the labeling is maintained ACROSS
+    MICRO-BATCHES of streamed edges (the r12/r13 soak pattern) and the
+    stream-maintained state must byte-match the from-scratch
+    connected_components solve over ALL edges — the property that makes
+    per-ingest-cycle dedup-cluster maintenance O(batch), not O(graph),
+    at 100 TB. The edge fixture is graph_cc_incremental's (events-
+    derived hashed endpoints, ~2k-node near-dense graph at sf0.1)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import (
+        cc_incremental,
+        connected_components,
+    )
+
+    edges = (
+        tables.load(spark, SOAK_SF_DIR, "events")
+        .filter(F.col("event_id") % 37 == 0)
+        .select(
+            "event_id",
+            ((F.col("user_id") * 13) % 1999).alias("a"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 1999).alias("b"),
+        )
+    )
+    src = str(tmp_path / "edges_stream")
+    for m in (0, 1, 2, 3):  # four disjoint micro-batches
+        edges.filter(F.col("event_id") % 4 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {"labels": None}
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.select("a", "b").localCheckpoint()
+        if state["labels"] is None:
+            state["labels"] = connected_components(batch, "a", "b")
+        else:
+            state["labels"] = cc_incremental(
+                state["labels"], batch, "a", "b"
+            )
+        state["labels"] = state["labels"].localCheckpoint()
+
+    q = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # awaitTermination returns False on timeout WITHOUT raising — a
+    # silent partial fold would fail later with a baffling fingerprint
+    # mismatch (review r14)
+    assert q.awaitTermination(600)
+
+    scratch = connected_components(edges.select("a", "b"), "a", "b")
+    assert _fingerprint(state["labels"]) == _fingerprint(scratch)
+    # a REPLAYED micro-batch is absorbed: folding already-merged edges
+    # finds every endpoint labeled with its (shared) min, so the
+    # super-node graph is all self-loops and the labeling is unchanged
+    # — at-least-once delivery cannot corrupt the store
+    replayed = cc_incremental(
+        state["labels"],
+        edges.filter(F.col("event_id") % 4 == 2).select("a", "b"),
+        "a",
+        "b",
+    )
+    assert _fingerprint(replayed) == _fingerprint(state["labels"])
+
 
 class TestCanonicalUrlTrackingParams:
     def test_mixed_case_and_valueless_params_scrubbed(self, spark):
@@ -59,6 +143,372 @@ class TestWeightedBottomkContract:
         rows = out.collect()
         assert len(rows) == 5
         assert all(r["_wk"] is not None and r["_wk"] <= 0.0 for r in rows)
+
+
+class TestFuzzyBlockingRecall:
+    """fuzzy_blocking_recall (pipelines/dedup.py) — VERDICT r13 item 6.
+
+    The whole protocol (brute truth, token-window blocking, sorted-
+    neighborhood blocking, per-strategy report) is replicated in pure
+    Python on a fixture that plants both mutant classes plus the edge
+    shapes (short docs with an empty block key, exact duplicates,
+    natural near-misses beyond the edit bound)."""
+
+    MAX_EDITS = 4
+    W = 4
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    @classmethod
+    def _toks(cls, t: str) -> list[str]:
+        import re
+
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    @classmethod
+    def _expected(cls, rows):
+        truth = set()
+        ids = sorted(i for i, _ in rows)
+        by_id = dict(rows)
+        for x in ids:
+            for y in ids:
+                if x < y and cls._lev(by_id[x], by_id[y]) <= cls.MAX_EDITS:
+                    truth.add((x, y))
+        n = len(ids)
+        # token-window candidates
+        tw = set()
+        blk = {i: " ".join(cls._toks(t)[1:5]) for i, t in rows}
+        for x in ids:
+            for y in ids:
+                if x < y and blk[x] == blk[y]:
+                    tw.add((x, y))
+        # sorted-neighborhood candidates
+        order = sorted(ids, key=lambda i: (" ".join(cls._toks(by_id[i])), i))
+        snm = set()
+        for r, x in enumerate(order):
+            for d in range(1, cls.W):
+                if r + d < len(order):
+                    y = order[r + d]
+                    snm.add((min(x, y), max(x, y)))
+        return {
+            "brute_truth": (len(truth), n * (n - 1) // 2, len(truth)),
+            "token_window": (len(truth), len(tw), len(tw & truth)),
+            "sorted_neighborhood": (len(truth), len(snm), len(snm & truth)),
+        }
+
+    def test_matches_pure_python_replay(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import (
+            fuzzy_blocking_recall,
+        )
+
+        rows = []
+        for i in range(25):
+            t = (
+                f"token{i % 11} alpha bravo{i % 3} charlie delta "
+                f"echo{i} foxtrot golf"
+            )
+            rows.append((i, t))
+            if i % 5 == 0:
+                rows.append((100 + i, t[1:]))  # head mutant (1 edit)
+            if i % 5 == 1:
+                # in-window mutant: substitution inside tokens 2..5
+                rows.append((200 + i, t[:12] + "XY" + t[14:]))
+        rows.append((300, "tiny"))  # <2 tokens: empty block key
+        rows.append((301, "tiny"))  # exact duplicate of it
+        rows.append((302, rows[0][1] + " completely different tail text"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["strategy"]: (r["n_true"], r["n_candidates"], r["n_matched"])
+            for r in fuzzy_blocking_recall(
+                df, "text", "doc_id",
+                max_edits=self.MAX_EDITS, snm_window=self.W,
+            ).collect()
+        }
+        exp = self._expected(rows)
+        assert got == exp
+        # the fixture must actually exercise the trade: some true pairs,
+        # and neither strategy at full recall
+        assert exp["brute_truth"][0] > 0
+        assert exp["token_window"][2] < exp["brute_truth"][0]
+        assert exp["sorted_neighborhood"][2] < exp["brute_truth"][0]
+
+    def test_zero_match_strategy_and_empty_truth_keep_their_rows(
+        self, spark
+    ):
+        """Review r14: a strategy with zero verified pairs (or an
+        entirely empty truth set) must still emit its report row —
+        the oracle's aggregate branches always do. Fixture: three
+        wildly different docs (no true pairs at max_edits=4, no
+        shared block keys)."""
+        from union_indexer_node_spark.pipelines.dedup import (
+            fuzzy_blocking_recall,
+        )
+
+        rows = [
+            (1, "alpha bravo charlie delta echo"),
+            (2, "zulu yankee xray whiskey victor uniform tango"),
+            (3, "one two three four five six seven eight nine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["strategy"]: r
+            for r in fuzzy_blocking_recall(df, "text", "doc_id").collect()
+        }
+        assert set(out) == {
+            "brute_truth",
+            "token_window",
+            "sorted_neighborhood",
+        }
+        for r in out.values():
+            assert r["n_true"] == 0 and r["n_matched"] == 0
+            assert r["recall_permille"] == 0  # no ANSI div-by-zero
+        assert out["brute_truth"]["n_candidates"] == 3  # C(3,2)
+
+    def test_snm_window_does_not_move_token_window_arm(self, spark):
+        """Review r14: the token-window width is its own knob — tuning
+        snm_window must leave the token_window row untouched."""
+        from union_indexer_node_spark.pipelines.dedup import (
+            fuzzy_blocking_recall,
+        )
+
+        rows = [
+            (i, f"alpha bravo charlie{i % 2} delta echo foxtrot{i}")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def tw_row(**kw):
+            return next(
+                (r["n_candidates"], r["n_matched"])
+                for r in fuzzy_blocking_recall(
+                    df, "text", "doc_id", **kw
+                ).collect()
+                if r["strategy"] == "token_window"
+            )
+
+        assert tw_row(snm_window=2) == tw_row(snm_window=8) == tw_row()
+
+    def test_recall_permille_arithmetic(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import (
+            fuzzy_blocking_recall,
+        )
+
+        rows = [(i, f"w{i // 2} aa bb cc dd") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in fuzzy_blocking_recall(df, "text", "doc_id").collect():
+            assert (
+                r["recall_permille"]
+                == 1000 * r["n_matched"] // r["n_true"]
+            )
+
+
+class TestPrebuiltPostingsEquality:
+    """VERDICT r13 item 3: the split-phase arms must return byte-equal
+    results to the composed plans — the prebuilt posting table is a
+    pure factoring of the inline shingle pass, never a semantic
+    change."""
+
+    def test_prefix_filter_join_prebuilt_equals_composed(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import (
+            prefix_filter_join,
+            shingle_postings,
+        )
+
+        rows = [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (2, "alpha bravo charlie delta echo foxtrot golf"),
+            (3, "zulu yankee xray whiskey victor uniform"),
+            (4, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+            (5, "one two three"),
+        ]
+        from union_indexer_node_spark.pipelines.dedup import (
+            prefix_filter_index,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        composed = sorted(
+            map(tuple, prefix_filter_join(df, "text", "doc_id").collect())
+        )
+        post = shingle_postings(df, "text", "doc_id").persist()
+        post.count()
+        via_postings = sorted(
+            map(
+                tuple,
+                prefix_filter_join(
+                    df, "text", "doc_id", postings=post
+                ).collect(),
+            )
+        )
+        index = tuple(
+            f.persist()
+            for f in prefix_filter_index(df, "text", "doc_id")
+        )
+        for f in index:
+            f.count()
+        via_index = sorted(
+            map(
+                tuple,
+                prefix_filter_join(
+                    df, "text", "doc_id", index=index
+                ).collect(),
+            )
+        )
+        post.unpersist()
+        for f in index:
+            f.unpersist()
+        assert via_postings == composed and composed  # non-vacuous
+        assert via_index == composed
+
+    def test_containment_probe_prebuilt_equals_composed(self, spark):
+        from union_indexer_node_spark.pipelines.dedup import (
+            containment_probe,
+            shingle_postings,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+                (2, "unrelated words entirely different content here"),
+            ],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(10, "alpha bravo charlie delta echo")],
+            "doc_id long, text string",
+        )
+        composed = sorted(
+            map(
+                tuple,
+                containment_probe(probe, corpus, "text", "doc_id").collect(),
+            )
+        )
+        from union_indexer_node_spark.pipelines.dedup import (
+            drop_hot_shingles,
+        )
+
+        post = (
+            shingle_postings(corpus, "text", "doc_id")
+            .withColumnRenamed("_id", "corpus_id")
+            .persist()
+        )
+        post.count()
+        prebuilt = sorted(
+            map(
+                tuple,
+                containment_probe(
+                    probe, corpus, "text", "doc_id", corpus_postings=post
+                ).collect(),
+            )
+        )
+        # the deployment shape: pre-capped postings + hot_cap=None
+        # (default cap is 200; this tiny corpus is untouched by it,
+        # so the pre-capped path must be byte-equal to composed)
+        capped = drop_hot_shingles(post, hot_cap=200).persist()
+        capped.count()
+        precapped = sorted(
+            map(
+                tuple,
+                containment_probe(
+                    probe,
+                    corpus,
+                    "text",
+                    "doc_id",
+                    hot_cap=None,
+                    corpus_postings=capped,
+                ).collect(),
+            )
+        )
+        post.unpersist()
+        capped.unpersist()
+        assert prebuilt == composed and composed  # non-vacuous
+        assert precapped == composed
+
+
+class TestPrebuiltPostingsPlan:
+    def test_prebuilt_prefix_join_reads_cache_and_skips_eager_build(
+        self, spark
+    ):
+        """The split-phase arm's point is WHEN the shingle build is
+        paid: the composed call pays it eagerly at plan-build time
+        (the internal localCheckpoint — downstream plan reads
+        ExistingRDD), the prebuilt call must pay NOTHING at call time
+        — its plan reads the caller-persisted InMemoryTableScan and
+        contains no checkpoint RDD of its own. (The tokenizer string
+        still appears inside the InMemoryTableScan's cached-relation
+        description — that is the cache's provenance, not work the
+        query re-does.)"""
+        from union_indexer_node_spark.pipelines.dedup import (
+            prefix_filter_join,
+            shingle_postings,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"alpha bravo charlie{i % 3} delta echo foxtrot")
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        post = shingle_postings(df, "text", "doc_id").persist()
+        post.count()
+        sc = spark.sparkContext
+        try:
+            sc.setJobGroup("r14_prebuilt_call", "prebuilt ctor")
+            prebuilt = prefix_filter_join(
+                df, "text", "doc_id", postings=post
+            )
+            sc.setJobGroup("r14_composed_call", "composed ctor")
+            prefix_filter_join(df, "text", "doc_id")
+            sc.setJobGroup("r14_done", "")
+            tracker = sc.statusTracker()
+            # constructing the prebuilt plan runs ZERO Spark jobs (no
+            # eager checkpoint); the composed ctor pays the shingle
+            # build eagerly (localCheckpoint => >=1 job at call time)
+            assert tracker.getJobIdsForGroup("r14_prebuilt_call") == []
+            assert len(tracker.getJobIdsForGroup("r14_composed_call")) >= 1
+            plan = prebuilt._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan  # cache actually consumed
+        finally:
+            sc.setJobGroup("", "")
+            post.unpersist()
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_WORDS = ["alpha", "bravo", "charlie", "delta", "a1", "x"]
+_fuzz_doc = st.lists(st.sampled_from(_FUZZ_WORDS), max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_fuzz_doc, min_size=2, max_size=10))
+def test_fuzzy_blocking_recall_matches_python_reference(spark, texts):
+    """Property fuzz: the whole report (all three strategies, all
+    columns) equals the pure-Python protocol replay on random small
+    corpora from a collision-prone vocabulary — duplicates, empty
+    docs, shared block keys, and rank ties all arise naturally."""
+    from union_indexer_node_spark.pipelines.dedup import (
+        fuzzy_blocking_recall,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["strategy"]: (r["n_true"], r["n_candidates"], r["n_matched"])
+        for r in fuzzy_blocking_recall(df, "text", "doc_id").collect()
+    }
+    assert got == TestFuzzyBlockingRecall._expected(rows)
 
 
 class TestAsofMtsGuard:

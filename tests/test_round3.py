@@ -19,64 +19,61 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # r13 rotation (VERDICT r12 items 1/3/8; arithmetic documented at
-    # queries.py:_DEPRIORITIZED "ROUND 13 ROTATION"): the two zero-green
-    # multimodal entries proving the oracle BIGINT-cast fix
-    "multimodal_dhash_near_dup",
-    "multimodal_audio_fingerprint",
-    # the 30 r8-era staleness re-entries
-    "social_feed_by_app",
-    "f2_f3_f5_filter_combo",
-    "a1_trending_tags",
-    "w1_leaderboard_rank",
-    "w4_feed_pagination",
-    "j4_follower_feed",
-    "j9_reply_closure",
-    "a9_mention_notifications",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
-    "sim_ivf_topk_label",
-    "sim_pairwise_cosine",
-    "text_language_id",
-    "text_fingerprint",
-    "o2_a8_trending_feed_payout",
-    "a6_sign_counts_higher_order",
-    "j11_chain_state_enrichment",
-    "setop_union_sources",
-    "temporal_asof_join",
-    "dedup_cc_clusters",
-    "stream_windowed_counts_batch_equivalence",
-    "pipeline_training_prep",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "w5_scd2_history",
-    # the 12 never-driver-checked r12 tail-borns (item 3 done-criterion;
-    # q2/q9/q11/q16/q20 under their promoted faithful names)
-    "pipeline_diff_minhash_chain",
-    "sketch_cm_heavy_hitters",
-    "sketch_sample_quantiles",
-    "curation_remove_frequent_lines",
-    "sim_kmeans_incremental",
-    "ingest_follows_audit",
-    "tpch_q12_shipmode_shape",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_part_promotion",
-    # the 6 re-confirmation keeps (operators changing in r13 items 6/7,
-    # the two heaviest chains, the tracked KMV upgrade)
-    "search_bm25_topk",
-    "sim_mmr_rerank",
-    "pipeline_diff_bm25_chain",
-    "sim_ivfpq_search",
-    "a_approx_distinct_users",
-    "search_bm25_index_incremental",
+    # r14 rotation (VERDICT r13 item 1; arithmetic documented at
+    # queries.py:_DEPRIORITIZED "ROUND 14 ROTATION"): the 10 displaced
+    # r12-born singles (driver-green r12 only)
+    "text_unigram_encode",
+    "text_unicode_scrub",
+    "text_gopher_quality_gate",
+    "pipeline_ccnet_buckets",
+    "training_contamination_report",
+    "graph_pagerank_quantized",
+    "pipeline_corpus_diff",
+    "curation_dedup_lines_within_doc",
+    "stream_bm25_index_incremental",
+    "feeds_decayed_trending",
+    # the 24 never-driver-checked r13-borns
+    "sim_mmr_rerank_batch",
+    "sketch_kmv_source_overlap",
+    "graph_cc_incremental",
+    "curation_keyword_tag",
+    "curation_ngram_novelty",
+    "layout_hilbert_key",
+    "dedup_lsh_recall_eval",
+    "training_rendezvous_shard",
+    "temporal_gap_fill",
+    "graph_triangle_count",
+    "sketch_hll_distinct",
+    "curation_url_dedup",
+    "text_token_entropy",
+    "ann_multiprobe_recall",
+    "training_cluster_split",
+    "temporal_ohlc_rollup",
+    "dedup_containment_probe",
+    "sample_weighted_reservoir",
+    "quality_referential_audit",
+    "dedup_prefix_filter_join",
+    "dedup_fuzzy_edit_match",
+    "sketch_hll_rollup",
+    "pipeline_source_scorecard",
+    "temporal_asof_tolerance",
+    # the 16 r9-era staleness re-entries (4 youngest deferred to r15)
+    "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority",
+    "dedup_exact",
+    "dedup_simhash",
+    "f1_tag_membership",
+    "j1_children_join",
+    "sim_cosine_topk",
+    "text_quality_features",
+    "text_bpe_token_count",
+    "ann_lsh_topk",
+    "training_token_budget",
+    "sim_truncate_renorm",
+    "text_lm_quality_sampled",
+    "sim_kmeans_clusters",
+    "j4_follower_feed_did",
+    "temporal_time_rollup",
 ]
 
 

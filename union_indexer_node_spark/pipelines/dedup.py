@@ -1332,7 +1332,8 @@ def containment_probe(
     *,
     shingle_n: int = 3,
     min_containment_permille: int = 600,
-    hot_cap: int = 200,
+    hot_cap: int | None = 200,
+    corpus_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Directed asymmetric near-dup detection: for each PROBE document,
     find corpus documents that CONTAIN it — containment(A in B) =
@@ -1352,21 +1353,23 @@ def containment_probe(
     the threshold is applied after the division, integer permille.
     Probe-side shingle sizes are counted BEFORE the cap so the
     denominator is honest.
+
+    ``corpus_postings``: optionally pass the corpus posting table —
+    a DISTINCT (corpus_id, _sh) frame, e.g. built once by
+    ``shingle_postings`` and persisted — and the inline corpus
+    shingle pass is skipped entirely. This is the deployment shape
+    (the index is maintained across ingest cycles, bm25_index-style);
+    the probe-side explode stays inline because it IS the per-request
+    cost. A deployment's stored postings are PRE-CAPPED (the
+    stop-shingle drop is index maintenance, not per-probe work) —
+    pass ``hot_cap=None`` with such a frame to skip the per-call
+    df-count + anti-join. The composed default remains the
+    oracle-checked plan.
     """
     def _sh(frame: DataFrame, out_id: str) -> DataFrame:
-        return (
-            frame.select(
-                F.col(id_col).alias(out_id),
-                tokens(F.col(text_col)).alias("_toks"),
-            )
-            .select(
-                out_id,
-                F.explode(
-                    shingles_from_tokens(F.col("_toks"), shingle_n)
-                ).alias("_sh"),
-            )
-            .distinct()
-        )
+        return shingle_postings(
+            frame, text_col, id_col, shingle_n=shingle_n
+        ).withColumnRenamed("_id", out_id)
 
     # probe postings are read twice (sizes + the join) and the probe
     # side is small by contract — materialize once. Corpus postings
@@ -1378,18 +1381,15 @@ def containment_probe(
     sizes = sh_p.groupBy("probe_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_probe_shingles")
     )
-    sh_c = _sh(corpus, "corpus_id")
-    hot = (
-        sh_c.groupBy("_sh")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > hot_cap)
-        .select("_sh")
+    sh_c = (
+        corpus_postings.select(F.col("corpus_id"), F.col("_sh"))
+        if corpus_postings is not None
+        else _sh(corpus, "corpus_id")
     )
-    # NO broadcast hint: the stop-shingle set grows with vocabulary
-    # (web-scale corpora push it past driver memory) — let Catalyst
-    # pick the join strategy from its size stats (review r13; the
-    # lsh_candidates bucket cap makes the same call)
-    cold = sh_c.join(hot, "_sh", "left_anti")
+    if hot_cap is None:
+        cold = sh_c  # caller supplied pre-capped postings
+    else:
+        cold = drop_hot_shingles(sh_c, hot_cap=hot_cap)
     shared = (
         sh_p.join(cold, "_sh")
         .filter(F.col("probe_id") != F.col("corpus_id"))
@@ -1415,6 +1415,104 @@ def containment_probe(
     )
 
 
+def shingle_postings(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """The DISTINCT (id, shingle) posting table both set-similarity
+    joins consume — exposed so a deployment can build/persist it once
+    per corpus cut (or maintain it incrementally, bm25_index-style)
+    and amortize it across every probe and self-join, instead of
+    paying the tokenize/shingle/explode pass inside each call
+    (VERDICT r13 item 3). Column names are the operators' contract:
+    ``_id`` for prefix_filter_join's ``postings=``; rename ``_id`` to
+    ``corpus_id`` for containment_probe's ``corpus_postings=``."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                shingles_from_tokens(F.col("_toks"), shingle_n)
+            ).alias("_sh"),
+        )
+        .distinct()
+    )
+
+
+def drop_hot_shingles(postings: DataFrame, *, hot_cap: int) -> DataFrame:
+    """Drop shingles appearing in more than ``hot_cap`` documents from
+    a posting table (any schema with a ``_sh`` column): stop-shingles
+    pair everything with everything and carry no identity signal. In
+    deployment this runs at INDEX MAINTENANCE time — the stored
+    postings are pre-capped, and per-probe calls pass hot_cap=None.
+    NO broadcast hint on the hot set: it grows with vocabulary
+    (web-scale corpora push it past driver memory) — let Catalyst
+    pick the join strategy from its size stats (review r13; the
+    lsh_candidates bucket cap makes the same call)."""
+    hot = (
+        postings.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > hot_cap)
+        .select("_sh")
+    )
+    return postings.join(hot, "_sh", "left_anti")
+
+
+def prefix_filter_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold_permille: int = 500,
+    shingle_n: int = 3,
+    postings: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The AllPairs index triple (postings, prefix, sizes) that
+    prefix_filter_join consumes — exposed as a first-class build step
+    (bm25_index-style) because measurement showed the PREFIX
+    derivation, not the raw posting table, is the composed join's
+    fixed cost: document-frequency + per-doc size aggregates plus a
+    per-doc row_number over the df-rarity order. A deployment
+    maintains this triple per corpus cut (the prefix depends on the
+    serving threshold, like any index depends on its parameters) and
+    pays only the candidate join + verification per batch. The
+    threshold baked into ``prefix`` must match the join's —
+    prefix_filter_join(index=...) trusts the caller on this.
+
+    ``postings``: reuse an existing DISTINCT (_id, _sh) frame instead
+    of re-deriving it (skips the tokenize/shingle pass).
+    """
+    t = threshold_permille
+    # materialize the postings ONCE: prefix selection, sizes, df and
+    # the verification joins all read this frame — recomputing the
+    # tokenize/shingle/explode lineage three times costs more than the
+    # whole join tree
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(
+            df, text_col, id_col, shingle_n=shingle_n
+        ).localCheckpoint()
+    )
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy("_df", "_sh")
+    prefix = (
+        sh.join(dfreq, "_sh")
+        .withColumn("_r", F.row_number().over(w))
+        .join(sizes, "_id")
+        # prefix length n - ceil(t*n/1000) + 1; ceil via (x+999) div 1000
+        .filter(
+            F.col("_r")
+            <= F.col("_n") - F.expr(f"({t} * _n + 999) div 1000") + 1
+        )
+        .select("_id", "_sh")
+    )
+    return sh, prefix, sizes
+
+
 def prefix_filter_join(
     df: DataFrame,
     text_col: str,
@@ -1422,6 +1520,8 @@ def prefix_filter_join(
     *,
     threshold_permille: int = 500,
     shingle_n: int = 3,
+    postings: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (Bayardo et
     al.'s AllPairs / the PPJoin candidate rule): every pair of
@@ -1444,37 +1544,32 @@ def prefix_filter_join(
     The exactness claim is enforced, not asserted: the registry
     oracle computes ALL-PAIRS Jaccard independently and the property
     test brute-forces random fixtures.
+
+    ``postings``: optionally pass the prebuilt DISTINCT (_id, _sh)
+    posting table (``shingle_postings``, persisted by the caller) and
+    the inline shingle pass + localCheckpoint are skipped.
+    ``index``: optionally pass the FULL prebuilt index triple from
+    ``prefix_filter_index`` — (postings, prefix, sizes), persisted by
+    the caller — and the call is candidate join + verification only,
+    the true amortizable per-batch cost. Measured at sf0.1: the
+    posting table alone is NOT the composed entry's cost center — the
+    df-ordered prefix selection (two aggregates + a per-doc
+    row_number) is — so a deployment's AllPairs index is the prefix
+    table, exactly what this parameter carries (VERDICT r13 item 3;
+    the composed default remains the oracle-checked plan).
     """
     t = threshold_permille
-    # materialize the postings ONCE: prefix selection, sizes, df and
-    # the verification joins all read this frame — recomputing the
-    # tokenize/shingle/explode lineage three times costs more than the
-    # whole join tree
-    sh = (
-        df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            "_id",
-            F.explode(
-                shingles_from_tokens(F.col("_toks"), shingle_n)
-            ).alias("_sh"),
+    if index is not None:
+        sh, prefix, sizes = index
+    else:
+        sh, prefix, sizes = prefix_filter_index(
+            df,
+            text_col,
+            id_col,
+            threshold_permille=t,
+            shingle_n=shingle_n,
+            postings=postings,
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy("_id").orderBy("_df", "_sh")
-    prefix = (
-        sh.join(dfreq, "_sh")
-        .withColumn("_r", F.row_number().over(w))
-        .join(sizes, "_id")
-        # prefix length n - ceil(t*n/1000) + 1; ceil via (x+999) div 1000
-        .filter(
-            F.col("_r")
-            <= F.col("_n") - F.expr(f"({t} * _n + 999) div 1000") + 1
-        )
-        .select("_id", "_sh")
-    )
     cand = (
         prefix.alias("p1")
         .join(prefix.alias("p2"), "_sh")
@@ -1571,4 +1666,234 @@ def fuzzy_edit_match(
         pairs.select("a", "b", dist.alias("edit_distance"))
         .filter(F.col("edit_distance") >= 0)  # -1 = beyond threshold
         .select("a", "b", F.col("edit_distance").cast("long"))
+    )
+
+
+def fuzzy_blocking_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_edits: int = 4,
+    snm_window: int = 4,
+    token_window_width: int = 4,
+    brute_buckets: int = 8,
+) -> DataFrame:
+    """Measured recall of two BLOCKING-KEY strategies for fuzzy edit
+    matching against brute-force-within-sample ground truth — the
+    fuzzy-match family's pricing eval (VERDICT r13 item 6: fuzzy_
+    edit_match is exact WITHIN blocks, but its recall IS the blocking
+    key, and nothing measured that trade the way ann_multiprobe_recall
+    prices LSH rings). One row per strategy:
+    (strategy, n_true, n_candidates, n_matched, recall_permille).
+
+    Strategies under evaluation (both verified with the same banded
+    thresholded levenshtein + |len|-delta prune as fuzzy_edit_match):
+    - ``token_window``: block on tokens[2..5] joined — survives edits
+      OUTSIDE the window (head/tail typos), blind to edits inside it;
+    - ``sorted_neighborhood``: classic SNM — global sort by the
+      token-normalized text, compare each record to its ``snm_window``
+      rank neighbors. Survives edits that preserve the sort prefix,
+      blind to first-character damage (which teleports the record).
+    The ``brute_truth`` row rides along (recall 1000 by construction)
+    so the report carries its own denominator.
+
+    Ground truth is exact ALL-PAIRS over the caller's sample, but
+    never a Cartesian plan: docs hash into ``brute_buckets`` buckets
+    and each unordered bucket pair (i <= j) becomes an EQUI-join key —
+    the left side emits keys {(b, j): j >= b}, the right side
+    {(i, b): i <= b}, so a cross-bucket pair meets exactly once with
+    the lower bucket on the left, and same-bucket pairs are deduped by
+    the id order filter. Work is |sample|^2 / 2 spread over
+    ~buckets^2/2 reducer keys — the documented eval cost (run it on a
+    sample, as every recall eval here; brute_topk_batch documents the
+    same contract). The SNM rank is one GLOBAL window — eval-scale
+    only, which is exactly this operator's scope.
+    """
+    w = snm_window
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).localCheckpoint()
+
+    def _verified(pairs: DataFrame) -> DataFrame:
+        """(a,b,_ta,_tb,_la,_lb) -> true pairs under the edit bound."""
+        return (
+            pairs.filter(F.abs(F.col("_la") - F.col("_lb")) <= max_edits)
+            .filter(
+                F.levenshtein(F.col("_ta"), F.col("_tb"), max_edits) >= 0
+            )
+            .select("a", "b")
+        )
+
+    # --- brute truth via bucket-pair equi keys --------------------------
+    b = F.pmod(F.col("_id"), F.lit(brute_buckets))
+    left = keyed.select(
+        F.col("_id").alias("a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+        b.alias("_ba"),
+        F.explode(
+            F.sequence(b, F.lit(brute_buckets - 1))
+        ).alias("_j"),
+    ).withColumn("_pk", F.col("_ba") * brute_buckets + F.col("_j"))
+    right = keyed.select(
+        F.col("_id").alias("b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+        b.alias("_bb"),
+        F.explode(F.sequence(F.lit(0), b)).alias("_i"),
+    ).withColumn("_pk", F.col("_i") * brute_buckets + F.col("_bb"))
+    brute_pairs = (
+        left.join(right, "_pk")
+        # cross-bucket pairs meet exactly once (lower bucket left);
+        # same-bucket keys produce both orders + self-pairs -> id order
+        .filter((F.col("_ba") != F.col("_bb")) | (F.col("a") < F.col("b")))
+    )
+    truth = _verified(brute_pairs).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    )
+
+    # --- strategy 1: token-window blocking key --------------------------
+    # the token-window width is its OWN knob (review r14: reusing
+    # snm_window here silently coupled the two strategies — tuning the
+    # SNM arm would have moved the token_window row's numbers)
+    blk = F.array_join(
+        F.slice(F.col("_toks"), 2, token_window_width), " "
+    )
+    ka = keyed.select(
+        blk.alias("_blk"),
+        F.col("_id").alias("a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    kb = keyed.select(
+        blk.alias("_blk"),
+        F.col("_id").alias("b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    tw_pairs = ka.join(kb, "_blk").filter(F.col("a") < F.col("b"))
+
+    # --- strategy 2: sorted neighborhood --------------------------------
+    rank_w = Window.orderBy(
+        F.array_join(F.col("_toks"), " "), F.col("_id")
+    )
+    ranked = keyed.withColumn("_rk", F.row_number().over(rank_w))
+    g = F.floor((F.col("_rk") - 1) / w)
+    sa = ranked.select(
+        F.col("_id").alias("a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+        F.col("_rk").alias("_ra"),
+        # ONLY this side explodes into its own block and the next: a
+        # pair within w-1 ranks has its higher member in the same or
+        # next block, so it meets exactly once — the reverse-role meet
+        # is killed by the _rb > _ra filter below
+        F.explode(F.array(g, g + 1)).alias("_g"),
+    )
+    sb = ranked.select(
+        F.col("_id").alias("b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+        F.col("_rk").alias("_rb"),
+        g.alias("_g"),
+    )
+    snm_pairs = (
+        sa.join(sb, "_g")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= w - 1)
+        )
+    )
+
+    # --- fold to the per-strategy report --------------------------------
+    # a blocked pair that survives the edit bound IS a truth member, so
+    # the semi-join against truth is the verification — no second
+    # levenshtein pass per strategy
+    tagged = (
+        truth.select(F.lit("brute_truth").alias("strategy"), "a", "b")
+        .unionByName(
+            tw_pairs.select(
+                F.lit("token_window").alias("strategy"), "a", "b"
+            ).join(truth, ["a", "b"], "left_semi")
+        )
+        .unionByName(
+            snm_pairs.select(
+                F.lit("sorted_neighborhood").alias("strategy"),
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            ).join(truth, ["a", "b"], "left_semi")
+        )
+    )
+    # candidate VOLUME (pre-verify cost) is aggregated separately — the
+    # tagged frame above holds only verified-true matches
+    cand_counts = (
+        tw_pairs.select(F.lit("token_window").alias("strategy"))
+        .unionByName(
+            snm_pairs.select(F.lit("sorted_neighborhood").alias("strategy"))
+        )
+        .unionByName(
+            brute_pairs.select(F.lit("brute_truth").alias("strategy"))
+        )
+        .groupBy("strategy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    # the report contract is EXACTLY one row per strategy, even when a
+    # strategy (or the brute truth itself) produces zero pairs — an
+    # empty group vanishes from both groupBys above, so the row set is
+    # anchored on this literal frame (review r14; the oracle's
+    # aggregate-without-GROUP-BY branches always emit their row)
+    strategies = df.sparkSession.createDataFrame(
+        [("brute_truth",), ("token_window",), ("sorted_neighborhood",)],
+        "strategy string",
+    )
+    matched = tagged.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    all_w = Window.partitionBy()
+    # LEFT joins FROM the literal strategy anchor: a strategy whose
+    # blocking catches ZERO pairs has no rows in `tagged` (or even in
+    # `cand_counts`) and would silently vanish from an inner join —
+    # the report contract is one row per strategy regardless (review
+    # r14). n_true coalesces to 0 for the same reason (empty truth
+    # set), and recall is gated on n_true > 0 before the integer
+    # division (ANSI div raises on zero).
+    return (
+        strategies.join(cand_counts, "strategy", "left")
+        .join(matched, "strategy", "left")
+        .withColumn(
+            "n_candidates",
+            F.coalesce("n_candidates", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_matched", F.coalesce("n_matched", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_true",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("strategy") == "brute_truth",
+                        F.col("n_matched"),
+                    )
+                ).over(all_w),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(
+            "strategy",
+            "n_true",
+            "n_candidates",
+            "n_matched",
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("(1000 * n_matched) div n_true"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_permille"),
+        )
     )

@@ -2391,26 +2391,29 @@ ORACLES["multimodal_png_probe"] = (
     """
 )
 
-ORACLES["tpch_q21_waiting_supplier_shape"] = (
-"""
+# Q21 faithful (r14): the spec's late test (receipt > commit) over the
+# derived lineitem_ext relation; nation pin is the fixture parameter.
+ORACLES["tpch_q21_waiting_supplier"] = (
+f"""
+    WITH {tables.LINEITEM_EXT_CTE.strip()}
     SELECT s.s_name, COUNT(*) AS numwait
     FROM supplier s
-    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN lineitem_ext l1 ON s.s_suppkey = l1.l_suppkey
     JOIN orders o ON o.o_orderkey = l1.l_orderkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     WHERE o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l1.l_receiptdate > l1.l_commitdate
       AND n.n_name = 'NATION_3'
-      AND EXISTS (SELECT 1 FROM lineitem l2
+      AND EXISTS (SELECT 1 FROM lineitem_ext l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      AND NOT EXISTS (SELECT 1 FROM lineitem_ext l3
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                        AND l3.l_receiptdate > l3.l_commitdate)
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
-    LIMIT 10
+    LIMIT 100
     """
 )
 

@@ -502,12 +502,14 @@ def ingest_follows_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H completion block (round 12, all BORN IN TAIL — r13+): the six
 # query shapes the relational-depth suite was missing (Q2/Q9/Q11/Q12/
 # Q16/Q20). The testdata has no PARTSUPP table and lineitem carries no
-# shipmode/commit/receipt dates, so Q12 adapts its mode column and the
-# partsupp-dependent five adapt their cost/stock source to lineitem —
-# each entry is named *_shape and documents its substitution (the
-# tpch_q21_waiting_supplier_shape precedent). All arithmetic is
-# integer-exact (cents + whole-quantity quantization, the _CENTS /
-# _DISC_PCT discipline of the rest of the suite).
+# shipmode/commit/receipt dates; r13 promoted Q2/Q9/Q11/Q16/Q20 to
+# faithful forms over the derived `partsupp` relation, and r14
+# promoted Q12 (and Q21 in queries.py) to faithful forms over the
+# derived `lineitem_ext` relation (tables.py) — closing VERDICT r12
+# item 8 / r13 item 4: no *_shape adaptations remain in the suite.
+# All arithmetic is integer-exact (cents + whole-quantity
+# quantization, the _CENTS / _DISC_PCT discipline of the rest of the
+# suite).
 # ---------------------------------------------------------------------------
 
 _QTY = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
@@ -528,28 +530,45 @@ def _disc_col():
     return F.round(F.col("l_discount") * 100, 0).cast("long")
 
 
-# Q12 shape — shipmode priority: conditional aggregation after an
-# order join; ship_mode derived from l_linenumber parity (no
-# l_shipmode column exists).
+# Q12 FAITHFUL (promoted from the r12 linenumber-parity `_shape` in
+# round 14, VERDICT r13 item 4, over the derived `lineitem_ext`
+# relation — tables.lineitem_ext adds l_shipmode/l_commitdate/
+# l_receiptdate with deterministic key arithmetic both engines
+# reproduce bit-for-bit, the partsupp move applied to the fact). Full
+# Q12 semantics: two pinned ship modes, the late-commit chain
+# l_shipdate < l_commitdate < l_receiptdate, a one-year receipt-date
+# window, and the URGENT/HIGH split.
 @q(
-    "tpch_q12_shipmode_shape",
-    """
-    SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'AIR' ELSE 'MAIL' END
-             AS ship_mode,
+    "tpch_q12_shipmode",
+    f"""
+    WITH {tables.LINEITEM_EXT_CTE.strip()}
+    SELECT l_shipmode,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    FROM lineitem_ext JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_receiptdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1 ORDER BY 1
     """,
 )
-def tpch_q12_shipmode_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (
+            F.col("l_receiptdate")
+            >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_receiptdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
     )
     o = tables.load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
@@ -557,20 +576,15 @@ def tpch_q12_shipmode_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, "l_orderkey")
-        .select(
-            F.when(F.col("l_linenumber") % 2 == 0, "AIR")
-            .otherwise("MAIL")
-            .alias("ship_mode"),
-            hi.cast("long").alias("_hi"),
-        )
-        .groupBy("ship_mode")
+        .select("l_shipmode", hi.cast("long").alias("_hi"))
+        .groupBy("l_shipmode")
         .agg(
             F.sum("_hi").cast("long").alias("high_line_count"),
             (F.count(F.lit(1)) - F.sum("_hi"))
             .cast("long")
             .alias("low_line_count"),
         )
-        .orderBy("ship_mode")
+        .orderBy("l_shipmode")
     )
 
 

@@ -1,0 +1,139 @@
+"""Round-14 registry entries. Imported by ``queries.py`` AFTER
+queries_r13 so registration order appends to the tail of the
+insertion sequence (r14-born entries start life in ``_DEPRIORITIZED``
+per the rotation plan — they enter the driver window with the r15
+tranche; VERDICT r13 item 2 capped r14 births at the r15 window's
+free slots, so r14 birthed exactly three: this module's eval entry,
+plus the two TPC-H faithful promotions that live beside their
+retired shapes' registration sites — tpch_q12_shipmode in
+queries_r12.py and tpch_q21_waiting_supplier in queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .queries import q
+
+
+# Fuzzy-match blocking-key recall eval (round 14, VERDICT r13 item 6):
+# dedup_fuzzy_edit_match is EXACT within blocks, but its recall IS the
+# blocking key — this entry measures that trade the way
+# ann_multiprobe_recall prices LSH probe rings. The fixture plants two
+# mutant classes on a deterministic 1/7 document sample: HEAD mutants
+# (first char deleted — outside the token window, so the token-window
+# key survives; teleports the record in sort order, so sorted-
+# neighborhood misses) and IN-WINDOW mutants (one substitution at char
+# 11 — usually inside tokens 2..5, so the token-window key breaks; the
+# 10-char sort prefix survives, so sorted-neighborhood catches).
+# Ground truth is brute-force within the sample, distributed over
+# bucket-pair equi keys (never a Cartesian plan). The oracle replays
+# the whole protocol with DuckDB's native levenshtein and an
+# independent rank-range join for the SNM arm.
+@q(
+    "fuzzy_blocking_recall_eval",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    sample AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 3000000, substr(text, 2)
+      FROM base WHERE doc_id % 14 = 0 AND length(text) > 40
+      UNION ALL
+      SELECT doc_id + 6000000,
+             substr(text, 1, 10) || 'q' || substr(text, 12)
+      FROM base WHERE doc_id % 14 = 7 AND length(text) > 40
+    ),
+    keyed AS (
+      SELECT doc_id, text, length(text) AS len,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM sample
+    ),
+    truth AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM keyed a JOIN keyed b
+        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
+      WHERE levenshtein(a.text, b.text) <= 4
+    ),
+    blk AS (
+      SELECT doc_id, array_to_string(toks[2:5], ' ') AS blk FROM keyed
+    ),
+    tw AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY array_to_string(toks, ' '), doc_id) AS rk
+      FROM keyed
+    ),
+    snm AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS a,
+             GREATEST(a.doc_id, b.doc_id) AS b
+      FROM ranked a JOIN ranked b
+        ON b.rk > a.rk AND b.rk - a.rk <= 3
+    ),
+    nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    cand AS (
+      SELECT 'brute_truth' AS strategy,
+             CAST(n * (n - 1) // 2 AS BIGINT) AS n_candidates FROM nk
+      UNION ALL
+      SELECT 'token_window', CAST(COUNT(*) AS BIGINT) FROM tw
+      UNION ALL
+      SELECT 'sorted_neighborhood', CAST(COUNT(*) AS BIGINT) FROM snm
+    ),
+    mt AS (
+      SELECT 'brute_truth' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_matched FROM truth
+      UNION ALL
+      SELECT 'token_window', CAST(COUNT(*) AS BIGINT)
+      FROM tw WHERE EXISTS (SELECT 1 FROM truth t
+                            WHERE t.a = tw.a AND t.b = tw.b)
+      UNION ALL
+      SELECT 'sorted_neighborhood', CAST(COUNT(*) AS BIGINT)
+      FROM snm WHERE EXISTS (SELECT 1 FROM truth t
+                             WHERE t.a = snm.a AND t.b = snm.b)
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+    SELECT m.strategy, nt.n_true, c.n_candidates, m.n_matched,
+           CASE WHEN nt.n_true > 0
+                THEN CAST(1000 * m.n_matched // nt.n_true AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_permille
+    FROM mt m JOIN cand c ON m.strategy = c.strategy, nt
+    """,
+)
+def fuzzy_blocking_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.dedup import fuzzy_blocking_recall
+
+    base = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    long_enough = F.length("text") > 40
+    head_mut = base.filter((F.col("doc_id") % 14 == 0) & long_enough).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("substr(text, 2)").alias("text"),
+    )
+    win_mut = base.filter((F.col("doc_id") % 14 == 7) & long_enough).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, 10)"),
+            F.lit("q"),
+            F.expr("substr(text, 12)"),
+        ).alias("text"),
+    )
+    sample = (
+        base.select("doc_id", "text")
+        .unionByName(head_mut)
+        .unionByName(win_mut)
+    )
+    return fuzzy_blocking_recall(
+        sample, "text", "doc_id", max_edits=4, snm_window=4
+    )

@@ -404,6 +404,70 @@ def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Derived relation: lineitem_ext (TPC-H completion, round 14)
+# ---------------------------------------------------------------------------
+# The driver testdata's lineitem carries no l_shipmode and no
+# commit/receipt dates, which kept Q12 and Q21 as adapted "shapes".
+# This view extends lineitem with the three columns, derived with pure
+# integer key arithmetic both engines reproduce bit-for-bit (the
+# partsupp discipline above):
+#   - l_shipmode: the 7 dbgen modes indexed by
+#     (l_orderkey*31 + l_linenumber) % 7 — uniform, per-line stable.
+#   - l_commitdate = l_shipdate + ((l_orderkey*17 + l_linenumber*3)
+#     % 61 − 30) days: within ±30 days of ship, so Q12's
+#     l_shipdate < l_commitdate and Q21's late test
+#     (l_receiptdate > l_commitdate) both split the data
+#     non-degenerately.
+#   - l_receiptdate = l_shipdate + ((l_orderkey*13 + l_linenumber*7)
+#     % 30 + 1) days: dbgen's receipt = ship + 1..30 days.
+# Day arithmetic is calendar-day on plain (zone-less) timestamps —
+# Spark timestampadd(DAY, ...) and DuckDB's ts + INTERVAL 1 DAY * n
+# agree exactly. Scale note: pure map-side projection over the fact
+# scan, no shuffle, no extra pass; at 100 TB the real columns would be
+# ingested, and every consumer treats lineitem_ext as an opaque
+# relation, so swapping the view for the real table changes nothing.
+
+_SHIPMODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+
+
+def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    mode = F.array(*[F.lit(m) for m in _SHIPMODES])[
+        ((ok * 31 + ln) % 7).cast("int")
+    ]
+    return li.select(
+        "*",
+        mode.alias("l_shipmode"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey*17 + l_linenumber*3) % 61"
+            " - 30 AS INT), l_shipdate)"
+        ).alias("l_commitdate"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey*13 + l_linenumber*7) % 30"
+            " + 1 AS INT), l_shipdate)"
+        ).alias("l_receiptdate"),
+    )
+
+
+LINEITEM_EXT_CTE = """
+lineitem_ext AS (
+  SELECT *,
+         (['AIR', 'FOB', 'MAIL', 'RAIL', 'REG AIR', 'SHIP', 'TRUCK'])
+           [CAST((l_orderkey * 31 + l_linenumber) % 7 AS INTEGER) + 1]
+           AS l_shipmode,
+         l_shipdate + INTERVAL 1 DAY
+           * CAST((l_orderkey * 17 + l_linenumber * 3) % 61 - 30 AS INTEGER)
+           AS l_commitdate,
+         l_shipdate + INTERVAL 1 DAY
+           * CAST((l_orderkey * 13 + l_linenumber * 7) % 30 + 1 AS INTEGER)
+           AS l_receiptdate
+  FROM lineitem
+)
+"""
+
+
 PARTSUPP_CTE = """
 partsupp AS (
   SELECT ps_partkey, ps_suppkey,
@@ -435,6 +499,7 @@ def register_domain_views(spark: SparkSession, sf_dir: str) -> None:
     follows(spark, sf_dir).createOrReplaceTempView("follows")
     social_connections(spark, sf_dir).createOrReplaceTempView("social_connections")
     partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    lineitem_ext(spark, sf_dir).createOrReplaceTempView("lineitem_ext")
 
 
 def oracle_with_domain(body_sql: str, *, recursive: bool = False) -> str:

@@ -104,6 +104,81 @@ def test_stream_maintained_cc_labels_match_scratch_solve_sf01(
     assert _fingerprint(replayed) == _fingerprint(state["labels"])
 
 
+class TestLineitemExtDerivation:
+    """tables.lineitem_ext: the r14 derived relation both engines must
+    agree on bit-for-bit over EVERY row — modes, commit dates, receipt
+    dates — not just the slices the q12/q21 oracles exercise (review
+    r14; the TestPartsuppDerivation precedent)."""
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_cross_engine_bit_equality(self, spark, sf):
+        import duckdb
+
+        from union_indexer_node_spark import tables
+
+        d = f"/root/testdata/{sf}"
+        cols = [
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipmode",
+            "l_commitdate",
+            "l_receiptdate",
+        ]
+        sp = (
+            tables.lineitem_ext(spark, d)
+            .select(*cols)
+            .toPandas()
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        du = con.execute(
+            f"WITH {tables.LINEITEM_EXT_CTE.strip()} "
+            f"SELECT {', '.join(cols)} FROM lineitem_ext "
+            "ORDER BY l_orderkey, l_linenumber"
+        ).df()
+        assert len(sp) == len(du) > 0
+        assert (sp.l_shipmode.values == du.l_shipmode.values).all()
+        for c in ("l_commitdate", "l_receiptdate"):
+            # DuckDB hands back datetime64[us], Spark [ns] — normalize
+            # units, then demand exact equality
+            a = sp[c].astype("datetime64[us]").values
+            b = du[c].astype("datetime64[us]").values
+            assert (a == b).all()
+        # every dbgen mode must actually occur (the q12 filter's two
+        # modes are a subset — this pins the full 7-way derivation)
+        assert set(sp.l_shipmode.unique()) == {
+            "AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK",
+        }
+
+    def test_receipt_always_after_ship_commit_window(self, spark):
+        from union_indexer_node_spark import tables
+
+        li = tables.lineitem_ext(spark, "/root/testdata/sf0.001")
+        bad = li.filter(
+            ~(
+                (F.col("l_receiptdate") > F.col("l_shipdate"))
+                & (
+                    F.col("l_receiptdate")
+                    <= F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+                )
+                & (
+                    F.col("l_commitdate")
+                    >= F.col("l_shipdate") - F.expr("INTERVAL 30 DAYS")
+                )
+                & (
+                    F.col("l_commitdate")
+                    <= F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+                )
+            )
+        )
+        assert bad.count() == 0
+
+
 class TestCanonicalUrlTrackingParams:
     def test_mixed_case_and_valueless_params_scrubbed(self, spark):
         from union_indexer_node_spark.pipelines.curation import canonical_url

@@ -1752,8 +1752,17 @@ def fuzzy_blocking_recall(
         # same-bucket keys produce both orders + self-pairs -> id order
         .filter((F.col("_ba") != F.col("_bb")) | (F.col("a") < F.col("b")))
     )
-    truth = _verified(brute_pairs).select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    # truth is read by FOUR consumers (the tagged brute row, both
+    # strategies' semi-join verifications, n_true) — materialize it
+    # once or the dominant O(|sample|^2/2) brute join + levenshtein
+    # re-executes per consumer (review r14; the containment_probe
+    # probe-postings argument)
+    truth = (
+        _verified(brute_pairs)
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .localCheckpoint()
     )
 
     # --- strategy 1: token-window blocking key --------------------------
@@ -1830,16 +1839,24 @@ def fuzzy_blocking_recall(
     )
     # candidate VOLUME (pre-verify cost) is aggregated separately — the
     # tagged frame above holds only verified-true matches
+    # the brute candidate count IS C(n, 2) by the exactly-once pairing
+    # proof — computed arithmetically from the checkpointed doc count
+    # instead of re-executing the quadratic join a second time
+    # (review r14; the DuckDB oracle uses the same formula)
+    brute_cand = keyed.agg(
+        F.expr("(count(1) * (count(1) - 1)) div 2").alias("n_candidates")
+    ).select(
+        F.lit("brute_truth").alias("strategy"),
+        F.col("n_candidates").cast("long"),
+    )
     cand_counts = (
         tw_pairs.select(F.lit("token_window").alias("strategy"))
         .unionByName(
             snm_pairs.select(F.lit("sorted_neighborhood").alias("strategy"))
         )
-        .unionByName(
-            brute_pairs.select(F.lit("brute_truth").alias("strategy"))
-        )
         .groupBy("strategy")
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .unionByName(brute_cand)
     )
     # the report contract is EXACTLY one row per strategy, even when a
     # strategy (or the brute truth itself) produces zero pairs — an

@@ -205,21 +205,25 @@ _DEPRIORITIZED = [
     # (a) any r14 tail-borns (never driver-checked — at most 3 were
     #     allowed this round per VERDICT r13 item 2; actual births are
     #     marked BORN IN TAIL (r14) below);
-    # (b) the 14 displaced r13-singles (front of the tranche:
+    # (b) the 13 displaced r13-singles (front of the tranche:
     #     multimodal_dhash_near_dup, multimodal_audio_fingerprint,
     #     pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
     #     sketch_sample_quantiles, curation_remove_frequent_lines,
     #     sim_kmeans_incremental, ingest_follows_audit,
-    #     tpch_q12_shipmode_shape, tpch_q2_min_cost_supplier,
-    #     tpch_q9_profit, tpch_q11_important_stock,
-    #     tpch_q16_supplier_cnt, tpch_q20_part_promotion);
+    #     tpch_q2_min_cost_supplier, tpch_q9_profit,
+    #     tpch_q11_important_stock, tpch_q16_supplier_cnt,
+    #     tpch_q20_part_promotion — the 14th r13-single,
+    #     tpch_q12_shipmode_shape, was RETIRED by its r14 faithful
+    #     promotion; its successor tpch_q12_shipmode enters under (a));
     # (c) the 4 deferred r9-era entries (w3_first_event_per_user,
     #     o6_related_feed_sample, x21_search_feed,
     #     x21_inverted_index_search — at bound+1, must not slip again);
     # (d) fill the remaining slots with the OLDEST staleness tranche:
-    #     the r10-era "Rotated out in ROUND 11" section (29 entries,
-    #     last green r10 — 5 rounds stale at r15, older than the
-    #     r11-era tranche the r12 section's note nominally dated r15).
+    #     the r10-era "Rotated out in ROUND 11" section (28 entries
+    #     after tpch_q21_waiting_supplier_shape's r14 retirement —
+    #     its faithful successor enters under (a); last green r10 —
+    #     5 rounds stale at r15, older than the r11-era tranche the
+    #     r12 section's note nominally dated r15).
     # Capacity arithmetic (honest): 201 entries / 50 slots / ~4-round
     # bound is SATURATED, and the 35-entry r11-era tranche slides to
     # r16 (6 rounds stale by then). The only lever that restores the

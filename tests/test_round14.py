@@ -104,6 +104,77 @@ def test_stream_maintained_cc_labels_match_scratch_solve_sf01(
     assert _fingerprint(replayed) == _fingerprint(state["labels"])
 
 
+def test_stream_maintained_canonical_edges_serve_triangle_count_sf01(
+    spark, tmp_path
+):
+    """VERDICT r13 item 5's 'ideally' clause: triangle_count
+    maintenance via its canonical-edge frame. The store is the
+    canonical (deduped, undirected) edge frame; the per-batch fold is
+    an ANTI-JOIN of the batch's canonicalized edges against the store
+    plus an append — O(batch) probe work, never a re-distinct over the
+    whole graph — and triangle_count over the maintained store must
+    byte-match the from-scratch solve over all raw edges."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import triangle_count
+
+    edges = (
+        tables.load(spark, SOAK_SF_DIR, "events")
+        .filter(F.col("event_id") % 53 == 0)
+        .select(
+            "event_id",
+            ((F.col("user_id") * 11) % 997).alias("a"),
+            ((F.col("user_id") * 5 + F.col("event_id")) % 997).alias("b"),
+        )
+    )
+    src = str(tmp_path / "tri_edges_stream")
+    for m in (0, 1, 2):
+        edges.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {"canon": None}
+
+    def canonize(df):
+        return (
+            df.select(
+                F.least("a", "b").alias("_x"),
+                F.greatest("a", "b").alias("_y"),
+            )
+            .filter(F.col("_x") != F.col("_y"))
+            .distinct()
+        )
+
+    def fold(batch_df, batch_id):
+        batch_canon = canonize(batch_df.localCheckpoint())
+        if state["canon"] is None:
+            state["canon"] = batch_canon
+        else:
+            fresh = batch_canon.join(
+                state["canon"], ["_x", "_y"], "left_anti"
+            )
+            state["canon"] = state["canon"].unionByName(fresh)
+        state["canon"] = state["canon"].localCheckpoint()
+
+    q = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+    scratch_canon = canonize(edges)
+    assert _fingerprint(state["canon"]) == _fingerprint(scratch_canon)
+    # the maintained frame serves the triangle solve bit-for-bit
+    maintained = triangle_count(
+        state["canon"].withColumnsRenamed({"_x": "a", "_y": "b"}), "a", "b"
+    )
+    scratch = triangle_count(edges.select("a", "b"), "a", "b")
+    assert _fingerprint(maintained) == _fingerprint(scratch)
+
+
 class TestLineitemExtDerivation:
     """tables.lineitem_ext: the r14 derived relation both engines must
     agree on bit-for-bit over EVERY row — modes, commit dates, receipt

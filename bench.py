@@ -283,6 +283,11 @@ BENCH_QUERIES = [
     # brute-within-sample truth (bucket-pair equi keys) + two blocked
     # candidate joins + the report fold.
     "fuzzy_blocking_recall_eval",
+    # round 14: incremental triangle fold — composed old-solve + the
+    # three-case batch delta (the graph_cc_incremental cost profile:
+    # the from-scratch base build is the entry's weight, the fold is
+    # O(batch) at deployment).
+    "graph_triangle_incremental",
     # round 14 (VERDICT r13 item 3): the two inline-index dedup entries
     # get split-phase arms against the warmup-persisted posting table —
     # the amortized join cost a deployment pays; the composed entries
@@ -333,6 +338,7 @@ CLASS_ITERATIVE = {
     "dedup_lsh_recall_eval",
     "ann_multiprobe_recall",
     "fuzzy_blocking_recall_eval",
+    "graph_triangle_incremental",
 }
 
 

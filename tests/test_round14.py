@@ -17,6 +17,8 @@ byte-equal to the from-scratch solve after every batch).
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 SOAK_SF_DIR = "/root/testdata/sf0.1"
@@ -173,6 +175,150 @@ def test_stream_maintained_canonical_edges_serve_triangle_count_sf01(
     )
     scratch = triangle_count(edges.select("a", "b"), "a", "b")
     assert _fingerprint(maintained) == _fingerprint(scratch)
+
+
+def test_stream_maintained_incremental_triangle_counts_sf01(
+    spark, tmp_path
+):
+    """The full operator soak: (edge store, counts) maintained ACROSS
+    MICRO-BATCHES via triangle_count_incremental — never re-solving —
+    must byte-match the from-scratch triangle_count over all edges
+    after the last batch, and a replayed batch must be absorbed (the
+    anti-join makes the fold idempotent under at-least-once
+    delivery)."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import (
+        canonical_edges,
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges = (
+        tables.load(spark, SOAK_SF_DIR, "events")
+        .filter(F.col("event_id") % 53 == 0)
+        .select(
+            "event_id",
+            ((F.col("user_id") * 11) % 997).alias("a"),
+            ((F.col("user_id") * 5 + F.col("event_id")) % 997).alias("b"),
+        )
+    )
+    src = str(tmp_path / "tri_inc_stream")
+    for m in (0, 1, 2):
+        edges.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {"edges": None, "counts": None}
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.select("a", "b").localCheckpoint()
+        if state["edges"] is None:
+            state["edges"] = canonical_edges(batch, "a", "b")
+            state["counts"] = triangle_count(state["edges"], "a", "b")
+        else:
+            state["edges"], state["counts"] = triangle_count_incremental(
+                state["edges"], state["counts"], batch, "a", "b"
+            )
+        state["edges"] = state["edges"].localCheckpoint()
+        state["counts"] = state["counts"].localCheckpoint()
+
+    q = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+    scratch = triangle_count(edges.select("a", "b"), "a", "b")
+    assert _fingerprint(state["counts"]) == _fingerprint(scratch)
+    assert _fingerprint(state["edges"]) == _fingerprint(
+        canonical_edges(edges, "a", "b")
+    )
+    # replayed batch: every edge anti-joins away, zero deltas
+    re_e, re_c = triangle_count_incremental(
+        state["edges"],
+        state["counts"],
+        edges.filter(F.col("event_id") % 3 == 1).select("a", "b"),
+        "a",
+        "b",
+    )
+    assert _fingerprint(re_c) == _fingerprint(state["counts"])
+    assert _fingerprint(re_e) == _fingerprint(state["edges"])
+
+
+class TestTriangleIncremental:
+    """triangle_count_incremental (pipelines/training.py)."""
+
+    @staticmethod
+    def _brute(edge_list):
+        import itertools
+
+        es = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        nodes = sorted({x for e in es for x in e})
+        cnt = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                for n in (a, b, c):
+                    cnt[n] = cnt.get(n, 0) + 1
+        return cnt
+
+    def _fold(self, spark, old, new):
+        from union_indexer_node_spark.pipelines.training import (
+            canonical_edges,
+            triangle_count,
+            triangle_count_incremental,
+        )
+
+        o = canonical_edges(
+            spark.createDataFrame(old or [(0, 0)], "a long, b long"),
+            "a",
+            "b",
+        ).localCheckpoint()
+        base = triangle_count(o, "a", "b")
+        _, counts = triangle_count_incremental(
+            o,
+            base,
+            spark.createDataFrame(new or [(0, 0)], "a long, b long"),
+            "a",
+            "b",
+        )
+        return {r["node"]: r["tri_cnt"] for r in counts.collect()}
+
+    def test_hand_cases_cover_all_three_delta_classes(self, spark):
+        # K4 minus edges, assembled so the fold sees triangles with
+        # exactly 1, 2, and 3 batch edges in one call
+        old = [(1, 2), (2, 3), (1, 4)]
+        new = [
+            (1, 3),  # closes 1-2-3 with ONE batch edge
+            (2, 4), (3, 4),  # (2,4)+(1,4 old? no) — see brute
+            (5, 6), (6, 7), (5, 7),  # all-batch triangle 5-6-7
+        ]
+        assert self._fold(spark, old, new) == self._brute(old + new)
+
+    def test_empty_batch_is_a_no_op(self, spark):
+        old = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        got = self._fold(spark, old, [])
+        assert got == self._brute(old)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            max_size=30,
+        ),
+        split=st.integers(min_value=0, max_value=30),
+    )
+    def test_fold_matches_brute_force(self, spark, edges, split):
+        k = min(split, len(edges))
+        assert self._fold(spark, edges[:k], edges[k:]) == self._brute(
+            edges
+        )
 
 
 class TestLineitemExtDerivation:
@@ -629,9 +775,6 @@ class TestPrebuiltPostingsPlan:
             sc.setJobGroup("", "")
             post.unpersist()
 
-
-from hypothesis import given, settings  # noqa: E402
-from hypothesis import strategies as st  # noqa: E402
 
 _FUZZ_WORDS = ["alpha", "bravo", "charlie", "delta", "a1", "x"]
 _fuzz_doc = st.lists(st.sampled_from(_FUZZ_WORDS), max_size=8).map(" ".join)

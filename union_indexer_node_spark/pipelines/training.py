@@ -749,6 +749,25 @@ def cc_incremental(
     return relabeled.unionByName(born)
 
 
+def canonical_edges(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Canonicalize an undirected edge list: (a, b) with a < b,
+    self-loops dropped, duplicates collapsed — the stored form every
+    graph operator here consumes (triangle_count derives it inline;
+    triangle_count_incremental maintains it as the edge STORE across
+    batches, where the per-batch fold is an anti-join + append, never
+    a re-distinct over the whole graph)."""
+    return (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def triangle_count(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:
@@ -779,12 +798,8 @@ def triangle_count(
     # source (measured: the full plan re-computed the oriented
     # subtree 3x — 88 exchanges at sf0.001 vs 7 after)
     canon = (
-        edges.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("_x"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("_y"),
-        )
-        .filter(F.col("_x") != F.col("_y"))
-        .distinct()
+        canonical_edges(edges, a_col, b_col)
+        .withColumnsRenamed({"a": "_x", "b": "_y"})
         .localCheckpoint()
     )
     deg = (
@@ -841,6 +856,147 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("tri_cnt")
     )
+
+
+def triangle_count_incremental(
+    stored_edges: DataFrame,
+    stored_counts: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of NEW edges into stored per-node triangle counts
+    without re-solving the whole graph — the triangle analog of
+    `cc_incremental` (local clustering maintained per ingest cycle,
+    O(batch-touched), not O(graph)).
+
+    State is the pair a deployment stores anyway: the canonical edge
+    frame (``canonical_edges`` form, column-named (a, b)) and the
+    (node, tri_cnt) counts from the last fold. The batch canonicalizes
+    and anti-joins the store — replayed edges vanish, so at-least-once
+    delivery is absorbed — and every genuinely new triangle contains
+    1, 2, or 3 batch edges. The three cases PARTITION the new
+    triangles, and each case enumerates its triangles exactly once:
+
+    - ONE batch edge (u, v) + two stored edges: expand the O-adjacency
+      of the LOWER-(degree, id) endpoint (the edge-iterator bound —
+      work per edge is min(deg u, deg v), hub-proof the same way the
+      batch solve's orientation is) and close (other, w) against the
+      store. A closing edge still in the batch fails the store lookup,
+      so 2-batch-edge triangles are excluded here, not double-counted.
+    - TWO batch edges (x,u), (x,v) + the stored edge (u, v): a batch
+      wedge centered on the shared endpoint, out-pair ordered u < v so
+      each wedge enumerates once; the center is unique because the
+      third edge being STORED means no other pair of the triangle's
+      edges can both be batch edges.
+    - THREE batch edges: the canonical a < b < c enumeration over the
+      batch alone (batch-sized, the oracle's own form — orientation
+      would be overkill at batch scale).
+
+    Count deltas are the corner-exploded union of the three cases;
+    the updated counts coalesce-add onto the store (nodes keep the
+    `triangle_count` contract: present iff tri_cnt > 0 — deltas are
+    non-negative because edges are only ever added). Returns
+    (updated_edges, updated_counts); equality with the from-scratch
+    solve over old ∪ new edges is pinned by test, property fuzz,
+    soak, and the registry oracle.
+    """
+    o = stored_edges.select(F.col("a"), F.col("b"))
+    batch = (
+        canonical_edges(new_edges, a_col, b_col)
+        .join(o, ["a", "b"], "left_anti")
+        .localCheckpoint()  # read by all three cases + the append
+    )
+    adj_o = o.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
+        o.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj_o.groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+
+    # --- case 1: one batch edge, two stored edges ------------------------
+    with_deg = (
+        batch.join(
+            deg.withColumnsRenamed({"node": "a", "_deg": "_da"}), "a", "left"
+        )
+        .join(
+            deg.withColumnsRenamed({"node": "b", "_deg": "_db"}), "b", "left"
+        )
+        .select(
+            "a",
+            "b",
+            F.coalesce("_da", F.lit(0)).alias("_da"),  # unseen node: deg 0
+            F.coalesce("_db", F.lit(0)).alias("_db"),
+        )
+    )
+    a_anchor = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    anchored = with_deg.select(
+        F.when(a_anchor, F.col("a")).otherwise(F.col("b")).alias("_anchor"),
+        F.when(a_anchor, F.col("b")).otherwise(F.col("a")).alias("_other"),
+        "a",
+        "b",
+    )
+    cand1 = (
+        anchored.join(
+            adj_o.withColumnsRenamed({"node": "_anchor", "nb": "_w"}),
+            "_anchor",
+        )
+        .filter(F.col("_w") != F.col("_other"))
+    )
+    tri1 = cand1.join(
+        o.withColumnsRenamed({"a": "_ca", "b": "_cb"}),
+        (F.least("_other", "_w") == F.col("_ca"))
+        & (F.greatest("_other", "_w") == F.col("_cb")),
+        "left_semi",
+    ).select("a", "b", F.col("_w").alias("c"))
+
+    # --- case 2: two batch edges + one stored closing edge --------------
+    adj_b = batch.select(
+        F.col("a").alias("_x"), F.col("b").alias("_n")
+    ).union(batch.select(F.col("b").alias("_x"), F.col("a").alias("_n")))
+    b1 = adj_b.withColumnsRenamed({"_n": "_u"})
+    b2 = adj_b.withColumnsRenamed({"_n": "_v"})
+    wedges_b = b1.join(b2, "_x").filter(F.col("_u") < F.col("_v"))
+    tri2 = wedges_b.join(
+        o.withColumnsRenamed({"a": "_u", "b": "_v"}),
+        ["_u", "_v"],
+        "left_semi",
+    ).select(F.col("_x").alias("a"), F.col("_u").alias("b"), F.col("_v").alias("c"))
+
+    # --- case 3: all three edges in the batch ----------------------------
+    e1 = batch.withColumnsRenamed({"a": "_ta", "b": "_tb"})
+    e2 = batch.withColumnsRenamed({"a": "_tb", "b": "_tc"})
+    e3 = batch.withColumnsRenamed({"a": "_ta", "b": "_tc"})
+    tri3 = (
+        e1.join(e2, "_tb")
+        .join(e3, ["_ta", "_tc"], "left_semi")
+        .select(
+            F.col("_ta").alias("a"),
+            F.col("_tb").alias("b"),
+            F.col("_tc").alias("c"),
+        )
+    )
+
+    new_tris = tri1.unionByName(tri2).unionByName(tri3)
+    delta = (
+        new_tris.select(F.col("a").alias("node"))
+        .union(new_tris.select(F.col("b").alias("node")))
+        .union(new_tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_delta"))
+    )
+    updated_counts = (
+        stored_counts.join(delta, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce("tri_cnt", F.lit(0))
+                + F.coalesce("_delta", F.lit(0))
+            ).alias("tri_cnt"),
+        )
+        .filter(F.col("tri_cnt") > 0)
+    )
+    return o.unionByName(batch), updated_counts
 
 
 def pack_next_fit(

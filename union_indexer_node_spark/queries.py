@@ -71,9 +71,9 @@ def q(name: str, oracle: str | None):
 # tests/test_queries_oracle.py, which parametrizes over ALL entries.
 #
 # ROTATION CADENCE (the staleness-bounding rule, made explicit in r8):
-# with 201 entries (ADVICE r9: this count is load-bearing — keep it in
+# with 202 entries (ADVICE r9: this count is load-bearing — keep it in
 # lockstep with the @q registrations, including queries_r11's 18,
-# queries_r12's 13, queries_r13's 24 and queries_r14's 1) and a
+# queries_r12's 13, queries_r13's 24 and queries_r14's 2) and a
 # 50-slot window, the
 # hygiene bound is "no entry's last driver-green recedes past ~4
 # rounds", sustained by each round (a) rotating IN the oldest tranche
@@ -127,11 +127,13 @@ _DEPRIORITIZED = [
     # r13 item 1's done-criterion: the never-driver-checked count
     # drops 24 -> 0). Names in the ROUND 14 ROTATION note below.
     # ------------------------------------------------------------------
-    # BORN IN TAIL (r14): three births, inside VERDICT r13 item 2's
-    # cap — one new eval (item 6) and the two TPC-H faithful
-    # promotions (item 4), each of which RETIRES its *_shape
-    # predecessor (net registry growth +1). All enter with the r15
-    # tranche, obligation (a).
+    # BORN IN TAIL (r14): four births, inside VERDICT r13 item 2's
+    # cap — one new eval (item 6), the two TPC-H faithful promotions
+    # (item 4, each RETIRING its *_shape predecessor — net registry
+    # growth from those two is zero), and the incremental triangle
+    # fold (item 5's maintenance direction, promoted from the
+    # canonical-edge soak to a first-class operator). All enter with
+    # the r15 tranche, obligation (a).
     # ------------------------------------------------------------------
     "fuzzy_blocking_recall_eval",  # BORN IN TAIL (r14) — measured
     #    recall + candidate volume of the token-window vs
@@ -151,6 +153,13 @@ _DEPRIORITIZED = [
     #    Q21 (VERDICT r13 item 4), promoted from the r8 shape: the
     #    spec's late test l_receiptdate > l_commitdate over
     #    lineitem_ext, EXISTS/NOT-EXISTS fact self-probes unchanged
+    "graph_triangle_incremental",  # BORN IN TAIL (r14) — fold a batch
+    #    of new edges into stored per-node triangle counts, O(batch-
+    #    touched) not O(graph): new triangles partition by batch-edge
+    #    count (1/2/3), the one-batch-edge case expands the LOWER-
+    #    degree endpoint (edge-iterator bound); independent from-
+    #    scratch a<b<c enumeration oracle; graph-family sibling of
+    #    graph_cc_incremental / graph_triangle_count
     # ------------------------------------------------------------------
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
@@ -224,18 +233,19 @@ _DEPRIORITIZED = [
     #     its faithful successor enters under (a); last green r10 —
     #     5 rounds stale at r15, older than the r11-era tranche the
     #     r12 section's note nominally dated r15).
-    # Capacity arithmetic (honest): 201 entries / 50 slots / ~4-round
+    # Capacity arithmetic (honest): 202 entries / 50 slots / ~4-round
     # bound is SATURATED, and the 35-entry r11-era tranche slides to
     # r16 (6 rounds stale by then). The only lever that restores the
     # bound is what VERDICT r13 item 2 prescribes: near-zero births
-    # until every tranche is multiply-green. r14 held births to THREE
-    # (fuzzy_blocking_recall_eval per VERDICT item 6, plus the q12/q21
-    # faithful promotions per item 4 — each RETIRING its shape, so
-    # net registry growth is +1). Updated r15 arithmetic: (b) = 13
+    # until every tranche is multiply-green. r14 held births to FOUR
+    # (fuzzy_blocking_recall_eval per VERDICT item 6, the q12/q21
+    # faithful promotions per item 4 — each RETIRING its shape — and
+    # graph_triangle_incremental per item 5's maintenance direction;
+    # net registry growth +2). Updated r15 arithmetic: (b) = 13
     # singles (q12's shape slot passes to its faithful successor in
     # (a)), (c) = 4, (d) = 28 (q21's shape retired from the r10-era
-    # tranche), (a) = 3 — total 48 of 50, two slots spare for r15
-    # births or an extra staleness pull-forward.
+    # tranche), (a) = 4 — total 49 of 50, one slot spare for an r15
+    # birth or an extra staleness pull-forward.
     # ------------------------------------------------------------------
     # Original r14 pre-naming (kept for the audit trail). Obligations:
     # (a) the 10 displaced r12-born SINGLES (driver-green r12 only;

@@ -3,10 +3,11 @@ queries_r13 so registration order appends to the tail of the
 insertion sequence (r14-born entries start life in ``_DEPRIORITIZED``
 per the rotation plan — they enter the driver window with the r15
 tranche; VERDICT r13 item 2 capped r14 births at the r15 window's
-free slots, so r14 birthed exactly three: this module's eval entry,
-plus the two TPC-H faithful promotions that live beside their
-retired shapes' registration sites — tpch_q12_shipmode in
-queries_r12.py and tpch_q21_waiting_supplier in queries.py).
+free slots, so r14 birthed exactly four: this module's two entries
+(the blocking-recall eval and the incremental triangle fold), plus
+the two TPC-H faithful promotions that live beside their retired
+shapes' registration sites — tpch_q12_shipmode in queries_r12.py and
+tpch_q21_waiting_supplier in queries.py).
 """
 
 from __future__ import annotations
@@ -136,4 +137,70 @@ def fuzzy_blocking_recall_eval(
     )
     return fuzzy_blocking_recall(
         sample, "text", "doc_id", max_edits=4, snm_window=4
+    )
+
+
+# Incremental triangle counting (round 14): fold a batch of new edges
+# into stored per-node triangle counts without re-solving the graph —
+# the triangle analog of graph_cc_incremental (VERDICT r13 item 5's
+# maintenance direction, promoted from the canonical-edge-store soak to
+# a first-class operator). New triangles partition by how many batch
+# edges they contain (1/2/3); each case is pure equi-joins against the
+# stored adjacency / the batch, with the one-batch-edge case expanding
+# the LOWER-degree endpoint (edge-iterator bound, hub-proof). The
+# oracle is the from-scratch canonical a<b<c enumeration over ALL
+# edges — completely independent of the delta decomposition, so a
+# missed or double-counted case cannot cancel out.
+@q(
+    "graph_triangle_incremental",
+    """
+    WITH ed AS (
+      SELECT DISTINCT LEAST(sx, dx) AS u, GREATEST(sx, dx) AS v
+      FROM (
+        SELECT CAST(('0x' || substr(hx, 1, 6)) AS BIGINT) % 1499 AS sx,
+               CAST(('0x' || substr(hx, 7, 6)) AS BIGINT) % 1499 AS dx
+        FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM events)
+      ) WHERE sx <> dx
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.u = e1.v
+      JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangle_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .pipelines.training import (
+        canonical_edges,
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    e = tables.load(spark, sf_dir, "events")
+    hx = F.md5(F.col("event_id").cast("string"))
+    edges = e.select(
+        "event_id",
+        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 1499).alias(
+            "sx"
+        ),
+        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 1499).alias(
+            "dx"
+        ),
+    ).filter(F.col("sx") != F.col("dx"))
+    old = edges.filter(F.col("event_id") % 3 != 0).select("sx", "dx")
+    new = edges.filter(F.col("event_id") % 3 == 0).select("sx", "dx")
+    stored = canonical_edges(old, "sx", "dx").localCheckpoint()
+    base = triangle_count(stored, "a", "b")
+    _, counts = triangle_count_incremental(stored, base, new, "sx", "dx")
+    return counts.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("tri_cnt").cast("long").alias("tri_cnt"),
     )

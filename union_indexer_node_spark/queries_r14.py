@@ -157,8 +157,8 @@ def fuzzy_blocking_recall_eval(
     WITH ed AS (
       SELECT DISTINCT LEAST(sx, dx) AS u, GREATEST(sx, dx) AS v
       FROM (
-        SELECT CAST(('0x' || substr(hx, 1, 6)) AS BIGINT) % 1499 AS sx,
-               CAST(('0x' || substr(hx, 7, 6)) AS BIGINT) % 1499 AS dx
+        SELECT CAST(('0x' || substr(hx, 1, 6)) AS BIGINT) % 4999 AS sx,
+               CAST(('0x' || substr(hx, 7, 6)) AS BIGINT) % 4999 AS dx
         FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM events)
       ) WHERE sx <> dx
     ),
@@ -188,10 +188,10 @@ def graph_triangle_incremental(
     hx = F.md5(F.col("event_id").cast("string"))
     edges = e.select(
         "event_id",
-        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 1499).alias(
+        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 4999).alias(
             "sx"
         ),
-        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 1499).alias(
+        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 4999).alias(
             "dx"
         ),
     ).filter(F.col("sx") != F.col("dx"))

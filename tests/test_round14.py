@@ -288,13 +288,17 @@ class TestTriangleIncremental:
         return {r["node"]: r["tri_cnt"] for r in counts.collect()}
 
     def test_hand_cases_cover_all_three_delta_classes(self, spark):
-        # K4 minus edges, assembled so the fold sees triangles with
-        # exactly 1, 2, and 3 batch edges in one call
+        # assembled so ONE fold sees all three delta classes:
+        # 1-2-3 closes with ONE batch edge (1,3) against old (1,2)+(2,3);
+        # 1-3-4 has TWO batch edges (1,3)+(3,4) and old (1,4);
+        # 2-3-4 has TWO batch edges (2,4)+(3,4) and old (2,3);
+        # 5-6-7 is ALL-batch. (1-2-4 also forms: batch (2,4)+(1,2 old)
+        # +(1,4 old) — a second one-batch-edge instance.)
         old = [(1, 2), (2, 3), (1, 4)]
         new = [
-            (1, 3),  # closes 1-2-3 with ONE batch edge
-            (2, 4), (3, 4),  # (2,4)+(1,4 old? no) — see brute
-            (5, 6), (6, 7), (5, 7),  # all-batch triangle 5-6-7
+            (1, 3),
+            (2, 4), (3, 4),
+            (5, 6), (6, 7), (5, 7),
         ]
         assert self._fold(spark, old, new) == self._brute(old + new)
 

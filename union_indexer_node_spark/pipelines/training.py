@@ -862,8 +862,8 @@ def triangle_count_incremental(
     stored_edges: DataFrame,
     stored_counts: DataFrame,
     new_edges: DataFrame,
-    a_col: str = "a",
-    b_col: str = "b",
+    new_a_col: str = "a",
+    new_b_col: str = "b",
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a batch of NEW edges into stored per-node triangle counts
     without re-solving the whole graph — the triangle analog of
@@ -871,8 +871,11 @@ def triangle_count_incremental(
     O(batch-touched), not O(graph)).
 
     State is the pair a deployment stores anyway: the canonical edge
-    frame (``canonical_edges`` form, column-named (a, b)) and the
-    (node, tri_cnt) counts from the last fold. The batch canonicalizes
+    frame — ALWAYS ``canonical_edges`` form, column-named (a, b);
+    guarded below — and the (node, tri_cnt) counts from the last
+    fold. ``new_a_col``/``new_b_col`` name the RAW BATCH's endpoint
+    columns only (the batch is canonicalized here; the store already
+    is — review r14 renamed the params so the asymmetry is explicit). The batch canonicalizes
     and anti-joins the store — replayed edges vanish, so at-least-once
     delivery is absorbed — and every genuinely new triangle contains
     1, 2, or 3 batch edges. The three cases PARTITION the new
@@ -910,9 +913,15 @@ def triangle_count_incremental(
     because the store scan is already a single column-pruned pass and
     a third state frame would buy nothing at eval scale.
     """
+    if not {"a", "b"}.issubset(stored_edges.columns):
+        raise ValueError(
+            "triangle_count_incremental: stored_edges must be in "
+            "canonical_edges form with columns (a, b); got "
+            f"{stored_edges.columns}"
+        )
     o = stored_edges.select(F.col("a"), F.col("b"))
     batch = (
-        canonical_edges(new_edges, a_col, b_col)
+        canonical_edges(new_edges, new_a_col, new_b_col)
         .join(o, ["a", "b"], "left_anti")
         .localCheckpoint()  # read by all three cases + the append
     )

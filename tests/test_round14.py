@@ -804,6 +804,64 @@ def test_fuzzy_blocking_recall_matches_python_reference(spark, texts):
     assert got == TestFuzzyBlockingRecall._expected(rows)
 
 
+class TestGapFillPandasCrossCheck:
+    """gap_fill vs an INDEPENDENT pandas implementation (reindex over
+    a per-key date_range + ffill) — the merge_asof-style library
+    cross-check the as-of family got in r13, applied to the LOCF grid
+    fill. Values are integer-valued floats so cents quantization has
+    no rounding ambiguity between engines."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),   # key
+                st.integers(min_value=0, max_value=96),  # hour offset
+                st.integers(min_value=1, max_value=50),  # value
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_hourly_fill_matches_pandas(self, spark, rows):
+        import pandas as pd
+
+        from union_indexer_node_spark.operators.temporal import gap_fill
+
+        base = pd.Timestamp("2024-03-01 00:30:00")
+        data = [
+            (k, base + pd.Timedelta(hours=h), float(v)) for k, h, v in rows
+        ]
+        df = spark.createDataFrame(
+            [(k, t.to_pydatetime(), v) for k, t, v in data],
+            "k long, ts timestamp, value double",
+        )
+        got = sorted(
+            (r["k"], r["bucket"], r["value_cents"], r["observed"])
+            for r in gap_fill(df, "ts", "k", "value").collect()
+        )
+
+        pdf = pd.DataFrame(data, columns=["k", "ts", "value"])
+        pdf["bucket"] = pdf.ts.dt.floor("h")
+        want = []
+        for k, g in pdf.groupby("k"):
+            obs = (g.groupby("bucket").value.sum() * 100).round().astype(
+                "int64"
+            )
+            grid = pd.date_range(obs.index.min(), obs.index.max(), freq="h")
+            filled = obs.reindex(grid).ffill().astype("int64")
+            for b in grid:
+                want.append(
+                    (
+                        k,
+                        b.strftime("%Y-%m-%d %H:00"),
+                        int(filled[b]),
+                        b in obs.index,
+                    )
+                )
+        assert got == sorted(want)
+
+
 class TestAsofMtsGuard:
     def test_payload_named_mts_raises(self, spark):
         from union_indexer_node_spark.operators.temporal import asof_join

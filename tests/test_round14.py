@@ -862,6 +862,69 @@ class TestGapFillPandasCrossCheck:
         assert got == sorted(want)
 
 
+class TestOhlcPandasCrossCheck:
+    """ohlc_rollup vs pandas resample().ohlc() — a THIRD independent
+    formulation beside the struct-extrema implementation and the
+    ordered-first/last oracle. Tied timestamps are planted (same hour,
+    same ts, different seq) so the tie-break contract is exercised:
+    pandas sees the rows pre-sorted by (ts, seq), matching the
+    lexicographic struct order."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),   # key
+                st.integers(min_value=0, max_value=30),  # minute offset
+                st.integers(min_value=1, max_value=99),  # value
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_hourly_candles_match_pandas(self, spark, rows):
+        import pandas as pd
+
+        from union_indexer_node_spark.operators.temporal import ohlc_rollup
+
+        base = pd.Timestamp("2024-03-01 00:10:00")
+        # minute offsets collide often -> tied (key, ts) pairs; seq is
+        # the input index, the mandatory tie-breaker
+        data = [
+            (k, (base + pd.Timedelta(minutes=m * 97)).to_pydatetime(),
+             i, float(v))
+            for i, (k, m, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "k long, ts timestamp, seq long, value double"
+        )
+        got = sorted(
+            tuple(r)
+            for r in ohlc_rollup(df, "ts", "k", "value", "seq").collect()
+        )
+
+        pdf = pd.DataFrame(data, columns=["k", "ts", "seq", "value"])
+        pdf["cents"] = (pdf.value * 100).round().astype("int64")
+        pdf = pdf.sort_values(["k", "ts", "seq"])
+        want = []
+        for k, g in pdf.groupby("k"):
+            candles = g.set_index("ts").cents.resample("h").ohlc().dropna()
+            counts = g.set_index("ts").cents.resample("h").count()
+            for b, row in candles.iterrows():
+                want.append(
+                    (
+                        k,
+                        b.strftime("%Y-%m-%d %H:00"),
+                        int(row["open"]),
+                        int(row["high"]),
+                        int(row["low"]),
+                        int(row["close"]),
+                        int(counts[b]),
+                    )
+                )
+        assert got == sorted(want)
+
+
 class TestAsofMtsGuard:
     def test_payload_named_mts_raises(self, spark):
         from union_indexer_node_spark.operators.temporal import asof_join

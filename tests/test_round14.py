@@ -804,6 +804,104 @@ def test_fuzzy_blocking_recall_matches_python_reference(spark, texts):
     assert got == TestFuzzyBlockingRecall._expected(rows)
 
 
+def test_q21_faithful_plan_shape(spark):
+    """The promoted Q21 keeps the shape the retired `_shape` entry
+    argued for: dimension sides (supplier keys, nation, orders
+    status) broadcast, the fact self-probes run as LeftSemi + LeftAnti
+    hash joins (the EXISTS / NOT-EXISTS), and nothing degenerates to a
+    Cartesian or nested-loop plan."""
+    from union_indexer_node_spark import queries as q
+
+    df = q.registry()["tpch_q21_waiting_supplier"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2  # multi-supplier EXISTS + nation
+    assert plan.count("LeftAnti") >= 1  # the NOT-EXISTS late-other probe
+    assert plan.count("BroadcastHashJoin") >= 3  # dims stay broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestHllLatticeFuzz:
+    """Randomized pin of the HLL register math + lattice identities:
+    register state and integer estimates from random per-'hour'
+    keyspaces must equal a pure-Python replay of the 48-bit-md5
+    register build, and the hour->coarse MAX-fold must equal the
+    direct coarse build (the lattice identity) on every draw — not
+    just the shipped fixture."""
+
+    @staticmethod
+    def _py_registers(keys):
+        import hashlib
+
+        regs = {}
+        for k in keys:
+            if k is None:
+                continue
+            hv = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+            bucket = hv >> 40
+            suffix = hv % (1 << 40)
+            rho = 41 if suffix == 0 else 40 - suffix.bit_length() + 1
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    @staticmethod
+    def _py_estimate(regs):
+        from union_indexer_node_spark.operators.sketches import (
+            _HLL_ALPHA_NUM,
+            _HLL_M,
+        )
+
+        hsum = sum(1 << (41 - r) for r in regs.values())
+        total = hsum + (_HLL_M - len(regs)) * (1 << 41)
+        return _HLL_ALPHA_NUM // total
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # hour
+                st.integers(min_value=0, max_value=500),  # key
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def test_registers_estimate_and_rollup_match_python(self, spark, rows):
+        from union_indexer_node_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+            hll_rollup,
+        )
+
+        df = spark.createDataFrame(rows, "hour long, key long")
+        regs = hll_registers(df, ["hour"], "key").localCheckpoint()
+        got = {}
+        for r in regs.collect():
+            got.setdefault(r["hour"], {})[r["bucket"]] = r["rho"]
+        want = {
+            h: self._py_registers([k for hh, k in rows if hh == h])
+            for h in {hh for hh, _ in rows}
+        }
+        assert got == want
+        # integer estimate replay, per hour
+        est = {
+            r["hour"]: r["est_distinct"]
+            for r in hll_estimate(regs, ["hour"]).collect()
+        }
+        assert est == {h: self._py_estimate(want[h]) for h in want}
+        # lattice: MAX-fold of hourly registers to the global grain
+        # equals the direct global build, registers AND estimate
+        folded = hll_rollup(regs.withColumn("g", F.lit(1)), ["g"])
+        direct = hll_registers(
+            df.withColumn("g", F.lit(1)), ["g"], "key"
+        )
+        f = {r["bucket"]: r["rho"] for r in folded.collect()}
+        d = {r["bucket"]: r["rho"] for r in direct.collect()}
+        assert f == d == self._py_registers([k for _, k in rows])
+
+
 class TestGapFillPandasCrossCheck:
     """gap_fill vs an INDEPENDENT pandas implementation (reindex over
     a per-key date_range + ffill) — the merge_asof-style library

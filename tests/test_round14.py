@@ -1023,6 +1023,66 @@ class TestOhlcPandasCrossCheck:
         assert got == sorted(want)
 
 
+class TestRangeJoinBruteCrossCheck:
+    """bucketed_range_join vs a Python brute force over random points
+    and intervals — with a tiny max_buckets_per_interval so random
+    draws routinely exercise BOTH physical arms (the bucket-explode
+    equi-join and the long-interval broadcast residual join) against
+    the same inclusive-ends contract."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        points=st.lists(
+            st.integers(min_value=0, max_value=600), min_size=1, max_size=25
+        ),
+        intervals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=600),
+                st.integers(min_value=0, max_value=300),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def test_matches_python_reference(self, spark, points, intervals):
+        import datetime as dt
+
+        from union_indexer_node_spark.operators.temporal import (
+            bucketed_range_join,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        pts = [
+            (i, base + dt.timedelta(minutes=m))
+            for i, m in enumerate(points)
+        ]
+        ivs = [
+            (
+                j,
+                base + dt.timedelta(minutes=s),
+                base + dt.timedelta(minutes=s + d),
+            )
+            for j, (s, d) in enumerate(intervals)
+        ]
+        p = spark.createDataFrame(pts, "pid long, ts timestamp")
+        iv = spark.createDataFrame(
+            ivs, "iid long, start_ts timestamp, end_ts timestamp"
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in bucketed_range_join(
+                p, iv, bucket_minutes=60, max_buckets_per_interval=3
+            ).collect()
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, ts in pts
+            for iid, s, e in ivs
+            if s <= ts <= e
+        )
+        assert got == want
+
+
 class TestAsofMtsGuard:
     def test_payload_named_mts_raises(self, spark):
         from union_indexer_node_spark.operators.temporal import asof_join

@@ -561,8 +561,13 @@ def _shingle_postings_prebuilt(spark, sf_dir):
         index = prefix_filter_index(
             corpus, "text", "doc_id", threshold_permille=500, shingle_n=3
         )
-        index = tuple(f.persist() for f in index)
-        for f in index:
+        index = index._replace(
+            **{
+                k: getattr(index, k).persist()
+                for k in ("postings", "prefix", "sizes")
+            }
+        )
+        for f in index.frames:
             f.count()
         # containment_probe fixture: the raw documents corpus,
         # pre-capped at the entry's hot_cap=200

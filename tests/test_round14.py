@@ -648,11 +648,14 @@ class TestPrebuiltPostingsEquality:
                 ).collect(),
             )
         )
-        index = tuple(
-            f.persist()
-            for f in prefix_filter_index(df, "text", "doc_id")
+        index = prefix_filter_index(df, "text", "doc_id")
+        index = index._replace(
+            **{
+                k: getattr(index, k).persist()
+                for k in ("postings", "prefix", "sizes")
+            }
         )
-        for f in index:
+        for f in index.frames:
             f.count()
         via_index = sorted(
             map(
@@ -663,7 +666,7 @@ class TestPrebuiltPostingsEquality:
             )
         )
         post.unpersist()
-        for f in index:
+        for f in index.frames:
             f.unpersist()
         assert via_postings == composed and composed  # non-vacuous
         assert via_index == composed

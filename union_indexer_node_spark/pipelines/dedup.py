@@ -26,6 +26,8 @@ Spark and DuckDB).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1381,6 +1383,16 @@ def containment_probe(
     sizes = sh_p.groupBy("probe_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_probe_shingles")
     )
+    if hot_cap is None and corpus_postings is None:
+        # ADVICE r14: hot_cap=None is sanctioned ONLY for pre-capped
+        # external postings — silently disabling the stop-shingle cap
+        # on an inline corpus build changes results (every stop
+        # shingle pairs everything with everything) with no warning.
+        raise ValueError(
+            "hot_cap=None requires corpus_postings (a pre-capped "
+            "index); for an inline corpus build pass an integer "
+            "hot_cap"
+        )
     sh_c = (
         corpus_postings.select(F.col("corpus_id"), F.col("_sh"))
         if corpus_postings is not None
@@ -1460,6 +1472,28 @@ def drop_hot_shingles(postings: DataFrame, *, hot_cap: int) -> DataFrame:
     return postings.join(hot, "_sh", "left_anti")
 
 
+class PrefixFilterIndex(NamedTuple):
+    """The AllPairs index triple PLUS the parameters it was built at.
+
+    The prefix table is only a complete candidate generator for joins
+    run at the SAME threshold/shingle size it was derived from — an
+    index built at a higher t than the join silently loses recall on
+    an operator whose contract is exactness (ADVICE r14). Carrying
+    the build parameters lets prefix_filter_join assert the match
+    instead of trusting a docstring.
+    """
+
+    postings: DataFrame
+    prefix: DataFrame
+    sizes: DataFrame
+    threshold_permille: int
+    shingle_n: int
+
+    @property
+    def frames(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        return (self.postings, self.prefix, self.sizes)
+
+
 def prefix_filter_index(
     df: DataFrame,
     text_col: str,
@@ -1468,7 +1502,7 @@ def prefix_filter_index(
     threshold_permille: int = 500,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> PrefixFilterIndex:
     """The AllPairs index triple (postings, prefix, sizes) that
     prefix_filter_join consumes — exposed as a first-class build step
     (bm25_index-style) because measurement showed the PREFIX
@@ -1478,8 +1512,9 @@ def prefix_filter_index(
     maintains this triple per corpus cut (the prefix depends on the
     serving threshold, like any index depends on its parameters) and
     pays only the candidate join + verification per batch. The
-    threshold baked into ``prefix`` must match the join's —
-    prefix_filter_join(index=...) trusts the caller on this.
+    returned PrefixFilterIndex carries the build parameters, and
+    prefix_filter_join(index=...) ASSERTS they match the join's
+    (ADVICE r14 — previously only the docstring guarded this).
 
     ``postings``: reuse an existing DISTINCT (_id, _sh) frame instead
     of re-deriving it (skips the tokenize/shingle pass).
@@ -1510,7 +1545,7 @@ def prefix_filter_index(
         )
         .select("_id", "_sh")
     )
-    return sh, prefix, sizes
+    return PrefixFilterIndex(sh, prefix, sizes, t, shingle_n)
 
 
 def prefix_filter_join(
@@ -1521,7 +1556,7 @@ def prefix_filter_join(
     threshold_permille: int = 500,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
-    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    index: PrefixFilterIndex | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (Bayardo et
     al.'s AllPairs / the PPJoin candidate rule): every pair of
@@ -1560,7 +1595,23 @@ def prefix_filter_join(
     """
     t = threshold_permille
     if index is not None:
-        sh, prefix, sizes = index
+        if not isinstance(index, PrefixFilterIndex):
+            raise TypeError(
+                "index must be a PrefixFilterIndex (from "
+                "prefix_filter_index) — a bare frame tuple cannot "
+                "prove it was built at this call's parameters"
+            )
+        if (index.threshold_permille, index.shingle_n) != (t, shingle_n):
+            # ADVICE r14: a prefix table derived at different
+            # parameters is an incomplete candidate generator for
+            # this join — fail loudly instead of losing recall.
+            raise ValueError(
+                "prefix index built at (threshold_permille="
+                f"{index.threshold_permille}, shingle_n="
+                f"{index.shingle_n}) cannot serve a join at "
+                f"(threshold_permille={t}, shingle_n={shingle_n})"
+            )
+        sh, prefix, sizes = index.frames
     else:
         sh, prefix, sizes = prefix_filter_index(
             df,
@@ -1569,7 +1620,7 @@ def prefix_filter_join(
             threshold_permille=t,
             shingle_n=shingle_n,
             postings=postings,
-        )
+        ).frames
     cand = (
         prefix.alias("p1")
         .join(prefix.alias("p2"), "_sh")
@@ -1729,7 +1780,12 @@ def fuzzy_blocking_recall(
         )
 
     # --- brute truth via bucket-pair equi keys --------------------------
-    b = F.pmod(F.col("_id"), F.lit(brute_buckets))
+    # bucket from a HASH of the id, not the id itself (ADVICE r14:
+    # pmod on id_col required a numeric id and failed string ids with
+    # an opaque analysis error). Bucket assignment only spreads the
+    # all-pairs work — truth membership never depends on it — so any
+    # id type with a stable xxhash64 is fine.
+    b = F.pmod(F.xxhash64(F.col("_id")), F.lit(brute_buckets))
     left = keyed.select(
         F.col("_id").alias("a"),
         F.col("_t").alias("_ta"),

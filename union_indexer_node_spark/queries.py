@@ -135,31 +135,6 @@ _DEPRIORITIZED = [
     # canonical-edge soak to a first-class operator). All enter with
     # the r15 tranche, obligation (a).
     # ------------------------------------------------------------------
-    "fuzzy_blocking_recall_eval",  # BORN IN TAIL (r14) — measured
-    #    recall + candidate volume of the token-window vs
-    #    sorted-neighborhood blocking keys against brute-force-within-
-    #    sample ground truth (VERDICT r13 item 6: fuzzy_edit_match's
-    #    recall IS its blocking key; this prices the trade the way
-    #    ann_multiprobe_recall prices LSH rings); brute is distributed
-    #    over bucket-pair equi keys, never a Cartesian plan; full
-    #    DuckDB protocol-replay oracle
-    "tpch_q12_shipmode",  # BORN IN TAIL (r14) — the faithful Q12
-    #    (VERDICT r13 item 4), promoted from tpch_q12_shipmode_shape
-    #    over the derived lineitem_ext relation (real l_shipmode +
-    #    commit/receipt-date chain l_shipdate < l_commitdate <
-    #    l_receiptdate); replaces the shape's slot in the r15 singles
-    #    tranche
-    "tpch_q21_waiting_supplier",  # BORN IN TAIL (r14) — the faithful
-    #    Q21 (VERDICT r13 item 4), promoted from the r8 shape: the
-    #    spec's late test l_receiptdate > l_commitdate over
-    #    lineitem_ext, EXISTS/NOT-EXISTS fact self-probes unchanged
-    "graph_triangle_incremental",  # BORN IN TAIL (r14) — fold a batch
-    #    of new edges into stored per-node triangle counts, O(batch-
-    #    touched) not O(graph): new triangles partition by batch-edge
-    #    count (1/2/3), the one-batch-edge case expands the LOWER-
-    #    degree endpoint (edge-iterator bound); independent from-
-    #    scratch a<b<c enumeration oracle; graph-family sibling of
-    #    graph_cc_incremental / graph_triangle_count
     # ------------------------------------------------------------------
     # ALL 12 r12 tail-borns ENTERED THE WINDOW in r13 (VERDICT r12
     # item 3's done-criterion: every never-driver-checked entry gets a
@@ -210,10 +185,24 @@ _DEPRIORITIZED = [
     # was r13) — the same documented one-round displacement exception
     # as r13, pre-named as the FRONT of the r15 tranche.
     # ------------------------------------------------------------------
-    # ROUND 15 ROTATION — PRE-NAMED. Obligations, priority order:
-    # (a) any r14 tail-borns (never driver-checked — at most 3 were
-    #     allowed this round per VERDICT r13 item 2; actual births are
-    #     marked BORN IN TAIL (r14) below);
+    # ROUND 15 ROTATION — EXECUTED exactly as pre-named (checked
+    # against CORRECTNESS_r14.json: 50/50 green, zero err, so every
+    # planned rotate-out is driver-green r14 and eligible). The
+    # window is now (a)+(b)+(c)+(d) = 4+13+4+28 = 49 of 50, one slot
+    # deliberately spare (no r15 births; see the r16/r17 ledger
+    # below). All 50 r14-window entries rotated out ("Rotated out in
+    # ROUND 15" section at the end): 26 multiply-green, 24
+    # r14-singles (the r13-borns whose first green was r14) — the
+    # same documented displacement exception as r13/r14, pre-named as
+    # the FRONT of the r18 tranche (their staleness bound; r16/r17
+    # are consumed by older tranches, arithmetic below).
+    # Obligations as pre-named in r14, priority order:
+    # (a) the r14 tail-borns (never driver-checked). ADVICE r14
+    #     correction: the cap rule is births <= the next window's
+    #     free slots (r15 had 5 free after (b)+(c)+(d), so r14's FOUR
+    #     births fit; the earlier "at most 3" phrasing here misstated
+    #     the rule): fuzzy_blocking_recall_eval, tpch_q12_shipmode,
+    #     tpch_q21_waiting_supplier, graph_triangle_incremental;
     # (b) the 13 displaced r13-singles (front of the tranche:
     #     multimodal_dhash_near_dup, multimodal_audio_fingerprint,
     #     pipeline_diff_minhash_chain, sketch_cm_heavy_hitters,
@@ -245,7 +234,68 @@ _DEPRIORITIZED = [
     # singles (q12's shape slot passes to its faithful successor in
     # (a)), (c) = 4, (d) = 28 (q21's shape retired from the r10-era
     # tranche), (a) = 4 — total 49 of 50, one slot spare for an r15
-    # birth or an extra staleness pull-forward.
+    # birth or an extra staleness pull-forward. r15 chose to LEAVE the
+    # slot spare (zero births): every rotate-in this round is an
+    # obligation, and the r16/r17 ledger below is already saturated.
+    # ------------------------------------------------------------------
+    # ROUND 16/17 ROTATION — PRE-NAMED (VERDICT r14 item 8: the
+    # r10/r11-born pile hits its bounds simultaneously around
+    # r16-r17; write the tranches down BEFORE r15 closes). Post-r15
+    # last-green ledger, computed from CORRECTNESS_r01..r14 plus the
+    # expected r15 window: r15:49, r14:50, r13:36, r12:32, r11:35.
+    # ROUND 16 (50 slots, zero free — NO r15/r16 births can enter
+    # before r18 without displacing an obligation):
+    #   - ALL 35 of the r11-era tranche ("Rotated out in ROUND 12"
+    #     section; last green r11 — 5 rounds stale at r16, the oldest
+    #     on the books): w2_lww_latest_event, j3_num_comments_per_post,
+    #     x18_hex_to_long, dedup_lsh_candidates,
+    #     o5_children_topk_per_parent, f10_point_lookup,
+    #     a3_distinct_authors, a7_total_active_creators,
+    #     temporal_range_join, stream_passage_counts_incremental,
+    #     training_decontaminate, training_bloom_decontaminate,
+    #     training_cdc_chunks, sample_weighted_bernoulli,
+    #     tpch_q18_large_volume, tpch_q10_returned_items,
+    #     training_hash_split, dedup_shared_passages,
+    #     dedup_remove_repeated_passages, dedup_remove_duplicate_spans,
+    #     dedup_cross_source_overlap, text_language_consistency,
+    #     text_bpe_pair_counts, text_bpe_train_merges,
+    #     text_quality_classifier, text_tfidf_topk,
+    #     pipeline_adaptive_quality_gate, training_budget_select,
+    #     temporal_funnel_stages, search_substring_trigram,
+    #     temporal_cohort_retention, events_pivot_type_counts,
+    #     temporal_moving_window_agg, pipeline_column_profile,
+    #     dedup_lsh_incremental;
+    #   - the FIRST 15 (section order) of the r12-era tranche
+    #     ("Rotated out in ROUND 13", last green r12 — at bound r16):
+    #     f4_regex_filter, a2_distinct_authors_of_app,
+    #     a5_score_zeroing, x1_json_props_extract, x2_detect_post_type,
+    #     j2_parent_post_join, j7_follows_overview,
+    #     training_negative_sample, a_approx_distinct_kmv,
+    #     skew_salted_comment_counts, pipeline_corpus_curation,
+    #     dedup_embedding_neardup, text_language_id_ngram,
+    #     text_vocab_topk_per_source, sample_stratified.
+    # ROUND 17 (50 slots, zero free):
+    #   - the REMAINING 17 of the r12-era tranche (one round past
+    #     bound — the same documented one-round slack as the r9-era
+    #     deferrals, forced by the r11-era pile above):
+    #     x21_index_incremental_update, stream_dedup_batch_equivalence,
+    #     layout_zorder_key, training_dsir_resample,
+    #     dedup_keep_best_quality, training_pack_next_fit,
+    #     training_epoch_interleave, ann_recall_eval,
+    #     stream_stream_join_attribution, training_temperature_resample,
+    #     ingest_follows_families, text_bpe_encode, search_rrf_fusion,
+    #     multimodal_media_probe, sim_ivf_pq_adc, text_unigram_lm_train,
+    #     dedup_remove_duplicate_spans_maximal;
+    #   - 33 of the 36 r13-era tranche ("Rotated out in ROUND 14"
+    #     multiply-green section, last green r13 — at bound r17): all
+    #     EXCEPT the three thickest (search_bm25_topk green r10-r13,
+    #     a1_trending_tags green r2/r3/r7/r12/r13, w4_feed_pagination
+    #     green r2/r3/r7/r12/r13 — each >=5 driver greens, deferred
+    #     one round to r18, the same documented slack).
+    # ROUND 18 (obligations 27, ~23 free — the first relief round):
+    #   the 3 r13-era deferrals above + the 24 r14-singles (front of
+    #   the tranche, at their r18 bound). Births deferred from
+    #   r15-r17 can land here.
     # ------------------------------------------------------------------
     # Original r14 pre-naming (kept for the audit trail). Obligations:
     # (a) the 10 displaced r12-born SINGLES (driver-green r12 only;
@@ -287,88 +337,25 @@ _DEPRIORITIZED = [
     # r9 tranche.
     # ------------------------------------------------------------------
     # Rotated out in round 10. r14 re-entered 16 of the 20 under the
-    # staleness rule; these 4 (the youngest of the tranche) are the
-    # DOCUMENTED r14 deferrals — they re-enter r15 at bound+1 (r15
-    # obligation (c) in the pre-named note above).
+    # staleness rule; the remaining 4 (the youngest of the tranche,
+    # the DOCUMENTED r14 deferrals: w3_first_event_per_user,
+    # o6_related_feed_sample, x21_search_feed,
+    # x21_inverted_index_search) RE-ENTERED the window in r15 as
+    # obligation (c) — the section is now fully drained.
     # ------------------------------------------------------------------
-    "x21_inverted_index_search",  # green r1-r4+r9; DEFERRED to r15;
-    #    search rep search_bm25_topk (in-window r13)
-    "x21_search_feed",  # green r1/r2+r8/r9; DEFERRED to r15; same
-    #    search family
-    "o6_related_feed_sample",  # green r1-r3+r8/r9; DEFERRED to r15;
-    #    O-family rep o5/sample reps in recent windows
-    "w3_first_event_per_user",  # green r1/r2+r8/r9; DEFERRED to r15;
-    #    window family via temporal entries (in-window r14)
     # ------------------------------------------------------------------
-    # Rotated out in ROUND 11 under the cadence rule: these 29 fund the
-    # 25 rotate-ins (13 r6-stale + 10 r10 born-in-tail + 2 rejoins) and
-    # the 4 entries born in-window this round. Every one is multiply
-    # driver-green (r10 plus at least one earlier round) with its
-    # operator family still in-window, noted inline.
+    # Rotated out in ROUND 11 under the cadence rule: originally 29
+    # entries funding the 25 rotate-ins (13 r6-stale + 10 r10
+    # born-in-tail + 2 rejoins) and the 4 entries born in-window that
+    # round. ALL 28 survivors (q21's shape was retired by its r14
+    # faithful promotion, note below) RE-ENTERED the window in r15 as
+    # obligation (d) — the section is now fully drained.
     # ------------------------------------------------------------------
-    "o2_trending_feed_comments",  # green r3/r4+r9/r10; COMMENTS max-
-    #    anchor + sort+limit via tpch_q10 + o5_children_topk (in-window r11)
-    "f9_missing_field",  # green r2-r4+r9/r10; F-family existence rep;
-    #    equality/null pushdown via f10_point_lookup (in-window r11)
-    "a5_creator_score",  # green r2+r8-r10; A-family via a3 + a7
-    #    (in-window r11); zeroing arm a5_score_zeroing keeps local oracle
-    "x16_asset_parse",  # green r2+r8-r10; X-family JSON/parse via
-    #    x18_hex_to_long (in-window r11)
-    "skew_salted_distinct_count",  # green r2+r8-r10; distinct-count
-    #    shape via a3_distinct_authors (in-window r11); the salting
-    #    mechanics keep their dedicated plan tests
-    "dedup_apply_keep_canonical",  # green r3-r5+r10; canonical-keep via
-    #    dedup_keep_best_quality (in-window r11, the strictly more
-    #    general policy)
-    "tpch_q3_shipping_priority",  # green r3-r5+r10; TPC-H reps
-    #    tpch_q10 + tpch_q18 (in-window r11)
-    "tpch_q5_local_supplier_volume",  # green r3-r5+r10; same family
-    "tpch_q13_custdist",  # green r4/r5+r10; agg-join via
-    #    j3_num_comments_per_post (in-window r11)
-    "tpch_q17_small_quantity",  # green r4/r5+r10; scalar-agg via
-    #    a7_total_active_creators (in-window r11)
     # tpch_q21_waiting_supplier_shape (green r9/r10) was PROMOTED in
     # r14 to the faithful tpch_q21_waiting_supplier over the derived
     # lineitem_ext relation (VERDICT r13 item 4) — the faithful entry
     # is BORN IN TAIL (r14) above; the shape is retired, its greens
     # recorded here for the audit trail.
-    "ann_lsh_signatures",  # green r3+r8-r10; ANN/LSH family via
-    #    dedup_lsh_candidates (in-window r11) + sim_ivf_pq_adc
-    "text_repetition_stats",  # green r4/r5+r10; text-stats family via
-    #    text_quality_classifier + text_unigram_lm_train (in-window r11)
-    "text_pii_scrub",  # green r4/r5+r10; regexp family; scrub transform
-    #    via dedup span-removal entries (in-window)
-    "pipeline_domain_mix",  # green r4/r5+r10; mix family via
-    #    training_temperature_resample (in-window r11, the resampling arm)
-    "temporal_sessionize",  # green r4/r5+r10; temporal reps
-    #    funnel/cohort/moving + temporal_range_join (in-window r11)
-    "text_hashtag_url_extract",  # green r5+r10; regexp-extract family;
-    #    unit fuzz tests stay
-    "sim_label_centroids",  # green r5+r10; centroid family via
-    #    sim_ivf_pq_adc codebooks (in-window r11)
-    "training_chunk_sliding",  # green r5+r10; chunking family via
-    #    training_cdc_chunks (in-window)
-    "text_length_percentiles",  # green r5+r10; percentile family via
-    #    pipeline_column_profile (in-window)
-    "sim_quantize_int8",  # green r5+r10; quantization family via
-    #    sim_ivf_pq_adc (in-window r11, the PQ/ADC generalization)
-    "offchain_id_refresh",  # green r6-r10 (five consecutive); ingest
-    #    family via ingest_follows_families (in-window)
-    "stream_ssj_watermark_eviction",  # green r6-r10 (five consecutive);
-    #    streaming rep stream_passage_counts_incremental (in-window)
-    "text_lm_quality_score",  # green r7-r10; char-LM family via
-    #    training_dsir_resample (in-window r11) + text_quality_classifier
-    "dedup_semantic_flags",  # green r7-r10; semantic/band family via
-    #    dedup_keep_best_quality + dedup_lsh_candidates (in-window r11)
-    "community_updateprops_merge",  # green r8-r10; LWW/merge family via
-    #    w2_lww_latest_event (in-window r11)
-    "multimodal_png_probe",  # green r9/r10; multimodal family via
-    #    multimodal_media_probe (in-window r11, MP4/WAV siblings)
-    "setop_intersect_except",  # green r9/r10; §2.7 multiply-green; the
-    #    set-op family keeps full unit coverage + setop_union_sources
-    #    local oracle
-    "lineitem_unpivot_measures",  # green r9/r10; stack/unpivot family
-    #    keeps unit tests; HOF shape via a6 local oracle
     # ------------------------------------------------------------------
     # Rotated out in ROUND 12 under the cadence rule: these 35 fund
     # the 35 rotate-ins (19 r7-era + 14 r11 born-in-tail +
@@ -615,30 +602,112 @@ _DEPRIORITIZED = [
     "pipeline_diff_bm25_chain",  # green r12/r13; diff-chain family
     #    keeps local oracle; incremental family via graph_cc_incremental
     # ------------------------------------------------------------------
-    # ...then the 14 r13-singles (first driver-green r13; the same
-    # documented one-round displacement exception as r13's 10 — they
-    # are pre-named as the FRONT of the r15 tranche, staleness bound
-    # r17, see the ROUND 15 pre-naming above):
+    # ...the 14 r13-singles entered the r15 window as planned (the 13
+    # surviving names + the faithful q12 successor under (a)); their
+    # displacement exception is CLOSED once CORRECTNESS_r15 is green.
     # ------------------------------------------------------------------
-    "multimodal_dhash_near_dup",  # green r13 (the r12 oracle-dtype
-    #    fix's proof row)
-    "multimodal_audio_fingerprint",  # green r13 (same)
-    "pipeline_diff_minhash_chain",  # green r13
-    "sketch_cm_heavy_hitters",  # green r13
-    "sketch_sample_quantiles",  # green r13
-    "curation_remove_frequent_lines",  # green r13
-    "sim_kmeans_incremental",  # green r13
-    "ingest_follows_audit",  # green r13
     # tpch_q12_shipmode_shape (green r13) was PROMOTED in r14 to the
     # faithful tpch_q12_shipmode over the derived lineitem_ext
-    # relation (VERDICT r13 item 4) — the faithful entry is BORN IN
-    # TAIL (r14) above and replaces the shape in the r15 singles
-    # tranche; the shape is retired, its green recorded here.
-    "tpch_q2_min_cost_supplier",  # green r13
-    "tpch_q9_profit",  # green r13
-    "tpch_q11_important_stock",  # green r13
-    "tpch_q16_supplier_cnt",  # green r13
-    "tpch_q20_part_promotion",  # green r13
+    # relation (VERDICT r13 item 4) — the faithful entry entered the
+    # r15 window under (a); the shape is retired, its green recorded
+    # here.
+    # ------------------------------------------------------------------
+    # Rotated out in ROUND 15 (the full r14 window, all driver-green
+    # in CORRECTNESS_r14's 50/50 record). First the 26 multiply-green
+    # (r14 plus at least one earlier round), families in-window or
+    # noted:
+    # ------------------------------------------------------------------
+    "f1_tag_membership",  # green r2-r4/r9/r14; F-family membership
+    #    via f9_missing_field + the wherefield grid units (in-window
+    #    r15)
+    "j4_follower_feed_did",  # green r2-r3/r8-r9/r14; follows family
+    #    via ingest_follows_audit (in-window r15)
+    "j1_children_join",  # green r2-r4/r9/r14; self-join family via
+    #    o6_related_feed_sample + the TPC-H joins (in-window r15)
+    "dedup_exact",  # green r1-r4/r9/r14; dedup family via
+    #    dedup_apply_keep_canonical (in-window r15)
+    "dedup_simhash",  # green r1-r4/r9/r14; Hamming-band family via
+    #    ann_lsh_signatures + dedup_semantic_flags (in-window r15)
+    "sim_cosine_topk",  # green r1-r4/r9/r14; cosine family via
+    #    sim_label_centroids + sim_quantize_int8 (in-window r15)
+    "text_quality_features",  # green r1-r4/r9/r14; text-stats family
+    #    via text_repetition_stats + text_lm_quality_score (in-window
+    #    r15)
+    "tpch_q1_pricing_summary",  # green r1-r4/r9/r14; TPC-H agg family
+    #    via tpch_q3/q5/q13/q17 + faithful q12/q21 (in-window r15)
+    "tpch_q4_order_priority",  # green r4/r9/r14; same family (the
+    #    faithful q21 in-window carries the same exists-probe shape)
+    "text_bpe_token_count",  # green r3-r4/r9/r14; BPE family keeps
+    #    its local oracle battery; token-count shape via
+    #    text_length_percentiles (in-window r15)
+    "ann_lsh_topk",  # green r3-r4/r9/r14; LSH family via
+    #    ann_lsh_signatures (in-window r15)
+    "temporal_time_rollup",  # green r4/r9/r14; temporal family via
+    #    temporal_sessionize (in-window r15)
+    "text_lm_quality_sampled",  # green r7-r9/r14; char-LM family via
+    #    text_lm_quality_score (in-window r15)
+    "sim_truncate_renorm",  # green r7-r9/r14; quantize/truncate family
+    #    via sim_quantize_int8 (in-window r15)
+    "sim_kmeans_clusters",  # green r7-r9/r14; k-means family via
+    #    sim_kmeans_incremental + sim_label_centroids (in-window r15)
+    "training_token_budget",  # green r7-r9/r14; budget family via
+    #    pipeline_domain_mix + training_chunk_sliding (in-window r15)
+    "text_unigram_encode",  # green r12/r14; unigram family via
+    #    text_lm_quality_score (in-window r15); prebuilt bench arm
+    #    stays
+    "text_unicode_scrub",  # green r12/r14; scrub family via
+    #    text_pii_scrub (in-window r15)
+    "text_gopher_quality_gate",  # green r12/r14; quality-gate family
+    #    via text_repetition_stats + text_lm_quality_score (in-window
+    #    r15)
+    "pipeline_ccnet_buckets",  # green r12/r14; quantile-bucket family
+    #    via text_length_percentiles (in-window r15)
+    "training_contamination_report",  # green r12/r14; gram-join
+    #    family via fuzzy_blocking_recall_eval (in-window r15);
+    #    decontamination keeps its local battery
+    "graph_pagerank_quantized",  # green r12/r14; graph family via
+    #    graph_triangle_incremental (in-window r15)
+    "pipeline_corpus_diff",  # green r12/r14; diff-chain family via
+    #    pipeline_diff_minhash_chain (in-window r15)
+    "curation_dedup_lines_within_doc",  # green r12/r14; curation
+    #    family via curation_remove_frequent_lines (in-window r15)
+    "stream_bm25_index_incremental",  # green r12/r14; incremental
+    #    search-index family via x21_inverted_index_search +
+    #    x21_search_feed (in-window r15); foreachBatch soaks stay
+    "feeds_decayed_trending",  # green r12/r14; feed family via
+    #    o6_related_feed_sample + x21_search_feed (in-window r15)
+    # ------------------------------------------------------------------
+    # ...then the 24 r14-singles (the r13-borns whose first driver
+    # green was r14; the same documented displacement exception as
+    # r13's 10 and r14's 14). Their staleness bound is r18; they are
+    # pre-named as the FRONT of the r18 tranche (see the r16/r17
+    # ledger in the ROUND 16/17 pre-naming above) — NOT r16, which is
+    # fully consumed by the overdue r11-era tranche:
+    # ------------------------------------------------------------------
+    "sim_mmr_rerank_batch",  # green r14
+    "sketch_kmv_source_overlap",  # green r14
+    "graph_cc_incremental",  # green r14
+    "curation_keyword_tag",  # green r14
+    "curation_ngram_novelty",  # green r14
+    "layout_hilbert_key",  # green r14
+    "dedup_lsh_recall_eval",  # green r14
+    "training_rendezvous_shard",  # green r14
+    "temporal_gap_fill",  # green r14
+    "graph_triangle_count",  # green r14
+    "sketch_hll_distinct",  # green r14
+    "curation_url_dedup",  # green r14
+    "text_token_entropy",  # green r14
+    "ann_multiprobe_recall",  # green r14
+    "training_cluster_split",  # green r14
+    "temporal_ohlc_rollup",  # green r14
+    "dedup_containment_probe",  # green r14
+    "sample_weighted_reservoir",  # green r14
+    "quality_referential_audit",  # green r14
+    "dedup_prefix_filter_join",  # green r14
+    "dedup_fuzzy_edit_match",  # green r14
+    "sketch_hll_rollup",  # green r14
+    "pipeline_source_scorecard",  # green r14
+    "temporal_asof_tolerance",  # green r14
 ]
 
 

@@ -281,7 +281,9 @@ BENCH_QUERIES = [
     "temporal_asof_tolerance",
     # round 14: blocking-key recall pricing for fuzzy edit matching —
     # brute-within-sample truth (bucket-pair equi keys) + two blocked
-    # candidate joins + the report fold.
+    # candidate joins + the report fold. r15 widened the entry to the
+    # width-2..8 FRONTIER (still one scan per strategy; ~0.7 s over
+    # the single-width form at sf0.1, pricing 14 cells instead of 2).
     "fuzzy_blocking_recall_eval",
     # round 14: incremental triangle fold — composed old-solve + the
     # three-case batch delta (the graph_cc_incremental cost profile:

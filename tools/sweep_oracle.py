@@ -1,0 +1,126 @@
+"""Full-registry oracle sweep at an arbitrary scale factor — the
+one-off sf>=0.5 stress run of VERDICT r14 item 4 (and reusable for
+any future above-driver-scale verification).
+
+Runs every registry entry's Spark form and its DuckDB oracle over the
+SAME parquet directory and compares with the tests/oracle_harness
+discipline (rowcount + schema + order-insensitive values, float
+tolerance). Entries without an oracle get the driver's weaker
+rows-only check. Emits one JSON line per entry to --out as it goes
+(resumable: already-recorded names are skipped on rerun), then a
+summary line.
+
+Usage:
+  python tools/sweep_oracle.py --sf-dir testdata_scaled/sf0.5 \
+      --out /tmp/sweep_sf05.jsonl [--master "local[16]"] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default="local[16]")
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    from oracle_harness import compare, duckdb_conn
+
+    from union_indexer_node_spark import queries as q
+    from union_indexer_node_spark.session import get_spark
+
+    reg = q.registry()
+    names = sorted(reg)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    done: set[str] = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "name" in rec:
+                    done.add(rec["name"])
+
+    spark = get_spark(
+        app_name="sweep",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    sf_dir = os.path.abspath(args.sf_dir)
+    duck = duckdb_conn(sf_dir)
+
+    n_pass = n_fail = 0
+    fails: list[str] = []
+    with open(args.out, "a") as out:
+        for name in names:
+            if name in done:
+                continue
+            qd = reg[name]
+            t0 = time.time()
+            rec: dict = {"name": name}
+            try:
+                sdf = qd.fn(spark, sf_dir).toPandas()
+                rec["spark_rows"] = len(sdf)
+                if qd.oracle is None:
+                    rec["mode"] = "rows_only"
+                    rec["ok"] = len(sdf) >= 0
+                else:
+                    ddf = duck.execute(qd.oracle).df()
+                    rec["oracle_rows"] = len(ddf)
+                    errs = compare(sdf, ddf, name)
+                    rec["ok"] = not errs
+                    if errs:
+                        rec["errs"] = errs[:5]
+            except Exception as e:  # record, keep sweeping
+                rec["ok"] = False
+                rec["err"] = f"{type(e).__name__}: {e}"[:500]
+                rec["trace"] = traceback.format_exc()[-1500:]
+            rec["secs"] = round(time.time() - t0, 2)
+            if rec["ok"]:
+                n_pass += 1
+            else:
+                n_fail += 1
+                fails.append(name)
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(
+                f"[{n_pass + n_fail}/{len(names) - len(done)}] {name}: "
+                f"{'ok' if rec['ok'] else 'FAIL'} ({rec['secs']}s)",
+                flush=True,
+            )
+        out.write(
+            json.dumps(
+                {
+                    "summary": True,
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "fails": fails,
+                }
+            )
+            + "\n"
+        )
+    print(json.dumps({"pass": n_pass, "fail": n_fail, "fails": fails}))
+
+
+if __name__ == "__main__":
+    main()

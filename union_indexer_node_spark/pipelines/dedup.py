@@ -1720,6 +1720,318 @@ def fuzzy_edit_match(
     )
 
 
+def _fuzzy_keyed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _t, _len, _toks), materialized once — read by the brute
+    truth AND every strategy arm of the blocking evals."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).localCheckpoint()
+
+
+def _fuzzy_brute_truth(
+    keyed: DataFrame, *, max_edits: int, brute_buckets: int
+) -> DataFrame:
+    """Exact ALL-PAIRS edit-distance truth over the sample, NEVER a
+    Cartesian plan: docs hash into ``brute_buckets`` buckets and each
+    unordered bucket pair (i <= j) becomes an EQUI-join key — the
+    left side emits keys {(b, j): j >= b}, the right side
+    {(i, b): i <= b}, so a cross-bucket pair meets exactly once with
+    the lower bucket on the left, and same-bucket pairs are deduped
+    by the id order filter. Work is |sample|^2 / 2 spread over
+    ~buckets^2/2 reducer keys. Returns the (a, b) truth pairs,
+    least/greatest-normalized and localCheckpointed (the truth is
+    read by every strategy's verification + the report's n_true —
+    without materialization the dominant quadratic join + levenshtein
+    re-executes per consumer).
+
+    Buckets come from a HASH of the id, not the id itself (ADVICE
+    r14: pmod on the raw id required a numeric id and failed string
+    ids with an opaque analysis error). Bucket assignment only
+    spreads the all-pairs work — truth membership never depends on
+    it — so any id type with a stable xxhash64 is fine.
+    """
+    b = F.pmod(F.xxhash64(F.col("_id")), F.lit(brute_buckets))
+    left = keyed.select(
+        F.col("_id").alias("a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+        b.alias("_ba"),
+        F.explode(
+            F.sequence(b, F.lit(brute_buckets - 1))
+        ).alias("_j"),
+    ).withColumn("_pk", F.col("_ba") * brute_buckets + F.col("_j"))
+    right = keyed.select(
+        F.col("_id").alias("b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+        b.alias("_bb"),
+        F.explode(F.sequence(F.lit(0), b)).alias("_i"),
+    ).withColumn("_pk", F.col("_i") * brute_buckets + F.col("_bb"))
+    brute_pairs = (
+        left.join(right, "_pk")
+        # cross-bucket pairs meet exactly once (lower bucket left);
+        # same-bucket keys produce both orders + self-pairs -> id order
+        .filter((F.col("_ba") != F.col("_bb")) | (F.col("a") < F.col("b")))
+    )
+    return (
+        brute_pairs.filter(
+            F.abs(F.col("_la") - F.col("_lb")) <= max_edits
+        )
+        .filter(F.levenshtein(F.col("_ta"), F.col("_tb"), max_edits) >= 0)
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .localCheckpoint()
+    )
+
+
+def fuzzy_blocking_frontier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_edits: int = 4,
+    min_width: int = 2,
+    max_width: int = 8,
+    brute_buckets: int = 8,
+) -> DataFrame:
+    """The blocking-key WIDTH FRONTIER: fuzzy_blocking_recall priced
+    two strategies at one fixed width each; this emits one row per
+    (strategy, width) for width in [min_width, max_width] from a
+    SINGLE corpus scan per strategy, so the recall / candidate-volume
+    trade is visible as a curve (VERDICT r14 item 6 — the same move
+    ann_multiprobe_recall made for LSH probe rings). Returns
+    (strategy, width, n_true, n_candidates, n_matched,
+    recall_permille); the ``brute_truth`` denominator row rides along
+    at width 0 (width is not a brute knob).
+
+    One scan per strategy, not one per width, by monotonicity:
+
+    - ``token_window`` at width w blocks on tokens[2..w+1] joined —
+      keys NEST as w grows (equal (w+1)-slices have equal w-slices),
+      so candidates are DECREASING in w. One self-join on the
+      min_width key finds every pair that blocks anywhere on the
+      ladder; each pair's maximal agreeing width then falls out of
+      ONE common-prefix comparison of the two max_width token
+      windows, and the pair explodes into sequence(min_width, maxw)
+      — at most (max_width - min_width + 1) rows, never a re-join.
+    - ``sorted_neighborhood`` at window w compares rank neighbors at
+      distance <= w - 1 — candidates are INCREASING in w (a pair at
+      rank distance d is a candidate for every w > d). One block join
+      at max_width yields each neighbor pair with its rank distance
+      once; the pair explodes into sequence(d + 1, max_width).
+
+    The two monotonicities run in OPPOSITE directions — widening the
+    token window sheds candidates (stricter key), widening the SNM
+    window adds them — which is exactly why the frontier is worth a
+    report: the knee where the curves cross is the operating point.
+    Cost shape: brute truth dominates (the eval's documented
+    sample-only contract, inherited from fuzzy_blocking_recall); the
+    per-strategy scans are one equi-join each plus a <=7x explode of
+    candidate rows.
+    """
+    spark = df.sparkSession
+    if not (1 <= min_width <= max_width):
+        raise ValueError(
+            f"need 1 <= min_width <= max_width, got ({min_width}, "
+            f"{max_width})"
+        )
+    keyed = _fuzzy_keyed(df, text_col, id_col)
+    truth = _fuzzy_brute_truth(
+        keyed, max_edits=max_edits, brute_buckets=brute_buckets
+    )
+
+    # --- token-window arm: one join at min_width, per-pair max width ----
+    win = F.slice(F.col("_toks"), 2, max_width)
+    blk = F.array_join(F.slice(F.col("_toks"), 2, min_width), " ")
+    ka = keyed.select(
+        blk.alias("_blk"), F.col("_id").alias("a"), win.alias("_wina")
+    )
+    kb = keyed.select(
+        blk.alias("_blk"), F.col("_id").alias("b"), win.alias("_winb")
+    )
+    # common prefix of the two windows: zip_with pads the shorter
+    # side with NULL and token <=> NULL is false, so the first false
+    # position bounds the prefix by min(len) automatically; no false
+    # anywhere + equal sizes = identical windows, which agree at
+    # EVERY width on the ladder (slices beyond the window length
+    # truncate identically)
+    eqarr = F.zip_with(
+        F.col("_wina"), F.col("_winb"), lambda x, y: x.eqNullSafe(y)
+    )
+    firstfalse = F.array_position(eqarr, F.lit(False))
+    cpl = F.when(firstfalse == 0, F.size(eqarr)).otherwise(
+        firstfalse - 1
+    )
+    identical = (F.size("_wina") == F.size("_winb")) & (firstfalse == 0)
+    maxw = F.when(identical, F.lit(max_width)).otherwise(cpl)
+    tw_pairs = (
+        ka.join(kb, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", maxw.alias("_maxw"))
+        # the min_width join key guarantees _maxw >= min_width, so
+        # the sequence is never empty
+        .select(
+            "a",
+            "b",
+            F.explode(
+                F.sequence(F.lit(min_width), F.col("_maxw"))
+            ).alias("width"),
+        )
+    )
+
+    # --- SNM arm: one block join at max_width, cumulative in width ------
+    rank_w = Window.orderBy(
+        F.array_join(F.col("_toks"), " "), F.col("_id")
+    )
+    ranked = keyed.withColumn("_rk", F.row_number().over(rank_w))
+    g = F.floor((F.col("_rk") - 1) / max_width)
+    sa = ranked.select(
+        F.col("_id").alias("a"),
+        F.col("_rk").alias("_ra"),
+        # one side explodes into its own block and the next: a pair
+        # within max_width-1 ranks has its higher member in the same
+        # or next block, so it meets exactly once under the _rb > _ra
+        # filter (fuzzy_blocking_recall's proof, run once at the
+        # ladder's top width)
+        F.explode(F.array(g, g + 1)).alias("_g"),
+    )
+    sb = ranked.select(
+        F.col("_id").alias("b"), F.col("_rk").alias("_rb"), g.alias("_g")
+    )
+    snm_pairs = (
+        sa.join(sb, "_g")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= max_width - 1)
+        )
+        # rank distance d => candidate for every width w >= d + 1;
+        # clamp to min_width so the ladder floor is respected
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.col("_rb") - F.col("_ra") + 1,
+                        F.lit(min_width),
+                    ),
+                    F.lit(max_width),
+                )
+            ).alias("width"),
+        )
+    )
+
+    # --- fold to the per-(strategy, width) report ------------------------
+    # a blocked pair that survives the edit bound IS a truth member,
+    # so one semi-join against truth is the verification; the brute
+    # rows ride along as their own tag (width 0 — width is not a
+    # brute knob), exactly the single-width report's fold
+    tagged = (
+        truth.select(
+            F.lit("brute_truth").alias("strategy"),
+            F.lit(0).cast("int").alias("width"),
+            "a",
+            "b",
+        )
+        .unionByName(
+            tw_pairs.select(
+                F.lit("token_window").alias("strategy"), "width", "a", "b"
+            ).join(truth, ["a", "b"], "left_semi")
+        )
+        .unionByName(
+            snm_pairs.select(
+                F.lit("sorted_neighborhood").alias("strategy"),
+                "width",
+                "a",
+                "b",
+            ).join(truth, ["a", "b"], "left_semi")
+        )
+    )
+    matched = tagged.groupBy("strategy", "width").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    # the brute candidate count IS C(n, 2) by the exactly-once
+    # pairing proof — computed arithmetically from the checkpointed
+    # doc count, never by re-running the quadratic join
+    brute_cand = keyed.agg(
+        F.expr("(count(1) * (count(1) - 1)) div 2").alias("n_candidates")
+    ).select(
+        F.lit("brute_truth").alias("strategy"),
+        F.lit(0).cast("int").alias("width"),
+        F.col("n_candidates").cast("long"),
+    )
+    cand_counts = (
+        tw_pairs.select(
+            F.lit("token_window").alias("strategy"), "width"
+        )
+        .unionByName(
+            snm_pairs.select(
+                F.lit("sorted_neighborhood").alias("strategy"), "width"
+            )
+        )
+        .groupBy("strategy", "width")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .unionByName(brute_cand)
+    )
+    # one row per (strategy, width) even when a cell catches ZERO
+    # pairs — empty groups vanish from the groupBys, so the row set
+    # anchors on this literal frame (fuzzy_blocking_recall's report
+    # contract, extended to the ladder); n_true reaches every row
+    # through a whole-frame window over the brute tag, not a cross
+    # join (plan hygiene: no BNLJ)
+    anchor = spark.createDataFrame(
+        [("brute_truth", 0)]
+        + [
+            (s, w)
+            for s in ("token_window", "sorted_neighborhood")
+            for w in range(min_width, max_width + 1)
+        ],
+        "strategy string, width int",
+    )
+    all_w = Window.partitionBy()
+    return (
+        anchor.join(cand_counts, ["strategy", "width"], "left")
+        .join(matched, ["strategy", "width"], "left")
+        .withColumn(
+            "n_candidates",
+            F.coalesce("n_candidates", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_matched", F.coalesce("n_matched", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_true",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("strategy") == "brute_truth",
+                        F.col("n_matched"),
+                    )
+                ).over(all_w),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(
+            "strategy",
+            "width",
+            "n_true",
+            "n_candidates",
+            "n_matched",
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("(1000 * n_matched) div n_true"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
+
+
 def fuzzy_blocking_recall(
     df: DataFrame,
     text_col: str,
@@ -1762,63 +2074,9 @@ def fuzzy_blocking_recall(
     only, which is exactly this operator's scope.
     """
     w = snm_window
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_len"),
-        tokens(F.col(text_col)).alias("_toks"),
-    ).localCheckpoint()
-
-    def _verified(pairs: DataFrame) -> DataFrame:
-        """(a,b,_ta,_tb,_la,_lb) -> true pairs under the edit bound."""
-        return (
-            pairs.filter(F.abs(F.col("_la") - F.col("_lb")) <= max_edits)
-            .filter(
-                F.levenshtein(F.col("_ta"), F.col("_tb"), max_edits) >= 0
-            )
-            .select("a", "b")
-        )
-
-    # --- brute truth via bucket-pair equi keys --------------------------
-    # bucket from a HASH of the id, not the id itself (ADVICE r14:
-    # pmod on id_col required a numeric id and failed string ids with
-    # an opaque analysis error). Bucket assignment only spreads the
-    # all-pairs work — truth membership never depends on it — so any
-    # id type with a stable xxhash64 is fine.
-    b = F.pmod(F.xxhash64(F.col("_id")), F.lit(brute_buckets))
-    left = keyed.select(
-        F.col("_id").alias("a"),
-        F.col("_t").alias("_ta"),
-        F.col("_len").alias("_la"),
-        b.alias("_ba"),
-        F.explode(
-            F.sequence(b, F.lit(brute_buckets - 1))
-        ).alias("_j"),
-    ).withColumn("_pk", F.col("_ba") * brute_buckets + F.col("_j"))
-    right = keyed.select(
-        F.col("_id").alias("b"),
-        F.col("_t").alias("_tb"),
-        F.col("_len").alias("_lb"),
-        b.alias("_bb"),
-        F.explode(F.sequence(F.lit(0), b)).alias("_i"),
-    ).withColumn("_pk", F.col("_i") * brute_buckets + F.col("_bb"))
-    brute_pairs = (
-        left.join(right, "_pk")
-        # cross-bucket pairs meet exactly once (lower bucket left);
-        # same-bucket keys produce both orders + self-pairs -> id order
-        .filter((F.col("_ba") != F.col("_bb")) | (F.col("a") < F.col("b")))
-    )
-    # truth is read by FOUR consumers (the tagged brute row, both
-    # strategies' semi-join verifications, n_true) — materialize it
-    # once or the dominant O(|sample|^2/2) brute join + levenshtein
-    # re-executes per consumer (review r14; the containment_probe
-    # probe-postings argument)
-    truth = (
-        _verified(brute_pairs)
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .localCheckpoint()
+    keyed = _fuzzy_keyed(df, text_col, id_col)
+    truth = _fuzzy_brute_truth(
+        keyed, max_edits=max_edits, brute_buckets=brute_buckets
     )
 
     # --- strategy 1: token-window blocking key --------------------------

@@ -19,20 +19,28 @@ from . import tables
 from .queries import q
 
 
-# Fuzzy-match blocking-key recall eval (round 14, VERDICT r13 item 6):
+# Fuzzy-match blocking-key recall eval (round 14, VERDICT r13 item 6;
+# widened to the WIDTH FRONTIER in round 15 per VERDICT r14 item 6):
 # dedup_fuzzy_edit_match is EXACT within blocks, but its recall IS the
 # blocking key — this entry measures that trade the way
-# ann_multiprobe_recall prices LSH probe rings. The fixture plants two
-# mutant classes on a deterministic 1/7 document sample: HEAD mutants
-# (first char deleted — outside the token window, so the token-window
-# key survives; teleports the record in sort order, so sorted-
-# neighborhood misses) and IN-WINDOW mutants (one substitution at char
-# 11 — usually inside tokens 2..5, so the token-window key breaks; the
-# 10-char sort prefix survives, so sorted-neighborhood catches).
-# Ground truth is brute-force within the sample, distributed over
-# bucket-pair equi keys (never a Cartesian plan). The oracle replays
-# the whole protocol with DuckDB's native levenshtein and an
-# independent rank-range join for the SNM arm.
+# ann_multiprobe_recall prices LSH probe rings: one row per
+# (strategy, width) for width 2..8, both strategies priced from a
+# single corpus scan each (token-window candidates NEST decreasing in
+# width, SNM candidates cumulate increasing — see
+# fuzzy_blocking_frontier's monotonicity argument). The fixture
+# plants two mutant classes on a deterministic 1/7 document sample:
+# HEAD mutants (first char deleted — outside the token window, so the
+# token-window key survives; teleports the record in sort order, so
+# sorted-neighborhood misses) and IN-WINDOW mutants (one substitution
+# at char 11 — usually inside tokens 2..5, so narrow token-window
+# keys break; the 10-char sort prefix survives, so sorted-
+# neighborhood catches). Ground truth is brute-force within the
+# sample, distributed over bucket-pair equi keys (never a Cartesian
+# plan). The oracle is an INDEPENDENT all-pairs-per-width
+# formulation: DuckDB native levenshtein truth, per-width list-slice
+# equality for the token arm, a rank-distance join for the SNM arm —
+# it never replays the maxw/explode protocol, so a monotonicity bug
+# in the single-scan trick cannot cancel.
 @q(
     "fuzzy_blocking_recall_eval",
     """
@@ -61,12 +69,15 @@ from .queries import q
         ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
       WHERE levenshtein(a.text, b.text) <= 4
     ),
-    blk AS (
-      SELECT doc_id, array_to_string(toks[2:5], ' ') AS blk FROM keyed
+    widths AS (
+      SELECT CAST(range AS INTEGER) AS width FROM range(2, 9)
     ),
     tw AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      SELECT w.width, a.doc_id AS a, b.doc_id AS b
+      FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+      CROSS JOIN widths w
+      WHERE list_slice(a.toks, 2, w.width + 1)
+              = list_slice(b.toks, 2, w.width + 1)
     ),
     ranked AS (
       SELECT doc_id,
@@ -75,44 +86,66 @@ from .queries import q
       FROM keyed
     ),
     snm AS (
-      SELECT LEAST(a.doc_id, b.doc_id) AS a,
+      SELECT w.width,
+             LEAST(a.doc_id, b.doc_id) AS a,
              GREATEST(a.doc_id, b.doc_id) AS b
       FROM ranked a JOIN ranked b
-        ON b.rk > a.rk AND b.rk - a.rk <= 3
+        ON b.rk > a.rk AND b.rk - a.rk <= 7
+      CROSS JOIN widths w
+      WHERE b.rk - a.rk <= w.width - 1
     ),
     nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+    anchor AS (
+      SELECT 'brute_truth' AS strategy, CAST(0 AS INTEGER) AS width
+      UNION ALL
+      SELECT s.strategy, w.width
+      FROM (VALUES ('token_window'), ('sorted_neighborhood'))
+           s(strategy)
+      CROSS JOIN widths w
+    ),
     cand AS (
-      SELECT 'brute_truth' AS strategy,
+      SELECT 'brute_truth' AS strategy, CAST(0 AS INTEGER) AS width,
              CAST(n * (n - 1) // 2 AS BIGINT) AS n_candidates FROM nk
       UNION ALL
-      SELECT 'token_window', CAST(COUNT(*) AS BIGINT) FROM tw
+      SELECT 'token_window', width, CAST(COUNT(*) AS BIGINT)
+      FROM tw GROUP BY width
       UNION ALL
-      SELECT 'sorted_neighborhood', CAST(COUNT(*) AS BIGINT) FROM snm
+      SELECT 'sorted_neighborhood', width, CAST(COUNT(*) AS BIGINT)
+      FROM snm GROUP BY width
     ),
     mt AS (
-      SELECT 'brute_truth' AS strategy,
+      SELECT 'brute_truth' AS strategy, CAST(0 AS INTEGER) AS width,
              CAST(COUNT(*) AS BIGINT) AS n_matched FROM truth
       UNION ALL
-      SELECT 'token_window', CAST(COUNT(*) AS BIGINT)
+      SELECT 'token_window', width, CAST(COUNT(*) AS BIGINT)
       FROM tw WHERE EXISTS (SELECT 1 FROM truth t
                             WHERE t.a = tw.a AND t.b = tw.b)
+      GROUP BY width
       UNION ALL
-      SELECT 'sorted_neighborhood', CAST(COUNT(*) AS BIGINT)
+      SELECT 'sorted_neighborhood', width, CAST(COUNT(*) AS BIGINT)
       FROM snm WHERE EXISTS (SELECT 1 FROM truth t
                              WHERE t.a = snm.a AND t.b = snm.b)
-    ),
-    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
-    SELECT m.strategy, nt.n_true, c.n_candidates, m.n_matched,
+      GROUP BY width
+    )
+    SELECT an.strategy, an.width, nt.n_true,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
            CASE WHEN nt.n_true > 0
-                THEN CAST(1000 * m.n_matched // nt.n_true AS BIGINT)
+                THEN CAST(1000 * COALESCE(m.n_matched, 0) // nt.n_true
+                          AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS recall_permille
-    FROM mt m JOIN cand c ON m.strategy = c.strategy, nt
+    FROM anchor an
+    LEFT JOIN cand c
+      ON an.strategy = c.strategy AND an.width = c.width
+    LEFT JOIN mt m
+      ON an.strategy = m.strategy AND an.width = m.width, nt
     """,
 )
 def fuzzy_blocking_recall_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .pipelines.dedup import fuzzy_blocking_recall
+    from .pipelines.dedup import fuzzy_blocking_frontier
 
     base = tables.load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 7 == 0
@@ -135,8 +168,8 @@ def fuzzy_blocking_recall_eval(
         .unionByName(head_mut)
         .unionByName(win_mut)
     )
-    return fuzzy_blocking_recall(
-        sample, "text", "doc_id", max_edits=4, snm_window=4
+    return fuzzy_blocking_frontier(
+        sample, "text", "doc_id", max_edits=4, min_width=2, max_width=8
     )
 
 

@@ -50,15 +50,29 @@ def main() -> None:
     reg = q.registry()
     names = sorted(reg)
     if args.only:
-        names = [n for n in names if n in set(args.only.split(","))]
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            # silently dropping an unknown name would let the sweep
+            # falsely attest an entry that never ran
+            sys.exit(
+                f"sweep_oracle: unknown registry entries: {sorted(unknown)}"
+            )
+        names = [n for n in names if n in wanted]
 
+    # resume skips only entries already recorded OK — a failed record
+    # is retried, so a resumed sweep can't end clean while the file
+    # still holds an unretried failure
     done: set[str] = set()
+    prior: dict[str, dict] = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             for line in f:
                 rec = json.loads(line)
                 if "name" in rec:
-                    done.add(rec["name"])
+                    prior[rec["name"]] = rec
+                    if rec.get("ok"):
+                        done.add(rec["name"])
 
     spark = get_spark(
         app_name="sweep",
@@ -81,8 +95,11 @@ def main() -> None:
                 sdf = qd.fn(spark, sf_dir).toPandas()
                 rec["spark_rows"] = len(sdf)
                 if qd.oracle is None:
-                    rec["mode"] = "rows_only"
-                    rec["ok"] = len(sdf) >= 0
+                    # driver-parity weak check: "ran without raising";
+                    # zero_rows flags the suspicious-but-passing case
+                    rec["mode"] = "ran_only_no_value_check"
+                    rec["zero_rows"] = len(sdf) == 0
+                    rec["ok"] = True
                 else:
                     ddf = duck.execute(qd.oracle).df()
                     rec["oracle_rows"] = len(ddf)
@@ -102,24 +119,29 @@ def main() -> None:
                 fails.append(name)
             out.write(json.dumps(rec) + "\n")
             out.flush()
+            prior[name] = rec
             print(
-                f"[{n_pass + n_fail}/{len(names) - len(done)}] {name}: "
-                f"{'ok' if rec['ok'] else 'FAIL'} ({rec['secs']}s)",
+                f"[{n_pass + n_fail}/{len([n for n in names if n not in done])}] "
+                f"{name}: {'ok' if rec['ok'] else 'FAIL'} ({rec['secs']}s)",
                 flush=True,
             )
-        out.write(
-            json.dumps(
-                {
-                    "summary": True,
-                    "sf_dir": sf_dir,
-                    "pass": n_pass,
-                    "fail": n_fail,
-                    "fails": fails,
-                }
-            )
-            + "\n"
+        # the summary covers EVERY recorded entry (this run + resumed
+        # prior records), so a resumed sweep can't report fail=0 while
+        # the file holds an unretried failure
+        all_fails = sorted(
+            n for n in names if not prior.get(n, {}).get("ok")
         )
-    print(json.dumps({"pass": n_pass, "fail": n_fail, "fails": fails}))
+        summary = {
+            "summary": True,
+            "sf_dir": sf_dir,
+            "entries": len(names),
+            "pass": len(names) - len(all_fails),
+            "fail": len(all_fails),
+            "fails": all_fails,
+            "this_run": {"pass": n_pass, "fail": n_fail},
+        }
+        out.write(json.dumps(summary) + "\n")
+    print(json.dumps({k: summary[k] for k in ("entries", "pass", "fail", "fails")}))
 
 
 if __name__ == "__main__":

@@ -1881,6 +1881,11 @@ def fuzzy_blocking_frontier(
                 F.sequence(F.lit(min_width), F.col("_maxw"))
             ).alias("width"),
         )
+        # read by BOTH the matched fold and the candidate counts —
+        # without materialization the block self-join + explode runs
+        # twice in the one final plan (module discipline: every
+        # multi-consumer frame checkpoints)
+        .localCheckpoint()
     )
 
     # --- SNM arm: one block join at max_width, cumulative in width ------
@@ -1923,6 +1928,9 @@ def fuzzy_blocking_frontier(
                 )
             ).alias("width"),
         )
+        # two consumers, and this arm carries the single-partition
+        # global row_number sort — checkpoint so it runs once
+        .localCheckpoint()
     )
 
     # --- fold to the per-(strategy, width) report ------------------------

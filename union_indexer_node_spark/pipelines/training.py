@@ -930,6 +930,15 @@ def triangle_count_incremental(
             "canonical_edges form with columns (a, b); got "
             f"{stored_edges.columns}"
         )
+    # fail fast (like the stored_edges guard above): the batch
+    # localCheckpoint below is an eager full-store anti-join job
+    if stored_degrees is not None and not {"node", "degree"}.issubset(
+        stored_degrees.columns
+    ):
+        raise ValueError(
+            "triangle_count_incremental: stored_degrees must have "
+            f"columns (node, degree); got {stored_degrees.columns}"
+        )
     o = stored_edges.select(F.col("a"), F.col("b"))
     batch = (
         canonical_edges(new_edges, new_a_col, new_b_col)
@@ -940,11 +949,6 @@ def triangle_count_incremental(
         o.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     if stored_degrees is not None:
-        if not {"node", "degree"}.issubset(stored_degrees.columns):
-            raise ValueError(
-                "triangle_count_incremental: stored_degrees must have "
-                f"columns (node, degree); got {stored_degrees.columns}"
-            )
         deg = stored_degrees.select(
             "node", F.col("degree").alias("_deg")
         )

@@ -553,3 +553,26 @@ class TestTriangleDegreeState:
         )
         assert _fp(c_deg) == _fp(c_rec)
         assert _fp(d_out) == _fp(_degrees_of(e_deg))
+
+
+class TestTemperatureResampleAttractor:
+    """The r15 sf0.5 stress-sweep catch: with UNIFORM domain counts
+    the exact-math keep rate is 0.5 — a 1/2^20 grid point — and the
+    old floor-quantization put the keep/drop cliff exactly where the
+    engines' summation-order ulps land (Spark's tree-summed wsum
+    floored to 0.5 - 2^-20 while DuckDB's sequential sum gave 0.5).
+    Round-to-nearest centers attractors in their cells; this pins the
+    uniform case to an exact 0.5 in the Spark arm."""
+
+    def test_uniform_counts_rate_exactly_half(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            temperature_resample,
+        )
+
+        rows = [(d * 100 + i, f"dom{d}") for d in range(8) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_resample(
+            df, "doc_id", "source", alpha=0.5, target_frac=0.5
+        )
+        rates = {r["rate"] for r in out.select("rate").distinct().collect()}
+        assert rates == {0.5}

@@ -33,6 +33,37 @@ sys.path.insert(
 )
 
 
+def _run_oracle(duck, sql: str, timeout: float):
+    """Execute the oracle with an interrupt watchdog. Returns the
+    DataFrame, or None if the watchdog fired (duckdb.interrupt() is
+    checked between pipeline operators, so even a mid-flight
+    quadratic join stops within a batch)."""
+    if not timeout:
+        return duck.execute(sql).df()
+    import threading
+
+    fired = threading.Event()
+
+    def watchdog() -> None:
+        if not fired.wait(timeout):
+            duck.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return duck.execute(sql).df()
+    except Exception as e:
+        if (
+            "interrupt" in str(e).lower()
+            or "interrupt" in type(e).__name__.lower()
+        ):
+            return None
+        raise
+    finally:
+        fired.set()
+        t.join()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
@@ -40,6 +71,15 @@ def main() -> None:
     ap.add_argument("--master", default="local[16]")
     ap.add_argument("--shuffle-partitions", type=int, default=16)
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--oracle-timeout",
+        type=float,
+        default=0.0,
+        help="seconds before a DuckDB oracle arm is interrupted and the "
+        "entry recorded as oracle_timeout (0 = no limit). The Spark arm "
+        "is not limited — it parallelizes; the brute SQL replays are "
+        "the quadratic risk at stress scale.",
+    )
     args = ap.parse_args()
 
     from oracle_harness import compare, duckdb_conn
@@ -101,12 +141,20 @@ def main() -> None:
                     rec["zero_rows"] = len(sdf) == 0
                     rec["ok"] = True
                 else:
-                    ddf = duck.execute(qd.oracle).df()
-                    rec["oracle_rows"] = len(ddf)
-                    errs = compare(sdf, ddf, name)
-                    rec["ok"] = not errs
-                    if errs:
-                        rec["errs"] = errs[:5]
+                    ddf = _run_oracle(duck, qd.oracle, args.oracle_timeout)
+                    if ddf is None:
+                        rec["ok"] = False
+                        rec["mode"] = "oracle_timeout"
+                        rec["err"] = (
+                            f"oracle interrupted after "
+                            f"{args.oracle_timeout}s"
+                        )
+                    else:
+                        rec["oracle_rows"] = len(ddf)
+                        errs = compare(sdf, ddf, name)
+                        rec["ok"] = not errs
+                        if errs:
+                            rec["errs"] = errs[:5]
             except Exception as e:  # record, keep sweeping
                 rec["ok"] = False
                 rec["err"] = f"{type(e).__name__}: {e}"[:500]

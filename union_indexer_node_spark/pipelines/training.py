@@ -1152,12 +1152,21 @@ def temperature_resample(
 
     Per-domain keep rate r_s = min(1, T * w_s / (n_s * sum_t w_t)) with
     w_s = n_s^alpha and T = target_frac * N; each row keeps iff its
-    md5 draw < r_s. The rate is quantized to 1/2^20 BEFORE the
-    comparison: the sum-of-doubles in sum_t w_t is the one
-    order-dependent float in the pipeline, and quantizing makes the
-    keep/drop boundary insensitive to its last-ulp wobble across
-    engines and partitionings — the same determinism discipline as
-    md5_draw itself.
+    md5 draw < r_s. The rate is quantized to the 1/2^20 grid BEFORE
+    the comparison — by ROUND-TO-NEAREST grid point, not floor: the
+    sum-of-doubles in sum_t w_t is the one order-dependent float in
+    the pipeline, and the exact-math attractor values it wobbles
+    around (0.5 when every domain count is equal, 1.0 at the min
+    clamp) are themselves grid points, so a floor puts the cliff
+    exactly where the ulps land — the r15 sf0.5 stress sweep caught
+    Spark's tree-summed wsum flooring to 0.5 - 2^-20 while DuckDB's
+    sequential sum gave 0.5 (uniform replicated counts make the true
+    rate exactly 0.5 at any scale; which side an engine lands on is
+    summation-order luck). Round-to-nearest centers every attractor
+    in its cell, and a half-grid exact value would need the
+    irrational sqrt terms to cancel to an odd multiple of 2^-21 —
+    not producible by count data. Same determinism discipline as
+    md5_draw itself, with the boundary moved off the attractors.
 
     Plan shape: one tiny domain-count aggregate, its scalar total
     attached via a broadcast single-row cross join (the established
@@ -1187,7 +1196,10 @@ def temperature_resample(
         weighted.crossJoin(F.broadcast(totals))
         .select(
             "_dom",
-            (F.floor(rate_exact * q) / q).alias("_rate"),
+            # round-to-nearest grid point (floor of x*q + 0.5): see
+            # the docstring's attractor argument — floor alone cliffs
+            # exactly on the values exact math produces
+            (F.floor(rate_exact * q + F.lit(0.5)) / q).alias("_rate"),
         )
     )
     return (

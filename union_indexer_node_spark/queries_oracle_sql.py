@@ -2034,8 +2034,11 @@ ORACLES["training_temperature_resample"] = (
     t AS (SELECT SUM(pow(n, 0.5)) AS wsum, SUM(n) AS total FROM c),
     r AS (
       SELECT dom,
+             -- round-to-nearest grid point, matching the Spark arm:
+             -- floor alone cliffs exactly on the attractor values
+             -- exact math produces (0.5 under uniform counts)
              FLOOR(LEAST(1.0, 0.5 * t.total * pow(c.n, 0.5)
-                              / (c.n * t.wsum)) * 1048576.0)
+                              / (c.n * t.wsum)) * 1048576.0 + 0.5)
                / 1048576.0 AS rate
       FROM c, t
     )

@@ -576,3 +576,73 @@ class TestTemperatureResampleAttractor:
         )
         rates = {r["rate"] for r in out.select("rate").distinct().collect()}
         assert rates == {0.5}
+
+
+def test_stream_degree_threaded_triangle_soak_sf01(spark, tmp_path):
+    """The production pattern for the r15 degree state: a foreachBatch
+    stream folds (edge store, counts, degrees) across micro-batches —
+    the degree frame is NEVER recomputed after the base solve — and
+    the end state must byte-match the from-scratch triangle solve and
+    the from-scratch degree aggregate over all edges."""
+    from union_indexer_node_spark import tables
+    from union_indexer_node_spark.pipelines.training import (
+        canonical_edges,
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges = (
+        tables.load(spark, "/root/testdata/sf0.1", "events")
+        .filter(F.col("event_id") % 53 == 0)
+        .select(
+            "event_id",
+            ((F.col("user_id") * 13) % 997).alias("a"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 997).alias("b"),
+        )
+    )
+    src = str(tmp_path / "tri_deg_stream")
+    for m in (0, 1, 2):
+        edges.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {"edges": None, "counts": None, "degrees": None}
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.select("a", "b").localCheckpoint()
+        if state["edges"] is None:
+            state["edges"] = canonical_edges(batch, "a", "b")
+            state["counts"] = triangle_count(state["edges"], "a", "b")
+            state["degrees"] = _degrees_of(state["edges"])
+        else:
+            (
+                state["edges"],
+                state["counts"],
+                state["degrees"],
+            ) = triangle_count_incremental(
+                state["edges"],
+                state["counts"],
+                batch,
+                "a",
+                "b",
+                stored_degrees=state["degrees"],
+            )
+        for k in state:
+            state[k] = state[k].localCheckpoint()
+
+    q = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+    scratch_edges = canonical_edges(edges, "a", "b")
+    assert _fp(state["counts"]) == _fp(
+        triangle_count(scratch_edges, "a", "b")
+    )
+    assert _fp(state["edges"]) == _fp(scratch_edges)
+    assert _fp(state["degrees"]) == _fp(_degrees_of(scratch_edges))

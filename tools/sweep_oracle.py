@@ -38,25 +38,27 @@ def _run_oracle(duck, sql: str, timeout: float):
     DataFrame, or None if the watchdog fired (duckdb.interrupt() is
     checked between pipeline operators, so even a mid-flight
     quadratic join stops within a batch)."""
-    if not timeout:
+    if timeout <= 0:
         return duck.execute(sql).df()
     import threading
 
     fired = threading.Event()
+    did_fire = threading.Event()
 
     def watchdog() -> None:
         if not fired.wait(timeout):
+            did_fire.set()
             duck.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
         return duck.execute(sql).df()
-    except Exception as e:
-        if (
-            "interrupt" in str(e).lower()
-            or "interrupt" in type(e).__name__.lower()
-        ):
+    except Exception:
+        # only a watchdog-initiated interrupt maps to the timeout
+        # sentinel; any other failure — even one whose message happens
+        # to say "interrupt" — is a real oracle error and must surface
+        if did_fire.is_set():
             return None
         raise
     finally:
@@ -76,9 +78,9 @@ def main() -> None:
         type=float,
         default=0.0,
         help="seconds before a DuckDB oracle arm is interrupted and the "
-        "entry recorded as oracle_timeout (0 = no limit). The Spark arm "
-        "is not limited — it parallelizes; the brute SQL replays are "
-        "the quadratic risk at stress scale.",
+        "entry recorded as oracle_timeout (<= 0 = no limit). The Spark "
+        "arm is not limited — it parallelizes; the brute SQL replays "
+        "are the quadratic risk at stress scale.",
     )
     args = ap.parse_args()
 
@@ -100,16 +102,20 @@ def main() -> None:
             )
         names = [n for n in names if n in wanted]
 
-    # resume skips only entries already recorded OK — a failed record
-    # is retried, so a resumed sweep can't end clean while the file
-    # still holds an unretried failure
+    sf_dir = os.path.abspath(args.sf_dir)
+
+    # resume skips only entries already recorded OK AT THIS SF DIR —
+    # a failed record is retried, and a record from a different scale
+    # point is ignored entirely (trusting it would attest entries at
+    # a scale they never ran at); records predating the sf_dir field
+    # are likewise not trusted
     done: set[str] = set()
     prior: dict[str, dict] = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             for line in f:
                 rec = json.loads(line)
-                if "name" in rec:
+                if "name" in rec and rec.get("sf_dir") == sf_dir:
                     prior[rec["name"]] = rec
                     if rec.get("ok"):
                         done.add(rec["name"])
@@ -119,18 +125,16 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    sf_dir = os.path.abspath(args.sf_dir)
     duck = duckdb_conn(sf_dir)
 
     n_pass = n_fail = 0
-    fails: list[str] = []
     with open(args.out, "a") as out:
         for name in names:
             if name in done:
                 continue
             qd = reg[name]
             t0 = time.time()
-            rec: dict = {"name": name}
+            rec: dict = {"name": name, "sf_dir": sf_dir}
             try:
                 sdf = qd.fn(spark, sf_dir).toPandas()
                 rec["spark_rows"] = len(sdf)
@@ -164,7 +168,6 @@ def main() -> None:
                 n_pass += 1
             else:
                 n_fail += 1
-                fails.append(name)
             out.write(json.dumps(rec) + "\n")
             out.flush()
             prior[name] = rec

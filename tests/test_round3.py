@@ -19,61 +19,64 @@ from conftest import SF_DIR
 # for every swap lives at queries.py:_DEPRIORITIZED; the r8 targets
 # this list previously held are driver-green in CORRECTNESS_r08.json.
 MUST_BE_IN_WINDOW = [
-    # r14 rotation (VERDICT r13 item 1; arithmetic documented at
-    # queries.py:_DEPRIORITIZED "ROUND 14 ROTATION"): the 10 displaced
-    # r12-born singles (driver-green r12 only)
-    "text_unigram_encode",
-    "text_unicode_scrub",
-    "text_gopher_quality_gate",
-    "pipeline_ccnet_buckets",
-    "training_contamination_report",
-    "graph_pagerank_quantized",
-    "pipeline_corpus_diff",
-    "curation_dedup_lines_within_doc",
-    "stream_bm25_index_incremental",
-    "feeds_decayed_trending",
-    # the 24 never-driver-checked r13-borns
-    "sim_mmr_rerank_batch",
-    "sketch_kmv_source_overlap",
-    "graph_cc_incremental",
-    "curation_keyword_tag",
-    "curation_ngram_novelty",
-    "layout_hilbert_key",
-    "dedup_lsh_recall_eval",
-    "training_rendezvous_shard",
-    "temporal_gap_fill",
-    "graph_triangle_count",
-    "sketch_hll_distinct",
-    "curation_url_dedup",
-    "text_token_entropy",
-    "ann_multiprobe_recall",
-    "training_cluster_split",
-    "temporal_ohlc_rollup",
-    "dedup_containment_probe",
-    "sample_weighted_reservoir",
-    "quality_referential_audit",
-    "dedup_prefix_filter_join",
-    "dedup_fuzzy_edit_match",
-    "sketch_hll_rollup",
-    "pipeline_source_scorecard",
-    "temporal_asof_tolerance",
-    # the 16 r9-era staleness re-entries (4 youngest deferred to r15)
-    "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority",
-    "dedup_exact",
-    "dedup_simhash",
-    "f1_tag_membership",
-    "j1_children_join",
-    "sim_cosine_topk",
-    "text_quality_features",
-    "text_bpe_token_count",
-    "ann_lsh_topk",
-    "training_token_budget",
-    "sim_truncate_renorm",
-    "text_lm_quality_sampled",
-    "sim_kmeans_clusters",
-    "j4_follower_feed_did",
-    "temporal_time_rollup",
+    # r15 rotation (queries.py:_DEPRIORITIZED "ROUND 15 ROTATION"):
+    # the 49 obligations (a)+(b)+(c)+(d); the 50th slot is the
+    # deliberate spare, filled in insertion order by the first entry
+    # of the pre-named r16 tranche (w2_lww_latest_event) — not pinned
+    # here because it is not an r15 obligation.
+    # (c) the 4 deferred r9-era entries (at bound+1, must not slip)
+    "w3_first_event_per_user",
+    "o6_related_feed_sample",
+    "x21_search_feed",
+    "x21_inverted_index_search",
+    # (d) the 28-entry r10-era staleness tranche (last green r10)
+    "o2_trending_feed_comments",
+    "f9_missing_field",
+    "a5_creator_score",
+    "x16_asset_parse",
+    "skew_salted_distinct_count",
+    "dedup_apply_keep_canonical",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_custdist",
+    "tpch_q17_small_quantity",
+    "ann_lsh_signatures",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "pipeline_domain_mix",
+    "temporal_sessionize",
+    "text_hashtag_url_extract",
+    "sim_label_centroids",
+    "training_chunk_sliding",
+    "text_length_percentiles",
+    "sim_quantize_int8",
+    "offchain_id_refresh",
+    "stream_ssj_watermark_eviction",
+    "text_lm_quality_score",
+    "dedup_semantic_flags",
+    "community_updateprops_merge",
+    "multimodal_png_probe",
+    "setop_intersect_except",
+    "lineitem_unpivot_measures",
+    # (b) the 13 displaced r13-singles
+    "multimodal_dhash_near_dup",
+    "multimodal_audio_fingerprint",
+    "pipeline_diff_minhash_chain",
+    "sketch_cm_heavy_hitters",
+    "sketch_sample_quantiles",
+    "curation_remove_frequent_lines",
+    "sim_kmeans_incremental",
+    "ingest_follows_audit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_promotion",
+    # (a) the 4 r14 tail-borns (never driver-checked)
+    "tpch_q12_shipmode",
+    "fuzzy_blocking_recall_eval",
+    "graph_triangle_incremental",
+    "tpch_q21_waiting_supplier",
 ]
 
 
@@ -98,13 +101,16 @@ def test_deprioritized_entries_exist_and_sort_last():
 
 
 def test_window_is_exactly_full():
-    """97 entries, 47 deprioritized: the 50-slot window is fully used —
-    adding a new entry without curating the window should fail loudly
-    here rather than silently push a verified query out."""
+    """202 entries, 153 deprioritized: the r15 rotation curates 49 of
+    the 50 slots (one slot DELIBERATELY spare — zero r15 births; the
+    50th driver slot is then filled in insertion order by the first
+    pre-named r16-tranche entry, a free bonus re-green). Adding a new
+    entry without curating the window should fail loudly here rather
+    than silently push a verified query out."""
     reg = list(q.registry())
-    assert len(reg) - len(q._DEPRIORITIZED) == 50, (
+    assert len(reg) - len(q._DEPRIORITIZED) == 49, (
         f"{len(reg)} entries minus {len(q._DEPRIORITIZED)} deprioritized "
-        "must equal the driver's 50-slot CORRECTNESS window; "
+        "must equal the r15 rotation's 49 curated window slots; "
         "re-curate _DEPRIORITIZED"
     )
 

@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarr import lit_doubles
+
 
 def hyperplanes(dim: int, n_bits: int = 8, seed: str = "ann") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim.
@@ -50,7 +52,7 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     """dot(v, constant plane) as an index-free fold: zip the vector
     with the literal plane array (same left-to-right accumulation in
     Spark and DuckDB)."""
-    lit_plane = F.array(*[F.lit(x) for x in plane])
+    lit_plane = lit_doubles(plane)
     return F.aggregate(
         F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
@@ -107,7 +109,7 @@ def ann_topk(
             for j in flip:
                 b ^= 1 << j
             probes.add(b)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_doubles(query_vec)
     # Direct map-side bucket filter: computing signatures into a second
     # frame and semi-joining back on id would add a full shuffle join
     # and defeat the partition pruning this scan exists for.

@@ -22,6 +22,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarr import lit_doubles, lit_ints
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,7 +60,7 @@ def brute_force_topk(
     """Exact cosine top-k against a constant query vector. The query is
     a literal array (broadcast by constant folding); ordering ties
     break on id so the result set is deterministic."""
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_doubles(query_vec)
     sim = F.round(cosine_sim(F.col(vec_col), qv), 6).alias("sim")
     return (
         emb.select(F.col(id_col), sim)
@@ -299,7 +301,11 @@ def _kmeans_dists(
     )
     out = []
     for c in cents:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        # single-parse literal array (functions.litarr): the per-element
+        # F.lit build cost ~dim py4j round trips per centroid per
+        # iteration — pure driver time, measured ~0.3 s/iteration at
+        # dim 64, k 4 (r15)
+        lit_c = lit_doubles(c)
         d = F.aggregate(
             F.zip_with(dq, lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -400,29 +406,31 @@ def kmeans_centroids(
             # assignment expression once per EXPLODED row, x dim. The
             # engine-side ROUND(6) division keeps the collected
             # centroid literals on the oracle's rounding semantics.)
+            # expr-string construction (the litarr rationale): the
+            # F.sum(F.element_at(...)) + F.round(...) py4j trees cost
+            # ~1.3 s of driver time PER ITERATION at dim 64 (measured
+            # r15); the parsed forms are the identical expressions —
+            # sum over element_at, double casts, one double multiply,
+            # ROUND(6) — so the collected centroids are bit-equal.
+            qd = repr(float(quant))
             stats = (
                 base.select("_q", cluster)
                 .groupBy("cluster")
                 .agg(
                     F.count(F.lit(1)).alias("_n"),
                     *[
-                        F.sum(F.element_at(F.col("_q"), i + 1)).alias(f"_s{i}")
+                        F.expr(f"sum(element_at(_q, {i + 1})) AS _s{i}")
                         for i in range(dim)
                     ],
                 )
             )
+            arr = ",".join(
+                f"round(CAST(_s{i} AS DOUBLE) / (CAST(_n AS DOUBLE)"
+                f" * CAST('{qd}' AS DOUBLE)), 6)"
+                for i in range(dim)
+            )
             new_rows = stats.select(
-                "cluster",
-                F.array(
-                    *[
-                        F.round(
-                            F.col(f"_s{i}").cast("double")
-                            / (F.col("_n").cast("double") * F.lit(float(quant))),
-                            6,
-                        )
-                        for i in range(dim)
-                    ]
-                ).alias("_c"),
+                "cluster", F.expr(f"array({arr})").alias("_c")
             ).collect()
         else:
             # Wide-dim arm (real embedding dims, 768-4096): thousands
@@ -794,23 +802,24 @@ def pq_code_cols(
     k = len(codebooks[0])
     for mi, book in enumerate(codebooks):
         off = mi * sub_d
-        sub = F.slice(F.col("_q"), off + 1, sub_d)
         encs = []
         for ci, cent in enumerate(book):
-            lit_c = F.array(*[F.lit(int(cv)) for cv in cent])
             # fold form, NOT a dim-unrolled (x-c)^2 chain: m*k*sub_d
             # unrolled terms put hundreds of nodes through janino per
             # query (the _kmeans_dists hazard — measured 2.6 s at bench
             # scale for what is a pure map; the fold runs in ~the scan
             # time). Integer left-to-right sum — exact either way.
-            d = F.aggregate(
-                F.zip_with(sub, lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
+            # Whole subspace as ONE parsed expr string (the litarr
+            # rationale): the lambda-Column build cost ~m*k*8 py4j
+            # round trips per call — ~0.5 s per probe arm (r15).
+            cents = ",".join(str(int(cv)) for cv in cent)
+            encs.append(
+                f"(aggregate(zip_with(slice(_q, {off + 1}, {sub_d}),"
+                f" array({cents}), (x, y) -> (x - y) * (x - y)),"
+                f" 0L, (acc, t) -> acc + t) * {k} + {ci})"
             )
-            encs.append(d * k + ci)
-        enc = F.least(*encs) if len(encs) > 1 else encs[0]
-        out.append((enc % k).cast("int").alias(f"code_{mi}"))
+        enc = f"least({', '.join(encs)})" if len(encs) > 1 else encs[0]
+        out.append(F.expr(f"CAST({enc} % {k} AS INT) AS code_{mi}"))
     return out
 
 
@@ -884,7 +893,7 @@ def pq_adc_topk(
     coded = base.select(F.col(id_col), *cols)
     adc: Column = F.lit(0).cast("long")
     for mi in range(len(codebooks)):
-        lut_lit = F.array(*[F.lit(int(v)) for v in lut[mi]])
+        lut_lit = lit_ints(lut[mi])
         adc = adc + F.element_at(lut_lit, F.col(f"code_{mi}") + 1)
     return (
         coded.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
@@ -912,14 +921,18 @@ def ivfpq_assign(
     ncell = len(coarse_centroids)
     encs = []
     for ci, cc in enumerate(coarse_centroids):
-        lit_c = F.array(*[F.lit(int(v)) for v in cc])
-        d = F.aggregate(
-            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
+        # one parsed expr per cell (litarr rationale); same integer fold
+        cents = ",".join(str(int(v)) for v in cc)
+        encs.append(
+            f"(aggregate(zip_with(_q, array({cents}),"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, t) -> acc + t) * {ncell} + {ci})"
         )
-        encs.append(d * ncell + ci)
-    cell = (F.least(*encs) % ncell).cast("int")
+    cell = F.expr(
+        f"CAST(least({', '.join(encs)}) % {ncell} AS INT)"
+        if ncell > 1
+        else f"CAST({encs[0]} % {ncell} AS INT)"
+    )
     return base.select(F.col(id_col), F.col("_q"), cell.alias("_cell"))
 
 
@@ -945,9 +958,9 @@ def ivfpq_encode(
     ).localCheckpoint()  # each cell arm filters it; avoid ncell rescans
     arms = []
     for ci, cc in enumerate(coarse_centroids):
-        cc_lit = F.array(*[F.lit(int(v)) for v in cc])
-        resid = F.zip_with(
-            F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
+        cents = ",".join(str(int(v)) for v in cc)
+        resid = F.expr(
+            f"zip_with(_q, array({cents}), (x, y) -> CAST(x - y AS BIGINT))"
         )
         arms.append(
             assigned.filter(F.col("_cell") == ci)
@@ -1030,9 +1043,10 @@ def ivfpq_topk(
                 *[F.col(f"code_{mi}") for mi in range(len(codebooks))],
             )
         else:
-            cc_lit = F.array(*[F.lit(int(v)) for v in cc])
-            resid = F.zip_with(
-                F.col("_q"), cc_lit, lambda x, y: (x - y).cast("long")
+            cents = ",".join(str(int(v)) for v in cc)
+            resid = F.expr(
+                f"zip_with(_q, array({cents}),"
+                " (x, y) -> CAST(x - y AS BIGINT))"
             )
             arm = assigned.filter(F.col("_cell") == ci).select(
                 F.col(id_col), resid.alias("_q")
@@ -1048,7 +1062,7 @@ def ivfpq_topk(
                 sum((rq[off + j] - cv) ** 2 for j, cv in enumerate(cent))
                 for cent in book
             ]
-            lut_lit = F.array(*[F.lit(int(v)) for v in lut])
+            lut_lit = lit_ints(lut)
             adc = adc + F.element_at(lut_lit, F.col(f"code_{mi}") + 1)
         arms.append(
             coded_arm.select(
@@ -1108,7 +1122,7 @@ def mmr_rerank(
     stage for every query group; pick-for-pick equal to this arm,
     pinned by test_round13).
     """
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_doubles(query_vec)
     cand = (
         emb.select(
             F.col(id_col),
@@ -1127,7 +1141,7 @@ def mmr_rerank(
                 F.round(
                     cosine_sim(
                         F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in p[1]]),
+                        lit_doubles(p[1]),
                     ),
                     6,
                 )

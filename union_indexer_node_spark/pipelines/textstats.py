@@ -945,6 +945,14 @@ def _viterbi_segments(words: DataFrame, costed: DataFrame, L: int) -> DataFrame:
             F.col("c.plen").alias("plen"),
             F.col("c.piece").alias("piece"),
         )
+        # NOT broadcast, deliberately (r15 optimization round): the
+        # cost table is model-sized and the SMJ here does shuffle the
+        # W*L-per-word candidate explosion, but forcing a broadcast
+        # hash join was MEASURED 3-4x SLOWER end to end at bench scale
+        # (text_unigram_encode 3.2 s -> 12.0 s): each trainer
+        # iteration + the encode then pays a driver broadcast build
+        # of a freshly-planned subtree, and the broadcast work
+        # serializes on the driver while the SMJ's exchanges run wide.
         .join(costed, "piece")
     )
     carr = cand.groupBy(*words.columns).agg(

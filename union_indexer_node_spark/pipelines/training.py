@@ -595,8 +595,18 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in und.toLocalIterator():
-            ra, rb = find(r["src"]), find(r["dst"])
+        # ONE Arrow pull, not toLocalIterator: the iterator form costs
+        # one sequential job round trip PER PARTITION (32 mini-jobs at
+        # the default shuffle parallelism — ~1 s of pure scheduling at
+        # bench scale, measured r15) and yields Row objects; the Arrow
+        # transfer is a single job moving two packed columns (16 MB of
+        # longs at the 1M-edge gate — the bound this arm is sized by),
+        # and the plain-value zip iterates ~5x faster than Row access.
+        pdf = und.toPandas()
+        # .tolist() yields plain Python values (np.int64 keys would
+        # otherwise leak into the createDataFrame rows below)
+        for ra, rb in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ra, rb = find(ra), find(rb)
             if ra != rb:
                 # min-id root: matches the label-propagation fixpoint
                 parent[max(ra, rb)] = min(ra, rb)

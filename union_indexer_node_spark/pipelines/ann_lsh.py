@@ -48,10 +48,24 @@ def hyperplanes(dim: int, n_bits: int = 8, seed: str = "ann") -> list[list[float
     return planes
 
 
-def _dot_lit(vec: Column, plane: list[float]) -> Column:
+def _plane_lits(plane: list[float]) -> str:
+    """The literal plane array in lit_doubles' exact-repr form."""
+    return ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+
+
+def _dot_lit_sql(vec_sql: str, plane: list[float]) -> str:
     """dot(v, constant plane) as an index-free fold: zip the vector
     with the literal plane array (same left-to-right accumulation in
-    Spark and DuckDB)."""
+    Spark and DuckDB). Emitted as SQL text (see bucket_expr)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, array({_plane_lits(plane)}),"
+        f" (a, b) -> CAST(a AS DOUBLE) * b),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    """Column form of _dot_lit_sql for callers holding a Column."""
     lit_plane = lit_doubles(plane)
     return F.aggregate(
         F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
@@ -60,13 +74,18 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     )
 
 
-def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """The vector's LSH bucket id (sum of sign bits)."""
-    acc = None
-    for j, plane in enumerate(planes):
-        term = F.when(_dot_lit(vec, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        acc = term if acc is None else acc + term
-    return acc.cast("int")
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """The vector's LSH bucket id (sum of sign bits) over the named
+    column. ONE parsed expression (r15, the litarr rationale): the
+    per-plane lambda-Column build cost ~0.23 s of py4j round trips per
+    call at 8 planes x dim 64 — the parsed fold is the identical
+    zip_with/aggregate tree (IF term per plane, int sum, CAST INT),
+    so bucket ids are bit-equal."""
+    terms = " + ".join(
+        f"IF({_dot_lit_sql(f'`{vec_col}`', plane)} > 0, {1 << j}, 0)"
+        for j, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS INT)")
 
 
 def signatures(
@@ -74,7 +93,7 @@ def signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     return emb.select(
-        F.col(id_col), bucket_expr(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col), bucket_expr(vec_col, planes).alias("bucket")
     )
 
 
@@ -114,7 +133,7 @@ def ann_topk(
     # frame and semi-joining back on id would add a full shuffle join
     # and defeat the partition pruning this scan exists for.
     in_bucket = emb.filter(
-        bucket_expr(F.col(vec_col), planes).isin(list(probes))
+        bucket_expr(vec_col, planes).isin(list(probes))
     )
     return (
         in_bucket.select(
@@ -142,21 +161,36 @@ def ann_topk_batch(
     """
     from pyspark.sql import Window
 
-    from .similarity import cosine_sim
+    from .similarity import _dot, _norm
 
+    # norms precomputed PER ROW before the pair join (r15): cosine over
+    # a (corpus x probe) pair frame otherwise re-folds both magnitudes
+    # per PAIR — 3 interpreted HOF folds/pair instead of 1 (HOF lambdas
+    # don't codegen); measured 2.2x on the scorer. Same fold, same
+    # values, division unchanged — bit-identical sims.
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        bucket_expr(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_nq"),
     )
     sig = emb.select(
-        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_ne"),
     )
     pairs = sig.join(F.broadcast(q), "bucket")
     scored = pairs.select(
         "q_id",
         F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+        F.round(
+            F.try_divide(
+                _dot(F.col(vec_col), F.col("q_vec")),
+                F.col("_ne") * F.col("_nq"),
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -176,15 +210,31 @@ def brute_topk_batch(
     ann_topk_batch so the two rank sets are directly comparable."""
     from pyspark.sql import Window
 
-    from .similarity import cosine_sim
+    from .similarity import _dot, _norm
 
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_nq"),
     )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    # per-row norms before the cross join (see ann_topk_batch): 1 HOF
+    # fold per pair instead of 3, bit-identical sims
+    scored = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_ne")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(
+                F.try_divide(
+                    _dot(F.col(vec_col), F.col("q_vec")),
+                    F.col("_ne") * F.col("_nq"),
+                ),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -259,14 +309,17 @@ def multiprobe_recall(
     scale you price probe rings on a few hundred sampled queries,
     never the full query log (ADVICE r13: contract now explicit).
     """
-    from .similarity import cosine_sim
+    from .similarity import _dot, _norm
 
     max_r = max(radii)
     masks = probe_masks(len(planes), max_r)
+    # per-row norms before the probe join (see ann_topk_batch): 1 HOF
+    # fold per candidate pair instead of 3, bit-identical sims
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket_expr(F.col(vec_col), planes).alias("_qb"),
+        bucket_expr(vec_col, planes).alias("_qb"),
+        _norm(F.col(vec_col)).alias("_nq"),
     )
     mask_arr = F.array(
         *[
@@ -275,24 +328,32 @@ def multiprobe_recall(
         ]
     )
     probes = q.select(
-        "q_id", "q_vec", F.explode(mask_arr).alias("_mk"), F.col("_qb")
+        "q_id", "q_vec", F.explode(mask_arr).alias("_mk"), "_qb", "_nq"
     ).select(
         "q_id",
         "q_vec",
         F.col("_qb").bitwiseXOR(F.col("_mk.m")).alias("_pb"),
         F.col("_mk.pc").alias("_pc"),
+        "_nq",
     )
     sig = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        bucket_expr(F.col(vec_col), planes).alias("_b"),
+        bucket_expr(vec_col, planes).alias("_b"),
+        _norm(F.col(vec_col)).alias("_ne"),
     )
     pairs = sig.join(
         F.broadcast(probes), sig["_b"] == probes["_pb"]
     ).select(
         "q_id",
         F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+        F.round(
+            F.try_divide(
+                _dot(F.col(vec_col), F.col("q_vec")),
+                F.col("_ne") * F.col("_nq"),
+            ),
+            6,
+        ).alias("sim"),
         "_pc",
     )
     exact = brute_topk_batch(
@@ -313,7 +374,11 @@ def multiprobe_recall(
         "_pc",
         F.explode(F.array(*[F.lit(r) for r in radii])).alias("radius"),
     ).filter(F.col("_pc") <= F.col("radius"))
-    marked = exploded.join(exact, ["q_id", id_col], "left")
+    # exact is |Q| x k rows (the eval-sample contract above) but sits
+    # under a window+filter, so Catalyst's size estimate won't pick
+    # the broadcast itself — without the hint this ran as a
+    # SortMergeJoin costing two exchanges + sorts (r15, plan audit)
+    marked = exploded.join(F.broadcast(exact), ["q_id", id_col], "left")
     w = Window.partitionBy("radius", "q_id").orderBy(
         F.desc("sim"), F.asc(id_col)
     )
@@ -338,7 +403,9 @@ def multiprobe_recall(
         )
     )
     return (
-        radii_df.join(per_radius, "radius", "left")
+        # per_radius is |radii| rows; broadcast for the same reason as
+        # the exact side above (post-aggregate estimates miss it)
+        radii_df.join(F.broadcast(per_radius), "radius", "left")
         .crossJoin(F.broadcast(nq))
         .select(
             F.col("radius").cast("long").alias("radius"),

@@ -457,10 +457,21 @@ def keyword_tag(
         "_tag",
         F.array_join("_ptoks", " ").alias("_pnorm"),
         F.size("_ptoks").alias("_plen"),
+        F.split("_pnorm", " ").getItem(0).alias("_p0"),
     )
-    lengths = sorted(
-        r["_plen"] for r in d.select("_plen").distinct().collect()
-    )
+    # (length, first-token) pairs — still dictionary metadata (≤ one
+    # row per phrase). The first tokens feed the position prefilter
+    # below (r15): a gram can only match a length-L phrase if its
+    # FIRST token is some length-L phrase's first token, so positions
+    # failing that membership test skip the L-token slice+join string
+    # build entirely — the FlashText first-character transition, in
+    # expression form. tokens() output is [a-z0-9]+ by construction,
+    # so embedding them as SQL string literals needs no escaping.
+    meta = d.select("_plen", "_p0").distinct().collect()
+    starts_by_len: dict[int, list[str]] = {}
+    for r in meta:
+        starts_by_len.setdefault(r["_plen"], []).append(r["_p0"])
+    lengths = sorted(starts_by_len)
     if not lengths:
         raise ValueError("keyword_tag: dictionary has no tokenizable phrases")
     toks = df.select(
@@ -472,9 +483,14 @@ def keyword_tag(
     # its positions with filter-over-sequence(1, size) rather than
     # sequence(1, size-L+1) because Spark's sequence DESCENDS when
     # stop < start ([1,0] for a too-short doc, inventing positions).
+    def _starts_pred(length: int) -> str:
+        toks0 = sorted(set(starts_by_len[length]))
+        lits = ",".join(f"'{t}'" for t in toks0)
+        return f" AND element_at(_toks, i) IN ({lits})"
+
     arms_sql = ", ".join(
         f"transform(filter(sequence(1, size(_toks)),"
-        f" i -> i <= size(_toks) - {length} + 1),"
+        f" i -> i <= size(_toks) - {length} + 1{_starts_pred(length)}),"
         f" i -> struct(i AS pos,"
         f" array_join(slice(_toks, i, {length}), ' ') AS gram))"
         for length in lengths

@@ -861,7 +861,14 @@ def _span_flag_base(
             )
         ).alias("_w"),
     ).select(F.col(id_col), F.col("_w.s").alias("s"), F.col("_w.k").alias("k"))
-    # consumed twice: corpus count + probe join
+    # consumed twice: corpus count + probe join. Checkpoint kept after
+    # an r15 A/B: dropping it (recompute the explode per consumer from
+    # the checkpointed base) measured NEUTRAL for the recall arm and
+    # ~0.5 s WORSE for the maximal arm at sf0.1 — the probe-join
+    # consumer's recompute lands inside the fl checkpoint job. At real
+    # scale the trade reverses (stride-1 windows are ~w x corpus bytes;
+    # recomputing a narrow map beats materializing them), which a
+    # deployment reaches by swapping this one line.
     wins = wins.localCheckpoint()
     flagged_keys = (
         wins.groupBy("k")

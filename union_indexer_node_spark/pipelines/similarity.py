@@ -634,7 +634,7 @@ def _semantic_band_keys(
         .select(
             F.col(id_col),
             _quantized(vec_col, quant).alias("_q"),
-            bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+            bucket_expr(vec_col, planes).alias("_bucket"),
         )
         .select(id_col, cluster, "_bucket")
         .localCheckpoint()

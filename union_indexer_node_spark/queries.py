@@ -1908,7 +1908,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slices of it (no recompute per band — catalyst would inline a
     # per-band lambda otherwise).
     sig = emb.select(
-        "vec_id", "label", bucket_expr(F.col("embedding"), _ANN_PLANES).alias("bucket")
+        "vec_id", "label", bucket_expr("embedding", _ANN_PLANES).alias("bucket")
     )
     keys = sig.select(
         "vec_id",

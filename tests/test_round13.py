@@ -182,6 +182,37 @@ class TestPartsuppDerivation:
         # dbgen property: lineitem pairs ⊆ partsupp
         assert li.join(ps, ["ps_partkey", "ps_suppkey"], "left_anti").count() == 0
 
+    def test_key_pruning_equivalence(self, spark):
+        """r15: partsupp(part_keys=K) / partsupp(supp_keys=S) must
+        row-for-row equal the unpruned relation semi-joined on the
+        same keys — the contract q2/q9/q16/q20 (part side) and q11
+        (supplier side) rely on when pushing their filters below the
+        containment distinct."""
+        from union_indexer_node_spark import tables
+
+        d = "/root/testdata/sf0.001"
+        full = tables.partsupp(spark, d)
+        pk = tables.load(spark, d, "part").filter(
+            F.col("p_partkey") % 7 == 0
+        ).select("p_partkey")
+        pruned = tables.partsupp(spark, d, part_keys=pk)
+        expect = full.join(
+            pk.select(F.col("p_partkey").alias("ps_partkey")),
+            "ps_partkey",
+            "left_semi",
+        )
+        assert pruned.exceptAll(expect).count() == 0
+        assert expect.exceptAll(pruned).count() == 0
+        sk = tables.load(spark, d, "supplier").filter(
+            F.col("s_suppkey") % 3 == 0
+        ).select(F.col("s_suppkey").alias("ps_suppkey"))
+        cols = ["ps_partkey", "ps_suppkey", "ps_supplycost", "ps_availqty"]
+        pruned_s = tables.partsupp(spark, d, supp_keys=sk).select(cols)
+        # exceptAll is positional; the semi-join moves its key first
+        expect_s = full.join(sk, "ps_suppkey", "left_semi").select(cols)
+        assert pruned_s.exceptAll(expect_s).count() == 0
+        assert expect_s.exceptAll(pruned_s).count() == 0
+
 
 class TestMMRBatchArm:
     """VERDICT r12 item 6: the batch MMR arm must be pick-for-pick and

@@ -624,7 +624,14 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q2_min_cost_supplier(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ps = tables.partsupp(spark, sf_dir)
+    # partsupp pruned to the part predicate below the containment
+    # distinct (r15, guide §2.3): the per-part MIN is unchanged for
+    # surviving parts (groups keyed by ps_partkey see identical rows),
+    # and the final semi-join keeps only these parts anyway.
+    pkeys = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & F.col("p_type").like("%O")
+    ).select("p_partkey")
+    ps = tables.partsupp(spark, sf_dir, part_keys=pkeys)
     s = tables.load(spark, sf_dir, "supplier")
     n = tables.load(spark, sf_dir, "nation")
     r = tables.load(spark, sf_dir, "region").filter(
@@ -706,7 +713,15 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables.load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
-    ps = tables.partsupp(spark, sf_dir).select(
+    # partsupp pruned to the %red% parts below the containment distinct
+    # (r15, guide §2.3): the inner join on l_partkey together with the
+    # p semi-join keeps exactly these parts, so the pruned relation
+    # joins identically while the distinct shuffle and the broadcast
+    # carry ~an order of magnitude fewer keys.
+    pkeys = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    ps = tables.partsupp(spark, sf_dir, part_keys=pkeys).select(
         F.col("ps_partkey").alias("l_partkey"),
         F.col("ps_suppkey").alias("l_suppkey"),
         F.round(F.col("ps_supplycost") * 100, 0)
@@ -771,13 +786,19 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11_important_stock(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ps = tables.partsupp(spark, sf_dir)
     s = tables.load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("ps_suppkey"), "s_nationkey"
     )
     n = tables.load(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_0"
     ).select(F.col("n_nationkey").alias("s_nationkey"))
+    # partsupp pruned to the nation's suppliers below the containment
+    # distinct (r15, guide §2.3): v and t aggregate only rows whose
+    # supplier passes this semi-join anyway, so both are unchanged.
+    nation_sk = s.join(F.broadcast(n), "s_nationkey", "left_semi").select(
+        "ps_suppkey"
+    )
+    ps = tables.partsupp(spark, sf_dir, supp_keys=nation_sk)
     cost_q = F.round(F.col("ps_supplycost") * 100, 0).cast("long")
     v = (
         ps.join(F.broadcast(s), "ps_suppkey")
@@ -823,12 +844,19 @@ def tpch_q11_important_stock(
 def tpch_q16_supplier_cnt(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ps = tables.partsupp(spark, sf_dir)
-    p = tables.load(spark, sf_dir, "part").filter(
+    # partsupp pruned to the part predicate below the containment
+    # distinct (r15, guide §2.3); the inner join against the same
+    # filtered part frame keeps exactly these keys, so results are
+    # identical with a far smaller distinct + broadcast.
+    filtered_p = tables.load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & ~F.col("p_type").like("MEDIUM%")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
-    ).select(
+    )
+    ps = tables.partsupp(
+        spark, sf_dir, part_keys=filtered_p.select("p_partkey")
+    )
+    p = filtered_p.select(
         F.col("p_partkey").alias("ps_partkey"), "p_brand", "p_type", "p_size"
     )
     excluded = tables.load(spark, sf_dir, "supplier").filter(
@@ -887,11 +915,14 @@ def tpch_q20_part_promotion(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(F.sum(_qty_col()).alias("_sq"))
-    reds = tables.load(spark, sf_dir, "part").filter(
+    # partsupp pruned to the red% parts below the containment distinct
+    # (r15, guide §2.3); the semi-join below keeps exactly these keys.
+    red_p = tables.load(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
-    ).select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    reds = red_p.select(F.col("p_partkey").alias("ps_partkey"))
     big = (
-        tables.partsupp(spark, sf_dir)
+        tables.partsupp(spark, sf_dir, part_keys=red_p.select("p_partkey"))
         .join(F.broadcast(reds), "ps_partkey", "left_semi")
         .join(shipped, ["ps_partkey", "ps_suppkey"])
         .filter(2 * F.col("ps_availqty") > F.col("_sq"))

@@ -370,8 +370,29 @@ social_connections AS (
 # for a real table changes nothing downstream.
 
 
-def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
+    """The derived partsupp relation, optionally pruned to a key set.
+
+    ``part_keys`` (one column ``p_partkey``) / ``supp_keys`` (one
+    column ``ps_suppkey``) restrict the relation BELOW the
+    containment-closing distinct, so the union/distinct shuffle and
+    any downstream broadcast carry only the keys the caller will keep
+    anyway. Equivalence: cost/availqty are pure functions of the key
+    pair, so ``partsupp(part_keys=K)`` row-for-row equals
+    ``partsupp().join(K, semi)`` (pinned by TestPartsuppDerivation).
+    Callers may pass a filter ONLY when they inner/semi-join partsupp
+    on that key against the same filtered set downstream — per-group
+    aggregates keyed by ps_partkey (Q2's min, Q11's sum) are safe
+    because groups for surviving keys see identical rows.
+    """
     p = load(spark, sf_dir, "part").select("p_partkey")
+    if part_keys is not None:
+        p = part_keys.select("p_partkey")
     s_cnt = load(spark, sf_dir, "supplier").agg(
         F.count(F.lit(1)).alias("s_cnt")
     )
@@ -392,6 +413,18 @@ def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     )
+    if part_keys is not None:
+        observed_keys = observed_keys.join(
+            F.broadcast(
+                part_keys.select(F.col("p_partkey").alias("ps_partkey"))
+            ),
+            "ps_partkey",
+            "left_semi",
+        )
+    if supp_keys is not None:
+        sk_frame = F.broadcast(supp_keys.select("ps_suppkey"))
+        formula_keys = formula_keys.join(sk_frame, "ps_suppkey", "left_semi")
+        observed_keys = observed_keys.join(sk_frame, "ps_suppkey", "left_semi")
     keys = formula_keys.unionByName(observed_keys).distinct()
     pkey, skey = F.col("ps_partkey"), F.col("ps_suppkey")
     cost_cents = (pkey * 7919 + skey * 104729) % 99900 + 100

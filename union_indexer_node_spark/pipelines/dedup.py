@@ -1693,12 +1693,17 @@ def fuzzy_edit_match(
     (|len(a) - len(b)| <= max_edits, a provable lower bound on edit
     distance) drops hopeless pairs before any cell work.
     """
+    # both join sides read this frame; the sides' projections differ
+    # (a/b aliases), so without materialization each side re-derives
+    # the source — including the caller's blocking-key tokenize —
+    # and no ReusedExchange can kick in (module discipline: every
+    # multi-consumer frame checkpoints; measured r15)
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_t"),
         F.length(text_col).alias("_len"),
         *[F.col(c) for c in block_cols],
-    )
+    ).localCheckpoint()
     a = keyed.select(
         *block_cols,
         F.col("_id").alias("a"),
@@ -1955,7 +1960,7 @@ def fuzzy_blocking_frontier(
         .unionByName(
             tw_pairs.select(
                 F.lit("token_window").alias("strategy"), "width", "a", "b"
-            ).join(truth, ["a", "b"], "left_semi")
+            ).join(F.broadcast(truth), ["a", "b"], "left_semi")
         )
         .unionByName(
             snm_pairs.select(
@@ -1963,9 +1968,13 @@ def fuzzy_blocking_frontier(
                 "width",
                 "a",
                 "b",
-            ).join(truth, ["a", "b"], "left_semi")
+            ).join(F.broadcast(truth), ["a", "b"], "left_semi")
         )
     )
+    # truth is the eval sample's verified-duplicate set (tiny by the
+    # eval's sample-only contract) but sits behind a checkpoint whose
+    # size estimate the planner treats as unknown — without the hint
+    # both verifications ran as SortMergeJoins (r15 before-plan).
     matched = tagged.groupBy("strategy", "width").agg(
         F.count(F.lit(1)).cast("long").alias("n_matched")
     )
@@ -2008,9 +2017,12 @@ def fuzzy_blocking_frontier(
         "strategy string, width int",
     )
     all_w = Window.partitionBy()
+    # the two aggregates are <= 2 * (max_width - min_width + 1) + 1
+    # rows each; hinted so the report fold is two BroadcastHashJoins
+    # instead of SortMergeJoins over post-aggregation estimates
     return (
-        anchor.join(cand_counts, ["strategy", "width"], "left")
-        .join(matched, ["strategy", "width"], "left")
+        anchor.join(F.broadcast(cand_counts), ["strategy", "width"], "left")
+        .join(F.broadcast(matched), ["strategy", "width"], "left")
         .withColumn(
             "n_candidates",
             F.coalesce("n_candidates", F.lit(0)).cast("long"),

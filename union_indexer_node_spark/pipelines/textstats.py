@@ -1029,11 +1029,16 @@ def unigram_lm_train(
     from .similarity import _free_local_checkpoint
 
     L, W = max_piece_len, max_word_len
+    # vocab-sized (Heaps-law sublinear) and read n_iters + 1 times (the
+    # seed build + every E-step's Viterbi) — materialize once so the
+    # corpus-wide tokenize+explode+groupBy runs once, not per iteration
+    # (guide §1.2 step 1; measured r15: 3 corpus passes → 1 at n_iters=2)
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") <= W)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
+        .localCheckpoint()
     )
     seed = (
         words.select("wf", F.explode(_piece_enum_expr(L)).alias("c"))

@@ -699,26 +699,41 @@ def cc_incremental(
 
     Returns the updated (node, cluster_id) frame.
     """
+    # Batch-sized by contract; consumed by batch_nodes AND both mapped
+    # endpoint joins — materialize once so whatever produced the batch
+    # (an events scan at bench, an ingest frame in deployment) is not
+    # re-evaluated per consumer (guide §3.3, measured r15: the before
+    # plan re-ran the source scan three times).
     e = new_edges.select(
         F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
-    )
+    ).localCheckpoint()
     batch_nodes = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
     )
-    # super-node of each batch endpoint: its stored label, else itself
+    # super-node of each batch endpoint: its stored label, else itself.
+    # Also batch-sized; read three times (the two mapped endpoint joins
+    # + the batch-born arm) — checkpoint for the same reason as `e`.
     sup = batch_nodes.join(labels, "node", "left").select(
         "node",
         F.coalesce("cluster_id", F.col("node")).alias("_sup"),
-    )
+    ).localCheckpoint()
     mapped = (
         e.join(
-            sup.select(F.col("node").alias("_a"), F.col("_sup").alias("sa")),
+            F.broadcast(
+                sup.select(
+                    F.col("node").alias("_a"), F.col("_sup").alias("sa")
+                )
+            ),
             "_a",
         )
         .join(
-            sup.select(F.col("node").alias("_b"), F.col("_sup").alias("sb")),
+            F.broadcast(
+                sup.select(
+                    F.col("node").alias("_b"), F.col("_sup").alias("sb")
+                )
+            ),
             "_b",
         )
         .select("sa", "sb")

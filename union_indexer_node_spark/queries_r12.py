@@ -70,8 +70,18 @@ def _diff_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     is the ONLY driver — nothing downstream re-reads the old corpus."""
     from .pipelines.curation import corpus_diff
 
-    diff = corpus_diff(old, new, "doc_id", "text").filter(
-        F.col("status") != "unchanged"
+    # The full-outer digest diff is corpus-wide; its filtered residue is
+    # delta-sized. WITHOUT materialization every downstream consumer
+    # (upserts semi-join, removed arm, the merge's anti-join id probe)
+    # re-derives the whole diff tree — the r15 before-plan of
+    # pipeline_diff_bm25_chain carried SIX copies of the FullOuter
+    # SortMergeJoin. One localCheckpoint runs the diff once (guide
+    # §2.4: remove shuffles outright / §3.3: materialize shared
+    # intermediates to truncate duplicated subtrees).
+    diff = (
+        corpus_diff(old, new, "doc_id", "text")
+        .filter(F.col("status") != "unchanged")
+        .localCheckpoint()
     )
     # delta-sized by construction (changed+added ids) — broadcast so
     # the corpus side never shuffles for the semi-join
@@ -89,7 +99,11 @@ def _diff_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         .select("doc_id")
         .withColumn("text", F.lit(""))
     )
-    return upserts.unionByName(removed)
+    # delta-sized too; both index-merge chains consume it twice (the
+    # fresh tokenize pass AND the anti-join id probe), so materialize
+    # once — otherwise the `new` corpus scan behind `upserts` runs per
+    # consumer.
+    return upserts.unionByName(removed).localCheckpoint()
 
 
 # corpus_diff -> bm25_index_merge, end-to-end: build the index over the

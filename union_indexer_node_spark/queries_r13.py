@@ -239,6 +239,9 @@ def sketch_kmv_source_overlap(
 def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines.training import cc_incremental, connected_components
 
+    # the old-graph solve and the batch fold both derive from this
+    # scan — materialize once (guide §1.2 step 1; the before plan ran
+    # the filtered events scan per consumer)
     e = (
         tables.load(spark, sf_dir, "events")
         .filter(F.col("event_id") % 37 == 0)
@@ -247,6 +250,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("user_id") * 13) % 1999).alias("a"),
             ((F.col("user_id") * 7 + F.col("event_id")) % 1999).alias("b"),
         )
+        .localCheckpoint()
     )
     old = e.filter(F.col("event_id") % 3 != 0).select("a", "b")
     new = e.filter(F.col("event_id") % 3 == 0).select("a", "b")

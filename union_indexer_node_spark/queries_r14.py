@@ -219,6 +219,9 @@ def graph_triangle_incremental(
 
     e = tables.load(spark, sf_dir, "events")
     hx = F.md5(F.col("event_id").cast("string"))
+    # the old-edge store build AND the batch both derive from this
+    # frame; materialize so the events scan + per-row md5/conv runs
+    # once instead of once per consumer (guide §1.2 step 1)
     edges = e.select(
         "event_id",
         (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 4999).alias(
@@ -227,7 +230,7 @@ def graph_triangle_incremental(
         (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 4999).alias(
             "dx"
         ),
-    ).filter(F.col("sx") != F.col("dx"))
+    ).filter(F.col("sx") != F.col("dx")).localCheckpoint()
     old = edges.filter(F.col("event_id") % 3 != 0).select("sx", "dx")
     new = edges.filter(F.col("event_id") % 3 == 0).select("sx", "dx")
     stored = canonical_edges(old, "sx", "dx").localCheckpoint()

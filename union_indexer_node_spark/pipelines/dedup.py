@@ -1041,19 +1041,43 @@ def remove_duplicate_spans_maximal(
         df, text_col, id_col, window_tokens, stride, max_occurrences
     )
     w = window_tokens
-    from pyspark.sql import Window
 
-    covered = fl.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("t"),
-    ).distinct()
-    isl = covered.withColumn(
-        "_grp",
-        F.col("t")
-        - F.row_number().over(Window.partitionBy(id_col).orderBy("t")),
+    # Candidate spans = maximal runs of covered tokens. r15: merge the
+    # flagged-start INTERVALS [s, s+w-1] directly — sort each doc's
+    # starts and fold with one aggregate HOF (merge when the next
+    # interval overlaps or touches the last, t1+1 >= s) — instead of
+    # exploding every window into its covered tokens and running
+    # distinct + row_number-window + groupBy gaps-and-islands over
+    # them. Identical spans (equivalence probed at sf0.01 and pinned
+    # by the oracle: consecutive covered tokens <=> interval
+    # overlap-or-adjacency), but ONE doc-keyed shuffle instead of
+    # three and no w-times row explosion before it (guide §2.4/§2.3).
+    # Per-doc state is the flagged-start list — the same bound as the
+    # covered set the old form shuffled; the fold appends or replaces
+    # the LAST island only, so the acc copy cost is
+    # O(starts x islands), islands small by the boilerplate argument.
+    merge_expr = F.expr(
+        f"""
+        aggregate(
+          _ss,
+          CAST(array() AS array<struct<t0:int,t1:int>>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0 AND s <= element_at(acc, -1).t1 + 1
+            THEN concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct(
+                't0', element_at(acc, -1).t0,
+                't1', greatest(element_at(acc, -1).t1, s + {w} - 1))))
+            ELSE concat(
+              acc, array(named_struct('t0', s, 't1', s + {w} - 1)))
+          END)
+        """
     )
-    spans = isl.groupBy(id_col, "_grp").agg(
-        F.min("t").alias("t0"), F.max("t").alias("t1")
+    spans = (
+        fl.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.col("s").cast("int"))).alias("_ss"))
+        .select(F.col(id_col), F.explode(merge_expr).alias("_sp"))
+        .select(F.col(id_col), F.col("_sp.t0").alias("t0"), F.col("_sp.t1").alias("t1"))
     )
     skey = spans.join(base.select(id_col, "_toks"), id_col).select(
         F.col(id_col),
@@ -1278,6 +1302,10 @@ def lsh_recall_eval(
     # generator with unique_text_first=False — the default would run a
     # second, identical digest groupBy + tokenize pass over the sample
     canon = _digest_canonicals(sample, text_col, id_col).localCheckpoint()
+    # three consumers (both sides of the shared-shingle self-join +
+    # the per-doc sizes aggregate) — materialize so the tokenize +
+    # shingle explode runs once, not per consumer; sample-bounded by
+    # the eval protocol, the same contract that bounds the truth join
     shd = canon.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
@@ -1286,7 +1314,7 @@ def lsh_recall_eval(
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias(
             "_s"
         ),
-    )
+    ).localCheckpoint()
     inter = (
         shd.alias("x")
         .join(shd.alias("y"), "_s")
@@ -1319,9 +1347,12 @@ def lsh_recall_eval(
         shingle_n=shingle_n,
         unique_text_first=False,
     ).withColumn("_c", F.lit(1))
+    # the candidate set is sample- and banding-bounded (the eval's
+    # documented budget) but sits behind aggregates the planner can't
+    # size — without the hint the recall probe ran as a SortMergeJoin
     return (
         truth.withColumn("_lo", band_lo)
-        .join(cand, ["a", "b"], "left")
+        .join(F.broadcast(cand), ["a", "b"], "left")
         .groupBy(F.col("_lo").alias("band_lo"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),

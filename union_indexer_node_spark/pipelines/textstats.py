@@ -496,15 +496,30 @@ def char_lm_quality(
         )
     )
     unseen_q = F.lit(scale // smooth_k).cast("long")
+    # explode_outer, not explode: a zero-gram doc (short/empty/null
+    # text) keeps one NULL-gram row, so the aggregate below covers
+    # EVERY input doc and the old join-back — one more corpus scan
+    # plus a corpus-keyed SortMergeJoin — disappears (r15, guide
+    # §2.4). The null row contributes nothing: count(_g) skips nulls
+    # and the conditional sum leaves the group NULL (coalesced to the
+    # same 0 the join-back produced).
+    score_grams = src.select(
+        F.col(id_col), F.explode_outer(grams).alias("_g")
+    )
     scored = (
-        doc_grams.join(F.broadcast(model_q), "_g", "left")
+        score_grams.join(F.broadcast(model_q), "_g", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("_q"), unseen_q)).alias("score_sum"),
+            F.count(F.col("_g")).alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("_g").isNotNull(),
+                    F.coalesce(F.col("_q"), unseen_q),
+                )
+            ).alias("score_sum"),
         )
     )
-    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+    return scored.select(
         F.col(id_col),
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),

@@ -1752,6 +1752,11 @@ def dsir_resample(
         .agg(F.count(F.lit(1)).alias("_cs"))
         .localCheckpoint()
     )
+    # two separate scalar collects, deliberately NOT fused into one
+    # union job: an r15 A/B (median-of-7, same host) measured the
+    # fused single-action form ~0.4 s SLOWER end-to-end — the union
+    # of two single-row aggregates plans an extra exchange + stage
+    # that costs more than the second driver round trip saves.
     nt = tgt_model.agg(F.sum("_ct")).collect()[0][0] or 0
     ns = src_model.agg(F.sum("_cs")).collect()[0][0] or 0
 

@@ -646,3 +646,34 @@ def test_stream_degree_threaded_triangle_soak_sf01(spark, tmp_path):
     )
     assert _fp(state["edges"]) == _fp(scratch_edges)
     assert _fp(state["degrees"]) == _fp(_degrees_of(scratch_edges))
+
+
+class TestTriangleAssumeCanonical:
+    """r15 optimization pin: the assume_canonical fast path must be
+    count-for-count equal to the default path on an input that IS
+    canonical — the contract the composed incremental entry relies on
+    when it skips the base solve's re-distinct of its checkpointed
+    edge store."""
+
+    def test_fast_path_equals_default_on_canonical_input(self, spark):
+        from union_indexer_node_spark.pipelines.training import (
+            canonical_edges,
+            triangle_count,
+        )
+
+        raw = spark.range(0, 600).select(
+            (F.col("id") % 17).alias("a"),
+            ((F.col("id") / 17).cast("long") % 17).alias("b"),
+        )
+        canon = canonical_edges(raw, "a", "b").localCheckpoint()
+        default = {
+            (r["node"], r["tri_cnt"])
+            for r in triangle_count(canon, "a", "b").collect()
+        }
+        fast = {
+            (r["node"], r["tri_cnt"])
+            for r in triangle_count(
+                canon, "a", "b", assume_canonical=True
+            ).collect()
+        }
+        assert default == fast and len(default) > 0

@@ -804,7 +804,11 @@ def canonical_edges(
 
 
 def triangle_count(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     — the local-clustering primitive beside `pagerank_quantized`
@@ -831,12 +835,25 @@ def triangle_count(
     # and the degree-attach joins both read it, and without the
     # checkpoint each consumer re-runs the dedup shuffle from the
     # source (measured: the full plan re-computed the oriented
-    # subtree 3x — 88 exchanges at sf0.001 vs 7 after)
-    canon = (
-        canonical_edges(edges, a_col, b_col)
-        .withColumnsRenamed({"a": "_x", "b": "_y"})
-        .localCheckpoint()
-    )
+    # subtree 3x — 88 exchanges at sf0.001 vs 7 after).
+    # ``assume_canonical`` (r15): a caller holding an edge STORE that
+    # is already in canonical_edges form AND already materialized
+    # (triangle_count_incremental's contract — the composed
+    # graph_triangle_incremental entry checkpoints exactly that
+    # frame) skips the redundant re-distinct shuffle and the second
+    # checkpoint; the rename is a zero-cost projection over the
+    # caller's materialization. Correctness is the caller's assertion,
+    # same as the stored_edges guard in the incremental fold.
+    if assume_canonical:
+        canon = edges.select(
+            F.col(a_col).alias("_x"), F.col(b_col).alias("_y")
+        )
+    else:
+        canon = (
+            canonical_edges(edges, a_col, b_col)
+            .withColumnsRenamed({"a": "_x", "b": "_y"})
+            .localCheckpoint()
+        )
     deg = (
         canon.select(F.col("_x").alias("node"))
         .union(canon.select(F.col("_y").alias("node")))

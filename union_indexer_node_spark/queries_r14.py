@@ -234,7 +234,9 @@ def graph_triangle_incremental(
     old = edges.filter(F.col("event_id") % 3 != 0).select("sx", "dx")
     new = edges.filter(F.col("event_id") % 3 == 0).select("sx", "dx")
     stored = canonical_edges(old, "sx", "dx").localCheckpoint()
-    base = triangle_count(stored, "a", "b")
+    # stored IS the canonical, materialized edge store — skip the
+    # base solve's redundant re-distinct + second checkpoint (r15)
+    base = triangle_count(stored, "a", "b", assume_canonical=True)
     _, counts = triangle_count_incremental(stored, base, new, "sx", "dx")
     return counts.select(
         F.col("node").cast("long").alias("node"),

@@ -422,15 +422,21 @@ def test_registry_wide_plan_hygiene(spark):
 
 
 def test_duplicate_spans_rebuild_is_affected_only(spark):
-    """remove_duplicate_spans must rebuild ONLY documents that contain
-    a flagged window: the plan carries the anti-join fast path (clean
-    docs pass through) and the covered-token left_anti, and never a
-    CartesianProduct."""
+    """remove_duplicate_spans applies removal through ONE doc-keyed
+    LEFT join of the corpus to the merged-interval array (r15 rewrite):
+    clean documents see a NULL array and short-circuit to their
+    original text. The final plan must carry that single outer join
+    and NO token-level machinery — no Generate (covered-token
+    explode), no LeftAnti (the r14 shape's fast path + kept-token
+    filter), and never a CartesianProduct."""
     from union_indexer_node_spark import queries as q
 
     df = q.registry()["dedup_remove_duplicate_spans"].fn(spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("LeftAnti") >= 2  # fast path + kept-token filter
+    # _plan prints sparkPlan + executedPlan, so each node shows twice
+    assert plan.count("LeftOuter") == 2  # the one interval-apply join
+    assert "LeftAnti" not in plan
+    assert "Generate" not in plan  # no covered-token/tok_bytes explode
     assert "CartesianProduct" not in plan
 
 
@@ -498,5 +504,11 @@ def test_round11_new_entry_plan_shapes(spark):
     maximal = _plan(
         reg["dedup_remove_duplicate_spans_maximal"].fn(spark, SF_DIR)
     )
-    assert maximal.count("LeftAnti") >= 2
+    # r15 interval rewrite: one candidate-span Generate (the merged
+    # intervals explode) and one outer interval-apply join; the
+    # token-level anti-join/explode machinery is gone.
+    # _plan prints sparkPlan + executedPlan, so each node shows twice
+    assert maximal.count("LeftOuter") == 2
+    assert "LeftAnti" not in maximal
+    assert maximal.count("Generate") <= 2
     assert "CartesianProduct" not in maximal

@@ -680,7 +680,10 @@ def remove_repeated_passages(
 
     Scale shape:
     - Segmentation is pure narrow HOFs (sequence→transform→slice→
-      posexplode): zero shuffle, bytes ∝ text size.
+      posexplode): zero shuffle, bytes ∝ text size. The exploded
+      segment rows carry (id, seg_idx, passage) ONLY — never the
+      original bytes (guide §2.3: shuffle keys and metadata, not
+      payloads).
     - The frequency count is a groupBy(passage) with map-side partial
       aggregation — the hot key (a boilerplate passage in millions of
       docs) partially collapses per task BEFORE the exchange. A window
@@ -688,15 +691,21 @@ def remove_repeated_passages(
       materializes every instance of the hot passage in one partition:
       exactly the skew this operator exists to handle, so groupBy+join
       is the right trade at scale.
-    - The join back is passage-string keyed and co-partitioned with
-      the count (same key, same shuffle layout — AQE reuses the
-      exchange). For narrower shuffles swap the key for
-      xxhash64(passage) on BOTH sides; kept as the string here so the
-      result is bit-comparable against a SQL oracle.
-    - Reassembly is one groupBy(id) with array_sort over (seg_idx,
-      passage) structs — deterministic order, no window.
+    - The probe is an INNER join of the segment rows against the
+      FLAGGED passages (count > max_occurrences — the boilerplate
+      residue) and emits only the REMOVED (id, seg_idx) rows; those
+      fold into one sorted index array per affected document (r15
+      rewrite — the r14 shape joined every KEPT segment instead and
+      re-aggregated the surviving corpus bytes through a groupBy(id):
+      two corpus-bytes exchanges for what removal decisions, a few
+      ints per affected doc, carry for free).
+    - Reassembly is one LEFT join of the corpus to that removal-index
+      frame plus a narrow indexed filter over the stored segment
+      array — a document with no removed segment sees a NULL array and
+      keeps every segment, so reassembly round-trips its bytes
+      untouched.
     - The (pieces, tokens) base frame is localCheckpoint-ed once and
-      feeds the count, the probe and the final join-back; segment
+      feeds the segment explode and the final join; segment
       re-derivation from the stored arrays is a cheap narrow pass per
       branch (the checkpoint's real job is blocking Catalyst's
       projection collapse — see the inline note).
@@ -707,12 +716,13 @@ def remove_repeated_passages(
     anti-join-and-append pattern as update_minhash_index, stored
     bucketed by passage) and each batch is scrubbed against
     corpus-lifetime counts rather than batch-local ones. When given,
-    the batch-local count is skipped entirely. The probe is a LEFT
-    join with a coalesce-to-0 filter: a
-    passage ABSENT from the counts table is frequency-0 and KEPT —
+    the batch-local count is skipped entirely. The probe removes only
+    passages PRESENT in the counts table with count > max_occurrences:
+    a passage ABSENT from the counts table is frequency-0 and KEPT —
     scrubbing a batch against a lifetime index that has not yet folded
     that batch must not silently blank novel documents (the stale-
-    index hazard; the prior INNER join dropped them).
+    index hazard; an early form that inner-joined the KEPT side
+    dropped them).
 
     Tokenization caveat at the ``counts`` boundary (ADVICE r10): this
     operator keys passages via ``token_pieces`` (raw ``[a-zA-Z0-9]+``
@@ -748,75 +758,71 @@ def remove_repeated_passages(
     base = base.localCheckpoint()
     ntok = F.size(F.col("_toks"))
     nseg = F.ceil(ntok / F.lit(float(ws))).cast("int")
-    # Per segment s: the normalized match key (space-joined lowered
-    # tokens s*ws..e) AND the original bytes — pieces from the first
-    # token (odd index 2*s*ws+1, 1-based 2*s*ws+2) through the
-    # separator AFTER the last token e (1-based 2*e+3). The leading
-    # separator (pieces[1]) belongs to no segment and is always kept.
-    def _seg(s: Column) -> Column:
-        e = F.least((s + 1) * ws, ntok) - 1
-        return F.struct(
-            F.concat_ws(" ", F.slice(F.col("_toks"), s * ws + 1, ws))
-            .alias("passage"),
-            F.concat_ws(
-                "",
-                F.slice(F.col("_pc"), 2 * s * ws + 2, 2 * (e - s * ws) + 2),
-            ).alias("seg_bytes"),
-        )
-
-    base = base.select(
-        F.col(id_col),
-        F.element_at(F.col("_pc"), 1).alias("_lead"),
-        nseg.alias("_nseg"),
-        F.when(
-            ntok > 0, F.transform(F.sequence(F.lit(0), nseg - 1), _seg)
-        )
-        .otherwise(
-            F.array().cast("array<struct<passage:string,seg_bytes:string>>")
-        )
-        .alias("_segs"),
-    )
+    # The exploded probe rows carry the normalized PASSAGE only (the
+    # space-joined lowered tokens s*ws..min((s+1)*ws, ntok)-1); the
+    # final reassembly touches the raw BYTES only. Keeping the two
+    # projections separate (instead of one struct array feeding both)
+    # means neither branch computes strings the other needs.
     segs = base.select(
         F.col(id_col),
-        F.posexplode(F.col("_segs")).alias("seg_idx", "_seg"),
-    ).select(
-        F.col(id_col),
-        "seg_idx",
-        F.col("_seg.passage").alias("passage"),
-        F.col("_seg.seg_bytes").alias("seg_bytes"),
+        F.posexplode(
+            F.when(
+                ntok > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda s: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), s * ws + 1, ws)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg_idx", "passage"),
     )
     if counts is None:
         counts = segs.groupBy("passage").agg(
             F.count(F.lit(1)).alias("_cnt")
         )
-    kept = segs.join(counts, "passage", "left").filter(
-        F.coalesce(F.col("_cnt"), F.lit(0)) <= max_occurrences
+    flagged = counts.filter(F.col("_cnt") > max_occurrences).select(
+        "passage"
     )
-    re = kept.groupBy(id_col).agg(
-        F.concat_ws(
+    rem = (
+        segs.join(flagged, "passage")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("_rm"))
+    )
+    # Kept bytes per surviving segment i (tokens [i*ws,
+    # min((i+1)*ws, ntok)-1]): the 1-based pieces slice starting at
+    # 2*i*ws+2 of length 2*(segment token count) — token piece +
+    # trailing separator each; the leading separator _pc[1] is always
+    # kept. Pure narrow expressions over the checkpointed base.
+    def _seg_bytes(i: Column) -> Column:
+        return F.concat_ws(
             "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("seg_idx", "seg_bytes"))
-                ),
-                lambda x: x["seg_bytes"],
+            F.slice(
+                F.col("_pc"),
+                2 * i * ws + 2,
+                2 * (F.least((i + 1) * F.lit(ws), ntok) - i * ws),
             ),
-        ).alias("_kept_bytes"),
-        F.count(F.lit(1)).alias("_nkept"),
-    )
-    return (
-        base.select(id_col, "_lead", "_nseg")
-        .join(re, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.concat(
-                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
-            ).alias("cleaned_text"),
-            F.col("_nseg").cast("long").alias("n_segments"),
-            (F.col("_nseg") - F.coalesce("_nkept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
         )
+
+    kept_idx = F.filter(
+        F.when(ntok > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.when(
+            F.col("_rm").isNull(), F.lit(True)
+        ).otherwise(~F.array_contains(F.col("_rm"), i)),
+    )
+    return base.join(rem, id_col, "left").select(
+        F.col(id_col),
+        F.concat(
+            F.element_at(F.col("_pc"), 1),
+            F.concat_ws("", F.transform(kept_idx, _seg_bytes)),
+        ).alias("cleaned_text"),
+        nseg.cast("long").alias("n_segments"),
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size("_rm"))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 
@@ -829,9 +835,10 @@ def _span_flag_base(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared stride-1 window flagging for the span-removal family:
     returns (base, fl) where base is the localCheckpointed
-    (id, _text, _pc, _toks, _ntok) frame and fl is the checkpointed
-    (id, s) set of flagged window starts (windows whose normalized
-    key repeats > max_occurrences corpus-wide)."""
+    (id, _text, _pc, _toks, _ntok) frame and fl is the (id, s) set of
+    flagged window starts (windows whose normalized key repeats >
+    max_occurrences corpus-wide) — lazy, single-consumer in both
+    arms."""
     w = window_tokens
     # NULL text is normalized to '' at entry (ADVICE r10): without it,
     # F.size over a null token array reports n_tokens = -1 under
@@ -876,9 +883,70 @@ def _span_flag_base(
         .filter(F.col("_cnt") > max_occurrences)
         .select("k")
     )
+    # Single consumer in both arms since the r15 interval rewrite (the
+    # groupBy(id) that builds the merged-interval array) — no
+    # checkpoint: it would add one eager job per entry for nothing.
     fl = wins.join(flagged_keys, "k").select(F.col(id_col), "s")
-    fl = fl.localCheckpoint()  # feeds covered-set AND affected-ids
     return base, fl
+
+
+def _merged_flag_intervals(w: int) -> Column:
+    """Merged covered-token intervals from a SORTED flagged-start array
+    ``_ss``: each start s covers [s, s+w-1]; overlapping-or-adjacent
+    intervals coalesce (next start <= last end + 1 — consecutive
+    covered tokens <=> interval overlap-or-adjacency, the equivalence
+    the r15 rewrite is pinned on). One narrow aggregate HOF; the fold
+    appends or replaces the LAST island only, so the acc copy cost is
+    O(starts x islands), islands small by the boilerplate argument."""
+    return F.expr(
+        f"""
+        aggregate(
+          _ss,
+          CAST(array() AS array<struct<t0:int,t1:int>>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0 AND s <= element_at(acc, -1).t1 + 1
+            THEN concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct(
+                't0', element_at(acc, -1).t0,
+                't1', greatest(element_at(acc, -1).t1, s + {w} - 1))))
+            ELSE concat(
+              acc, array(named_struct('t0', s, 't1', s + {w} - 1)))
+          END)
+        """
+    )
+
+
+# Byte reassembly from a doc's merged removal intervals, as ONE narrow
+# expression over (_pc, _ntok, _iv) — kept bytes are the GAPS between
+# intervals: pieces for token range [a, b] are the 1-based slice
+# [2a+2, 2b+3] (token piece + trailing separator each), the leading
+# separator _pc[1] is always kept. Intervals are sorted, disjoint and
+# non-adjacent by construction (merged), so one left-to-right fold
+# emits every kept byte exactly once — O(text bytes) per doc, zero
+# shuffle, replacing the r14 explode-tokens -> anti-join -> groupBy
+# reassembly (three token-level exchanges) with nothing.
+_IV_REASSEMBLE = """
+concat(
+  element_at(_pc, 1),
+  aggregate(
+    _iv,
+    named_struct('p', 0, 'b', ''),
+    (acc, iv) -> named_struct(
+      'p', iv.t1 + 1,
+      'b', concat(acc.b,
+        CASE WHEN iv.t0 > acc.p
+          THEN concat_ws('', slice(_pc, 2 * acc.p + 2, 2 * (iv.t0 - acc.p)))
+          ELSE '' END)),
+    acc -> concat(acc.b,
+      CASE WHEN _ntok > acc.p
+        THEN concat_ws('', slice(_pc, 2 * acc.p + 2, 2 * (_ntok - acc.p)))
+        ELSE '' END))
+)
+"""
+
+# Total removed tokens = sum of interval lengths (disjoint by merge).
+_IV_REMOVED = "aggregate(_iv, 0, (a, iv) -> a + iv.t1 - iv.t0 + 1)"
 
 
 def remove_duplicate_spans(
@@ -925,72 +993,39 @@ def remove_duplicate_spans(
       typically a tiny fraction of distinct windows. The probe is an
       INNER join against that flagged subset, so a window absent from
       it is kept by construction (no stale-index blanking hazard).
-    - Only documents that contain at least one flagged window are
-      rebuilt; untouched documents short-circuit to cleaned_text =
-      original text with an anti-join — at corpus scale the expensive
-      per-token reassembly runs on the affected slice only.
-    - The reassembly itself is one explode + left_anti + groupBy(id)
-      over affected documents; everything is built-in expressions —
-      no UDF, no driver collect.
+    - Removal state is ONE doc-keyed row per affected document: the
+      flagged starts fold into a merged-interval array (r15 rewrite —
+      consecutive covered tokens <=> interval overlap-or-adjacency),
+      so the per-doc bytes moved are O(islands), never O(tokens).
+    - Reassembly is a narrow fold over that array against the stored
+      pieces (kept bytes = the gaps between intervals) applied through
+      one LEFT join of the corpus to the affected slice — documents
+      with no flagged window see a NULL array and short-circuit to
+      cleaned_text = original text. No token-level explode, no
+      anti-join, no per-doc re-aggregation — the r14 shape paid three
+      token-level exchanges for exactly this; everything is built-in
+      expressions, no UDF, no driver collect.
     """
     base, fl = _span_flag_base(
         df, text_col, id_col, window_tokens, stride, max_occurrences
     )
     w = window_tokens
-    covered = fl.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("t"),
-    ).distinct()
-    affected = fl.select(id_col).distinct()
-    aff = base.join(affected, id_col)
-    tokb = aff.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_ntok") - 1),
-                lambda t: F.concat(
-                    F.element_at(F.col("_pc"), 2 * t + 2),
-                    F.element_at(F.col("_pc"), 2 * t + 3),
-                ),
-            )
-        ).alias("t", "tok_bytes"),
+    ivf = (
+        fl.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.col("s").cast("int"))).alias("_ss"))
+        .select(F.col(id_col), _merged_flag_intervals(w).alias("_iv"))
     )
-    keptt = tokb.join(covered, [id_col, "t"], "left_anti")
-    re = keptt.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "tok_bytes"))),
-                lambda x: x["tok_bytes"],
-            ),
-        ).alias("_kept_bytes"),
-        F.count(F.lit(1)).alias("_nkept"),
-    )
-    aff_out = (
-        aff.select(
-            F.col(id_col),
-            F.element_at(F.col("_pc"), 1).alias("_lead"),
-            "_ntok",
-        )
-        .join(re, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.concat(
-                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
-            ).alias("cleaned_text"),
-            F.col("_ntok").cast("long").alias("n_tokens"),
-            (F.col("_ntok") - F.coalesce("_nkept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed_tokens"),
-        )
-    )
-    un_out = base.join(affected, id_col, "left_anti").select(
+    return base.join(ivf, id_col, "left").select(
         F.col(id_col),
-        F.col("_text").alias("cleaned_text"),
+        F.when(F.col("_iv").isNull(), F.col("_text"))
+        .otherwise(F.expr(_IV_REASSEMBLE))
+        .alias("cleaned_text"),
         F.col("_ntok").cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("n_removed_tokens"),
+        F.when(F.col("_iv").isNull(), F.lit(0))
+        .otherwise(F.expr(_IV_REMOVED))
+        .cast("long")
+        .alias("n_removed_tokens"),
     )
-    return un_out.unionByName(aff_out)
 
 
 def remove_duplicate_spans_maximal(
@@ -1030,53 +1065,28 @@ def remove_duplicate_spans_maximal(
 
     Returns (id, cleaned_text, n_tokens, n_removed_tokens,
     n_spans_removed), byte-preserving like the sibling. Scale shape:
-    everything remove_duplicate_spans does plus one row_number window
-    over the covered-token set (partitioned by document — per-doc
-    state is the doc's covered tokens, no skew beyond document length)
-    and one groupBy(span-string) count whose input has at most one row
-    per coalesced span — strictly fewer rows than the window count
-    that produced it.
+    everything remove_duplicate_spans does plus one groupBy(span-
+    string) count whose input has at most one row per coalesced span —
+    strictly fewer rows than the window count that produced it; the
+    verified spans then fold back into one doc-keyed interval array
+    and apply through the same single-left-join narrow reassembly as
+    the recall arm (no covered-token explode, no anti-join, no per-doc
+    re-aggregation — the r15 rewrite).
     """
     base, fl = _span_flag_base(
         df, text_col, id_col, window_tokens, stride, max_occurrences
     )
     w = window_tokens
 
-    # Candidate spans = maximal runs of covered tokens. r15: merge the
-    # flagged-start INTERVALS [s, s+w-1] directly — sort each doc's
-    # starts and fold with one aggregate HOF (merge when the next
-    # interval overlaps or touches the last, t1+1 >= s) — instead of
-    # exploding every window into its covered tokens and running
-    # distinct + row_number-window + groupBy gaps-and-islands over
-    # them. Identical spans (equivalence probed at sf0.01 and pinned
-    # by the oracle: consecutive covered tokens <=> interval
-    # overlap-or-adjacency), but ONE doc-keyed shuffle instead of
-    # three and no w-times row explosion before it (guide §2.4/§2.3).
-    # Per-doc state is the flagged-start list — the same bound as the
-    # covered set the old form shuffled; the fold appends or replaces
-    # the LAST island only, so the acc copy cost is
-    # O(starts x islands), islands small by the boilerplate argument.
-    merge_expr = F.expr(
-        f"""
-        aggregate(
-          _ss,
-          CAST(array() AS array<struct<t0:int,t1:int>>),
-          (acc, s) -> CASE
-            WHEN size(acc) > 0 AND s <= element_at(acc, -1).t1 + 1
-            THEN concat(
-              slice(acc, 1, size(acc) - 1),
-              array(named_struct(
-                't0', element_at(acc, -1).t0,
-                't1', greatest(element_at(acc, -1).t1, s + {w} - 1))))
-            ELSE concat(
-              acc, array(named_struct('t0', s, 't1', s + {w} - 1)))
-          END)
-        """
-    )
+    # Candidate spans = maximal runs of covered tokens, by merging the
+    # flagged-start INTERVALS [s, s+w-1] directly (r15; equivalence
+    # probed at sf0.01 and pinned by the oracle: consecutive covered
+    # tokens <=> interval overlap-or-adjacency) — ONE doc-keyed
+    # shuffle, no w-times row explosion (guide §2.4/§2.3).
     spans = (
         fl.groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.col("s").cast("int"))).alias("_ss"))
-        .select(F.col(id_col), F.explode(merge_expr).alias("_sp"))
+        .select(F.col(id_col), F.explode(_merged_flag_intervals(w)).alias("_sp"))
         .select(F.col(id_col), F.col("_sp.t0").alias("t0"), F.col("_sp.t1").alias("t1"))
     )
     skey = spans.join(base.select(id_col, "_toks"), id_col).select(
@@ -1097,70 +1107,34 @@ def remove_duplicate_spans_maximal(
         .filter(F.col("_c") > max_occurrences)
         .select("_sk")
     )
-    vspan = skey.join(vkeys, "_sk").select(F.col(id_col), "t0", "t1")
-    vspan = vspan.localCheckpoint()  # covered-set, affected-ids, n_spans
-    vcov = vspan.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("t0"), F.col("t1"))).alias("t"),
-    ).distinct()
-    nspans = vspan.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_nspans")
-    )
-    affected = vspan.select(id_col).distinct()
-    aff = base.join(affected, id_col)
-    tokb = aff.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_ntok") - 1),
-                lambda t: F.concat(
-                    F.element_at(F.col("_pc"), 2 * t + 2),
-                    F.element_at(F.col("_pc"), 2 * t + 3),
-                ),
-            )
-        ).alias("t", "tok_bytes"),
-    )
-    keptt = tokb.join(vcov, [id_col, "t"], "left_anti")
-    re = keptt.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "tok_bytes"))),
-                lambda x: x["tok_bytes"],
-            ),
-        ).alias("_kept_bytes"),
-        F.count(F.lit(1)).alias("_nkept"),
-    )
-    aff_out = (
-        aff.select(
-            F.col(id_col),
-            F.element_at(F.col("_pc"), 1).alias("_lead"),
-            "_ntok",
-        )
-        .join(re, id_col, "left")
-        .join(nspans, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.concat(
-                F.col("_lead"), F.coalesce("_kept_bytes", F.lit(""))
-            ).alias("cleaned_text"),
-            F.col("_ntok").cast("long").alias("n_tokens"),
-            (F.col("_ntok") - F.coalesce("_nkept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed_tokens"),
-            F.coalesce("_nspans", F.lit(0))
-            .cast("long")
-            .alias("n_spans_removed"),
+    # Verified spans fold straight back into the per-doc interval
+    # array (single consumer — no checkpoint): candidate spans are
+    # disjoint and non-adjacent per doc by the merge, so the verified
+    # subset is too, and sort_array orders it by t0.
+    ivf = (
+        skey.join(vkeys, "_sk")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("t0"), F.col("t1")))
+            ).alias("_iv")
         )
     )
-    un_out = base.join(affected, id_col, "left_anti").select(
+    return base.join(ivf, id_col, "left").select(
         F.col(id_col),
-        F.col("_text").alias("cleaned_text"),
+        F.when(F.col("_iv").isNull(), F.col("_text"))
+        .otherwise(F.expr(_IV_REASSEMBLE))
+        .alias("cleaned_text"),
         F.col("_ntok").cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("n_removed_tokens"),
-        F.lit(0).cast("long").alias("n_spans_removed"),
+        F.when(F.col("_iv").isNull(), F.lit(0))
+        .otherwise(F.expr(_IV_REMOVED))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.when(F.col("_iv").isNull(), F.lit(0))
+        .otherwise(F.size("_iv"))
+        .cast("long")
+        .alias("n_spans_removed"),
     )
-    return un_out.unionByName(aff_out)
 
 
 # ---------------------------------------------------------------------------

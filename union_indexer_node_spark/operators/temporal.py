@@ -292,10 +292,17 @@ def funnel_stages(
     passes consume it (the budget_select branch-re-scan guard); each
     pass is a min-aggregate + equi-join keyed on the user — state is
     ONE timestamp per user per stage, never a per-user collect_list a
-    bot account could blow up, and every shuffle shares the user key
-    so AQE coalesces the chain. The greedy earliest-advance recurrence
-    is provably the maximal progression: advancing on the minimum
-    qualifying timestamp only ever widens what qualifies next.
+    bot account could blow up. Each stage anchor derives from the
+    PREVIOUS stage's materialized frame only (r15: stage i used to
+    join the accumulated out chain, re-deriving every earlier stage's
+    aggregation inside every later stage's subtree — the k-stage plan
+    ran ~k²/2 passes over the corpus with zero exchange reuse; now
+    each stage is one pass over the checkpointed events plus one join
+    against a <=1-row-per-user frame, k+1 passes total), and the final
+    result is the user set left-joined with each stage frame. The
+    greedy earliest-advance recurrence is provably the maximal
+    progression: advancing on the minimum qualifying timestamp only
+    ever widens what qualifies next.
     """
     if not steps:
         raise ValueError("funnel_stages requires at least one step")
@@ -308,23 +315,27 @@ def funnel_stages(
         )
         .localCheckpoint()
     )
-    out = staged.select("_u").distinct()
+    anchors: list[DataFrame] = []
     for i, s in enumerate(steps):
         ev = staged.filter(F.col("_tp") == s)
         if i == 0:
             t = ev.groupBy("_u").agg(F.min("_ts").alias("_t0"))
         else:
+            # anchors[-1] carries only users that reached stage i (its
+            # groupBy emits no NULL mins), so no isNotNull gate needed.
             t = (
-                ev.join(
-                    out.filter(F.col(f"_t{i - 1}").isNotNull()).select(
-                        "_u", f"_t{i - 1}"
-                    ),
-                    "_u",
-                )
+                ev.join(anchors[-1], "_u")
                 .filter(F.col("_ts") > F.col(f"_t{i - 1}"))
                 .groupBy("_u")
                 .agg(F.min("_ts").alias(f"_t{i}"))
             )
+        # Two consumers each (the next stage's probe + the final join)
+        # and at most one timestamp per user — materialize so neither
+        # consumer re-runs the stage pass.
+        t = t.localCheckpoint()
+        anchors.append(t)
+    out = staged.select("_u").distinct()
+    for t in anchors:
         out = out.join(t, "_u", "left")
     stage = sum(
         (F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0))

@@ -668,6 +668,12 @@ def tpch_q2_min_cost_supplier(
             .alias("acctbal_q"),
         )
     )
+    # Two consumers (the per-part MIN and the final min-cost probe) —
+    # materialize so the partsupp derivation's lineitem pass runs once,
+    # not once per consumer (r15, guide §3.3/§5: `scoped` is the
+    # region's partsupp slice, far smaller than the fact pass that
+    # builds it).
+    scoped = scoped.localCheckpoint()
     m = scoped.groupBy("ps_partkey").agg(F.min("cost_q").alias("mc"))
     p = tables.load(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & F.col("p_type").like("%O")
@@ -820,6 +826,11 @@ def tpch_q11_important_stock(
         .groupBy("ps_partkey")
         .agg(F.sum(cost_q * F.col("ps_availqty")).alias("value_q"))
     )
+    # Two consumers (the global total and the HAVING probe) —
+    # materialize the per-part value frame (<= |parts| rows) so the
+    # partsupp derivation's lineitem pass runs once, not twice (r15,
+    # guide §3.3/§5).
+    v = v.localCheckpoint()
     t = v.agg(F.sum("value_q").alias("total"))
     return (
         v.crossJoin(F.broadcast(t))

@@ -83,8 +83,7 @@ def decontaminate(
     # localCheckpoint = Catalyst collapse barrier: without it the
     # optimizer inlines the split/lower/filter tokenizer into every
     # element_at of the shingle lambda — O(grams*n) regexp runs per
-    # doc (measured 2.1x at sf0.1); it also stops the double compute
-    # of `grams`, which feeds both the probe and the n_grams join-back.
+    # doc (measured 2.1x at sf0.1).
     bench_toks = bench.select(
         tokens(F.col(text_col)).alias("_toks")
     ).localCheckpoint()
@@ -105,21 +104,32 @@ def decontaminate(
         F.size("_grams").alias("n_grams"),
         F.explode_outer("_grams").alias("_g"),
     ).select(F.col(id_col), F.col("n_grams"), F.md5("_g").alias("_gh"))
-    hits = exploded.join(F.broadcast(bench_grams), "_gh", "left_semi")
-    counted = hits.groupBy(id_col).agg(F.count("*").alias("n_hit"))
-    return (
-        grams.select(F.col(id_col), F.size("_grams").alias("n_grams"))
-        .join(counted, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_grams").cast("long"),
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0))
-                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-                6,
-            ).alias("contamination"),
-        )
+    # MARK hits with a broadcast left join and count them in the same
+    # per-doc aggregate that already covers every doc (explode_outer
+    # keeps zero-gram docs as one NULL-gram row, which can never match
+    # a benchmark hash) — the former left_semi dropped no-hit docs and
+    # needed a doc-keyed join-back against a second read of `grams` to
+    # restore them (r15, the char_lm batch-F pattern: 1 SortMergeJoin
+    # + 2 exchanges removed, `grams` read once).
+    marked = exploded.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(True))),
+        "_gh",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_hit"),
+        F.round(
+            F.col("n_hit")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination"),
     )
 
 
@@ -1740,11 +1750,10 @@ def dsir_resample(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def _bucketed(frame: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
+    def _bucketed(frame: DataFrame) -> DataFrame:
         return frame.select(
-            *cols, F.explode(_bigrams(F.col("_toks"))).alias("_g")
-        ).select(*cols, md5_bucket(F.col("_g"), buckets).alias("_b"))
+            F.explode(_bigrams(F.col("_toks"))).alias("_g")
+        ).select(md5_bucket(F.col("_g"), buckets).alias("_b"))
 
     base = train.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
@@ -1758,13 +1767,13 @@ def dsir_resample(
     # scalar totals as literals — the bounded-collect pattern; inlining
     # the totals keeps the probe free of scalar nested-loop joins.
     tgt_model = (
-        _bucketed(tgt_toks, False)
+        _bucketed(tgt_toks)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_ct"))
         .localCheckpoint()
     )
     src_model = (
-        _bucketed(base, False)
+        _bucketed(base)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_cs"))
         .localCheckpoint()
@@ -1777,36 +1786,47 @@ def dsir_resample(
     nt = tgt_model.agg(F.sum("_ct")).collect()[0][0] or 0
     ns = src_model.agg(F.sum("_cs")).collect()[0][0] or 0
 
+    # explode_outer keeps a zero-gram doc as one NULL-bucket row, so
+    # the aggregate covers every doc and the former corpus-keyed
+    # join-back of all_ids disappears (r15, the char_lm batch-F
+    # pattern — plan: 1 SortMergeJoin LeftOuter + 2 exchanges
+    # removed). The NULL row contributes nothing: _q is gated on a
+    # non-NULL bucket, count(_b) skips NULLs, and the guarded div
+    # leaves zero-gram docs at the same (0, 0) the join-back gave
+    # them (the guard also keeps ANSI mode from a 0-divisor error).
     probe = (
-        _bucketed(base, True)
+        base.select(
+            F.col(id_col),
+            F.explode_outer(_bigrams(F.col("_toks"))).alias("_g"),
+        )
+        .select(F.col(id_col), md5_bucket(F.col("_g"), buckets).alias("_b"))
         .join(F.broadcast(tgt_model), "_b", "left")
         .join(F.broadcast(src_model), "_b", "left")
         .select(
             F.col(id_col),
-            F.expr(
-                f"CAST(CAST({scale} AS DECIMAL(38,0))"
-                f"     * (coalesce(_ct, 0L) + 1L)"
-                f"     * ({ns}L + {buckets}L)"
-                f" div (CAST(coalesce(_cs, 0L) + 1L AS DECIMAL(38,0))"
-                f"      * ({nt}L + {buckets}L)) AS BIGINT)"
+            F.col("_b"),
+            F.when(
+                F.col("_b").isNotNull(),
+                F.expr(
+                    f"CAST(CAST({scale} AS DECIMAL(38,0))"
+                    f"     * (coalesce(_ct, 0L) + 1L)"
+                    f"     * ({ns}L + {buckets}L)"
+                    f" div (CAST(coalesce(_cs, 0L) + 1L AS DECIMAL(38,0))"
+                    f"      * ({nt}L + {buckets}L)) AS BIGINT)"
+                ),
             ).alias("_q"),
         )
     )
     scored = probe.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count("_b").cast("long").alias("n_grams"),
         # integer div, not `/`+cast: float quotients can truncate to a
         # different integer than true integer division
-        F.expr("sum(_q) div count(1)").cast("long").alias("score_q"),
-    )
-    # re-attach zero-gram docs (explode dropped them) with score 0
-    all_ids = base.select(F.col(id_col))
-    scored = (
-        all_ids.join(scored, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("score_q", F.lit(0)).cast("long").alias("score_q"),
+        F.expr(
+            "CASE WHEN count(_b) > 0 THEN sum(_q) div count(_b)"
+            " ELSE 0 END"
         )
+        .cast("long")
+        .alias("score_q"),
     )
     thr = scored.filter(F.col("n_grams") > 0).agg(
         F.round(

@@ -2541,10 +2541,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", k=8, bands=4, shingle_n=3
     ).localCheckpoint()
     cc = connected_components(pairs, "a", "b")
-    canon = d.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("canonical_id")
-    )
-    cmap = d.select("doc_id", F.md5("text").alias("_h")).join(canon, "_h")
+    # (doc_id, digest) materialized ONCE: the canonical aggregate and
+    # the per-doc map below consume DIFFERENT subtrees of the same
+    # scan+md5 pass (groupBy vs select), so no stage reuse can merge
+    # them — the checkpoint halves the corpus scans and md5 work for
+    # the price of one narrow (~48 B/row) materialization (guide §3.3;
+    # r15 A/B at sf0.1: the resolution tail 0.36 -> 0.31 s median).
+    dm = d.select("doc_id", F.md5("text").alias("_h")).localCheckpoint()
+    canon = dm.groupBy("_h").agg(F.min("doc_id").alias("canonical_id"))
+    cmap = dm.join(canon, "_h")
     return cmap.join(cc, cmap.canonical_id == cc.node, "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("canonical_id")).alias("cluster_id"),
@@ -2573,10 +2578,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", k=8, bands=4, shingle_n=3
     ).localCheckpoint()
     cc = connected_components(pairs, "a", "b")
-    canon = d.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("canonical_id")
-    )
-    cmap = d.select("doc_id", F.md5("text").alias("_h")).join(canon, "_h")
+    # shared (doc_id, digest) checkpoint — see dedup_cc_clusters
+    dm = d.select("doc_id", F.md5("text").alias("_h")).localCheckpoint()
+    canon = dm.groupBy("_h").agg(F.min("doc_id").alias("canonical_id"))
+    cmap = dm.join(canon, "_h")
     clusters = cmap.join(cc, cmap.canonical_id == cc.node, "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("canonical_id")).alias("cluster_id"),

@@ -26,12 +26,24 @@ def main() -> None:
 
     spark = get_spark(app_name="final_plan")
     reg = q.registry()
-    for n in names:
-        fn = bench.EXTRA_BENCH[n] if n in bench.EXTRA_BENCH else reg[n].fn
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        print(f"==== {n} (executed/final adaptive plan) ====")
-        print(df._jdf.queryExecution().executedPlan().toString())
+    # validate up front (ADVICE r15): an unknown name used to surface as
+    # a bare KeyError with no usable message
+    valid = set(reg) | set(bench.EXTRA_BENCH)
+    unknown = [n for n in names if n not in valid]
+    if unknown:
+        print(f"unknown entries: {unknown}", file=sys.stderr)
+        print(f"valid names: {sorted(valid)}", file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+    try:
+        for n in names:
+            fn = bench.EXTRA_BENCH[n] if n in bench.EXTRA_BENCH else reg[n].fn
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            print(f"==== {n} (executed/final adaptive plan) ====")
+            print(df._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -390,10 +390,19 @@ def jaccard_pairs(
             .union(pairs.select(F.col("b").alias(id_col)))
             .distinct()
         )
-        # candidate-bounded by the prune contract — safe to materialize
+        # candidate-bounded by the prune contract — safe to materialize.
+        # eager=False (ADVICE r15): the checkpoint RDD is shared by BOTH
+        # join sides, so it still materializes exactly once, but at the
+        # FIRST ACTION instead of at DataFrame construction — callers
+        # that only build/explain the plan no longer pay the corpus
+        # scan + tokenize + shingle pass. Residual construction-time
+        # side effect (measured, pinned in test_round16): checkpointing
+        # forces queryExecution.toRdd, which executes the
+        # BroadcastExchange for the pair-id semi-join — two bounded
+        # pair-sized jobs, not the shingle materialization.
         shared = _sh(
             left.join(F.broadcast(ids), id_col, "left_semi")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         sh_a = shared
         sh_b = shared
     else:

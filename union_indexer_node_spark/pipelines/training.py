@@ -314,21 +314,43 @@ def bloom_decontaminate(
         F.explode_outer(_safe_shingles(F.col("_toks"), n)).alias("_g"),
     )
 
-    def _bit_set(i: int) -> Column:
-        pos = _bloom_pos(F.col("_g"), i, m)
-        word = F.get(bits_lit, (pos / F.lit(64)).cast("int"))
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+    # One reference to the 32 KB bitset literal in the WHOLE plan: the
+    # k bit-tests fold into a single forall over the position array, and
+    # the hit flag is computed in a projection so the aggregates carry a
+    # boolean column, not k embedded copies of the conjunction. (The
+    # r15 form referenced bits_lit once per bit-test and inlined the
+    # conjunction into both aggregate expressions — ~13 copies of the
+    # literal, a 1.1 MB plan serialized into every task closure;
+    # guide §5 driver/plan size, §7.3 planning cost. Equivalence:
+    # forall([p0..pk-1], test) == test(p0) AND .. AND test(pk-1); a
+    # NULL _g yields NULL positions -> forall NULL, and isNotNull
+    # short-circuits it to false exactly as the old conjunction did.)
+    pos_arr = F.array(*[_bloom_pos(F.col("_g"), i, m) for i in range(k)])
+    all_set = F.col("_g").isNotNull() & F.forall(
+        pos_arr,
+        lambda p: F.get(bits_lit, (p / F.lit(64)).cast("int"))
+        .bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
         )
-        return word.bitwiseAND(mask) != F.lit(0).cast("long")
-
-    all_set = F.col("_g").isNotNull()
-    for i in range(k):
-        all_set = all_set & _bit_set(i)
-    return ex.groupBy(id_col).agg(
-        F.count("_g").cast("long").alias("n_grams"),
-        F.sum(F.when(all_set, 1).otherwise(0)).cast("long").alias("n_maybe_hit"),
-        (F.sum(F.when(all_set, 1).otherwise(0)) > 0).alias("contaminated"),
+        != F.lit(0).cast("long"),
+    )
+    hits = ex.select(F.col(id_col), "_g", all_set.alias("_hit"))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("_g").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_maybe_hit",
+            (F.col("n_maybe_hit") > 0).alias("contaminated"),
+        )
     )
 
 

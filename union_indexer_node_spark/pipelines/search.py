@@ -80,12 +80,26 @@ def search_by_index(
         return corpus
     if any_term:
         matched = index.filter(F.col("token").isin(terms)).select(*key_cols)
-    else:
-        postings = [
-            index.filter(F.col("token") == t).select(*key_cols) for t in terms
-        ]
-        matched = reduce(lambda a, b: a.join(b, key_cols, "inner"), postings)
-    return corpus.join(matched.distinct(), key_cols, "left_semi")
+        return corpus.join(matched.distinct(), key_cols, "left_semi")
+    # Token-AND as counted posting intersection, ONE pass over the
+    # index: a key holds every distinct term iff its matched-posting
+    # count equals the distinct-term count (the index is distinct per
+    # (token, key), so count(*) IS the distinct-token count). The old
+    # form chained one inner join per term, which re-planned the whole
+    # index subtree per term — with the inline build that re-tokenized
+    # the corpus once per term, and against a stored posting table it
+    # issues one scan per term instead of one IN scan (r16, guide
+    # §1.2 step 1 / §2.4; duplicate query terms are deduped — the
+    # intersection is idempotent, the count is not).
+    uniq = sorted(set(terms))
+    matched = (
+        index.filter(F.col("token").isin(uniq))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select(*key_cols)
+    )
+    return corpus.join(matched, key_cols, "left_semi")
 
 
 def build_trigram_index(

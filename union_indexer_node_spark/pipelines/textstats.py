@@ -628,8 +628,10 @@ def quality_classifier_score(
     BROADCAST hash join against the n_buckets-row weight table (a
     model is ~KBs–MBs — never shuffle the corpus for it); the score is
     one groupBy(id) with map-side partial aggregation. Docs with zero
-    features (empty text) score exactly ``bias`` via the left join
-    back — no silent row loss on the gate's own input.
+    features (empty text) score exactly ``bias``: explode_outer keeps
+    them as one NULL-feature row through the left weight join, so the
+    aggregate sees every doc — no silent row loss on the gate's own
+    input, and no second corpus scan to restore them (r16).
 
     Returns (id, score, keep)."""
     # The tokenizer must be evaluated ONCE per row. Naively writing
@@ -661,8 +663,15 @@ def quality_classifier_score(
             ),
         )
     )
+    # explode_outer keeps a zero-feature doc as one NULL-feature row, so
+    # the aggregate covers every doc and the old corpus-keyed join-back
+    # (a second scan of df + an id-keyed SortMergeJoin) disappears —
+    # the r15 batch-F/K pattern (guide §2.4). The weight join becomes
+    # LEFT so the NULL-bucket row survives it; sum() skips NULL weights,
+    # so a doc whose features all miss the weight table still scores
+    # exactly ``bias`` via the coalesce, as before.
     exploded = df.select(
-        F.col(id_col), F.explode(feats).alias("g")
+        F.col(id_col), F.explode_outer(feats).alias("g")
     ).select(
         F.col(id_col),
         (
@@ -670,18 +679,16 @@ def quality_classifier_score(
             % n_buckets
         ).alias("bucket"),
     )
-    scored = (
-        exploded.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg((F.sum("weight") + bias).alias("score"))
-    )
     return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
+        exploded.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.coalesce(F.sum("weight"), F.lit(0)) + bias).alias("_score")
+        )
         .select(
             F.col(id_col),
-            F.coalesce("score", F.lit(bias)).cast("long").alias("score"),
-            (F.coalesce("score", F.lit(bias)) > 0).alias("keep"),
+            F.col("_score").cast("long").alias("score"),
+            (F.col("_score") > 0).alias("keep"),
         )
     )
 
@@ -1131,11 +1138,36 @@ def unigram_encode(
     costed = vocab.select(
         "piece", F.expr(f"({scale} * {total}) div cnt").alias("cost_q")
     )
-    words_all = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    # ONE corpus tokenize+explode (was four: occ, distinct_words, the
+    # enc join's second read, and the zero-word-doc join-back — r16,
+    # guide §1.2 step 1 / §2.4). distinct_words derives FROM occ with
+    # no extra predicate, so occ's (id, w) exchange canonicalizes
+    # identically in both plan branches and ReusedExchange fires — the
+    # corpus is scanned once with no eager checkpoint job (a
+    # checkpointed variant measured SLOWER at sf0.1: the checkpoint
+    # write cost more than the saved re-scan, and it erased the size
+    # estimates that keep the enc join a broadcast). explode_outer
+    # keeps a zero-word doc as one NULL-word row so the per-doc
+    # aggregate covers every doc and the old df.select(id) join-back
+    # (a corpus scan + an id-keyed SortMergeJoin) disappears; the NULL
+    # row never matches the left word join and contributes 0 to both
+    # conditional sums. The NULL word also flows into distinct_words,
+    # where it is inert: length(NULL) drops it from the Viterbi input,
+    # and its enc row (NULL key) can never join back.
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    occ = words_all.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_c"))
-    distinct_words = words_all.select("w").distinct()
+    # vocab-sized (Heaps-law sublinear), consumed by BOTH sides of the
+    # enc join — lazy cache so one action computes it once and both
+    # consumers read the InMemoryRelation (persist, not localCheckpoint:
+    # no eager construct job, and the ContextCleaner unpersists it when
+    # the frame is released)
+    distinct_words = occ.select("w").distinct().persist()
     # an unreachable DP (vocab-unseen character) nulls the FINAL dp
     # cell; the backtrace then emits a null-poisoned ps — gate the
     # piece count on dp[len] so such words take the fallback below
@@ -1158,23 +1190,19 @@ def unigram_encode(
         .otherwise(F.length("w"))
         .alias("_n_pieces"),
     )
-    per_doc = (
-        occ.join(enc, "w")
+    return (
+        occ.join(enc, "w", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("_c").alias("n_words"),
-            F.sum(F.col("_c") * F.col("_n_pieces")).alias(
-                "n_unigram_pieces"
-            ),
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_unigram_pieces", F.lit(0))
+            F.sum(F.when(F.col("w").isNotNull(), F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_words"),
+            F.sum(
+                F.when(
+                    F.col("w").isNotNull(),
+                    F.col("_c") * F.col("_n_pieces"),
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_unigram_pieces"),
         )

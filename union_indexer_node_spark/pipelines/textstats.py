@@ -1162,12 +1162,16 @@ def unigram_encode(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    # vocab-sized (Heaps-law sublinear), consumed by BOTH sides of the
-    # enc join — lazy cache so one action computes it once and both
-    # consumers read the InMemoryRelation (persist, not localCheckpoint:
-    # no eager construct job, and the ContextCleaner unpersists it when
-    # the frame is released)
-    distinct_words = occ.select("w").distinct().persist()
+    # vocab-sized and consumed by BOTH sides of the enc join. NOT
+    # persisted/checkpointed: .persist() here is plan-matched by the
+    # CacheManager, so a REPEATED run of the same encode (the bench's
+    # median-of-3, any retried job) silently reads the first run's
+    # cache — an unbounded session-lifetime cache and an under-timed
+    # median — and the eager localCheckpoint variant measured slower
+    # (write cost > the saved re-scan) while erasing the size
+    # estimates that keep the enc join a broadcast. The double
+    # derivation is two vocab-sized aggregations; acceptable.
+    distinct_words = occ.select("w").distinct()
     # an unreachable DP (vocab-unseen character) nulls the FINAL dp
     # cell; the backtrace then emits a null-poisoned ps — gate the
     # piece count on dp[len] so such words take the fallback below

@@ -1138,15 +1138,15 @@ def unigram_encode(
     costed = vocab.select(
         "piece", F.expr(f"({scale} * {total}) div cnt").alias("cost_q")
     )
-    # ONE corpus tokenize+explode (was four: occ, distinct_words, the
-    # enc join's second read, and the zero-word-doc join-back — r16,
-    # guide §1.2 step 1 / §2.4). distinct_words derives FROM occ with
-    # no extra predicate, so occ's (id, w) exchange canonicalizes
-    # identically in both plan branches and ReusedExchange fires — the
-    # corpus is scanned once with no eager checkpoint job (a
-    # checkpointed variant measured SLOWER at sf0.1: the checkpoint
-    # write cost more than the saved re-scan, and it erased the size
-    # estimates that keep the enc join a broadcast). explode_outer
+    # Two corpus tokenize+explodes instead of four (occ,
+    # distinct_words, the enc join's second read, and the
+    # zero-word-doc join-back — r16, guide §1.2 step 1 / §2.4).
+    # distinct_words derives FROM occ; the optimizer collapses the
+    # word distinct below occ's aggregate, so that branch is one
+    # direct pass with no extra shuffle (a checkpointed variant
+    # measured SLOWER at sf0.1: the checkpoint write cost more than
+    # the saved re-scan, and it erased the size estimates that keep
+    # the enc join a broadcast). explode_outer
     # keeps a zero-word doc as one NULL-word row so the per-doc
     # aggregate covers every doc and the old df.select(id) join-back
     # (a corpus scan + an id-keyed SortMergeJoin) disappears; the NULL

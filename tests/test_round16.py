@@ -85,3 +85,106 @@ class TestJaccardPairsPruneSelfDedup:
         # and the lazily-checkpointed plan still computes correctly
         out = {(r.a, r.b): r.jaccard for r in df.collect()}
         assert out[(1, 4)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-16 optimization pins
+# ---------------------------------------------------------------------------
+
+
+class TestSearchByIndexCountedIntersection:
+    """The token-AND path is now a COUNTED posting intersection (one
+    IN-filtered pass + groupBy); these pin the two places where a
+    counting rewrite could diverge from the old join-per-term chain."""
+
+    def test_duplicate_query_terms_are_idempotent(self, spark):
+        from union_indexer_node_spark.pipelines.search import (
+            build_inverted_index,
+            search_by_index,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha alpha alpha"),
+                (3, "beta only here"),
+            ],
+        )
+        idx = build_inverted_index(docs, "text", ["doc_id"])
+
+        def hits(terms):
+            return {
+                r["doc_id"]
+                for r in search_by_index(
+                    idx, docs, terms, ["doc_id"]
+                ).collect()
+            }
+
+        # a repeated term must behave as the term once — the count
+        # compares against the DISTINCT term count, and the index is
+        # distinct per (token, key), so doc 2's three 'alpha's are one
+        # posting
+        assert hits(["alpha", "alpha"]) == hits(["alpha"]) == {1, 2}
+        assert hits(["alpha", "beta", "alpha"]) == hits(
+            ["alpha", "beta"]
+        ) == {1}
+
+    def test_and_requires_every_term(self, spark):
+        from union_indexer_node_spark.pipelines.search import (
+            build_inverted_index,
+            search_by_index,
+        )
+
+        docs = _docs(
+            spark,
+            [(1, "alpha beta"), (2, "alpha"), (3, "beta"), (4, "")],
+        )
+        idx = build_inverted_index(docs, "text", ["doc_id"])
+        got = {
+            r["doc_id"]
+            for r in search_by_index(
+                idx, docs, ["alpha", "beta"], ["doc_id"]
+            ).collect()
+        }
+        assert got == {1}
+
+
+class TestClassifierSparseWeights:
+    def test_all_miss_docs_score_exactly_bias(self, spark):
+        """With a weight table covering only ONE bucket, a doc whose
+        features all hash elsewhere must still score exactly ``bias``
+        through the LEFT weight join + coalesce (the r16 rewrite
+        removed the join-back that used to restore such docs)."""
+        import hashlib
+
+        from union_indexer_node_spark.pipelines.textstats import (
+            quality_classifier_score,
+        )
+
+        def bucket(g, n=64):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
+
+        # one feature's bucket gets a weight; everything else misses
+        hit_b = bucket("alpha")
+        w = spark.createDataFrame([(hit_b, 7)], "bucket long, weight long")
+        docs = _docs(
+            spark,
+            [
+                (1, "alpha"),          # hits: score 7 + bias
+                (2, "beta gamma"),     # features exist, all miss: bias
+                (3, ""),               # zero features: bias
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in quality_classifier_score(
+                docs, "text", "doc_id", w, n_buckets=64, bias=3
+            ).collect()
+        }
+        assert len(out) == 3
+        # doc 1 may collect extra hits only if another feature collides
+        # into hit_b; 'alpha' alone has no bigrams, so exactly one hit
+        assert out[1]["score"] == 10 and out[1]["keep"] is True
+        assert out[2]["score"] == 3 and out[2]["keep"] is True
+        assert out[3]["score"] == 3 and out[3]["keep"] is True

@@ -188,3 +188,49 @@ class TestClassifierSparseWeights:
         assert out[1]["score"] == 10 and out[1]["keep"] is True
         assert out[2]["score"] == 3 and out[2]["keep"] is True
         assert out[3]["score"] == 3 and out[3]["keep"] is True
+
+
+class TestCanonicalSignatureParity:
+    def test_digest_keyed_equals_canon_then_sign(self, spark):
+        """_canonical_signature must be row-for-row equal to
+        minhash_signature(_digest_canonicals(df)) — the r16 rewrite
+        moves the canonicalization INTO the signature aggregation so
+        text bytes never enter an exchange; duplicates, short docs,
+        empty and NULL texts must all land identically."""
+        from union_indexer_node_spark.pipelines.dedup import (
+            _canonical_signature,
+            _digest_canonicals,
+            minhash_signature,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (7, "alpha beta gamma delta epsilon"),  # dup, higher id
+                (3, "alpha beta gamma delta epsilon"),  # dup, mid id
+                (4, "some other text entirely here now"),
+                (5, "two words"),                        # < shingle_n
+                (6, ""),                                 # empty
+                (8, None),                               # NULL text
+            ],
+        )
+        old = sorted(
+            minhash_signature(
+                _digest_canonicals(docs, "text", "doc_id"),
+                "text",
+                "doc_id",
+                k=8,
+                shingle_n=3,
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        new = sorted(
+            _canonical_signature(
+                docs, "text", "doc_id", k=8, shingle_n=3
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [tuple(r) for r in new] == [tuple(r) for r in old]
+        # the dup cluster is represented once, by its min id
+        assert [r["doc_id"] for r in new] == [1, 4]

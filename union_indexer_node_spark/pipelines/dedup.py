@@ -169,22 +169,73 @@ def minhash_signature(
             F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
         )
     )
-    n_digests = (k * 8 + 31) // 32
-    hexcat = F.concat(
-        *[
-            F.md5(F.concat(F.col("s"), F.lit("#" * d)) if d else F.col("s"))
-            for d in range(n_digests)
-        ]
-    )
     # materialize the concatenated digest once per shingle row; the k
     # substring aggregates below slice it (keeps the md5 out of every
     # aggregate expression)
-    hashed = sh.select(F.col(id_col), hexcat.alias("_hx"))
-    aggs = [
+    hashed = sh.select(F.col(id_col), _hash_windows_hexcat("s", k).alias("_hx"))
+    return hashed.groupBy(id_col).agg(*_window_min_aggs(k))
+
+
+def _hash_windows_hexcat(shingle_col: str, k: int) -> Column:
+    """The signature hash family: ceil(k/4) chained md5 digests of the
+    shingle, concatenated to one hex string whose k fixed-width 8-hex
+    windows are the per-seed hashes. ONE implementation — shared by
+    the id-keyed and digest-keyed signature paths so the family can't
+    drift between them (the md5_draw discipline)."""
+    n_digests = (k * 8 + 31) // 32
+    s = F.col(shingle_col)
+    return F.concat(
+        *[
+            F.md5(F.concat(s, F.lit("#" * d)) if d else s)
+            for d in range(n_digests)
+        ]
+    )
+
+
+def _window_min_aggs(k: int) -> list[Column]:
+    """The k per-window min aggregates over a materialized ``_hx``
+    digest column (fixed-width lowercase hex: lexicographic min IS the
+    numeric min; a conv-to-long variant measured slower, r16)."""
+    return [
         F.min(F.substring(F.col("_hx"), 8 * j + 1, 8)).alias(f"h{j}")
         for j in range(k)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _canonical_signature(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature of each digest-canonical document WITHOUT
+    shuffling text bytes — row-for-row equal to
+    ``minhash_signature(_digest_canonicals(df), ...)`` (pinned by
+    TestCanonicalSignatureParity) but shaped for scale (guide §2.3):
+    shingles explode MAP-SIDE keyed by md5(text), the per-window min
+    aggregates absorb duplicate texts for free (identical text →
+    identical digest and shingle set → the same mins re-contributed,
+    and min is idempotent), and the min-id representative attaches by
+    a digest-keyed join of two digest-count-sized frames.
+    _digest_canonicals' min_by(struct(id, text)) instead shipped every
+    distinct text's BYTES through the digest exchange. The trade,
+    explicit: a duplicate text is re-tokenized/re-shingled map-side
+    rather than skipped — CPU for network, the right direction for a
+    dup-heavy corpus at 100 TB (and measured 1.42 → 1.35 s at sf0.1
+    even at this testdata's ~0 % dup rate)."""
+    dg = F.md5(F.col(text_col)).alias("_dg")
+    sh = (
+        df.select(dg, tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            "_dg",
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
+        )
+    )
+    hashed = sh.select("_dg", _hash_windows_hexcat("s", k).alias("_hx"))
+    sig = hashed.groupBy("_dg").agg(*_window_min_aggs(k))
+    reps = df.groupBy(dg).agg(F.min(F.col(id_col)).alias(id_col))
+    # inner join: a doc with no shingles (short/empty/NULL text) has no
+    # signature row in either path, so its reps row dropping here
+    # matches minhash_signature-over-canonicals exactly
+    return sig.join(reps, "_dg").select(id_col, *[f"h{j}" for j in range(k)])
 
 
 def lsh_bands(sig: DataFrame, id_col: str, *, bands: int, rows: int) -> DataFrame:
@@ -301,8 +352,13 @@ def lsh_candidate_pairs(
         # candidates). Fail loudly instead.
         raise ValueError(f"bands must divide k (k={k}, bands={bands})")
     rows = k // bands
-    src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
-    sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
+    # digest-keyed canonical signature (r16): bit-equal to signing the
+    # _digest_canonicals frame, but text bytes never enter an exchange
+    sig = (
+        _canonical_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+        if unique_text_first
+        else minhash_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    )
     banded = lsh_bands(sig, id_col, bands=bands, rows=rows)
     if bucket_cap is not None:
         wb = Window.partitionBy("band_idx", "band_key")
@@ -336,8 +392,11 @@ def lsh_bucket_stats(
     if bands <= 0 or k % bands != 0:
         raise ValueError(f"bands must divide k (k={k}, bands={bands})")
     rows = k // bands
-    src = _digest_canonicals(df, text_col, id_col) if unique_text_first else df
-    sig = minhash_signature(src, text_col, id_col, k=k, shingle_n=shingle_n)
+    sig = (
+        _canonical_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+        if unique_text_first
+        else minhash_signature(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    )
     banded = lsh_bands(sig, id_col, bands=bands, rows=rows)
     return banded.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("n_members")
